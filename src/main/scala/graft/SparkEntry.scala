@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each operator family lives in its own module exposing
+  * `queries: Map[String, (SparkSession, String) => DataFrame]` and
+  * `oracles: Map[String, String]` (DuckDB ANSI SQL over the same
+  * parquet tables); SparkEntry is the aggregation point the driver
+  * reads. Every query is deterministic (total ORDER BY) and aliases
+  * computed columns identically in Spark and SQL.
+  */
 object SparkEntry {
+
+  private def modules: Seq[QueryModule] = Seq(
+    graft.operators.CatalogModule
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.operators.Catalog.worklist(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracles).toMap
+}
+
+/** One operator family's contribution to the driver contract. */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
 }

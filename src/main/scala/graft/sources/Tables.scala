@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated testdata
+  * (see /root/repo/TESTDATA.md). One loader per table so query code
+  * never concatenates paths, and so a future move to a real catalog
+  * (JDBC/metastore) swaps implementations in one place.
+  *
+  * Scale posture: `spark.read.parquet` gives the vectorized columnar
+  * reader with row-group pruning + predicate/column pushdown; at 100 TB
+  * the same call reads a partitioned directory tree and Catalyst prunes
+  * partitions from the pushed filters. Nothing here materializes rows.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+}
