@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    graft.operators.CatalogModule
+    graft.operators.CatalogModule,
+    graft.alto.AltoModule
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

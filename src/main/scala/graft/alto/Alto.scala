@@ -1,0 +1,170 @@
+package graft.alto
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.parseIntJs
+
+/** The reference's domain pipeline — ALTO OCR XML → simplified JSON +
+  * transcript (`script/extract-text-lines-from-alto.js:23946-24072`,
+  * `flows/main_flow.py:65-70`) — re-expressed as per-row columnar
+  * expressions.
+  *
+  * Architecture notes (100 TB posture):
+  *  - The whole document transform is *per-row* higher-order-function
+  *    work (`transform`/`flatten`/`filter`): no explode, no shuffle, no
+  *    state. A corpus of N XML docs maps over partitions untouched.
+  *  - The reference forks one Node process + one HTTP fetch + one DOM
+  *    parse per document (`flows/main_flow.py:54-58`); here parsing is
+  *    Spark's built-in XML reader (StAX, streaming) or `from_xml` over
+  *    a string column.
+  *  - Tolerance: the reference v2 path CRASHES (TypeError) on a
+  *    TextBlock without TextLine or a Page without PrintSpace —
+  *    verified empirically against the bundled script. In a distributed
+  *    batch a poison document must not kill the job, so missing levels
+  *    contribute zero rows here (the reference's "crash the task" maps
+  *    to "skip the level"); all other observable behaviors match the
+  *    script bit-for-bit (see AltoSpec goldens).
+  */
+object Alto {
+
+  val NsV2 = "http://www.loc.gov/standards/alto/ns-v2#"
+  val NsV3 = "http://www.loc.gov/standards/alto/ns-v3#"
+
+  /** Spark XML options mirroring xml2js 0.2 defaults (attrkey `$` →
+    * prefix `_`, charkey `_` → valueTag). */
+  val xmlOptions: Map[String, String] = Map(
+    "attributePrefix" -> "_",
+    "valueTag" -> "_VALUE",
+    "ignoreSurroundingSpaces" -> "false",
+    "mode" -> "PERMISSIVE")
+
+  /** Distributed XML ingest (S2/S3): one row per `<alto>` document.
+    * Strictly better than the reference's per-URL fetch+DOM: StAX
+    * streaming parse, partitioned by file splits. */
+  def readAltoXmlFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml")
+      .options(xmlOptions + ("rowTag" -> "alto"))
+      .schema(AltoSchema.alto)
+      .load(path)
+      .withColumn("alto", struct(col("_xmlns"), col("Description"), col("Layout")))
+      .select("alto")
+
+  /** Parse an XML string column into the ALTO struct (`from_xml`). */
+  def parseXml(xmlCol: Column): Column =
+    from_xml(xmlCol, AltoSchema.alto,
+      scala.jdk.CollectionConverters.MapHasAsJava(xmlOptions).asJava)
+
+  private def ca(c: Column): Column = coalesce(c, array())
+  private def head(c: Column): Column = element_at(c, 1)
+
+  /** One `<String>` token → {text, x, y, width, height} with JS
+    * parseInt semantics (`:23971-23977`). */
+  private def token(s: Column): Column = struct(
+    s("_CONTENT").as("text"),
+    parseIntJs(s("_HPOS")).as("x"),
+    parseIntJs(s("_VPOS")).as("y"),
+    parseIntJs(s("_WIDTH")).as("width"),
+    parseIntJs(s("_HEIGHT")).as("height"))
+
+  /** The 6-level Layout→Page→PrintSpace→TextBlock→TextLine→String
+    * flatten (G1, `:23962-23983` v2 / `:24006-24024` v3), in document
+    * order, as a single per-row expression. */
+  private def flatTokens(alto: Column): Column =
+    flatten(transform(ca(alto("Layout")), l =>
+      flatten(transform(ca(l("Page")), p =>
+        flatten(transform(ca(p("PrintSpace")), ps =>
+          flatten(transform(ca(ps("TextBlock")), tb =>
+            flatten(transform(ca(tb("TextLine")), tl =>
+              transform(ca(tl("String")), s => token(s))))))))))))
+
+  /** v2 keeps only truthy CONTENT (`if (!altoString.$.CONTENT) return
+    * null` + compact, `:23968-23970`); "" and missing are both falsy. */
+  private def v2Tokens(alto: Column): Column =
+    filter(flatTokens(alto), t => t("text").isNotNull && t("text") =!= "")
+
+  /** v3 keeps every token, empty CONTENT included (`:24011-24018`). */
+  private def v3Tokens(alto: Column): Column = flatTokens(alto)
+
+  /** description.* scalars via null-safe head-of-array chains — the
+    * Spark analog of the `?.[0]?.` optional chaining (`:23986-23998`). */
+  private def descriptionStruct(alto: Column, fileNameSupported: Boolean): Column = {
+    val step = head(head(head(alto("Description"))("OCRProcessing"))("ocrProcessingStep"))
+    val sw = head(step("processingSoftware"))
+    val page0 = head(head(alto("Layout"))("Page"))
+    val fileName =
+      if (fileNameSupported)
+        head(head(head(alto("Description"))("sourceImageInformation"))("fileName"))
+      else lit(null).cast("string") // v3 hardcodes undefined (`:24027`)
+    struct(
+      fileName.as("fileName"),
+      head(step("processingDateTime")).as("processingDateTime"),
+      head(step("processingStepSettings")).as("processingStepSettings"),
+      head(sw("softwareCreator")).as("softwareCreator"),
+      head(sw("softwareName")).as("softwareName"),
+      head(sw("softwareVersion")).as("softwareVersion"),
+      page0("_WIDTH").as("width"),   // kept as STRING, never parsed (`:23997`)
+      page0("_HEIGHT").as("height"))
+  }
+
+  private def nullDescription: Column = {
+    val n = lit(null).cast("string")
+    struct(n.as("fileName"), n.as("processingDateTime"),
+      n.as("processingStepSettings"), n.as("softwareCreator"),
+      n.as("softwareName"), n.as("softwareVersion"),
+      n.as("width"), n.as("height"))
+  }
+
+  /** Namespace dispatch (F7, `:23957-24058`) → simplified document
+    * struct. Unsupported versions yield the all-null record, not an
+    * error (`:24044-24058`). */
+  def simplify(alto: Column): Column = {
+    val ns = alto("_xmlns")
+    when(ns === NsV2,
+      struct(descriptionStruct(alto, fileNameSupported = true).as("description"),
+             v2Tokens(alto).as("text")))
+    .when(ns === NsV3,
+      struct(descriptionStruct(alto, fileNameSupported = false).as("description"),
+             v3Tokens(alto).as("text")))
+    .otherwise(
+      struct(nullDescription.as("description"),
+             lit(null).cast(org.apache.spark.sql.types.ArrayType(AltoSchema.textLineOut)).as("text")))
+  }
+
+  /** Transcript = space-join of token texts in document order
+    * (A1/F2, `flows/main_flow.py:70`). `array_join` skips null texts
+    * (the reference raises KeyError there — same "poison doc" stance
+    * as the flatten). No shuffle: array order IS document order. */
+  def transcript(simplified: Column): Column =
+    array_join(simplified("text")("text"), " ")
+
+  /** Simplified-JSON serialization (F5): compact vs the reference's
+    * 2-space pretty print; `ignoreNullFields` matches JSON.stringify
+    * dropping undefined keys — compare parsed, not textual. */
+  def toSimplifiedJson(simplified: Column): Column =
+    to_json(simplified, Map("ignoreNullFields" -> "true"))
+
+  /** Full document pipeline over (id, url, xml) rows: the engine-side
+    * equivalent of the reference's per-row task chain
+    * (`flows/main_flow.py:136-153`), minus the external sinks. */
+  def pipeline(df: DataFrame, idCol: String = "representation_id",
+               urlCol: String = "url", xmlCol: String = "xml"): DataFrame = {
+    import graft.functions.GraftFunctions._
+    df.withColumn("alto", parseXml(col(xmlCol)))
+      .withColumn("simplified", simplify(col("alto")))
+      .withColumn("json", toSimplifiedJson(col("simplified")))
+      .withColumn("transcript", transcript(col("simplified")))
+      .withColumn("s3_key", s3Key(col(urlCol)))
+      .select(col(idCol), col(urlCol), col("simplified"),
+        col("json"), col("transcript"), col("s3_key"))
+  }
+
+  /** Exploded token-level relational view (one row per kept `<String>`)
+    * for token-level analytics; `posexplode` keeps document order
+    * explicit so downstream aggregation can stay deterministic. */
+  def tokens(df: DataFrame, docIdCol: String): DataFrame =
+    df.select(col(docIdCol), posexplode(col("simplified")("text")).as(Seq("pos", "tok")))
+      .select(col(docIdCol), col("pos"),
+        col("tok")("text").as("text"),
+        col("tok")("x").as("x"), col("tok")("y").as("y"),
+        col("tok")("width").as("width"), col("tok")("height").as("height"))
+}

@@ -1,0 +1,117 @@
+package graft.alto
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Golden tests: expected values pinned by running the reference's
+  * bundled script (`node script/extract-text-lines-from-alto.js <url>`)
+  * against these exact fixtures over local HTTP. See FIXTURES.md §A,
+  * with one correction: the reference v2 path crashes (TypeError) on a
+  * TextBlock without TextLine / Page without PrintSpace; our engine
+  * yields zero rows for those levels (documented in Alto.scala).
+  */
+class AltoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def load(fixture: String): DataFrame = {
+    val path = resource(s"/alto/$fixture")
+    val xml = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    Seq((1L, s"https://x.test/files/$fixture", xml))
+      .toDF("representation_id", "url", "xml")
+  }
+
+  private def simplified(fixture: String): Row =
+    load(fixture)
+      .select(Alto.simplify(Alto.parseXml($"xml")).as("s"))
+      .select("s.*").collect().head
+
+  test("v2 basic: description metadata, string width/height, parseInt truncation") {
+    val r = simplified("alto_v2_basic.xml")
+    val d = r.getStruct(0)
+    assert(d.getString(0) == "page_001.tif")              // fileName
+    assert(d.getString(1) == "2023-05-01T10:00:00")       // processingDateTime
+    assert(d.getString(2) == "dpi:300")                   // processingStepSettings
+    assert(d.getString(3) == "ABBYY")                     // softwareCreator
+    assert(d.getString(4) == "FineReader")                // softwareName
+    assert(d.getString(5) == "11.0")                      // softwareVersion
+    assert(d.getString(6) == "2400" && d.getString(7) == "3600") // strings, never ints
+    val toks = r.getSeq[Row](1)
+    assert(toks.map(t => (t.getString(0), t.getInt(1), t.getInt(2), t.getInt(3), t.getInt(4))) ==
+      Seq(("Hello", 100, 200, 50, 20), ("world", 160, 200, 55, 20))) // parseInt("160.7")=160
+  }
+
+  test("v2: falsy CONTENT dropped, parseInt prefix/NaN semantics, multi-Layout document order") {
+    val r = simplified("alto_v2_multilayout.xml")
+    val toks = r.getSeq[Row](1)
+    // node output: keep/9/10/null/12 then second, third (CONTENT="" and missing CONTENT dropped)
+    assert(toks.map(_.getString(0)) == Seq("keep", "second", "third"))
+    val keep = toks.head
+    assert(keep.getInt(1) == 9)          // parseInt("9.5") = 9
+    assert(keep.isNullAt(3))             // parseInt("bad") = NaN -> null
+    assert(keep.getInt(4) == 12)         // parseInt(" 12px") = 12
+    // description.width comes from Layout[0].Page[0] which has no WIDTH -> null
+    assert(r.getStruct(0).isNullAt(6))
+  }
+
+  test("v2 tolerant: missing TextLine/PrintSpace yield zero rows (ref crashes; documented)") {
+    val r = simplified("alto_v2_tolerant.xml")
+    val toks = r.getSeq[Row](1)
+    assert(toks.map(_.getString(0)) == Seq("alive"))
+    assert(r.getStruct(0).getString(6) == "10")
+  }
+
+  test("v3: empty CONTENT kept, fileName always null, metadata partial") {
+    val r = simplified("alto_v3_basic.xml")
+    val d = r.getStruct(0)
+    assert(d.isNullAt(0))                                 // fileName: v3 hardcodes undefined
+    assert(d.getString(1) == "2023-05-01T10:00:00")
+    assert(d.isNullAt(2))                                 // no processingStepSettings in fixture
+    assert(d.getString(4) == "Tesseract")
+    assert(d.getString(6) == "1000" && d.getString(7) == "1500")
+    val toks = r.getSeq[Row](1)
+    assert(toks.map(_.getString(0)) == Seq("", "v3tok"))  // "" kept in v3
+    assert(toks(1).getInt(1) == 10)                       // parseInt("10.9") = 10
+  }
+
+  test("unsupported namespace: all-null record, no error") {
+    val r = simplified("alto_unsupported.xml")
+    val d = r.getStruct(0)
+    assert((0 until 8).forall(d.isNullAt))
+    assert(r.isNullAt(1))                                 // text: null array
+  }
+
+  test("transcript: space-join in document order; json drops null fields") {
+    val df = load("alto_v2_multilayout.xml")
+      .withColumn("s", Alto.simplify(Alto.parseXml($"xml")))
+    val row = df.select(
+      Alto.transcript($"s").as("t"),
+      Alto.toSimplifiedJson($"s").as("j")).collect().head
+    assert(row.getString(0) == "keep second third")
+    assert(!row.getString(1).contains("fileName"))        // null keys dropped like JSON.stringify
+    assert(row.getString(1).contains("\"text\":\"keep\""))
+  }
+
+  test("full pipeline: id/url carried through, s3 key = basename + .json") {
+    val out = Alto.pipeline(load("alto_v2_basic.xml")).collect().head
+    assert(out.getAs[Long]("representation_id") == 1L)
+    assert(out.getAs[String]("s3_key") == "alto_v2_basic.xml.json")
+    assert(out.getAs[String]("transcript") == "Hello world")
+  }
+
+  test("XML datasource ingest path matches from_xml path") {
+    val viaDs = Alto.readAltoXmlFiles(spark, resource("/alto/alto_v2_basic.xml"))
+      .select(Alto.simplify($"alto").as("s"))
+      .select(Alto.transcript($"s")).collect().head.getString(0)
+    assert(viaDs == "Hello world")
+  }
+
+  test("exploded token view: one row per kept token with positions") {
+    val df = load("alto_v2_multilayout.xml")
+      .withColumn("simplified", Alto.simplify(Alto.parseXml($"xml")))
+    val toks = Alto.tokens(df, "representation_id")
+    assert(toks.count() == 3)
+    assert(toks.orderBy("pos").select("text").as[String].collect().toSeq ==
+      Seq("keep", "second", "third"))
+  }
+}
