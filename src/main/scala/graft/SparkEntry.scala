@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     graft.operators.CatalogModule,
-    graft.alto.AltoModule
+    graft.alto.AltoModule,
+    graft.operators.RelationalModule
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -196,16 +196,18 @@ object Relational {
   /** As-of join: for every error event, the most recent click at or
     * before it by the same user. Union + running `last(ignoreNulls)`
     * over one user_id window — one shuffle, linear per partition;
-    * equivalent to DuckDB's ASOF LEFT JOIN (oracle). `is_click` sorts
-    * ties so a click at the exact error timestamp is visible (>= asof
-    * semantics). */
+    * equivalent to DuckDB's ASOF LEFT JOIN (oracle). On a timestamp tie
+    * the click row must sort BEFORE the error row so the running `last`
+    * already contains it (inclusive `e.ts >= c.ts` asof semantics):
+    * click rows have non-null click_ts, so `asc_nulls_last` places them
+    * first within the tie. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val tagged = e.filter(col("event_type").isin("click", "error"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         when(col("event_type") === "click", col("ts")).as("click_ts"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("click_ts").asc_nulls_first)
+      .orderBy(col("ts").asc, col("click_ts").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))

@@ -27,7 +27,22 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+  /** The driver-generated events table stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark 4's reader rejects outright
+    * (PARQUET_TYPE_ILLEGAL). Read it as raw long nanos via the legacy
+    * conf, then convert to a micros timestamp — lossless here (the
+    * synthetic data carries no sub-microsecond component) and exact
+    * integer arithmetic (`div`), no double rounding. Fixture-written
+    * tables already carry a native timestamp and pass through. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+/** Relational flagship set — semantics pinned against hand-computable
+  * fixtures; the sf0.01 DuckDB oracle (tools/check_oracle.py) covers
+  * the full-table results.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Write a minimal events table (driver testdata schema) to a temp
+    * dir so asofJoin can read it through the normal Tables loader. */
+  private def eventsDir(rows: Seq[(Long, Timestamp, Long, String, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("asofJoin: inclusive — a click at exactly the error's timestamp is matched") {
+    val dir = eventsDir(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 7L, "click", 0.0, "{}"),
+      // tie: click and error at the same instant → asof (e.ts >= c.ts) matches it
+      (3L, ts("2024-01-01 10:10:00"), 7L, "click", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:10:00"), 7L, "error", 0.0, "{}")))
+    val out = Relational.asofJoin(spark, dir)
+      .select("event_id", "last_click_ts").as[(Long, Timestamp)].collect()
+    assert(out.toSeq == Seq((4L, ts("2024-01-01 10:10:00"))))
+  }
+
+  test("asofJoin: error before any click gets null; later error gets most recent prior click") {
+    val dir = eventsDir(Seq(
+      (1L, ts("2024-01-01 09:00:00"), 7L, "error", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:05:00"), 7L, "click", 0.0, "{}"),
+      (4L, ts("2024-01-01 11:00:00"), 7L, "error", 0.0, "{}"),
+      // other user's clicks must not leak across the partition key
+      (5L, ts("2024-01-01 10:30:00"), 8L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-01 10:45:00"), 8L, "error", 0.0, "{}")))
+    val out = Relational.asofJoin(spark, dir)
+      .select("event_id", "last_click_ts").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toSeq
+    assert(out == Seq(
+      (1L, None),
+      (4L, Some(ts("2024-01-01 10:05:00"))),
+      (6L, Some(ts("2024-01-01 10:30:00")))))
+  }
+}

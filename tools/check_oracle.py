@@ -16,8 +16,23 @@ import duckdb
 
 
 def norm(v):
-    if isinstance(v, float):
-        return round(v, 6)
+    """Map engine/pandas dtype artifacts to one comparable form:
+    Decimal→float, None/NaN/NaT→one sentinel, numpy scalars→python."""
+    import decimal
+    if v is None:
+        return None
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    try:  # pandas NaT / numpy nan in object columns
+        import pandas as pd
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if hasattr(v, "item"):  # numpy scalar → python scalar
+        v = v.item()
     return v
 
 
@@ -25,10 +40,16 @@ def rows_equal(a, b):
     if len(a) != len(b):
         return False
     for x, y in zip(a, b):
-        if isinstance(x, float) and isinstance(y, float):
-            if math.isnan(x) and math.isnan(y):
-                continue
-            if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+        x, y = norm(x), norm(y)
+        if x is None and y is None:
+            continue
+        if (x is None) != (y is None):
+            return False
+        if isinstance(x, float) and isinstance(y, (float, int)):
+            if not math.isclose(x, float(y), rel_tol=1e-9, abs_tol=1e-9):
+                return False
+        elif isinstance(y, float) and isinstance(x, int):
+            if not math.isclose(float(x), y, rel_tol=1e-9, abs_tol=1e-9):
                 return False
         elif str(x) != str(y):
             return False
