@@ -16,7 +16,10 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     graft.operators.CatalogModule,
     graft.alto.AltoModule,
-    graft.operators.RelationalModule
+    graft.operators.RelationalModule,
+    graft.operators.TextAnalysisModule,
+    graft.operators.DedupModule,
+    graft.operators.SimilarityModule
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

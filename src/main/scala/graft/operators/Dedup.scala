@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md
+  * §2.12 E1/E2): exact dedup, n-gram Jaccard near-dup, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup — over `documents` and
+  * `embeddings`.
+  *
+  * Scale posture (100 TB):
+  *  - Exact dedup is one hash aggregation on the normalized-text key —
+  *    map-side partial combine, no driver state.
+  *  - Jaccard candidates come from an INVERTED-INDEX join (explode
+  *    shingles, equi-join on the shingle) — never an all-pairs cross
+  *    join. The shuffle is keyed on the shingle, so co-occurring docs
+  *    meet in one partition; a hot shingle is an AQE skew-join case.
+  *  - MinHash compresses each doc to a k-int signature *before* any
+  *    shuffle: the candidate join moves k longs per doc instead of the
+  *    full shingle set. Banding (b bands of r rows) tunes the
+  *    recall/precision knee: P(candidate) = 1-(1-j^r)^b.
+  *  - SimHash compresses to 64 bits; the 4×16-bit chunk join finds all
+  *    pairs within Hamming distance 3 by pigeonhole without comparing
+  *    all pairs.
+  *  - All hash arithmetic is xxhash64/md5 + integer ops inside
+  *    whole-stage codegen; no Scala UDFs.
+  *
+  * Oracle posture: exact dedup, Jaccard pairs, and embedding-cosine
+  * pairs are DuckDB-verified. MinHash/SimHash outputs depend on
+  * Spark's xxhash64 (no DuckDB twin), so they are declared rows-only
+  * for the driver and pinned by ScalaTest fixtures instead
+  * (DedupSpec): estimates converge to true Jaccard, candidates are a
+  * superset of high-similarity pairs, SimHash Hamming distance is 0
+  * for identical docs.
+  */
+object Dedup {
+
+  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Distinct word 3-gram shingles of the document text. */
+  private def shingles(c: Column): Column = {
+    val t = toks(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - 2, lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(3)))))
+  }
+
+  private def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** E1 exact dedup: group on the whitespace/case-normalized text, keep
+    * the lowest doc_id. One hash aggregation — the 100 TB formulation
+    * groups on md5(norm) to shrink the shuffle key. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(normText(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  /** Exact dedup on a coarser business key (lang, source): keep the
+    * earliest doc per group — the "one doc per crawl source+language"
+    * policy. */
+  def dedupByKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("lang", "source")
+
+  /** E2 n-gram Jaccard near-dup: inverted-index candidate join on
+    * shared shingles, then exact Jaccard from the distinct-set sizes.
+    * Top-20 most similar pairs (deterministic total order). */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val a = docs.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = docs.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+      .limit(20)
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------
+
+  /** Mersenne prime 2^31-1: universal-hash modulus. a*x+b stays well
+    * inside Long (a,x < 2^31 → product < 2^62). */
+  private val P = 2147483647L
+  private val NumHashes = 32
+
+  /** Seeded (a,b) pairs for the k universal hash functions — fixed
+    * seed so signatures are stable across runs and executors. */
+  private val hashParams: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)((1L + rnd.nextInt((P - 1).toInt).toLong,
+                         rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** k-int MinHash signature of the shingle set: sig_i = min over
+    * shingles of ((a_i * h(s) + b_i) mod P), h = xxhash64 folded into
+    * [0, P). Pure column arithmetic — codegen'd, no UDF. */
+  def minhashSignature(sh: Column): Column = {
+    val x = (s: Column) => pmod(xxhash64(s), lit(P))
+    array(hashParams.map { case (a, b) =>
+      array_min(transform(sh, s => pmod(x(s) * lit(a) + lit(b), lit(P))))
+    }: _*)
+  }
+
+  /** E2 MinHash+LSH near-dup: signature → banded bucket join →
+    * candidate pairs ranked by estimated Jaccard (fraction of agreeing
+    * signature positions). Bands of r=1 over k=32 hashes = the
+    * high-recall end of the banding curve, right for a corpus with no
+    * true dups; r=2..4 is the 100 TB precision setting (see
+    * minhashCandidates). Rows-only for the driver (xxhash64 has no
+    * DuckDB twin); semantics pinned in DedupSpec. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("sig"))
+    val cands = minhashCandidates(sigs, bandRows = 1)
+    val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          bb => bb)).cast("double") / NumHashes).as("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col("id_a").asc, col("id_b").asc)
+      .limit(20)
+  }
+
+  /** Banded LSH candidate generation: hash each band of `bandRows`
+    * signature values, join docs sharing a (band index, band hash)
+    * bucket. Output: distinct (id_a < id_b) pairs. */
+  def minhashCandidates(sigs: DataFrame, bandRows: Int): DataFrame = {
+    val numBands = NumHashes / bandRows
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until numBands).map { j =>
+        md5(concat_ws(",", slice(col("sig"), j * bandRows + 1, bandRows)))
+      }: _*)).as(Seq("band_idx", "band_hash")))
+    val a = bands.select(col("doc_id").as("id_a"), col("band_idx"), col("band_hash"))
+    val b = bands.select(col("doc_id").as("id_b"), col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  /** 64-bit SimHash of the token multiset as an array of 64 0/1 ints:
+    * bit i is set iff the sum of ±1 contributions (per token, from bit
+    * i of xxhash64(token)) is positive. Bit extraction goes through
+    * bin() → fixed-width bitstring so the lambda index stays a Column
+    * (shiftright needs a literal). */
+  def simhashBits(tokens: Column): Column = {
+    val bitstr = (h: Column) => lpad(bin(h), 64, "0")
+    val contrib = (h: Column) => transform(
+      sequence(lit(1), lit(64)),
+      i => when(bitstr(h).substr(i, lit(1)) === "1", 1).otherwise(-1))
+    val acc = aggregate(
+      transform(tokens, t => xxhash64(t)),
+      array_repeat(lit(0), 64),
+      (a, h) => zip_with(a, contrib(h), (x, y) => x + y))
+    transform(acc, v => when(v > 0, 1).otherwise(0))
+  }
+
+  /** E2 SimHash near-dup: 64-bit fingerprints, candidates = pairs
+    * sharing at least one of four 16-bit chunks (pigeonhole ⇒ finds
+    * every pair with Hamming distance ≤ 3 without an all-pairs scan),
+    * ranked by exact Hamming distance. Rows-only for the driver;
+    * semantics pinned in DedupSpec. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhashBits(toks(col("text"))).as("bits"))
+      .select(col("doc_id"), col("bits"),
+        array_join(transform(col("bits"), b => b.cast("string")), "").as("bitstr"))
+    val chunks = docs.select(col("doc_id"), col("bits"),
+      posexplode(array((0 until 4).map(j =>
+        substring(col("bitstr"), j * 16 + 1, 16)): _*)).as(Seq("chunk_idx", "chunk")))
+    val a = chunks.select(col("doc_id").as("id_a"), col("bits").as("bits_a"),
+      col("chunk_idx"), col("chunk"))
+    val b = chunks.select(col("doc_id").as("id_b"), col("bits").as("bits_b"),
+      col("chunk_idx"), col("chunk"))
+    a.join(b, Seq("chunk_idx", "chunk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(filter(zip_with(col("bits_a"), col("bits_b"), (x, y) => x =!= y),
+          bb => bb)).as("hamming"))
+      .distinct()
+      .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
+      .limit(20)
+  }
+
+  // ---- Embedding cosine ---------------------------------------------
+
+  /** Element-wise double view of a float embedding — cast BEFORE any
+    * arithmetic so accumulation is double from the first multiply and
+    * bit-matches the oracle's CAST(embedding AS DOUBLE[]). */
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** E2 embedding-cosine near-dup: top-20 most similar pairs within a
+    * `label` block. Label blocking bounds the pair space (the LSH
+    * variant in Similarity is the unblocked scale path); norms are
+    * computed once per row before the join, so the join evaluates one
+    * dot product per pair. */
+  def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("label"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("label"),
+        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .limit(20)
+  }
+}
+
+/** Driver-contract registration for the dedup set. MinHash/SimHash are
+  * rows-only (no oracle entry): their hashes are Spark-specific. */
+object DedupModule extends QueryModule {
+  import Dedup._
+
+  def queries = Map(
+    "q_dedup_exact" -> ((s: SparkSession, d: String) => exactDedup(s, d)),
+    "q_dedup_by_key" -> ((s: SparkSession, d: String) => dedupByKey(s, d)),
+    "q_dedup_jaccard" -> ((s: SparkSession, d: String) => jaccardPairs(s, d)),
+    "q_dedup_minhash" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
+    "q_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
+    "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)))
+
+  def oracles = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |      FROM documents)
+        |GROUP BY norm ORDER BY keep_id""".stripMargin,
+    "q_dedup_by_key" ->
+      """SELECT lang, source, min(doc_id) AS keep_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)),
+        |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+        |  CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
+        |FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin)
+}

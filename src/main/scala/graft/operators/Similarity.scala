@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.12 E3):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH (sign-random-projection) bucketed variant as
+  * the approximate scale path.
+  *
+  * Scale posture (100 TB):
+  *  - Brute force is O(|Q|·N) dot products: fine when the query set is
+  *    small (it is broadcast, so the big side never shuffles — each
+  *    executor scans its partition of the corpus once). The per-query
+  *    top-k is a window over query_id: shuffle is proportional to
+  *    |Q|·N rows of (id, cos) pairs, NOT embeddings. At scale, cap it
+  *    with a per-partition pre-top-k (mapPartitions heap) — here the
+  *    window formulation keeps the whole plan declarative.
+  *  - LSH hashes every vector to T×1 bucket ids (T tables, H
+  *    hyperplanes each) in one narrow map; the candidate join is an
+  *    equi-join on (table, bucket) — co-located, no cross product. The
+  *    hyperplanes are seeded literals compiled into the plan, so
+  *    executors need no side channel and replays are deterministic.
+  *  - Exact rerank only touches candidates: cost ∝ collisions, the
+  *    recall/cost knob is (H, T): P(collide) = 1-(1-p^H)^T with
+  *    p = 1 - θ/π.
+  *
+  * Oracle posture: brute force is DuckDB-verified bit-exact (double
+  * cast before any arithmetic, same accumulation order). LSH is
+  * rows-only (plane signs have no DuckDB twin) and pinned by
+  * SimilaritySpec: it must recover every planted near-duplicate pair
+  * (cos ≥ 0.95) and agree with brute force on recovered neighbors.
+  */
+object Similarity {
+
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Exact cosine top-k for queries vec_id < `nQueries`, k = `k`.
+    * The query side is broadcast; the corpus side streams. */
+  def knnExact(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nrm").as("nrm_c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
+  /** T tables × H seeded random hyperplanes (unit-free gaussians) —
+    * literals compiled into the plan. */
+  private val NumTables = 8
+  private val NumPlanes = 8
+  private val Dim = 64
+  private[operators] val planes: Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(NumTables, NumPlanes, Dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-random-projection bucket id of vector `v` for one table:
+    * H sign bits concatenated to a string key. */
+  private def bucketId(v: Column, table: Int): Column =
+    concat_ws("", planes(table).map { plane =>
+      when(dot(v, typedLit(plane)) >= 0, "1").otherwise("0")
+    }: _*)
+
+  /** (vec_id, table_idx, bucket) rows: T narrow map outputs per vector. */
+  private[operators] def bucketize(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array((0 until NumTables).map(t => bucketId(col("v"), t)): _*))
+        .as(Seq("table_idx", "bucket")))
+
+  /** Approximate top-k: LSH candidates (equi-join on table+bucket,
+    * deduped), exact cosine rerank, per-query top-k. Rows-only for the
+    * driver; recall pinned in SimilaritySpec. */
+  def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val buckets = bucketize(e)
+    val q = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"),
+        col("nrm").as("nrm_q"), col("table_idx"), col("bucket"))
+    val c = buckets.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
+      col("nrm").as("nrm_c"), col("table_idx"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, Seq("table_idx", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("v_q"), col("nrm_q"),
+        col("v_c"), col("nrm_c"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+}
+
+/** Driver-contract registration for the similarity set. LSH is
+  * rows-only (no oracle): bucket membership is plane-seed-specific. */
+object SimilarityModule extends QueryModule {
+  import Similarity._
+
+  def queries = Map(
+    "q_knn_exact" -> ((s: SparkSession, d: String) => knnExact(s, d)),
+    "q_knn_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)))
+
+  def oracles = Map(
+    "q_knn_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        |      FROM q JOIN e c ON c.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, cos, rn FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+        |  FROM s)
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
+}

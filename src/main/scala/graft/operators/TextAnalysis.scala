@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md
+  * §2.12 / north-star extensions): token statistics, language
+  * identification, quality scoring, tokenizer-style counting, and
+  * document fingerprinting — all over the `documents` table.
+  *
+  * Design notes:
+  *  - Everything is built from `org.apache.spark.sql.functions` —
+  *    higher-order array functions (`transform`/`filter`/`aggregate`)
+  *    keep the work inside whole-stage codegen; there are no Scala
+  *    UDFs on any hot path.
+  *  - Each query is mirrored by equivalent DuckDB SQL (list_transform /
+  *    list_filter / generate_series) so the driver's oracle gate
+  *    hash-checks the results. Where the two engines' regex dialects
+  *    could diverge, the patterns are restricted to the common subset
+  *    (explicit char classes, no lookaround).
+  *  - Scale posture: every operator is a single narrow map over the
+  *    documents scan (no shuffle at all except the final presentation
+  *    ORDER BY and the histogram's one groupBy). At 100 TB these run
+  *    scan-bound with full column pruning.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the trimmed, lowercased text. */
+  private def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  private val enStop = Seq("the", "a", "of", "and", "is", "in", "to")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "nicht")
+  private val frStop = Seq("le", "la", "les", "et", "est", "ne")
+  private val esStop = Seq("el", "los", "las", "y", "es", "no")
+
+  /** Per-document token statistics: token count, distinct-token count,
+    * summed token length, average token length. One narrow projection —
+    * scan-bound at any scale. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"), length(col("text")).as("n_chars_calc"))
+      .select(
+        col("doc_id"),
+        col("n_chars_calc").cast("long").as("n_chars_calc"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
+          .cast("long").as("sum_token_len"),
+        round(
+          aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
+            .cast("double") / size(col("toks")), 6).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Heuristic language ID: per-language stopword hit counts over the
+    * token set plus a CJK-codepoint probe, argmax with a fixed
+    * tie-break order (zh > en > de > fr > es > unknown). The pattern
+    * embeds literal CJK range endpoints so the same text survives both
+    * Java-regex and RE2 (no \uXXXX dialect divergence). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val en = countIn(t, enStop)
+    val de = countIn(t, deStop)
+    val fr = countIn(t, frStop)
+    val es = countIn(t, esStop)
+    val zh = length(regexp_replace(col("text"), "[^一-鿿]", ""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("lang_meta"),
+        en.cast("long").as("en_hits"), de.cast("long").as("de_hits"),
+        fr.cast("long").as("fr_hits"), es.cast("long").as("es_hits"),
+        when(zh > 0, "zh")
+          .when(en >= de && en >= fr && en >= es && en > 0, "en")
+          .when(de >= fr && de >= es && de > 0, "de")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("unknown").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/punctuation/stopword/repetition ratios and
+    * a bucketed verdict — the standard pre-training corpus filters.
+    * All ratios are round()ed so the cross-engine compare is exact. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val nChars = length(col("text"))
+    val punct = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+    val stop = countIn(t, enStop)
+    val distinctRatio = round(size(array_distinct(t)).cast("double") / nTok, 6)
+    val punctRatio = round(punct.cast("double") / nChars, 6)
+    val stopRatio = round(stop.cast("double") / nTok, 6)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+        punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
+        distinctRatio.as("distinct_ratio"),
+        when(nTok < 10, "too_short")
+          .when(punctRatio > 0.2, "too_punct")
+          .when(distinctRatio < 0.2, "too_repetitive")
+          .otherwise("ok").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer-style counting: whitespace tokens vs a BPE-ish regex
+    * lexer ([a-z]+ | digit runs | single non-alnum) — the usual cheap
+    * proxy for "how many tokens will the model see". */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("bpe_ish_tokens"))
+      .orderBy("doc_id")
+
+  /** Most frequent tokens corpus-wide: explode + one hash aggregation,
+    * top 20 (count desc, token asc). The generator analog of the
+    * reference's 6-level flatten (SURVEY.md §2.8) applied to analytics. */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  /** Document fingerprinting: md5 of the whitespace-normalized text
+    * (exact-dup key) plus a winnowing-style min-hash over all 8-char
+    * shingles (robust to local edits). Pure column arithmetic — md5 is
+    * bit-identical across engines, unlike engine hash() builtins. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"),
+        md5(col("norm")).as("exact_fp"),
+        array_min(transform(
+          sequence(lit(1), greatest(length(col("norm")) - 7, lit(1))),
+          i => md5(col("norm").substr(i, lit(8)))))
+          .as("shingle_fp"))
+      .orderBy("doc_id")
+  }
+}
+
+/** Driver-contract registration for the text-analysis set. */
+object TextAnalysisModule extends QueryModule {
+  import TextAnalysis._
+
+  def queries = Map(
+    "q_text_stats" -> ((s: SparkSession, d: String) => textStats(s, d)),
+    "q_text_lang_id" -> ((s: SparkSession, d: String) => langId(s, d)),
+    "q_text_quality" -> ((s: SparkSession, d: String) => qualityScore(s, d)),
+    "q_text_token_count" -> ((s: SparkSession, d: String) => tokenCount(s, d)),
+    "q_text_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
+    "q_text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)))
+
+  // DuckDB lambda syntax (list_transform / list_filter) mirrors Spark's
+  // higher-order functions one-to-one; counts are BIGINT on both sides.
+  def oracles = Map(
+    "q_text_stats" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id, n_chars_calc,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_token_len,
+        |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 6) AS avg_token_len
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_text_lang_id" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang AS lang_meta,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to'))) AS BIGINT) AS en_hits,
+        |  CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS de_hits,
+        |  CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','ne'))) AS BIGINT) AS fr_hits,
+        |  CAST(len(list_filter(toks, t -> t IN ('el','los','las','y','es','no'))) AS BIGINT) AS es_hits,
+        |  length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh_chars
+        |  FROM d)
+        |SELECT doc_id, lang_meta, en_hits, de_hits, fr_hits, es_hits,
+        |  CASE WHEN zh_chars > 0 THEN 'zh'
+        |       WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |       WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |       WHEN es_hits > 0 THEN 'es'
+        |       ELSE 'unknown' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |  round(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+        |  FROM d)
+        |SELECT doc_id, n_tokens, punct_ratio, stop_ratio, distinct_ratio,
+        |  CASE WHEN n_tokens < 10 THEN 'too_short'
+        |       WHEN punct_ratio > 0.2 THEN 'too_punct'
+        |       WHEN distinct_ratio < 0.2 THEN 'too_repetitive'
+        |       ELSE 'ok' END AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_token_histogram" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q_text_fingerprint" ->
+      """WITH d AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS exact_fp,
+        |  list_min(list_transform(
+        |    generate_series(1, greatest(length(norm) - 7, 1)),
+        |    i -> md5(substr(norm, CAST(i AS INT), 8)))) AS shingle_fp
+        |FROM d ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Pins the semantics of the approximate dedup operators (MinHash/LSH,
+  * SimHash) that the DuckDB oracle cannot check, plus exact-dedup and
+  * Jaccard behavior on constructed fixtures with known overlap.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a fixture documents table (driver testdata schema) and
+    * return its directory. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.map { case (id, text) => (id, text, "en", "srcT", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exactDedup collapses case/whitespace variants to the lowest doc_id") {
+    val dir = docsDir(Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "  HELLO\tWORLD "),
+      (4L, "something else")))
+    val out = Dedup.exactDedup(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (4L, 1L)))
+  }
+
+  test("jaccardPairs ranks a constructed near-dup pair first with the hand-computed score") {
+    // A and B: 12 tokens, differ in the last token → 10 shingles each,
+    // 9 shared → jaccard = 9 / (10 + 10 - 9) = 9/11.
+    val base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val dir = docsDir(Seq(
+      (1L, s"$base end1"),
+      (2L, s"$base end2"),
+      (3L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11")))
+    val top = Dedup.jaccardPairs(spark, dir)
+      .select("id_a", "id_b", "n_common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(top._1 == 1L && top._2 == 2L && top._3 == 9L)
+    assert(math.abs(top._4 - 9.0 / 11.0) < 1e-12)
+  }
+
+  test("minhash estimate: exact 1.0 for identical docs, near true jaccard otherwise") {
+    // doc1 == doc2; doc3 shares roughly half its shingles with doc1.
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, shared + " " + (0 until 18).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (0 until 18).map(i => s"a$i").mkString(" ")),
+      (3L, shared + " " + (0 until 18).map(i => s"b$i").mkString(" "))))
+    val out = Dedup.minhashLsh(spark, dir)
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 1.0)
+    // true jaccard(1,3): 38-token docs share the 20 shared tokens' 18
+    // interior shingles + boundary effects; estimate must land within
+    // the k=32 sampling error of the exact value.
+    val exact = Dedup.jaccardPairs(spark, dir)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(out((1L, 3L)) - exact((1L, 3L))) < 0.3)
+  }
+
+  test("minhashCandidates with wide bands still pairs identical docs") {
+    val dir = docsDir(Seq(
+      (1L, "x0 x1 x2 x3 x4 x5 x6 x7"),
+      (2L, "x0 x1 x2 x3 x4 x5 x6 x7"),
+      (3L, "y0 y1 y2 y3 y4 y5 y6 y7")))
+    val sigs = graft.sources.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        Dedup.minhashSignature(
+          org.apache.spark.sql.functions.array_distinct(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.col("text"), " "))).as("sig"))
+    val cands = Dedup.minhashCandidates(sigs, bandRows = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)))
+  }
+
+  test("simhash: hamming 0 for identical docs, large for disjoint vocab") {
+    val dir = docsDir(Seq(
+      (1L, "m0 m1 m2 m3 m4 m5 m6 m7 m8 m9"),
+      (2L, "m0 m1 m2 m3 m4 m5 m6 m7 m8 m9"),
+      (3L, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9")))
+    val out = Dedup.simhashPairs(spark, dir)
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 0)
+    // disjoint-vocab pairs only appear if a 16-bit chunk collides; if
+    // they do, their distance must be well away from 0.
+    out.get((1L, 3L)).foreach(d => assert(d > 5))
+  }
+
+  test("embeddingPairs: 20 pairs, cos descending, blocked by label, ids ordered") {
+    val rows = Dedup.embeddingPairs(spark, sf("sf0.001"))
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    assert(rows.length == 20)
+    assert(rows.forall { case (a, b, _) => a < b })
+    val cs = rows.map(_._3)
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the LSH approximate-nearest-neighbor semantics against the
+  * exact brute-force baseline on the real sf0.001 embeddings. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val exact = Similarity.knnExact(spark, sf("sf0.001"))
+    .select("query_id", "neighbor_id", "cos", "rn")
+    .as[(Long, Long, Double, Int)].collect()
+
+  private lazy val lsh = Similarity.annLsh(spark, sf("sf0.001"))
+    .select("query_id", "neighbor_id", "cos", "rn")
+    .as[(Long, Long, Double, Int)].collect()
+
+  test("knnExact returns k=5 ranked neighbors per query, cos non-increasing") {
+    val byQuery = exact.groupBy(_._1)
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rows.length))
+      val cs = sorted.map(_._3)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH recovers planted near-duplicate neighbors (fixture embeddings)") {
+    // 40 seeded random vectors; vecs 1, 3, 7 get a near-copy planted at
+    // 21, 23, 27 (tiny perturbation → cos ≈ 1). LSH must surface each
+    // planted copy as its query's top neighbor.
+    val rnd = new scala.util.Random(123)
+    def randVec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, randVec(), i % 10))
+    val planted = Seq(1, 3, 7).map { i =>
+      val src = base(i)._2
+      ((20 + i).toLong, src.map(x => x + 0.01f * rnd.nextGaussian().toFloat), i % 10)
+    }
+    val rows = (base.filterNot(r => Seq(21L, 23L, 27L).contains(r._1)) ++ planted)
+      .map { case (id, v, l) => (id, v.toSeq, l) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.annLsh(spark, dir)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect()
+    Seq((1L, 21L), (3L, 23L), (7L, 27L)).foreach { case (q, n) =>
+      val top = out.filter(r => r._1 == q && r._3 == 1).map(_._2).toSeq
+      assert(top == Seq(n), s"query $q: expected planted copy $n first, got $top")
+    }
+  }
+
+  test("LSH cosine scores agree with the exact computation on shared pairs") {
+    val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    lsh.foreach { case (q, n, c, _) =>
+      exactCos.get((q, n)).foreach(e => assert(math.abs(e - c) < 1e-12))
+    }
+  }
+
+  test("LSH candidate set never contains self-pairs and ranks are dense") {
+    assert(lsh.forall { case (q, n, _, _) => q != n })
+    lsh.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+  }
+}
