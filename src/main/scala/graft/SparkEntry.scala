@@ -19,7 +19,8 @@ object SparkEntry {
     graft.operators.RelationalModule,
     graft.operators.TextAnalysisModule,
     graft.operators.DedupModule,
-    graft.operators.SimilarityModule
+    graft.operators.SimilarityModule,
+    graft.operators.EventsModule
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Open-session accumulator for sessionizeStateful (top-level: the
+  * state encoder's generated code needs a public, conflict-free
+  * constructor). */
+case class OpenSession(startMs: Long, lastMs: Long, nEvents: Long, sumValue: Double)
+
+/** Structured Streaming surface (SURVEY.md §2.10 E6). The reference's
+  * incremental model is a persisted last-run date re-filtered each run
+  * (`flows/main_flow.py:114,129-134`) — at-least-once, no late-data
+  * handling. This module is the streaming-native upgrade: checkpointed
+  * source offsets replace the date file, `withWatermark` bounds state
+  * and late data, and the aggregations are the same ones
+  * graft.operators.Events runs in batch (parity pinned by
+  * EventStreamsSpec).
+  *
+  * Every transform takes a DataFrame/Dataset so it composes with any
+  * source (`readStream.parquet/kafka/...` in production, MemoryStream
+  * in tests) — `readEventStream` wires the parquet file source used by
+  * the testdata layout.
+  *
+  * Scale posture: all stateful ops key their state by (window |
+  * user_id) and expire it by watermark, so state size is bounded by
+  * active keys × window horizon, not by history; shuffle partitioning
+  * matches the batch plans.
+  */
+object EventStreams {
+
+  /** Event row of the `events` table (TESTDATA.md). */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** One closed (or timed-out) user session. */
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long, sum_value: Double)
+
+
+
+  /** File-stream source over the testdata events directory: the
+    * streaming twin of Tables.events (same nanos→micros conversion). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour counts with a late-data watermark — the streaming
+    * twin of Events.tumbling. */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows with watermark — streaming twin of Events.sessions
+    * (built-in merging session state). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Exactly-once-per-id dedup with bounded state: drops any event_id
+    * seen within the watermark horizon — the streaming repair for the
+    * reference's duplicating INSERT sink (SURVEY.md §7.4 at-least-once
+    * note). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * hand-rolled twin of sessionCounts, demonstrating arbitrary state:
+    * one OpenSession per user, closed either by an in-batch gap or by
+    * the event-time timeout when the watermark passes last_ts + gap.
+    * Emits each closed session exactly once (Append mode). */
+  def sessionizeStateful(events: Dataset[Event], gapMinutes: Int = 30,
+                         watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def toSession(uid: Long, s: OpenSession): Session =
+      Session(uid, new Timestamp(s.startMs), new Timestamp(s.lastMs + gapMs),
+        s.nEvents, s.sumValue)
+
+    def update(uid: Long, it: Iterator[Event],
+               state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toSession(uid, _)).toSeq
+        state.remove()
+        out.iterator
+      } else {
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var open = state.getOption
+        val closed = Seq.newBuilder[Session]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          open match {
+            case Some(s) if t - s.lastMs < gapMs =>
+              open = Some(OpenSession(s.startMs, math.max(s.lastMs, t),
+                s.nEvents + 1, s.sumValue + e.value))
+            case Some(s) =>
+              closed += toSession(uid, s)
+              open = Some(OpenSession(t, t, 1, e.value))
+            case None =>
+              open = Some(OpenSession(t, t, 1, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming semantics: batch/stream parity for windowed aggregation,
+  * watermark-bounded dedup, and stateful sessionization (in-batch gap
+  * close + event-time timeout close). */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, uid: Long, typ: String = "click", v: Double = 1.0) =
+    Event(id, ts(t), uid, typ, v)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("streaming tumbling counts equal the batch aggregation (complete mode)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    withQuery(q) {
+      input.addData(
+        ev(1, "2024-01-01 10:05:00", 1), ev(2, "2024-01-01 10:55:00", 1),
+        ev(3, "2024-01-01 11:05:00", 2, "error", 2.5))
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 11:40:00", 2, "error", 0.5))
+      q.processAllAvailable()
+      val streamed = spark.table("tumb")
+        .select("window_start", "event_type", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(streamed == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 11:00:00"), "error", 2L)))
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark drops a replayed event_id") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    withQuery(q) {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:01:00", 1))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 10:00:00", 1)) // replay within horizon
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    }
+  }
+
+  test("stateful sessionization: gap closes in-batch, timeout closes via watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    withQuery(q) {
+      // user 1: two events 10 min apart, then a 40-min gap → first
+      // session closes in-batch when the third event arrives.
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1),
+        ev(2, "2024-01-01 10:10:00", 1, v = 2.0),
+        ev(3, "2024-01-01 10:50:00", 1))
+      q.processAllAvailable()
+      val inBatch = spark.table("sess").as[Session].collect()
+      assert(inBatch.toSeq == Seq(
+        Session(1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2, 3.0)))
+      // a far-future event for user 2 advances the watermark past
+      // user 1's open-session timeout (10:50 + 30min + 1h watermark)
+      input.addData(ev(9, "2024-01-01 14:00:00", 2))
+      q.processAllAvailable()
+      input.addData(ev(10, "2024-01-01 14:01:00", 2))
+      q.processAllAvailable()
+      val after = spark.table("sess").as[Session].collect()
+      assert(after.exists(s =>
+        s.user_id == 1L && s.session_start == ts("2024-01-01 10:50:00") &&
+          s.session_end == ts("2024-01-01 11:20:00") && s.n_events == 1))
+    }
+  }
+
+  test("streaming session windows match the batch session query on the same rows") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val rows = Seq(
+      ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:20:00", 1),
+      ev(3, "2024-01-01 11:30:00", 1), ev(4, "2024-01-01 10:05:00", 2))
+    val q = sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sessw").outputMode("complete").start()
+    withQuery(q) {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sessw")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(streamed == Set(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:50:00"), 2L),
+        (1L, ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00"), 1L),
+        (2L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:35:00"), 1L)))
+    }
+  }
+}
