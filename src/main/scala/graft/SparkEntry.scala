@@ -20,7 +20,8 @@ object SparkEntry {
     graft.operators.TextAnalysisModule,
     graft.operators.DedupModule,
     graft.operators.SimilarityModule,
-    graft.operators.EventsModule
+    graft.operators.EventsModule,
+    graft.operators.MultimodalModule
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,114 @@
+package graft.sinks
+
+import java.sql.{Connection, PreparedStatement}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Sink operators (SURVEY.md §2.1 S5–S8). The reference uploads one
+  * pretty-printed JSON object per record to S3
+  * (`flows/main_flow.py:141-147`) and writes the transcript back with
+  * UPDATE + INSERT in one transaction per record
+  * (`flows/main_flow.py:94-104`). Spark has no native one-object-per-
+  * row or JDBC-update sink, so both are `foreachPartition` writers.
+  *
+  * Delivery semantics: Spark sinks are at-least-once on retry, so
+  * every writer here is idempotent — object writes overwrite the same
+  * key, the upsert's UPDATE is naturally idempotent and its INSERT
+  * must carry ON CONFLICT (the reference's plain INSERT duplicates on
+  * rerun; SURVEY.md §7.4).
+  *
+  * Scale posture: all I/O is executor-side and per-partition batched —
+  * one FileSystem/Connection per partition, not per row (the reference
+  * opens a Postgres connection per record, `flows/main_flow.py:83-90`).
+  * Partition count controls sink parallelism; coalesce before calling
+  * to bound concurrent connections against the target store.
+  */
+object Sinks {
+
+  /** One object per row, named by `keyCol`, bytes from `payloadCol`
+    * (string → UTF-8). `outDir` may be any Hadoop-supported scheme
+    * (file://, hdfs://, s3a://) — the reference's S3 put becomes the
+    * same call with an s3a path. Overwrites existing keys
+    * (idempotent replay). */
+  def writeObjectPerRow(df: DataFrame, keyCol: String, payloadCol: String,
+                        outDir: String): Unit = {
+    val ki = df.schema.fieldIndex(keyCol)
+    val pi = df.schema.fieldIndex(payloadCol)
+    df.foreachPartition { rows: Iterator[Row] =>
+      val conf = new Configuration()
+      val base = new Path(outDir)
+      val fs = base.getFileSystem(conf)
+      rows.foreach { r =>
+        if (!r.isNullAt(ki) && !r.isNullAt(pi)) {
+          val out = fs.create(new Path(base, r.getString(ki)), true)
+          try out.write(r.getString(pi).getBytes("UTF-8")) finally out.close()
+        }
+      }
+    }
+  }
+
+  /** Hive-style partitioned parquet sink: the bulk-layout counterpart
+    * (partition pruning on `partitionCols` for downstream readers). */
+  def writePartitioned(df: DataFrame, partitionCols: Seq[String], outDir: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
+
+  /** An upsert destination: the two DMLs of the reference's sink, made
+    * idempotent. Parameters bind positionally from `updateCols` /
+    * `insertCols` of each row. */
+  case class UpsertSpec(updateSql: String, updateCols: Seq[String],
+                        insertSql: String, insertCols: Seq[String],
+                        batchSize: Int = 500)
+
+  /** The reference's exact sink pair (`flows/main_flow.py:94-103`),
+    * with ON CONFLICT added so at-least-once replay cannot duplicate. */
+  def transcriptUpsertSpec: UpsertSpec = UpsertSpec(
+    updateSql = "UPDATE graph.representation SET schema_transcript = ? WHERE id = ?",
+    updateCols = Seq("transcript", "representation_id"),
+    insertSql = "INSERT INTO graph.schema_transcript_url " +
+      "(representation_id, schema_transcript_url) VALUES (?, ?) " +
+      "ON CONFLICT (representation_id) DO UPDATE SET schema_transcript_url = EXCLUDED.schema_transcript_url",
+    insertCols = Seq("representation_id", "transcript_url"))
+
+  /** Batched transactional upsert: per partition, one connection, both
+    * statements batched, one commit per `batchSize` rows (vs the
+    * reference's connection + commit per record). `connFactory` must be
+    * serializable (a driver-config-closing function, not a Connection).
+    * On failure the open transaction rolls back and the task retry
+    * replays the partition — safe because both DMLs are idempotent. */
+  def jdbcUpsert(df: DataFrame, spec: UpsertSpec,
+                 connFactory: () => Connection): Unit = {
+    val schema = df.schema
+    val updIdx = spec.updateCols.map(schema.fieldIndex)
+    val insIdx = spec.insertCols.map(schema.fieldIndex)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn = connFactory()
+        try {
+          conn.setAutoCommit(false)
+          val upd = conn.prepareStatement(spec.updateSql)
+          val ins = conn.prepareStatement(spec.insertSql)
+          var inBatch = 0
+          def flush(): Unit = if (inBatch > 0) {
+            upd.executeBatch(); ins.executeBatch(); conn.commit(); inBatch = 0
+          }
+          rows.foreach { r =>
+            bind(upd, updIdx, r); upd.addBatch()
+            bind(ins, insIdx, r); ins.addBatch()
+            inBatch += 1
+            if (inBatch >= spec.batchSize) flush()
+          }
+          flush()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+
+  private def bind(ps: PreparedStatement, idx: Seq[Int], r: Row): Unit =
+    idx.zipWithIndex.foreach { case (fi, pi) =>
+      ps.setObject(pi + 1, r.get(fi))
+    }
+}

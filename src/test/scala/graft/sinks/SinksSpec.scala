@@ -1,0 +1,114 @@
+package graft.sinks
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, PreparedStatement}
+
+import scala.collection.mutable
+
+import graft.SparkSpec
+
+/** Records every JDBC call made by the upsert writer. local[*] keeps
+  * executors in this JVM, so a shared object buffer observes them. */
+object JdbcRecorder {
+  val calls: mutable.Buffer[String] = mutable.Buffer.empty[String]
+  def clear(): Unit = synchronized { calls.clear() }
+  def add(s: String): Unit = synchronized { calls += s }
+
+  private def statementProxy(sql: String): PreparedStatement = {
+    val params = mutable.Map.empty[Int, Any]
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[PreparedStatement]),
+      new InvocationHandler {
+        def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "setObject" =>
+              params(args(0).asInstanceOf[Int]) = args(1); null
+            case "addBatch" =>
+              add(s"addBatch:$sql:" + params.toSeq.sortBy(_._1).map(_._2).mkString(","))
+              null
+            case "executeBatch" => add(s"executeBatch:$sql"); Array.empty[Int]
+            case "close" => null
+            case _ => null
+          }
+      }).asInstanceOf[PreparedStatement]
+  }
+
+  def connection(): Connection =
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "setAutoCommit" => add(s"setAutoCommit:${args(0)}"); null
+            case "prepareStatement" => statementProxy(args(0).asInstanceOf[String])
+            case "commit" => add("commit"); null
+            case "rollback" => add("rollback"); null
+            case "close" => add("close"); null
+            case _ => null
+          }
+      }).asInstanceOf[Connection]
+}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeObjectPerRow: one named object per row, content intact, null rows skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-objs").toString
+    val df = Seq(
+      ("a.json", """{"v":1}"""),
+      ("b.json", """{"v":2}"""),
+      (null.asInstanceOf[String], "dropped")
+    ).toDF("s3_key", "payload")
+    Sinks.writeObjectPerRow(df, "s3_key", "payload", dir)
+    val files = new java.io.File(dir).listFiles().filterNot(_.getName.startsWith("."))
+      .map(f => f.getName -> new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).toMap
+    assert(files == Map("a.json" -> """{"v":1}""", "b.json" -> """{"v":2}"""))
+    // idempotent replay: same keys overwritten, not duplicated
+    Sinks.writeObjectPerRow(df, "s3_key", "payload", dir)
+    assert(new java.io.File(dir).listFiles().count(!_.getName.startsWith(".")) == 2)
+  }
+
+  test("writePartitioned lays out hive-style partition directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/out"
+    val df = Seq((1L, "en", "x"), (2L, "de", "y"), (3L, "en", "z"))
+      .toDF("id", "lang", "text")
+    Sinks.writePartitioned(df, Seq("lang"), dir)
+    val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("lang="))
+    assert(parts.toSet == Set("lang=en", "lang=de"))
+    val back = spark.read.parquet(dir)
+    assert(back.where($"lang" === "en").count() == 2)
+  }
+
+  test("end-to-end reference parity: ALTO pipeline lands one JSON object per document") {
+    import org.apache.spark.sql.functions.{col, to_json}
+    val dir = java.nio.file.Files.createTempDirectory("graft-alto-sink").toString
+    val out = graft.alto.Alto.pipeline(graft.alto.AltoModule.fixtureDf(spark))
+      .select(col("s3_key"), to_json(col("simplified")).as("payload"))
+    Sinks.writeObjectPerRow(out, "s3_key", "payload", dir)
+    val files = new java.io.File(dir).listFiles().filterNot(_.getName.startsWith("."))
+    assert(files.length == 5)
+    assert(files.forall(_.getName.endsWith(".xml.json")))
+    files.foreach { f =>
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(txt.startsWith("{"), s"${f.getName} is not JSON: $txt")
+    }
+  }
+
+  test("jdbcUpsert: batched UPDATE+INSERT per partition, transactional, idempotent SQL") {
+    JdbcRecorder.clear()
+    val df = Seq((1L, "t one", "u/1.json"), (2L, "t two", "u/2.json"))
+      .toDF("representation_id", "transcript", "transcript_url")
+      .coalesce(1)
+    Sinks.jdbcUpsert(df, Sinks.transcriptUpsertSpec, () => JdbcRecorder.connection())
+    val calls = JdbcRecorder.calls.toList
+    assert(calls.head == "setAutoCommit:false")
+    assert(calls.count(_.startsWith("addBatch:UPDATE")) == 2)
+    assert(calls.count(_.startsWith("addBatch:INSERT")) == 2)
+    // UPDATE binds (transcript, id); INSERT binds (id, url)
+    assert(calls.exists(_ == "addBatch:" + Sinks.transcriptUpsertSpec.updateSql + ":t one,1"))
+    assert(calls.exists(_ == "addBatch:" + Sinks.transcriptUpsertSpec.insertSql + ":1,u/1.json"))
+    assert(calls.count(_ == "commit") == 1)   // one txn for the whole small batch
+    assert(calls.last == "close")
+    assert(Sinks.transcriptUpsertSpec.insertSql.contains("ON CONFLICT"))
+  }
+}
