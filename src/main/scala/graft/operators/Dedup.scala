@@ -73,9 +73,14 @@ object Dedup {
     * shared shingles, then exact Jaccard from the distinct-set sizes.
     * Top-20 most similar pairs (deterministic total order). */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the exploded shingle index once: both join sides read
+    // the checkpointed rows instead of re-deriving shingles (Catalyst
+    // inlines the expression into each branch otherwise). At 100 TB
+    // this stage is a parquet-staged signature table.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .localCheckpoint()
     val a = docs.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = docs.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
@@ -103,15 +108,21 @@ object Dedup {
                          rnd.nextInt(P.toInt).toLong))
   }
 
-  /** k-int MinHash signature of the shingle set: sig_i = min over
-    * shingles of ((a_i * h(s) + b_i) mod P), h = xxhash64 folded into
-    * [0, P). Pure column arithmetic — codegen'd, no UDF. */
-  def minhashSignature(sh: Column): Column = {
-    val x = (s: Column) => pmod(xxhash64(s), lit(P))
+  /** Shingle set → base hashes, one xxhash64 per shingle. Keep this in
+    * its OWN projection (aliased column) — the signature references it
+    * k times, and Catalyst's CollapseProject would otherwise inline the
+    * whole shingle construction into every one of the k min-hash
+    * transforms (measured 30× slower). */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => pmod(xxhash64(s), lit(P)))
+
+  /** k-int MinHash signature over pre-hashed shingles `hs`
+    * (shingleHashes output): sig_i = min over shingles of
+    * ((a_i * h + b_i) mod P). Pure integer column arithmetic. */
+  def minhashSignature(hs: Column): Column =
     array(hashParams.map { case (a, b) =>
-      array_min(transform(sh, s => pmod(x(s) * lit(a) + lit(b), lit(P))))
+      array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(P))))
     }: _*)
-  }
 
   /** E2 MinHash+LSH near-dup: signature → banded bucket join →
     * candidate pairs ranked by estimated Jaccard (fraction of agreeing
@@ -121,12 +132,20 @@ object Dedup {
     * minhashCandidates). Rows-only for the driver (xxhash64 has no
     * DuckDB twin); semantics pinned in DedupSpec. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // Signatures computed exactly once (checkpoint): the band explode
+    // and both candidate-join sides would otherwise each inline the
+    // full 32-hash × shingle-set computation per reference. Staged
+    // projections (shingles → hashes → signature) keep each expensive
+    // array built once per row.
     val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("sig"))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
+      .localCheckpoint()
     val cands = minhashCandidates(sigs, bandRows = 1)
     val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    cands.join(broadcast(a), Seq("id_a")).join(broadcast(b), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           bb => bb)).cast("double") / NumHashes).as("est_jaccard"))
@@ -155,16 +174,17 @@ object Dedup {
     * bit i is set iff the sum of ±1 contributions (per token, from bit
     * i of xxhash64(token)) is positive. Bit extraction goes through
     * bin() → fixed-width bitstring so the lambda index stays a Column
-    * (shiftright needs a literal). */
+    * (shiftright needs a literal); each token's bitstring is built once
+    * (inner transform) before the 64 per-bit probes. */
   def simhashBits(tokens: Column): Column = {
-    val bitstr = (h: Column) => lpad(bin(h), 64, "0")
-    val contrib = (h: Column) => transform(
+    val tokBits = transform(tokens, t => lpad(bin(xxhash64(t)), 64, "0"))
+    val contrib = (bs: Column) => transform(
       sequence(lit(1), lit(64)),
-      i => when(bitstr(h).substr(i, lit(1)) === "1", 1).otherwise(-1))
+      i => when(bs.substr(i, lit(1)) === "1", 1).otherwise(-1))
     val acc = aggregate(
-      transform(tokens, t => xxhash64(t)),
+      tokBits,
       array_repeat(lit(0), 64),
-      (a, h) => zip_with(a, contrib(h), (x, y) => x + y))
+      (a, bs) => zip_with(a, contrib(bs), (x, y) => x + y))
     transform(acc, v => when(v > 0, 1).otherwise(0))
   }
 
@@ -174,22 +194,29 @@ object Dedup {
     * ranked by exact Hamming distance. Rows-only for the driver;
     * semantics pinned in DedupSpec. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // Fingerprints materialized once (checkpoint), and candidate pairs
+    // deduped BEFORE the per-pair Hamming computation — a pair can
+    // collide on up to 4 chunks and word-soup corpora cluster heavily,
+    // so scoring pre-dedup would redo the 64-bit compare per collision.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), simhashBits(toks(col("text"))).as("bits"))
       .select(col("doc_id"), col("bits"),
         array_join(transform(col("bits"), b => b.cast("string")), "").as("bitstr"))
-    val chunks = docs.select(col("doc_id"), col("bits"),
+      .localCheckpoint()
+    val chunks = docs.select(col("doc_id"),
       posexplode(array((0 until 4).map(j =>
         substring(col("bitstr"), j * 16 + 1, 16)): _*)).as(Seq("chunk_idx", "chunk")))
-    val a = chunks.select(col("doc_id").as("id_a"), col("bits").as("bits_a"),
-      col("chunk_idx"), col("chunk"))
-    val b = chunks.select(col("doc_id").as("id_b"), col("bits").as("bits_b"),
-      col("chunk_idx"), col("chunk"))
-    a.join(b, Seq("chunk_idx", "chunk")).filter(col("id_a") < col("id_b"))
+    val a = chunks.select(col("doc_id").as("id_a"), col("chunk_idx"), col("chunk"))
+    val b = chunks.select(col("doc_id").as("id_b"), col("chunk_idx"), col("chunk"))
+    val pairs = a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val bitsA = docs.select(col("doc_id").as("id_a"), col("bits").as("bits_a"))
+    val bitsB = docs.select(col("doc_id").as("id_b"), col("bits").as("bits_b"))
+    pairs.join(broadcast(bitsA), Seq("id_a")).join(broadcast(bitsB), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(filter(zip_with(col("bits_a"), col("bits_b"), (x, y) => x =!= y),
           bb => bb)).as("hamming"))
-      .distinct()
       .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
       .limit(20)
   }

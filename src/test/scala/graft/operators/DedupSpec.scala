@@ -76,10 +76,10 @@ class DedupSpec extends SparkSpec {
     val sigs = graft.sources.Tables.documents(spark, dir)
       .selectExpr("doc_id", "text")
       .select(org.apache.spark.sql.functions.col("doc_id"),
-        Dedup.minhashSignature(
+        Dedup.minhashSignature(Dedup.shingleHashes(
           org.apache.spark.sql.functions.array_distinct(
             org.apache.spark.sql.functions.split(
-              org.apache.spark.sql.functions.col("text"), " "))).as("sig"))
+              org.apache.spark.sql.functions.col("text"), " ")))).as("sig"))
     val cands = Dedup.minhashCandidates(sigs, bandRows = 4)
       .as[(Long, Long)].collect().toSet
     assert(cands.contains((1L, 2L)))
