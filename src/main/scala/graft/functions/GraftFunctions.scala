@@ -10,24 +10,16 @@ import org.apache.spark.sql.functions._
 object GraftFunctions {
 
   /** JS `parseInt` parity (reference
-    * `script/extract-text-lines-from-alto.js:23973-23976`): strip any
-    * leading whitespace (JS strips all WhiteSpace/LineTerminator chars,
-    * so `parseInt("\t42") == 42` — handled by `\s` in the regex, not
-    * `trim` which only strips spaces), then parse the longest leading
-    * `[+-]?digits` prefix; no digit prefix → null. `parseInt("12.7") ==
-    * 12`, `parseInt("") == NaN` (→ null here), `parseInt(" 42px") == 42`.
-    *
-    * Out of scope (documented divergence): JS radix auto-detection of
-    * hex literals (`parseInt("0x10") == 16`; here → 0). ALTO coordinate
-    * attributes (HPOS/VPOS/WIDTH/HEIGHT) are decimal per the schema, so
-    * the hex branch is unreachable on the domain this mirrors.
-    * Built from regexp_extract + cast, so it stays inside whole-stage
-    * codegen (vs. a boxed Scala UDF).
+    * `script/extract-text-lines-from-alto.js:23973-23976`): leading
+    * ECMA whitespace skipped (`parseInt("\t42") == 42`), longest
+    * `[+-]?digits` prefix (`parseInt("12.7px") == 12`), `0x`/`0X`
+    * radix auto-detection (`parseInt("0x10") == 16`), no digits → NaN
+    * (SQL NULL here). Backed by the native Catalyst ParseIntJs
+    * expression — one linear scan inside whole-stage codegen, no regex
+    * engine and no Scala-UDF boxing (see ParseIntJsExpression.scala;
+    * semantics pinned by ParseIntJsSpec).
     */
-  def parseIntJs(c: Column): Column = {
-    val prefix = regexp_extract(c, "^\\s*([+-]?\\d+)", 1)
-    when(prefix === "", lit(null)).otherwise(prefix).cast("int")
-  }
+  def parseIntJs(c: Column): Column = ParseIntJs(c)
 
   /** `os.path.basename(url)` parity (reference `flows/main_flow.py:143`). */
   def basename(c: Column): Column = substring_index(c, "/", -1)
