@@ -164,6 +164,40 @@ object Relational {
       .filter(col("o_orderstatus") === "O")
       .select(col("o_custkey").as("custkey"))
 
+  /** GROUPING SETS — the generalized form rollup/cube desugar to,
+    * exercised through the SQL surface (no Dataset API for it). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  /** Multiset set ops: the `All` variants keep duplicates (bag
+    * semantics — EXCEPT ALL / INTERSECT ALL). */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame =
+    openOrderCustomers(spark, dir)
+      .exceptAll(buildingCustomers(spark, dir))
+      .orderBy("custkey")
+
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame =
+    openOrderCustomers(spark, dir)
+      .intersectAll(buildingCustomers(spark, dir))
+      .orderBy("custkey")
+
+  /** min/max selection aggregates (exact on doubles/timestamps — no
+    * accumulation-order sensitivity). */
+  def orderExtremes(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+      .orderBy("o_orderstatus")
+
   /** Left-semi join: customers having at least one open order. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -251,6 +285,10 @@ object RelationalModule extends QueryModule {
     "q_window_rank" -> ((s: SparkSession, d: String) => topCustomersPerNation(s, d)),
     "q_window_running" -> ((s: SparkSession, d: String) => runningSpend(s, d)),
     "q_topk_orders" -> ((s: SparkSession, d: String) => topOrders(s, d)),
+    "q_grouping_sets" -> ((s: SparkSession, d: String) => groupingSets(s, d)),
+    "q_set_except_all" -> ((s: SparkSession, d: String) => setExceptAll(s, d)),
+    "q_set_intersect_all" -> ((s: SparkSession, d: String) => setIntersectAll(s, d)),
+    "q_minmax_orders" -> ((s: SparkSession, d: String) => orderExtremes(s, d)),
     "q_set_union" -> ((s: SparkSession, d: String) => setUnion(s, d)),
     "q_set_intersect" -> ((s: SparkSession, d: String) => setIntersect(s, d)),
     "q_set_except" -> ((s: SparkSession, d: String) => setExcept(s, d)),
@@ -308,6 +346,26 @@ object RelationalModule extends QueryModule {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_set_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT ALL
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin,
+    "q_set_intersect_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT ALL
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin,
+    "q_minmax_orders" ->
+      """SELECT o_orderstatus, MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price, MIN(o_orderdate) AS first_order,
+        |  MAX(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_set_union" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |UNION
