@@ -39,13 +39,28 @@ object Dedup {
 
   private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  /** Distinct word 3-gram shingles of the document text. */
-  private def shingles(c: Column): Column = {
-    val t = toks(c)
+  /** Distinct word 3-gram shingles over an ALREADY-STAGED token-array
+    * column. The token column must be a bound attribute (own
+    * projection), never the raw split expression: the slice lambda
+    * references it once per position, and Catalyst would inline a
+    * split() per shingle — quadratic in document length (measured 6×
+    * on the shingle stage). */
+  private def shingleArray(t: Column): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(t) - 2, lit(1))),
       i => concat_ws(" ", slice(t, i, lit(3)))))
-  }
+
+  /** (doc_id, sh) with the token array materialized behind a
+    * checkpoint barrier. A plain projection is NOT enough: Catalyst's
+    * CollapseProject re-inlines a single-referenced alias into the
+    * consuming lambda, resurrecting the quadratic split. The barrier
+    * pins one split per document; shingle assembly then slices the
+    * bound attribute. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .localCheckpoint()
+      .select(col("doc_id"), shingleArray(col("toks")).as("sh"))
 
   private def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
@@ -77,8 +92,7 @@ object Dedup {
     // the checkpointed rows instead of re-deriving shingles (Catalyst
     // inlines the expression into each branch otherwise). At 100 TB
     // this stage is a parquet-staged signature table.
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val docs = docShingles(spark, dir)
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
       .localCheckpoint()
     val a = docs.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
@@ -137,8 +151,7 @@ object Dedup {
     // full 32-hash × shingle-set computation per reference. Staged
     // projections (shingles → hashes → signature) keep each expensive
     // array built once per row.
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sigs = docShingles(spark, dir)
       .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
       .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
       .localCheckpoint()
@@ -193,15 +206,31 @@ object Dedup {
     * every pair with Hamming distance ≤ 3 without an all-pairs scan),
     * ranked by exact Hamming distance. Rows-only for the driver;
     * semantics pinned in DedupSpec. */
+  /** (doc_id, bits, bitstr) SimHash table via explode + one 64-column
+    * hash aggregation: sum the ±1 contribution of every token per bit
+    * position. Unlike the per-row lambda formulation (simhashBits,
+    * kept for Column-level use), this shape is whole-stage-codegen'd
+    * with map-side partial aggregation — the 100 TB path. */
+  def simhashTable(spark: SparkSession, dir: String): DataFrame = {
+    val sums = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
+        (1 until 64).map(i =>
+          sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")): _*)
+    val bitCols = (0 until 64).map(i => when(col(s"b$i") > 0, 1).otherwise(0))
+    sums.select(col("doc_id"), array(bitCols: _*).as("bits"),
+      concat(bitCols.map(_.cast("string")): _*).as("bitstr"))
+  }
+
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // Fingerprints materialized once (checkpoint), and candidate pairs
     // deduped BEFORE the per-pair Hamming computation — a pair can
     // collide on up to 4 chunks and word-soup corpora cluster heavily,
     // so scoring pre-dedup would redo the 64-bit compare per collision.
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhashBits(toks(col("text"))).as("bits"))
-      .select(col("doc_id"), col("bits"),
-        array_join(transform(col("bits"), b => b.cast("string")), "").as("bitstr"))
+    val docs = simhashTable(spark, dir)
       .localCheckpoint()
     val chunks = docs.select(col("doc_id"),
       posexplode(array((0 until 4).map(j =>
