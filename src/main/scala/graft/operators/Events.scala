@@ -68,6 +68,24 @@ object Events {
         col("user_id").asc, col("session_start").asc)
       .limit(10)
 
+  /** Skew-safe aggregation: event_type has a handful of hot keys over
+    * the whole table, so a naive groupBy concentrates each key's rows
+    * in one reducer. Two-stage salted aggregation — partial sums on
+    * (key, salt) across 16 buckets, then the final fold on the key —
+    * spreads the hot keys; the salt is deterministic (event_id mod 16)
+    * so replays and the oracle compare are stable. DECIMAL sums make
+    * the two-stage result bit-equal to the one-stage plan the DuckDB
+    * oracle runs. */
+  def saltedTypeTotals(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), dec(col("value")).as("v"),
+        pmod(col("event_id"), lit(16)).as("salt"))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"), sum(col("v")).as("pv"))
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n_events"), sum(col("pv")).as("sum_value"))
+      .orderBy("event_type")
+
   /** JSON property extraction (reference F6 `json.loads`,
     * `flows/main_flow.py:68`): parse the props JSON string column with
     * an explicit schema, aggregate the extracted field. */
@@ -90,7 +108,8 @@ object EventsModule extends QueryModule {
     "q_events_sliding" -> ((s: SparkSession, d: String) => sliding(s, d)),
     "q_events_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
     "q_events_top_sessions" -> ((s: SparkSession, d: String) => topSessions(s, d)),
-    "q_events_props_json" -> ((s: SparkSession, d: String) => propsJson(s, d)))
+    "q_events_props_json" -> ((s: SparkSession, d: String) => propsJson(s, d)),
+    "q_events_salted_agg" -> ((s: SparkSession, d: String) => saltedTypeTotals(s, d)))
 
   // DuckDB time_bucket's default origin (2000-01-03 for multi-day, else
   // 2000-01-01) sits on the same 30-min grid as Spark's epoch-aligned
@@ -136,6 +155,10 @@ object EventsModule extends QueryModule {
         |SELECT user_id, session_start, n_events, duration_sec FROM s
         |ORDER BY n_events DESC, duration_sec DESC, user_id ASC, session_start ASC
         |LIMIT 10""".stripMargin,
+    "q_events_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_events_props_json" ->
       """SELECT event_type,
         |  COUNT(CAST(props->>'k' AS INT)) AS n_with_k,

@@ -64,7 +64,9 @@ object Similarity {
     * literals compiled into the plan. */
   private val NumTables = 8
   private val NumPlanes = 8
-  private val Dim = 64
+  private[operators] val Dim = 64
+  private[operators] val NumQueriesDefault = 10
+  private[operators] val TopKDefault = 5
   private[operators] val planes: Seq[Seq[Seq[Double]]] = {
     val rnd = new scala.util.Random(7)
     Seq.fill(NumTables, NumPlanes, Dim)(rnd.nextGaussian())
@@ -111,14 +113,86 @@ object Similarity {
   }
 }
 
-/** Driver-contract registration for the similarity set. LSH is
-  * rows-only (no oracle): bucket membership is plane-seed-specific. */
+object SimilarityIvf {
+  import Similarity.{NumQueriesDefault, TopKDefault}
+
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** IVF coarse quantizer: K seeded random gaussian centroids
+    * (magnitude is irrelevant for the cosine-style argmax). */
+  private val NumCentroids = 16
+  private val NumProbe = 4
+  private[operators] val centroids: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(11)
+    Seq.fill(NumCentroids, Similarity.Dim)(rnd.nextGaussian())
+  }
+
+  private def centroidDots(v: Column): Column =
+    array(centroids.map(c => dot(v, typedLit(c))): _*)
+
+  /** Index side: each vector lands in the single cell of its nearest
+    * (max-dot) centroid — the inverted-file list. */
+  private def cellOf(v: Column): Column = {
+    val dots = centroidDots(v)
+    array_position(dots, array_max(dots)).cast("int")
+  }
+
+  /** Query side: probe the `NumProbe` nearest cells (standard IVF
+    * recall knob — a vector near a cell boundary is found through the
+    * neighboring probes). */
+  private def probedCells(v: Column): Column =
+    transform(
+      slice(reverse(array_sort(arrays_zip(
+        centroidDots(v), sequence(lit(1), lit(NumCentroids))))), 1, NumProbe),
+      s => s.getField("1").cast("int"))
+
+  /** Approximate top-k via IVF: one narrow map assigns cells, the
+    * candidate join is an equi-join on the cell id, exact cosine
+    * reranks. Rows-only for the driver (centroid seeds are
+    * Spark-side); planted-duplicate recall pinned in SimilaritySpec.
+    *
+    * Scale posture vs LSH: IVF moves each corpus vector into exactly
+    * ONE cell (vs T bucket copies), so the index shuffle is 1× the
+    * corpus; recall is bought at query time via nprobe. At 100 TB the
+    * centroids come from a sampled k-means fit instead of seeded
+    * gaussians — same plan shape. */
+  def annIvf(spark: SparkSession, dir: String,
+             nQueries: Int = NumQueriesDefault, k: Int = TopKDefault): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .localCheckpoint()
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
+      col("nrm").as("nrm_c"), cellOf(col("v")).as("cell"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"),
+        explode(probedCells(col("v"))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(queries).join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+}
+
+/** Driver-contract registration for the similarity set. LSH/IVF are
+  * rows-only (no oracle): bucket membership is plane/centroid-seed-
+  * specific. */
 object SimilarityModule extends QueryModule {
   import Similarity._
 
   def queries = Map(
     "q_knn_exact" -> ((s: SparkSession, d: String) => knnExact(s, d)),
-    "q_knn_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)))
+    "q_knn_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
+    "q_knn_ivf" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvf(s, d)))
 
   def oracles = Map(
     "q_knn_exact" ->

@@ -26,10 +26,10 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("LSH recovers planted near-duplicate neighbors (fixture embeddings)") {
-    // 40 seeded random vectors; vecs 1, 3, 7 get a near-copy planted at
-    // 21, 23, 27 (tiny perturbation → cos ≈ 1). LSH must surface each
-    // planted copy as its query's top neighbor.
+  // 40 seeded random vectors; vecs 1, 3, 7 get a near-copy planted at
+  // 21, 23, 27 (tiny perturbation → cos ≈ 1). Each ANN variant must
+  // surface the planted copy as its query's top neighbor.
+  private lazy val plantedDir: String = {
     val rnd = new scala.util.Random(123)
     def randVec() = Array.fill(64)(rnd.nextGaussian().toFloat)
     val base = (0 until 40).map(i => (i.toLong, randVec(), i % 10))
@@ -42,11 +42,37 @@ class SimilaritySpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val out = Similarity.annLsh(spark, dir)
-      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect()
+    dir
+  }
+
+  private def assertPlantedRecovered(name: String,
+      out: Array[(Long, Long, Int)]): Unit =
     Seq((1L, 21L), (3L, 23L), (7L, 27L)).foreach { case (q, n) =>
       val top = out.filter(r => r._1 == q && r._3 == 1).map(_._2).toSeq
-      assert(top == Seq(n), s"query $q: expected planted copy $n first, got $top")
+      assert(top == Seq(n), s"$name query $q: expected planted copy $n first, got $top")
+    }
+
+  test("LSH recovers planted near-duplicate neighbors (fixture embeddings)") {
+    assertPlantedRecovered("lsh", Similarity.annLsh(spark, plantedDir)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect())
+  }
+
+  test("IVF recovers planted near-duplicate neighbors (fixture embeddings)") {
+    assertPlantedRecovered("ivf", SimilarityIvf.annIvf(spark, plantedDir)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect())
+  }
+
+  test("IVF ranks are dense, scores agree with exact cosine on shared pairs") {
+    val ivf = SimilarityIvf.annIvf(spark, sf("sf0.001"))
+      .select("query_id", "neighbor_id", "cos", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+    val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (q, n, c, _) =>
+      exactCos.get((q, n)).foreach(e => assert(math.abs(e - c) < 1e-12))
     }
   }
 

@@ -84,6 +84,25 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch lands closed sessions as one JSON object each") {
+    implicit val sq = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sess-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val input = MemoryStream[Event]
+    val q = writeSessionsAsObjects(sessionizeStateful(input.toDS()), outDir, ckpt)
+    withQuery(q) {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1),
+        ev(2, "2024-01-01 10:10:00", 1),
+        ev(3, "2024-01-01 12:00:00", 1)) // 110-min gap closes the first session
+      q.processAllAvailable()
+      val files = new java.io.File(outDir).listFiles().filterNot(_.getName.startsWith("."))
+      assert(files.map(_.getName).toSet == Set("1_1704103200000000.json"))
+      val txt = new String(java.nio.file.Files.readAllBytes(files.head.toPath), "UTF-8")
+      assert(txt.contains("\"n_events\":2"))
+    }
+  }
+
   test("streaming session windows match the batch session query on the same rows") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
