@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.ParseIntJs
+
+/** SparkSessionExtensions entry point: wires graft's custom Catalyst
+  * pieces into a session so the SQL surface sees them
+  * (`spark.sql("SELECT parseint_js(col) ...")`). Activate with
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions      // config, or
+  * SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * `GraftExtensions.register(spark)` does the same for an already-
+  * running session (tests, notebooks). Only functions are injected —
+  * the engine needs no custom planner rules (SURVEY.md §4): every
+  * rewrite it relies on is stock Catalyst.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("parseint_js"),
+      new ExpressionInfo(classOf[ParseIntJs].getName, "parseint_js"),
+      (children: Seq[Expression]) => ParseIntJs(children.head)))
+
+  /** Register into a live session (the extensions path only applies at
+    * session construction). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

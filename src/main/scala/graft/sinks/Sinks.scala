@@ -54,6 +54,18 @@ object Sinks {
   def writePartitioned(df: DataFrame, partitionCols: Seq[String], outDir: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
 
+  /** Bucketed managed table: pre-shuffles ONCE at write time so every
+    * later equi-join/aggregation on `keyCol` is co-located — the
+    * standing fix for a fact table that is joined on the same key by
+    * many queries (at 100 TB, re-shuffling per query dominates; a
+    * bucketed layout amortizes it to zero). BucketingSpec proves the
+    * join plans without an Exchange. */
+  def writeBucketed(df: DataFrame, numBuckets: Int, keyCol: String,
+                    table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+
   /** An upsert destination: the two DMLs of the reference's sink, made
     * idempotent. Parameters bind positionally from `updateCols` /
     * `insertCols` of each row. */

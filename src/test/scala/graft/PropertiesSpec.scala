@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.3): explode row counts,
+  * transcript join, dedup accounting, top-k containment, MinHash
+  * estimate bounds, and a differential check of the JS-parseInt
+  * kernel. Generated data is drawn with a FIXED seed so failures
+  * reproduce; Spark-side properties evaluate one job over a whole
+  * generated corpus instead of a job per case.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // ---- generated corpus -------------------------------------------
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  private val docGen: Gen[Seq[String]] =
+    Gen.chooseNum(6, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+
+  /** 24 base docs + exact copies (ids 100+) + near-copies (ids 200+,
+    * one token changed). */
+  private lazy val corpus: Seq[(Long, String)] = {
+    val bases = (0 until 24).map(i => i.toLong -> sample(docGen, 1000 + i).mkString(" "))
+    val copies = bases.take(6).map { case (id, t) => (100 + id) -> t }
+    val nears = bases.slice(6, 12).map { case (id, t) =>
+      val toks = t.split(" "); toks(toks.length / 2) = "CHANGED"
+      (200 + id) -> toks.mkString(" ")
+    }
+    bases ++ copies ++ nears
+  }
+
+  private lazy val corpusDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+    corpus.map { case (id, t) => (id, t, "en", "srcP", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def scalaShingles(t: String): Set[String] = {
+    val toks = t.trim.toLowerCase.split("\\s+").toSeq
+    (if (toks.length < 3) Seq(toks.mkString(" "))
+     else toks.sliding(3).map(_.mkString(" ")).toSeq).toSet
+  }
+
+  private def scalaJaccard(a: String, b: String): Double = {
+    val (sa, sb) = (scalaShingles(a), scalaShingles(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("property: exact dedup partitions the corpus (sum of copies = corpus size, keep_id is group min)") {
+    val out = operators.Dedup.exactDedup(spark, corpusDir)
+      .as[(Long, Long)].collect()
+    assert(out.map(_._2).sum == corpus.size)
+    val byNorm = corpus.groupBy(_._2.trim.toLowerCase.replaceAll("\\s+", " "))
+    val expected = byNorm.values.map(g => (g.map(_._1).min, g.size.toLong)).toSet
+    assert(out.toSet == expected)
+  }
+
+  test("property: jaccardPairs scores equal the Scala set computation") {
+    val byId = corpus.toMap
+    val rows = operators.Dedup.jaccardPairs(spark, corpusDir)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, j) =>
+      assert(math.abs(j - scalaJaccard(byId(a), byId(b))) < 1e-9, s"pair ($a,$b)")
+    }
+    // every exact copy pair must surface with jaccard 1.0
+    (0 until 6).foreach { i =>
+      assert(rows.exists(r => r._1 == i && r._2 == 100 + i && r._3 == 1.0),
+        s"copy pair ($i, ${100 + i}) missing from top pairs")
+    }
+  }
+
+  test("property: minhash estimate within sampling error of true jaccard (k=32 → ±0.35)") {
+    val byId = corpus.toMap
+    val rows = operators.Dedup.minhashLsh(spark, corpusDir)
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, est) =>
+      assert(math.abs(est - scalaJaccard(byId(a), byId(b))) <= 0.35, s"pair ($a,$b) est=$est")
+    }
+    (0 until 6).foreach { i =>
+      assert(rows.exists(r => r._1 == i && r._2 == 100 + i && r._3 == 1.0),
+        s"copy pair ($i, ${100 + i}) not at estimate 1.0")
+    }
+  }
+
+  test("property: simhash hamming is 0 exactly for fingerprint-identical docs; copies rank first") {
+    val rows = operators.Dedup.simhashPairs(spark, corpusDir)
+      .as[(Long, Long, Int)].collect()
+    (0 until 6).foreach { i =>
+      val d = rows.find(r => r._1 == i && r._2 == 100 + i).map(_._3)
+      assert(d.contains(0), s"copy pair ($i, ${100 + i}) hamming $d")
+    }
+  }
+
+  test("property: token histogram counts equal the Scala multiset count") {
+    val expected = corpus.flatMap(_._2.trim.toLowerCase.split("\\s+")).groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    val got = operators.TextAnalysis.tokenHistogram(spark, corpusDir)
+      .as[(String, Long)].collect()
+    got.foreach { case (t, n) => assert(expected(t) == n, s"token $t") }
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("property: top-k orders is the prefix of the full Scala-side ranking (sf0.001)") {
+    val full = sources.Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect()
+      .sortBy { case (k, p) => (-p, k) }.take(10).map(_._1).toSeq
+    val topk = operators.Relational.topOrders(spark, sf("sf0.001"))
+      .select("o_orderkey").as[Long].collect().toSeq
+    assert(topk == full)
+  }
+
+  test("property (differential): ParseIntJs kernel vs an independent reference on random strings") {
+    def reference(s: String): Option[Int] = {
+      // independent formulation: takeWhile + BigInt (the kernel uses a
+      // manual accumulate loop)
+      val t = s.dropWhile(c => Character.isWhitespace(c) || c == '\u00a0' || c == '\ufeff')
+      val (sign, afterSign) =
+        if (t.startsWith("-")) (-1, t.drop(1))
+        else if (t.startsWith("+")) (1, t.drop(1)) else (1, t)
+      val (radix, body) =
+        if (afterSign.length >= 2 && afterSign(0) == '0' &&
+          (afterSign(1) == 'x' || afterSign(1) == 'X')) (16, afterSign.drop(2))
+        else (10, afterSign)
+      val digits = body.takeWhile(c => Character.digit(c, radix) >= 0)
+      if (digits.isEmpty) None
+      else {
+        val v = BigInt(digits, radix) * sign
+        if (v.isValidInt) Some(v.toInt) else None
+      }
+    }
+    val charGen = Gen.frequency(8 -> Gen.numChar, 2 -> Gen.oneOf('x', 'X', 'a', 'f', 'g'),
+      2 -> Gen.oneOf('+', '-', '.', ' ', '\t'), 1 -> Gen.alphaChar)
+    val strGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val prop = Prop.forAll(strGen) { s =>
+      val got = Option(functions.JsParseInt.parse(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))).map(_.intValue())
+      got == reference(s)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000)
+        .withInitialSeed(Seed(7L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
