@@ -65,12 +65,15 @@ object Dedup {
   private def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  /** E1 exact dedup: group on the whitespace/case-normalized text, keep
-    * the lowest doc_id. One hash aggregation — the 100 TB formulation
-    * groups on md5(norm) to shrink the shuffle key. */
+  /** E1 exact dedup: group on md5 of the whitespace/case-normalized
+    * text, keep the lowest doc_id. One hash aggregation; hashing the
+    * key first shrinks the shuffle from full document bytes to 32
+    * hex chars — at 100 TB the difference between shuffling the corpus
+    * and shuffling a fingerprint column. (The oracle groups on the
+    * norm text itself: identical partition up to md5 collision.) */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(normText(col("text")).as("norm"))
+      .groupBy(md5(normText(col("text"))).as("norm_fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")

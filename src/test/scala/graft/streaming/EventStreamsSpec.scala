@@ -20,6 +20,24 @@ class EventStreamsSpec extends SparkSpec {
   private def withQuery[T](q: StreamingQuery)(body: => T): T =
     try body finally q.stop()
 
+  test("file-stream source reads the real events table incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evt-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-evt-ckpt").toString
+    // stage the driver parquet into a directory the file source watches
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = stream.writeStream.format("memory").queryName("rawev")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    withQuery(q) {
+      q.processAllAvailable()
+      assert(spark.table("rawev").count() == 1000)
+      val t = spark.table("rawev").schema("ts").dataType
+      assert(t == org.apache.spark.sql.types.TimestampType, t.toString)
+    }
+  }
+
   test("streaming tumbling counts equal the batch aggregation (complete mode)") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
