@@ -1,14 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Dev utility: dump formatted physical plans for representative
+  * queries (plan-quality review: pushdown, broadcast, codegen). */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q_catalog_worklist", "q_pricing_summary", "q_revenue_by_region",
-                     "q_text_stats", "q_dedup_exact", "q_knn_exact", "q_events_tumbling")) {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = Seq("q_catalog_worklist", "q_pricing_summary", "q_revenue_by_region",
+      "q_topk_orders", "q_dedup_jaccard", "q_knn_exact", "q_events_sessions",
+      "q_events_salted_agg", "q_media_features")
+    for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
       println(s"===== $name =====")
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
