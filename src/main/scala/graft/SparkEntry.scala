@@ -21,7 +21,8 @@ object SparkEntry {
     graft.operators.DedupModule,
     graft.operators.SimilarityModule,
     graft.operators.EventsModule,
-    graft.operators.MultimodalModule
+    graft.operators.MultimodalModule,
+    graft.operators.CorpusModule
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+
+/** The composed training-data pipeline: dedup is only useful if it
+  * APPLIES — this module turns the pair reports of Dedup into a
+  * cleaned corpus (the artifact a pre-training run consumes) and
+  * exposes the per-language inventory of what survived.
+  *
+  * Dedup policy (deterministic greedy, standard for corpus cleaning):
+  *  - exact duplicates: every doc whose normalized text equals an
+  *    earlier doc's is dropped (keep-lowest-id).
+  *  - near duplicates: for every pair with 3-gram Jaccard ≥ 0.8, the
+  *    higher doc_id is dropped. Greedy-by-id rather than connected
+  *    components: one distributed pass, no iteration, and stable
+  *    under re-partitioning. (Transitive chains A~B~C with A≁C keep
+  *    only A — the aggressive end; CC keeps A and C. At 100 TB the
+  *    iterative CC pass is a separate job over the tiny pair table.)
+  *  - quality: docs bucketed anything but 'ok' by TextAnalysis's
+  *    filters are dropped.
+  *
+  * Everything is DuckDB-oracle-verified, including the composition.
+  */
+object Corpus {
+
+  private def toksC(c: Column): Column = split(trim(lower(c)), "\\s+")
+  private def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** doc_ids dropped as exact duplicates (keep-lowest-id policy). */
+  private def exactVictims(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(normText(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("keep_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+
+  /** doc_ids dropped as near-duplicates: higher id of every pair with
+    * Jaccard ≥ `threshold` (inverted-index join, same shape as
+    * Dedup.jaccardPairs but thresholded instead of top-k). */
+  private def nearVictims(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), toksC(col("text")).as("toks"))
+      .localCheckpoint()
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .localCheckpoint()
+    val a = ex.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = ex.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")) >= threshold)
+      .select(col("id_b").as("doc_id")).distinct()
+  }
+
+  /** Quality-rejected doc_ids (same filters as TextAnalysis.qualityScore). */
+  private def qualityVictims(docs: DataFrame): DataFrame = {
+    val t = toksC(col("text"))
+    val nTok = size(t)
+    val punctRatio = round(
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
+        length(col("text")), 6)
+    val distinctRatio = round(size(array_distinct(t)).cast("double") / nTok, 6)
+    docs.filter(nTok < 10 || punctRatio > 0.2 || distinctRatio < 0.2)
+      .select("doc_id")
+  }
+
+  /** The cleaned corpus: survivors of exact-dedup, near-dedup (≥0.8),
+    * and quality filtering, with the drop reason for audit. */
+  def cleanedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val victims =
+      exactVictims(docs).withColumn("reason", lit("exact_dup"))
+        .unionByName(nearVictims(spark, dir, 0.8).withColumn("reason", lit("near_dup")))
+        .unionByName(qualityVictims(docs).withColumn("reason", lit("quality")))
+        .groupBy("doc_id").agg(min(col("reason")).as("reason"))
+    docs.join(victims, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Post-cleaning inventory: docs per language that survived — the
+    * "what do we actually train on" report. */
+  def cleanInventory(spark: SparkSession, dir: String): DataFrame =
+    cleanedCorpus(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+}
+
+/** Driver-contract registration for the composed cleaning pipeline. */
+object CorpusModule extends QueryModule {
+  import Corpus._
+
+  def queries = Map(
+    "q_corpus_clean" -> ((s: SparkSession, d: String) => cleanedCorpus(s, d)),
+    "q_corpus_inventory" -> ((s: SparkSession, d: String) => cleanInventory(s, d)))
+
+  private val cleanedSql =
+    """WITH norm AS (
+      |  SELECT doc_id, lang, source, text,
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |exact_victims AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS keep_id FROM norm)
+      |  WHERE doc_id != keep_id),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 2, 1)),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM norm),
+      |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+      |near_victims AS (
+      |  SELECT DISTINCT b_id AS doc_id FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS n_a, b.n_sh AS n_b,
+      |      COUNT(*) AS common
+      |    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2, 3, 4)
+      |  WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.8),
+      |quality_victims AS (
+      |  SELECT doc_id FROM norm
+      |  WHERE len(toks) < 10
+      |     OR round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6) > 0.2
+      |     OR round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) < 0.2),
+      |victims AS (
+      |  SELECT doc_id FROM exact_victims
+      |  UNION SELECT doc_id FROM near_victims
+      |  UNION SELECT doc_id FROM quality_victims)
+      |SELECT doc_id, lang, source FROM norm
+      |WHERE doc_id NOT IN (SELECT doc_id FROM victims)""".stripMargin
+
+  def oracles = Map(
+    "q_corpus_clean" -> (cleanedSql + "\nORDER BY doc_id"),
+    "q_corpus_inventory" ->
+      ("WITH cleaned AS (\n" + cleanedSql +
+        "\n)\nSELECT lang, COUNT(*) AS n_docs FROM cleaned GROUP BY lang ORDER BY lang"))
+}
