@@ -215,14 +215,15 @@ object Dedup {
     * kept for Column-level use), this shape is whole-stage-codegen'd
     * with map-side partial aggregation — the 100 TB path. */
   def simhashTable(spark: SparkSession, dir: String): DataFrame = {
+    // bit position i (0-based, MSB first — matches simhashBits'
+    // bin()/lpad layout; DedupSpec's differential test pins the parity)
+    def contrib(i: Int) =
+      sum(when(shiftright(col("h"), 63 - i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     val sums = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
       .groupBy("doc_id")
-      .agg(
-        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
-        (1 until 64).map(i =>
-          sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")): _*)
+      .agg(contrib(0), (1 until 64).map(contrib): _*)
     val bitCols = (0 until 64).map(i => when(col(s"b$i") > 0, 1).otherwise(0))
     sums.select(col("doc_id"), array(bitCols: _*).as("bits"),
       concat(bitCols.map(_.cast("string")): _*).as("bitstr"))

@@ -100,6 +100,24 @@ class DedupSpec extends SparkSpec {
     out.get((1L, 3L)).foreach(d => assert(d > 5))
   }
 
+  test("differential: per-row simhashBits equals the aggregate simhashTable formulation") {
+    import org.apache.spark.sql.functions.{col, split, trim, lower}
+    val dir = docsDir(Seq(
+      (1L, "m0 m1 m2 m3 m4 m5 m6 m7 m8 m9"),
+      (2L, "z0 z1 z2 z3 z4 z5 m0 m1"),
+      (3L, "solo")))
+    val viaLambda = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Dedup.simhashBits(split(trim(lower(col("text"))), "\\s+")).as("bits"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val viaAgg = Dedup.simhashTable(spark, dir)
+      .select("doc_id", "bits").as[(Long, Seq[Int])].collect().toMap
+    assert(viaLambda.keySet == viaAgg.keySet)
+    viaLambda.foreach { case (id, bits) =>
+      assert(bits == viaAgg(id), s"doc $id fingerprints diverge")
+    }
+  }
+
   test("embeddingPairs: 20 pairs, cos descending, blocked by label, ids ordered") {
     val rows = Dedup.embeddingPairs(spark, sf("sf0.001"))
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
