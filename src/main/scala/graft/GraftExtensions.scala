@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.ParseIntJs
+import graft.functions.{ArrayDotProduct, ParseIntJs}
 
 /** SparkSessionExtensions entry point: wires graft's custom Catalyst
   * pieces into a session so the SQL surface sees them
@@ -29,7 +29,10 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("parseint_js"),
       new ExpressionInfo(classOf[ParseIntJs].getName, "parseint_js"),
-      (children: Seq[Expression]) => ParseIntJs(children.head)))
+      (children: Seq[Expression]) => ParseIntJs(children.head)),
+    (new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
 
   /** Register into a live session (the extensions path only applies at
     * session construction). */

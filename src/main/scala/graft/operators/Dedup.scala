@@ -256,13 +256,11 @@ object Dedup {
 
   // ---- Embedding cosine ---------------------------------------------
 
-  /** Element-wise double view of a float embedding — cast BEFORE any
-    * arithmetic so accumulation is double from the first multiply and
-    * bit-matches the oracle's CAST(embedding AS DOUBLE[]). */
-  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
-
+  /** Native codegen'd dot product; widens each element to double
+    * before the multiply, bit-matching the oracle's
+    * CAST(embedding AS DOUBLE[]) accumulation. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayDotProduct(a, b)
 
   /** E2 embedding-cosine near-dup: top-20 most similar pairs within a
     * `label` block. Label blocking bounds the pair space (the LSH
@@ -271,7 +269,7 @@ object Dedup {
     * dot product per pair. */
   def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val a = e.select(col("vec_id").as("id_a"), col("label"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))

@@ -36,16 +36,17 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
-
+  /** Native codegen'd dot product (see ArrayDotProductExpression):
+    * widens elements to double before multiplying, so raw float
+    * embeddings need no per-element cast pass. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayDotProduct(a, b)
 
   /** Exact cosine top-k for queries vec_id < `nQueries`, k = `k`.
     * The query side is broadcast; the corpus side streams. */
   def knnExact(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
@@ -90,7 +91,7 @@ object Similarity {
     * driver; recall pinned in SimilaritySpec. */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val buckets = bucketize(e)
     val q = buckets.filter(col("vec_id") < nQueries)
@@ -116,10 +117,8 @@ object Similarity {
 object SimilarityIvf {
   import Similarity.{NumQueriesDefault, TopKDefault}
 
-  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
-
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayDotProduct(a, b)
 
   /** IVF coarse quantizer: K seeded random gaussian centroids
     * (magnitude is irrelevant for the cosine-style argmax). */
@@ -162,7 +161,7 @@ object SimilarityIvf {
   def annIvf(spark: SparkSession, dir: String,
              nQueries: Int = NumQueriesDefault, k: Int = TopKDefault): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .localCheckpoint()
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),

@@ -14,6 +14,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, Some(12)), (2, Some(16)), (3, None)))
   }
 
+  test("array_dot is callable from SQL and widens float arrays to double") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d," +
+        " array_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS f")
+      .head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 3.0)
+  }
+
   test("a fresh session built withExtensions sees the function") {
     val fresh = spark.newSession()
     // newSession shares the function registry state only if copied; use
