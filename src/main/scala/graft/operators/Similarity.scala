@@ -61,6 +61,32 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Exact top-k via the typed TopKNeighbors Aggregator instead of a
+    * window: partial aggregation reduces each map partition to ≤ k
+    * candidates per query BEFORE the shuffle, so the exchange carries
+    * O(|Q|·k·partitions) rows instead of O(|Q|·N) — the formulation
+    * that survives a 100× corpus. Results are identical to knnExact
+    * (SimilaritySpec pins it). */
+  def knnExactAgg(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nrm").as("nrm_c"))
+    val topk = udaf(new TopKNeighbors(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ScoredNeighbor]())
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
+      .groupBy("query_id")
+      .agg(topk(col("cos"), col("neighbor_id")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "sn")))
+      .select(col("query_id"), col("sn.neighbor_id").as("neighbor_id"),
+        col("sn.cos").as("cos"), (col("pos") + 1).as("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** T tables × H seeded random hyperplanes (unit-free gaussians) —
     * literals compiled into the plan. */
   private val NumTables = 8
@@ -188,22 +214,28 @@ object SimilarityIvf {
 object SimilarityModule extends QueryModule {
   import Similarity._
 
+  private val knnOracleSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 10),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      |      FROM q JOIN e c ON c.vec_id != q.vec_id)
+      |SELECT query_id, neighbor_id, cos, rn FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM s)
+      |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   def queries = Map(
     "q_knn_exact" -> ((s: SparkSession, d: String) => knnExact(s, d)),
+    "q_knn_exact_agg" -> ((s: SparkSession, d: String) => knnExactAgg(s, d)),
     "q_knn_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvf(s, d)))
 
+  // q_knn_exact_agg shares q_knn_exact's oracle: same semantics, the
+  // Aggregator formulation just changes the physical plan.
   def oracles = Map(
-    "q_knn_exact" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id < 10),
-        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |        list_dot_product(q.v, c.v) /
-        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-        |      FROM q JOIN e c ON c.vec_id != q.vec_id)
-        |SELECT query_id, neighbor_id, cos, rn FROM (
-        |  SELECT query_id, neighbor_id, cos,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
-        |  FROM s)
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
+    "q_knn_exact_agg" -> knnOracleSql,
+    "q_knn_exact" -> knnOracleSql)
 }

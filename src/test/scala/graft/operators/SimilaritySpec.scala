@@ -52,6 +52,13 @@ class SimilaritySpec extends SparkSpec {
       assert(top == Seq(n), s"$name query $q: expected planted copy $n first, got $top")
     }
 
+  test("aggregator top-k equals the window top-k (partial-aggregation formulation)") {
+    val agg = Similarity.knnExactAgg(spark, sf("sf0.001"))
+      .select("query_id", "neighbor_id", "cos", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(agg.toSeq == exact.toSeq)
+  }
+
   test("LSH recovers planted near-duplicate neighbors (fixture embeddings)") {
     assertPlantedRecovered("lsh", Similarity.annLsh(spark, plantedDir)
       .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect())
