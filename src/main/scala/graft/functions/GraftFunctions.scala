@@ -36,4 +36,9 @@ object GraftFunctions {
   /** UTF-8 encode for a binary sink payload (reference
     * `flows/main_flow.py:144`). */
   def utf8Bytes(c: Column): Column = encode(c, "UTF-8")
+
+  /** Watermark date formatting, `%Y-%m-%d` (reference
+    * `flows/main_flow.py:130`) — the mark format WatermarkStore
+    * persists between incremental runs. */
+  def runDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
 }
