@@ -198,6 +198,19 @@ object Relational {
         max(col("o_orderdate")).as("last_order"))
       .orderBy("o_orderstatus")
 
+  /** Exact percentiles (continuous interpolation — same definition as
+    * DuckDB's quantile_cont: lower + frac·(upper−lower) over the
+    * sorted values). Exact sort-based aggregate; approx_percentile is
+    * the sketch twin at scale. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.75)).as("p75"))
+      .orderBy("o_orderstatus")
+
   /** Left-semi join: customers having at least one open order. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -289,6 +302,7 @@ object RelationalModule extends QueryModule {
     "q_set_except_all" -> ((s: SparkSession, d: String) => setExceptAll(s, d)),
     "q_set_intersect_all" -> ((s: SparkSession, d: String) => setIntersectAll(s, d)),
     "q_minmax_orders" -> ((s: SparkSession, d: String) => orderExtremes(s, d)),
+    "q_percentiles" -> ((s: SparkSession, d: String) => percentiles(s, d)),
     "q_set_union" -> ((s: SparkSession, d: String) => setUnion(s, d)),
     "q_set_intersect" -> ((s: SparkSession, d: String) => setIntersect(s, d)),
     "q_set_except" -> ((s: SparkSession, d: String) => setExcept(s, d)),
@@ -361,6 +375,12 @@ object RelationalModule extends QueryModule {
         |INTERSECT ALL
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY custkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_minmax_orders" ->
       """SELECT o_orderstatus, MIN(o_totalprice) AS min_price,
         |  MAX(o_totalprice) AS max_price, MIN(o_orderdate) AS first_order,

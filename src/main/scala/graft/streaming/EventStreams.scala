@@ -4,12 +4,44 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Encoders => SqlEncoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Open-session accumulator for sessionizeStateful (top-level: the
   * state encoder's generated code needs a public, conflict-free
   * constructor). */
 case class OpenSession(startMs: Long, lastMs: Long, nEvents: Long, sumValue: Double)
+
+/** Running per-user totals emitted by the transformWithState demo. */
+case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+/** Arbitrary-state v2 (`transformWithState` StatefulProcessor,
+  * Spark 4): one ValueState cell per user holding (count, sum),
+  * emitting the updated totals once per micro-batch. Requires the
+  * RocksDB state store provider (bundled); TTLConfig.NONE keeps state
+  * forever — production sets a TTL to bound it, the knob
+  * flatMapGroupsWithState lacks. */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, EventStreams.Event, UserRunning] {
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)](
+      "totals", SqlEncoders.tuple(SqlEncoders.scalaLong, SqlEncoders.scalaDouble),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EventStreams.Event],
+      timerValues: TimerValues): Iterator[UserRunning] = {
+    val (n0, s0) = Option(totals.get()).getOrElse((0L, 0.0))
+    var n = n0
+    var s = s0
+    rows.foreach { e => n += 1; s += e.value }
+    totals.update((n, s))
+    Iterator.single(UserRunning(key, n, s))
+  }
+}
 
 /** Structured Streaming surface (SURVEY.md §2.10 E6). The reference's
   * incremental model is a persisted last-run date re-filtered each run
@@ -106,6 +138,17 @@ object EventStreams {
       .outputMode("append")
       .foreachBatch(landBatch)
       .start()
+  }
+
+  /** Per-user running totals via the Spark 4 arbitrary-state v2 API
+    * (`transformWithState`): Update-mode emission of the cumulative
+    * (count, sum) per user per micro-batch. See RunningTotalsProcessor
+    * for the state layout. */
+  def runningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the

@@ -102,6 +102,36 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState running totals accumulate across micro-batches (RocksDB store)") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = EventStreams.runningTotals(input.toDS())
+        .writeStream.format("memory").queryName("running").outputMode("update").start()
+      withQuery(q) {
+        input.addData(ev(1, "2024-01-01 10:00:00", 1, v = 2.0),
+          ev(2, "2024-01-01 10:01:00", 1, v = 3.0))
+        q.processAllAvailable()
+        input.addData(ev(3, "2024-01-01 10:02:00", 1, v = 5.0),
+          ev(4, "2024-01-01 10:02:30", 2, v = 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("running").as[UserRunning].collect()
+        // batch 1 emitted (1, 2, 5.0); batch 2 emitted (1, 3, 10.0) and (2, 1, 1.0)
+        assert(rows.contains(UserRunning(1L, 2L, 5.0)))
+        assert(rows.contains(UserRunning(1L, 3L, 10.0)))
+        assert(rows.contains(UserRunning(2L, 1L, 1.0)))
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch lands closed sessions as one JSON object each") {
     implicit val sq = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("graft-sess-sink").toString
