@@ -198,6 +198,47 @@ object Relational {
         max(col("o_orderdate")).as("last_order"))
       .orderBy("o_orderstatus")
 
+  /** Scalar subquery: orders above 90% of the global maximum price
+    * (MAX is a selection — exact on both engines, unlike AVG whose
+    * partial-sum order varies). Catalyst plans the subquery as a
+    * one-row broadcast. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_ss")
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_above
+        |FROM graft_orders_ss
+        |WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM graft_orders_ss)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** Correlated scalar subquery: customers holding their nation's top
+    * balance — Catalyst decorrelates into an aggregate + join. */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer_cs")
+    spark.sql(
+      """SELECT c_nationkey, c_custkey, c_acctbal
+        |FROM graft_customer_cs c
+        |WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM graft_customer_cs c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin)
+  }
+
+  /** RANGE window frame: 30-day rolling spend per customer — the
+    * event-time analog of the running (ROWS) frame, ordered on integer
+    * epoch days so both engines share the frame arithmetic. */
+  def rollingSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).as("day"),
+        dec(col("o_totalprice")).as("p"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("p")).over(w).as("spend_30d"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   /** Exact percentiles (continuous interpolation — same definition as
     * DuckDB's quantile_cont: lower + frac·(upper−lower) over the
     * sorted values). Exact sort-based aggregate; approx_percentile is
@@ -303,6 +344,9 @@ object RelationalModule extends QueryModule {
     "q_set_intersect_all" -> ((s: SparkSession, d: String) => setIntersectAll(s, d)),
     "q_minmax_orders" -> ((s: SparkSession, d: String) => orderExtremes(s, d)),
     "q_percentiles" -> ((s: SparkSession, d: String) => percentiles(s, d)),
+    "q_scalar_subquery" -> ((s: SparkSession, d: String) => scalarSubquery(s, d)),
+    "q_correlated_subquery" -> ((s: SparkSession, d: String) => correlatedSubquery(s, d)),
+    "q_window_range" -> ((s: SparkSession, d: String) => rollingSpend(s, d)),
     "q_set_union" -> ((s: SparkSession, d: String) => setUnion(s, d)),
     "q_set_intersect" -> ((s: SparkSession, d: String) => setIntersect(s, d)),
     "q_set_except" -> ((s: SparkSession, d: String) => setExcept(s, d)),
@@ -375,6 +419,23 @@ object RelationalModule extends QueryModule {
         |INTERSECT ALL
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY custkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_above
+        |FROM orders
+        |WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+        |     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS spend_30d
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.25) AS p25,
