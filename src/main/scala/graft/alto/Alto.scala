@@ -49,6 +49,20 @@ object Alto {
       .withColumn("alto", struct(col("_xmlns"), col("Description"), col("Layout")))
       .select("alto")
 
+  /** Per-URL fetch fallback (S2, reference
+    * `extract-text-lines-from-alto.js:24061-24063`): a distributed
+    * url→document map for archives NOT on a Hadoop-readable store.
+    * The fetcher is pluggable — an HTTP client in production, a
+    * fixture lookup in tests (this environment has no egress) — and
+    * runs once per URL on the executors (the reference forks a whole
+    * Node process per URL instead). Prefer readAltoXmlFiles: a scan
+    * beats N point fetches whenever the store supports it. */
+  def fetchXml(df: DataFrame, fetcher: String => String,
+               urlCol: String = "url", outCol: String = "xml"): DataFrame = {
+    val fetchUdf = udf(fetcher)
+    df.withColumn(outCol, fetchUdf(col(urlCol)))
+  }
+
   /** Parse an XML string column into the ALTO struct (`from_xml`). */
   def parseXml(xmlCol: Column): Column =
     from_xml(xmlCol, AltoSchema.alto,

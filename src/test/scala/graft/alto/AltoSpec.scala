@@ -99,6 +99,24 @@ class AltoSpec extends SparkSpec {
     assert(out.getAs[String]("transcript") == "Hello world")
   }
 
+  test("per-URL fetch fallback feeds the same pipeline (pluggable fetcher)") {
+    // fixture-backed fetcher stands in for the HTTP client (no egress
+    // here); the url->xml map is what the reference's per-URL
+    // fetch+parse loop observes.
+    val byUrl = AltoModule.fixtureDf(spark).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    val urls = byUrl.keys.toSeq.sorted.zipWithIndex
+      .map { case (u, i) => (i.toLong + 1, u) }
+    val viaFetch = Alto.pipeline(
+      Alto.fetchXml(urls.toDF("representation_id", "url"), byUrl.apply))
+      .select("url", "transcript")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val direct = Alto.pipeline(AltoModule.fixtureDf(spark))
+      .select("url", "transcript")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(viaFetch == direct)
+  }
+
   test("XML datasource ingest path matches from_xml path") {
     val viaDs = Alto.readAltoXmlFiles(spark, resource("/alto/alto_v2_basic.xml"))
       .select(Alto.simplify($"alto").as("s"))
