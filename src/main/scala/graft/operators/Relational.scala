@@ -198,6 +198,21 @@ object Relational {
         max(col("o_orderdate")).as("last_order"))
       .orderBy("o_orderstatus")
 
+  /** Pivot: order counts with status rows and priority columns —
+    * Spark desugars to conditional aggregation (explicit value list,
+    * so no extra distinct-values job; the oracle spells the same
+    * CASE/FILTER aggregation). */
+  def pivotOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+        "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+      .orderBy("o_orderstatus")
+
   /** Scalar subquery: orders above 90% of the global maximum price
     * (MAX is a selection — exact on both engines, unlike AVG whose
     * partial-sum order varies). Catalyst plans the subquery as a
@@ -344,6 +359,7 @@ object RelationalModule extends QueryModule {
     "q_set_intersect_all" -> ((s: SparkSession, d: String) => setIntersectAll(s, d)),
     "q_minmax_orders" -> ((s: SparkSession, d: String) => orderExtremes(s, d)),
     "q_percentiles" -> ((s: SparkSession, d: String) => percentiles(s, d)),
+    "q_pivot_orders" -> ((s: SparkSession, d: String) => pivotOrders(s, d)),
     "q_scalar_subquery" -> ((s: SparkSession, d: String) => scalarSubquery(s, d)),
     "q_correlated_subquery" -> ((s: SparkSession, d: String) => correlatedSubquery(s, d)),
     "q_window_range" -> ((s: SparkSession, d: String) => rollingSpend(s, d)),
@@ -419,6 +435,14 @@ object RelationalModule extends QueryModule {
         |INTERSECT ALL
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY custkey""".stripMargin,
+    "q_pivot_orders" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT o_orderstatus, COUNT(*) AS n_above
         |FROM orders

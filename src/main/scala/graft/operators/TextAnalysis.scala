@@ -125,6 +125,18 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(20)
 
+  /** Corpus bigram statistics (n-gram language-model counts): explode
+    * word bigrams, one hash aggregation, top 20. */
+  def bigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)), i -> concat_ws(' ', slice(toks, i, 2)))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+
   /** Document fingerprinting: md5 of the whitespace-normalized text
     * (exact-dup key) plus a winnowing-style min-hash over all 8-char
     * shingles (robust to local edits). Pure column arithmetic — md5 is
@@ -153,6 +165,7 @@ object TextAnalysisModule extends QueryModule {
     "q_text_quality" -> ((s: SparkSession, d: String) => qualityScore(s, d)),
     "q_text_token_count" -> ((s: SparkSession, d: String) => tokenCount(s, d)),
     "q_text_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
+    "q_text_bigrams" -> ((s: SparkSession, d: String) => bigrams(s, d)),
     "q_text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)))
 
   // DuckDB lambda syntax (list_transform / list_filter) mirrors Spark's
@@ -209,6 +222,20 @@ object TextAnalysisModule extends QueryModule {
       """SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q_text_bigrams" ->
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(
+        |    generate_series(1, greatest(len(toks) - 1, 1)),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM t)
+        |SELECT bigram, COUNT(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "q_text_bigrams" ->
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(
+        |    generate_series(1, greatest(len(toks) - 1, 1)),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM t)
+        |SELECT bigram, COUNT(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
     "q_text_fingerprint" ->
       """WITH d AS (SELECT doc_id,
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents)
