@@ -42,14 +42,7 @@ object Corpus {
     * Jaccard ≥ `threshold` (inverted-index join, same shape as
     * Dedup.jaccardPairs but thresholded instead of top-k). */
   private def nearVictims(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val ex = Tables.documents(spark, dir)
-      .select(col("doc_id"), toksC(col("text")).as("toks"))
-      .localCheckpoint()
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
-        i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-      .localCheckpoint()
+    val ex = Dedup.shingleIndex(spark, dir)
     val a = ex.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = ex.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
