@@ -176,9 +176,23 @@ object Alto {
     * for token-level analytics; `posexplode` keeps document order
     * explicit so downstream aggregation can stay deterministic. */
   def tokens(df: DataFrame, docIdCol: String): DataFrame =
-    df.select(col(docIdCol), posexplode(col("simplified")("text")).as(Seq("pos", "tok")))
+    tokenView(df, docIdCol, outer = false)
+
+  /** Outer variant: a document with no tokens (empty v2 filter result,
+    * unsupported namespace → null array) keeps one all-null row —
+    * `posexplode_outer` vs `posexplode`, the generator-side encoding
+    * of "don't silently lose empty documents" (SURVEY.md §2.8 P6). */
+  def tokensOuter(df: DataFrame, docIdCol: String): DataFrame =
+    tokenView(df, docIdCol, outer = true)
+
+  private def tokenView(df: DataFrame, docIdCol: String, outer: Boolean): DataFrame = {
+    val gen =
+      if (outer) posexplode_outer(col("simplified")("text"))
+      else posexplode(col("simplified")("text"))
+    df.select(col(docIdCol), gen.as(Seq("pos", "tok")))
       .select(col(docIdCol), col("pos"),
         col("tok")("text").as("text"),
         col("tok")("x").as("x"), col("tok")("y").as("y"),
         col("tok")("width").as("width"), col("tok")("height").as("height"))
+  }
 }

@@ -124,6 +124,21 @@ class AltoSpec extends SparkSpec {
     assert(viaDs == "Hello world")
   }
 
+  test("outer token view keeps empty documents as an all-null row") {
+    val df = AltoModule.fixtureDf(spark)
+      .withColumn("simplified", Alto.simplify(Alto.parseXml($"xml")))
+    val inner = Alto.tokens(df, "representation_id")
+      .select("representation_id").distinct().as[Long].collect().toSet
+    val outer = Alto.tokensOuter(df, "representation_id")
+      .select("representation_id").distinct().as[Long].collect().toSet
+    // doc 5 (unsupported namespace, null text array) only survives the outer view
+    assert(!inner.contains(5L))
+    assert(outer.contains(5L))
+    val row5 = Alto.tokensOuter(df, "representation_id")
+      .filter($"representation_id" === 5L).collect()
+    assert(row5.length == 1 && row5.head.isNullAt(1) && row5.head.isNullAt(2))
+  }
+
   test("exploded token view: one row per kept token with positions") {
     val df = load("alto_v2_multilayout.xml")
       .withColumn("simplified", Alto.simplify(Alto.parseXml($"xml")))
