@@ -79,6 +79,21 @@ class SinksSpec extends SparkSpec {
     assert(back.where($"lang" === "en").count() == 2)
   }
 
+  test("hive partition layout prunes at scan time (PartitionFilters, not data filters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString + "/out"
+    val df = Seq((1L, "en", "x"), (2L, "de", "y"), (3L, "en", "z"), (4L, "fr", "w"))
+      .toDF("id", "lang", "text")
+    Sinks.writePartitioned(df, Seq("lang"), dir)
+    val q = spark.read.parquet(dir).filter($"lang" === "en")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan.take(800))
+    assert(scan.contains("lang"), scan.take(800))
+    assert(q.count() == 2)
+    // the pruned read touches only the lang=en directory's files
+    val plan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!plan.contains("lang=de"))
+  }
+
   test("end-to-end reference parity: ALTO pipeline lands one JSON object per document") {
     import org.apache.spark.sql.functions.{col, to_json}
     val dir = java.nio.file.Files.createTempDirectory("graft-alto-sink").toString

@@ -102,6 +102,30 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming parquet sink appends watermark-finalized windows exactly once") {
+    implicit val sq = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-pq").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-pq-ckpt").toString
+    val input = MemoryStream[Event]
+    val q = tumblingCounts(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(ev(1, "2024-01-01 10:05:00", 1), ev(2, "2024-01-01 10:20:00", 1))
+      q.processAllAvailable()
+      // watermark (max 10:20 - 10min = 10:10) has not passed 11:00 → nothing final
+      input.addData(ev(3, "2024-01-01 11:30:00", 2))
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 11:40:00", 2)) // watermark 11:30 > 11:00
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .select("window_start", "event_type", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows == Set((ts("2024-01-01 10:00:00"), "click", 2L)))
+    }
+  }
+
   test("transformWithState running totals accumulate across micro-batches (RocksDB store)") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
