@@ -130,6 +130,25 @@ object Dedup {
       .limit(20)
   }
 
+  /** E2 edit-distance near-dup: Levenshtein over 24-char normalized
+    * prefixes, blocked by language (never all-pairs across the whole
+    * corpus; at 100 TB the block key is lang × length bucket × prefix
+    * band). Top-20 closest pairs — integer distances, deterministic
+    * tie-break. Both engines implement Wagner-Fischer, so the oracle
+    * hash-matches. */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(normText(col("text")), 1, 24).as("prefix"))
+    val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("prefix").as("pfx_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("prefix").as("pfx_b"))
+    a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("lang"),
+        levenshtein(col("pfx_a"), col("pfx_b")).as("edit_dist"))
+      .orderBy(col("edit_dist").asc, col("id_a").asc, col("id_b").asc)
+      .limit(20)
+  }
+
   // ---- MinHash + LSH ------------------------------------------------
 
   /** Mersenne prime 2^31-1: universal-hash modulus. a*x+b stays well
@@ -315,6 +334,7 @@ object DedupModule extends QueryModule {
     "q_dedup_exact" -> ((s: SparkSession, d: String) => exactDedup(s, d)),
     "q_dedup_by_key" -> ((s: SparkSession, d: String) => dedupByKey(s, d)),
     "q_dedup_jaccard" -> ((s: SparkSession, d: String) => jaccardPairs(s, d)),
+    "q_dedup_editdist" -> ((s: SparkSession, d: String) => editDistancePairs(s, d)),
     "q_dedup_minhash" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)))
@@ -341,6 +361,14 @@ object DedupModule extends QueryModule {
         |FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
         |ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    "q_dedup_editdist" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 24) AS prefix
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
+        |  levenshtein(a.prefix, b.prefix) AS edit_dist
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |ORDER BY edit_dist ASC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings)
