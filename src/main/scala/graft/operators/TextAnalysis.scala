@@ -150,7 +150,8 @@ object TextAnalysis {
         array_min(transform(
           sequence(lit(1), greatest(length(col("norm")) - 7, lit(1))),
           i => md5(col("norm").substr(i, lit(8)))))
-          .as("shingle_fp"))
+          .as("shingle_fp"),
+        graft.functions.RollingMinHashColumn(col("norm")).as("rolling_fp"))
       .orderBy("doc_id")
   }
 }
@@ -242,6 +243,9 @@ object TextAnalysisModule extends QueryModule {
         |SELECT doc_id, md5(norm) AS exact_fp,
         |  list_min(list_transform(
         |    generate_series(1, greatest(length(norm) - 7, 1)),
-        |    i -> md5(substr(norm, CAST(i AS INT), 8)))) AS shingle_fp
+        |    i -> md5(substr(norm, CAST(i AS INT), 8)))) AS shingle_fp,
+        |  list_min(list_transform(
+        |    generate_series(1, greatest(length(norm) - 7, 1)),
+        |    i -> ((((((((((((((((CAST(0 AS BIGINT) * 131 + CAST(ord(substr(norm, CAST(i+0 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+1 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+2 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+3 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+4 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+5 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+6 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+7 AS INT), 1)) AS BIGINT)) % 1000000007))) AS rolling_fp
         |FROM d ORDER BY doc_id""".stripMargin)
 }

@@ -55,6 +55,24 @@ class ParseIntJsSpec extends SparkSpec {
     assert(df.filter(col("v") > 10).count() == 1)
   }
 
+  test("rolling-hash kernel equals the naive per-window polynomial") {
+    def naive(s: String): Option[Long] = {
+      if (s.isEmpty) return None
+      val k = math.min(8, s.length)
+      Some((0 to s.length - k).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((h, c) => (h * 131 + c) % 1000000007L)
+      }.min)
+    }
+    val rnd = new scala.util.Random(99)
+    val cases = Seq("", "a", "abcdefg", "abcdefgh", "hello world hello world") ++
+      (0 until 50).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(40)).mkString)
+    cases.foreach { s =>
+      val got = Option(RollingMinHash.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))).map(_.longValue())
+      assert(got == naive(s), s"rolling hash of '$s'")
+    }
+  }
+
   test("interpreted eval agrees with codegen") {
     cases.foreach { case (in, want) =>
       val got = Option(JsParseInt.parse(
