@@ -27,8 +27,9 @@ import graft.sources.Tables
   *  - All hash arithmetic is xxhash64/md5 + integer ops inside
   *    whole-stage codegen; no Scala UDFs.
   *
-  * Oracle posture: exact dedup, Jaccard pairs, and embedding-cosine
-  * pairs are DuckDB-verified. MinHash/SimHash outputs depend on
+  * Oracle posture: exact dedup, Jaccard pairs, edit-distance pairs,
+  * and embedding-cosine pairs are DuckDB-verified. MinHash/SimHash
+  * outputs depend on
   * Spark's xxhash64 (no DuckDB twin), so they are declared rows-only
   * for the driver and pinned by ScalaTest fixtures instead
   * (DedupSpec): estimates converge to true Jaccard, candidates are a

@@ -19,7 +19,7 @@ class ReferenceFlowSpec extends SparkSpec {
     val markPath = java.nio.file.Files.createTempDirectory("graft-flow-wm").toString + "/last_run"
     val objDir = java.nio.file.Files.createTempDirectory("graft-flow-objs").toString
     WatermarkStore.write(markPath, "1999-01-01")
-    JdbcRecorder.clear()
+    val runId = "reference-flow"
 
     val byUrl = AltoModule.fixtureDf(spark).collect()
       .map(r => r.getString(1) -> r.getString(2)).toMap
@@ -46,7 +46,7 @@ class ReferenceFlowSpec extends SparkSpec {
         out.select(col("representation_id"), col("transcript"),
           concat(lit("https://objects.test/bucket/"), col("s3_key")).as("transcript_url"))
           .coalesce(1),
-        Sinks.transcriptUpsertSpec, () => JdbcRecorder.connection())
+        Sinks.transcriptUpsertSpec, () => JdbcRecorder.connection(runId))
       out.count()
     }
 
@@ -56,7 +56,7 @@ class ReferenceFlowSpec extends SparkSpec {
     assert(files.length == urls.length)
     assert(files.forall(_.getName.endsWith(".xml.json")))
     // the upsert ran both DMLs per row inside one committed transaction
-    val calls = JdbcRecorder.calls.toList
+    val calls = JdbcRecorder.calls(runId)
     assert(calls.count(_.startsWith("addBatch:UPDATE")) == urls.length)
     assert(calls.count(_.startsWith("addBatch:INSERT")) == urls.length)
     assert(calls.contains("commit"))

@@ -7,14 +7,24 @@ import scala.collection.mutable
 
 import graft.SparkSpec
 
-/** Records every JDBC call made by the upsert writer. local[*] keeps
-  * executors in this JVM, so a shared object buffer observes them. */
+/** Records every JDBC call made by the upsert writer, keyed by runId —
+  * suites run in parallel in one JVM, so each test records into its
+  * own bucket. local[*] keeps executors in this JVM, so the shared
+  * object buffer observes executor-side calls. */
 object JdbcRecorder {
-  val calls: mutable.Buffer[String] = mutable.Buffer.empty[String]
-  def clear(): Unit = synchronized { calls.clear() }
-  def add(s: String): Unit = synchronized { calls += s }
+  private val buckets =
+    new java.util.concurrent.ConcurrentHashMap[String, mutable.Buffer[String]]()
+  def calls(runId: String): List[String] =
+    Option(buckets.get(runId)) match {
+      case Some(b) => b.synchronized { b.toList }
+      case None => Nil
+    }
+  def add(runId: String, s: String): Unit = {
+    val b = buckets.computeIfAbsent(runId, _ => mutable.Buffer.empty[String])
+    b.synchronized { b += s }
+  }
 
-  private def statementProxy(sql: String): PreparedStatement = {
+  private def statementProxy(runId: String, sql: String): PreparedStatement = {
     val params = mutable.Map.empty[Int, Any]
     Proxy.newProxyInstance(getClass.getClassLoader,
       Array(classOf[PreparedStatement]),
@@ -24,28 +34,51 @@ object JdbcRecorder {
             case "setObject" =>
               params(args(0).asInstanceOf[Int]) = args(1); null
             case "addBatch" =>
-              add(s"addBatch:$sql:" + params.toSeq.sortBy(_._1).map(_._2).mkString(","))
+              add(runId, s"addBatch:$sql:" + params.toSeq.sortBy(_._1).map(_._2).mkString(","))
               null
-            case "executeBatch" => add(s"executeBatch:$sql"); Array.empty[Int]
+            case "executeBatch" => add(runId, s"executeBatch:$sql"); Array.empty[Int]
             case "close" => null
             case _ => null
           }
       }).asInstanceOf[PreparedStatement]
   }
 
-  def connection(): Connection =
+  def connection(runId: String): Connection = connectionImpl(runId, failInserts = false)
+
+  /** A connection whose INSERT statement fails at executeBatch —
+    * exercises the rollback path. */
+  def failingConnection(runId: String): Connection = connectionImpl(runId, failInserts = true)
+
+  private def connectionImpl(runId: String, failInserts: Boolean): Connection =
     Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
       new InvocationHandler {
         def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
           m.getName match {
-            case "setAutoCommit" => add(s"setAutoCommit:${args(0)}"); null
-            case "prepareStatement" => statementProxy(args(0).asInstanceOf[String])
-            case "commit" => add("commit"); null
-            case "rollback" => add("rollback"); null
-            case "close" => add("close"); null
+            case "setAutoCommit" => add(runId, s"setAutoCommit:${args(0)}"); null
+            case "prepareStatement" =>
+              val sql = args(0).asInstanceOf[String]
+              if (failInserts && sql.startsWith("INSERT")) failingStatement()
+              else statementProxy(runId, sql)
+            case "commit" => add(runId, "commit"); null
+            case "rollback" => add(runId, "rollback"); null
+            case "close" => add(runId, "close"); null
+            case "hashCode" => Int.box(System.identityHashCode(proxy))
+            case "equals" => java.lang.Boolean.valueOf(proxy eq args(0))
+            case "toString" => "recorder-connection"
             case _ => null
           }
       }).asInstanceOf[Connection]
+
+  private def failingStatement(): PreparedStatement =
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[PreparedStatement]),
+      new InvocationHandler {
+        def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "executeBatch" => throw new java.sql.SQLException("constraint violation")
+            case _ => null
+          }
+      }).asInstanceOf[PreparedStatement]
 }
 
 class SinksSpec extends SparkSpec {
@@ -109,13 +142,27 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("jdbcUpsert rolls back the open transaction when a batch fails") {
+    val runId = "rollback-test"
+    val df = Seq((1L, "t", "u")).toDF("representation_id", "transcript", "transcript_url")
+      .coalesce(1)
+    intercept[org.apache.spark.SparkException] {
+      Sinks.jdbcUpsert(df, Sinks.transcriptUpsertSpec,
+        () => JdbcRecorder.failingConnection(runId))
+    }
+    val calls = JdbcRecorder.calls(runId)
+    assert(calls.contains("rollback"))
+    assert(!calls.contains("commit"))
+    assert(calls.last == "close")
+  }
+
   test("jdbcUpsert: batched UPDATE+INSERT per partition, transactional, idempotent SQL") {
-    JdbcRecorder.clear()
+    val runId = "upsert-test"
     val df = Seq((1L, "t one", "u/1.json"), (2L, "t two", "u/2.json"))
       .toDF("representation_id", "transcript", "transcript_url")
       .coalesce(1)
-    Sinks.jdbcUpsert(df, Sinks.transcriptUpsertSpec, () => JdbcRecorder.connection())
-    val calls = JdbcRecorder.calls.toList
+    Sinks.jdbcUpsert(df, Sinks.transcriptUpsertSpec, () => JdbcRecorder.connection(runId))
+    val calls = JdbcRecorder.calls(runId)
     assert(calls.head == "setAutoCommit:false")
     assert(calls.count(_.startsWith("addBatch:UPDATE")) == 2)
     assert(calls.count(_.startsWith("addBatch:INSERT")) == 2)
