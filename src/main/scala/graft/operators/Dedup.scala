@@ -61,9 +61,24 @@ object Dedup {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    indexCache.computeIfAbsent(
-      System.identityHashCode(spark) + "|" + key, _ => build)
+  /** Double-checked get/build under a re-entrant lock — NOT
+    * computeIfAbsent: index builds nest (shingleIndex builds
+    * docShingles), and a nested computeIfAbsent on the same map throws
+    * "Recursive update". */
+  private def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = System.identityHashCode(spark) + "|" + key
+    val hit = indexCache.get(k)
+    if (hit != null) hit
+    else indexCache.synchronized {
+      val again = indexCache.get(k)
+      if (again != null) again
+      else {
+        val df = build
+        indexCache.put(k, df)
+        df
+      }
+    }
+  }
 
   /** (doc_id, sh) with the token array materialized behind a
     * checkpoint barrier. A plain projection is NOT enough: Catalyst's

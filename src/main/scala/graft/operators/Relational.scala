@@ -198,6 +198,35 @@ object Relational {
         max(col("o_orderdate")).as("last_order"))
       .orderBy("o_orderstatus")
 
+  /** Conditional/selection aggregates: count_if, bool_or, and
+    * max_by/min_by (argmax/argmin on a unique key so the selection is
+    * deterministic). */
+  def miscAggregates(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count_if(col("c_acctbal") > 5000).as("n_high"),
+        bool_or(col("c_acctbal") < 0).as("has_negative"),
+        max_by(col("c_name"), col("c_custkey")).as("latest_cust"),
+        min_by(col("c_name"), col("c_custkey")).as("earliest_cust"))
+      .orderBy("c_nationkey")
+
+  /** TPC-H Q12-style: fact-fact join + CASE-bucketed conditional
+    * aggregation (high/low priority line counts per return flag — the
+    * synthetic lineitem has no shipmode column). */
+  def shipModePriority(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
   /** Pivot: order counts with status rows and priority columns —
     * Spark desugars to conditional aggregation (explicit value list,
     * so no extra distinct-values job; the oracle spells the same
@@ -359,6 +388,8 @@ object RelationalModule extends QueryModule {
     "q_set_intersect_all" -> ((s: SparkSession, d: String) => setIntersectAll(s, d)),
     "q_minmax_orders" -> ((s: SparkSession, d: String) => orderExtremes(s, d)),
     "q_percentiles" -> ((s: SparkSession, d: String) => percentiles(s, d)),
+    "q_misc_aggs" -> ((s: SparkSession, d: String) => miscAggregates(s, d)),
+    "q_shipmode_priority" -> ((s: SparkSession, d: String) => shipModePriority(s, d)),
     "q_pivot_orders" -> ((s: SparkSession, d: String) => pivotOrders(s, d)),
     "q_scalar_subquery" -> ((s: SparkSession, d: String) => scalarSubquery(s, d)),
     "q_correlated_subquery" -> ((s: SparkSession, d: String) => correlatedSubquery(s, d)),
@@ -435,6 +466,19 @@ object RelationalModule extends QueryModule {
         |INTERSECT ALL
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY custkey""".stripMargin,
+    "q_misc_aggs" ->
+      """SELECT c_nationkey,
+        |  COUNT(*) FILTER (c_acctbal > 5000) AS n_high,
+        |  bool_or(c_acctbal < 0) AS has_negative,
+        |  arg_max(c_name, c_custkey) AS latest_cust,
+        |  arg_min(c_name, c_custkey) AS earliest_cust
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_shipmode_priority" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot_orders" ->
       """SELECT o_orderstatus,
         |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
