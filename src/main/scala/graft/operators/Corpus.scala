@@ -39,19 +39,12 @@ object Corpus {
       .select("doc_id")
 
   /** doc_ids dropped as near-duplicates: higher id of every pair with
-    * Jaccard ≥ `threshold` (inverted-index join, same shape as
-    * Dedup.jaccardPairs but thresholded instead of top-k). */
-  private def nearVictims(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val ex = Dedup.shingleIndex(spark, dir)
-    val a = ex.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
-    val b = ex.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
-    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("common"))
-      .filter(col("common").cast("double") /
-        (col("n_a") + col("n_b") - col("common")) >= threshold)
+    * Jaccard ≥ `threshold` — thresholded view of the shared
+    * materialized pair table (Dedup.jaccardPairTable). */
+  private def nearVictims(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    Dedup.jaccardPairTable(spark, dir)
+      .filter(col("jaccard") >= threshold)
       .select(col("id_b").as("doc_id")).distinct()
-  }
 
   /** Quality-rejected doc_ids (same filters as TextAnalysis.qualityScore). */
   private def qualityVictims(docs: DataFrame): DataFrame = {

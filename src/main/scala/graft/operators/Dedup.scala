@@ -129,22 +129,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy("lang", "source")
 
+  /** Materialized candidate-pair table (id_a, id_b, n_a, n_b,
+    * n_common, jaccard): the inverted-index self-join + aggregation —
+    * the most expensive stage of the near-dup family — computed once
+    * per (session, dir) and shared by jaccardPairs and the corpus
+    * cleaner. */
+  private[operators] def jaccardPairTable(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"jaccardPairs|$dir") {
+      val docs = shingleIndex(spark, dir)
+      val a = docs.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+      val b = docs.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+      a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")))
+        .localCheckpoint()
+    }
+
   /** E2 n-gram Jaccard near-dup: inverted-index candidate join on
     * shared shingles, then exact Jaccard from the distinct-set sizes.
     * Top-20 most similar pairs (deterministic total order). */
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = shingleIndex(spark, dir)
-    val a = docs.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
-    val b = docs.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
-    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_common"))
-      .select(col("id_a"), col("id_b"), col("n_common"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairTable(spark, dir)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
       .limit(20)
-  }
 
   /** E2 edit-distance near-dup: Levenshtein over 24-char normalized
     * prefixes, blocked on (language, 2-char prefix block) — standard
