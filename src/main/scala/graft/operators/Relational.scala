@@ -242,6 +242,14 @@ object Relational {
         "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
       .orderBy("o_orderstatus")
 
+  /** Unpivot (stack): wide min/max columns back to tall
+    * (status, metric, value) rows — the inverse of pivot. */
+  def unpivotExtremes(spark: SparkSession, dir: String): DataFrame =
+    orderExtremes(spark, dir)
+      .select(col("o_orderstatus"),
+        expr("stack(2, 'min_price', min_price, 'max_price', max_price) AS (metric, value)"))
+      .orderBy("o_orderstatus", "metric")
+
   /** Scalar subquery: orders above 90% of the global maximum price
     * (MAX is a selection — exact on both engines, unlike AVG whose
     * partial-sum order varies). Catalyst plans the subquery as a
@@ -389,6 +397,7 @@ object RelationalModule extends QueryModule {
     "q_minmax_orders" -> ((s: SparkSession, d: String) => orderExtremes(s, d)),
     "q_percentiles" -> ((s: SparkSession, d: String) => percentiles(s, d)),
     "q_misc_aggs" -> ((s: SparkSession, d: String) => miscAggregates(s, d)),
+    "q_unpivot" -> ((s: SparkSession, d: String) => unpivotExtremes(s, d)),
     "q_shipmode_priority" -> ((s: SparkSession, d: String) => shipModePriority(s, d)),
     "q_pivot_orders" -> ((s: SparkSession, d: String) => pivotOrders(s, d)),
     "q_scalar_subquery" -> ((s: SparkSession, d: String) => scalarSubquery(s, d)),
@@ -466,6 +475,14 @@ object RelationalModule extends QueryModule {
         |INTERSECT ALL
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY custkey""".stripMargin,
+    "q_unpivot" ->
+      """WITH e AS (SELECT o_orderstatus, MIN(o_totalprice) AS min_price,
+        |             MAX(o_totalprice) AS max_price
+        |           FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, 'min_price' AS metric, min_price AS value FROM e
+        |UNION ALL
+        |SELECT o_orderstatus, 'max_price' AS metric, max_price AS value FROM e
+        |ORDER BY o_orderstatus, metric""".stripMargin,
     "q_misc_aggs" ->
       """SELECT c_nationkey,
         |  COUNT(*) FILTER (c_acctbal > 5000) AS n_high,
