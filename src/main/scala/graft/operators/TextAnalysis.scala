@@ -137,6 +137,33 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
 
+  /** PII redaction for training corpora: emails, URLs, and IPv4
+    * addresses replaced by type tags, with per-kind match counts for
+    * the redaction audit. Patterns stay in the regex subset both
+    * engines share (explicit classes, no lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ \\t\\n]+"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def redactText(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      Ipv4Re, "<IP>")
+
+  def redact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
+          .cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(redactText(col("text"))).as("redacted_fp"))
+      .orderBy("doc_id")
+
   /** Document fingerprinting: md5 of the whitespace-normalized text
     * (exact-dup key) plus a winnowing-style min-hash over all 8-char
     * shingles (robust to local edits). Pure column arithmetic — md5 is
@@ -167,6 +194,7 @@ object TextAnalysisModule extends QueryModule {
     "q_text_token_count" -> ((s: SparkSession, d: String) => tokenCount(s, d)),
     "q_text_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "q_text_bigrams" -> ((s: SparkSession, d: String) => bigrams(s, d)),
+    "q_text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
     "q_text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)))
 
   // DuckDB lambda syntax (list_transform / list_filter) mirrors Spark's
@@ -223,6 +251,16 @@ object TextAnalysisModule extends QueryModule {
       """SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_bigrams" ->
       """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |b AS (SELECT unnest(list_transform(
@@ -230,6 +268,16 @@ object TextAnalysisModule extends QueryModule {
         |    i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM t)
         |SELECT bigram, COUNT(*) AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_bigrams" ->
       """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |b AS (SELECT unnest(list_transform(

@@ -121,6 +121,25 @@ class PropertiesSpec extends SparkSpec {
     assert(topk == full)
   }
 
+  test("redaction replaces emails, URLs, and IPs with type tags") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("contact me at jane.doe+x@example.co.uk today",
+        "contact me at <EMAIL> today"),
+      ("see https://example.com/a?b=1 and http://x.io",
+        "see <URL> and <URL>"),
+      ("server 10.0.255.3 responded", "server <IP> responded"),
+      ("mixed: a@b.com https://c.d/e 1.2.3.4 end",
+        "mixed: <EMAIL> <URL> <IP> end"),
+      ("no pii here", "no pii here"))
+    val out = cases.map(_._1).toDF("text")
+      .select(operators.TextAnalysis.redactText(col("text")).as("r"))
+      .as[String].collect()
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(got == want)
+    }
+  }
+
   test("property (differential): ParseIntJs kernel vs an independent reference on random strings") {
     def reference(s: String): Option[Int] = {
       // independent formulation: takeWhile + BigInt (the kernel uses a
