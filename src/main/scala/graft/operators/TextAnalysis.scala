@@ -137,6 +137,27 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
 
+  /** Repetition signals (Gopher-style quality filters): duplicated
+    * bigram/trigram fractions and the most frequent token's share of
+    * the document. High values flag boilerplate/spam for removal. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    def ngrams(t: Column, n: Int): Column = transform(
+      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+    def dupFrac(g: Column): Column =
+      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6)
+    val t = col("toks")
+    val topCount = array_max(transform(array_distinct(t),
+      tok => size(filter(t, x => x === tok))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        dupFrac(ngrams(t, 2)).as("dup_bigram_frac"),
+        dupFrac(ngrams(t, 3)).as("dup_trigram_frac"),
+        round(topCount.cast("double") / size(t), 6).as("top_token_frac"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction for training corpora: emails, URLs, and IPv4
     * addresses replaced by type tags, with per-kind match counts for
     * the redaction audit. Patterns stay in the regex subset both
@@ -195,6 +216,7 @@ object TextAnalysisModule extends QueryModule {
     "q_text_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "q_text_bigrams" -> ((s: SparkSession, d: String) => bigrams(s, d)),
     "q_text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
+    "q_text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "q_text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)))
 
   // DuckDB lambda syntax (list_transform / list_filter) mirrors Spark's
@@ -251,6 +273,21 @@ object TextAnalysisModule extends QueryModule {
       """SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q_text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+        |    i -> array_to_string(toks[i:i+1], ' ')) AS bi,
+        |  list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' ')) AS tri
+        |  FROM d)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 6) AS dup_bigram_frac,
+        |  round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6) AS dup_trigram_frac,
+        |  round(CAST(list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks), 6) AS top_token_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
@@ -268,6 +305,21 @@ object TextAnalysisModule extends QueryModule {
         |    i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM t)
         |SELECT bigram, COUNT(*) AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "q_text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+        |    i -> array_to_string(toks[i:i+1], ' ')) AS bi,
+        |  list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' ')) AS tri
+        |  FROM d)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 6) AS dup_bigram_frac,
+        |  round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6) AS dup_trigram_frac,
+        |  round(CAST(list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks), 6) AS top_token_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
