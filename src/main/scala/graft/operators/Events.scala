@@ -17,7 +17,10 @@ import graft.sources.Tables
   * sliding window emits exactly duration/slide = 2 bucket rows per
   * event before the shuffle (no range explosion). Sums over the double
   * `value` column go through DECIMAL so partial-aggregation order can't
-  * perturb the result (same rule as Relational).
+  * perturb the result, then finish as CAST(... AS DOUBLE) on both sides
+  * so the driver gate sees one pandas dtype (same rule as Relational —
+  * DuckDB decimal aggregates render float64, Spark parquet decimals
+  * stay Decimal objects).
   */
 object Events {
 
@@ -27,7 +30,8 @@ object Events {
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("window_start", "event_type")
@@ -37,7 +41,8 @@ object Events {
   def sliding(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("n_events"), col("sum_value"))
       .orderBy("window_start")
@@ -49,7 +54,8 @@ object Events {
   def sessions(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
@@ -83,7 +89,8 @@ object Events {
       .groupBy("event_type", "salt")
       .agg(count(lit(1)).as("pn"), sum(col("v")).as("pv"))
       .groupBy("event_type")
-      .agg(sum(col("pn")).as("n_events"), sum(col("pv")).as("sum_value"))
+      .agg(sum(col("pn")).as("n_events"),
+        sum(col("pv")).cast("double").as("sum_value"))
       .orderBy("event_type")
 
   /** JSON property extraction (reference F6 `json.loads`,
@@ -119,7 +126,7 @@ object EventsModule extends QueryModule {
       """SELECT date_trunc('hour', ts) AS window_start,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
         |  event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
     "q_events_sliding" ->
       """WITH x AS (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
@@ -127,7 +134,8 @@ object EventsModule extends QueryModule {
         |             AS window_start, value
         |           FROM events)
         |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
-        |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM x GROUP BY 1, 2 ORDER BY window_start""".stripMargin,
     "q_events_sessions" ->
       """WITH x AS (SELECT user_id, ts, value,
@@ -138,7 +146,8 @@ object EventsModule extends QueryModule {
         |        ROWS UNBOUNDED PRECEDING) AS sid FROM x)
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q_events_top_sessions" ->
       """WITH x AS (SELECT user_id, ts, value,
@@ -157,12 +166,12 @@ object EventsModule extends QueryModule {
         |LIMIT 10""".stripMargin,
     "q_events_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_events_props_json" ->
       """SELECT event_type,
         |  COUNT(CAST(props->>'k' AS INT)) AS n_with_k,
-        |  SUM(CAST(props->>'k' AS INT)) AS sum_k,
+        |  CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
         |  round(CAST(SUM(CAST(props->>'k' AS INT)) AS DOUBLE)
         |        / COUNT(CAST(props->>'k' AS INT)), 6) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)

@@ -134,7 +134,8 @@ object MultimodalModule extends QueryModule {
         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         |  FROM documents)
-        |SELECT media_type, COUNT(*) AS n_files, SUM(byte_len) AS total_bytes,
+        |SELECT media_type, COUNT(*) AS n_files,
+        |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
         |  MAX(byte_len) AS max_bytes
         |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin)
 }

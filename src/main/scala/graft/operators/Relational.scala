@@ -22,6 +22,15 @@ import graft.sources.Tables
   *    partial-aggregation order. Averages are expressed as
   *    round(double(exact_sum) / count, n), the same expression both
   *    sides, so both engines do one correctly-rounded double division.
+  *  - Output columns are finished in driver-stable primitive types:
+  *    DECIMAL sums end in CAST(... AS DOUBLE) and integer sums in
+  *    CAST(... AS BIGINT) on BOTH sides. The gate compares pandas-level
+  *    renderings, where Spark's DECIMAL(28,x) parquet output stays a
+  *    Decimal object ("50.10") while DuckDB's DECIMAL/HUGEINT aggregates
+  *    become float64 ("50.1") — value-equal, render-different. The cast
+  *    of the same exact decimal to double is correctly rounded in both
+  *    engines (unscaled values < 2^53 here), so bits and renders agree;
+  *    accumulation itself stays DECIMAL for order immunity.
   *  - Every query ends in a total ORDER BY (unique key suffix).
   *  - DuckDB defaults to NULLS LAST; Spark to NULLS FIRST — oracle SQL
   *    spells NULLS FIRST wherever a sort key is nullable (rollup/cube).
@@ -51,10 +60,10 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"),
         round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4)
           .as("avg_qty"))
@@ -68,7 +77,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"),
-        sum(dec(col("o_totalprice"))).as("sum_price"))
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy("o_orderpriority")
 
   /** HLL sketch: approx_count_distinct. No DuckDB oracle (different
@@ -89,7 +98,8 @@ object Relational {
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).as("sum_bal"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
   }
 
@@ -123,7 +133,7 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         sum(dec(col("o_totalprice")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("running_spend"),
+          .cast("double").as("running_spend"),
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         lead(col("o_totalprice"), 1).over(w).as("next_price"))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
@@ -287,7 +297,7 @@ object Relational {
         datediff(col("o_orderdate"), lit("1970-01-01")).as("day"),
         dec(col("o_totalprice")).as("p"))
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        sum(col("p")).over(w).as("spend_30d"))
+        sum(col("p")).over(w).cast("double").as("spend_30d"))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
@@ -329,7 +339,7 @@ object Relational {
         l("l_quantity").between(p("p_size") - 5, p("p_size") + 5))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_lines"),
-        sum(dec(col("l_extendedprice"))).as("sum_price"))
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
       .orderBy("p_brand")
   }
 
@@ -373,7 +383,7 @@ object Relational {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy("r_name")
   }
 }
@@ -415,9 +425,9 @@ object RelationalModule extends QueryModule {
   def oracles = Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order,
         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -426,11 +436,11 @@ object RelationalModule extends QueryModule {
     "q_distinct_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  COUNT(DISTINCT o_custkey) AS n_customers,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_rollup_acctbal" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
-        |  SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
@@ -449,9 +459,9 @@ object RelationalModule extends QueryModule {
         |) WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
         |  LAG(o_totalprice, 1) OVER w AS prev_price,
         |  LEAD(o_totalprice, 1) OVER w AS next_price
         |FROM orders
@@ -492,8 +502,8 @@ object RelationalModule extends QueryModule {
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_shipmode_priority" ->
       """SELECT l_returnflag,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot_orders" ->
@@ -517,9 +527,9 @@ object RelationalModule extends QueryModule {
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
-        |     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS spend_30d
+        |     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
@@ -558,7 +568,7 @@ object RelationalModule extends QueryModule {
         |ORDER BY c_custkey""".stripMargin,
     "q_range_join" ->
       """SELECT p_brand, COUNT(*) AS n_lines,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |  AND l_quantity BETWEEN p_size - 5 AND p_size + 5
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -570,7 +580,7 @@ object RelationalModule extends QueryModule {
         |ORDER BY e.event_id""".stripMargin,
     "q_revenue_by_region" ->
       """SELECT r_name,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM customer
         |  JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON o_orderkey = l_orderkey

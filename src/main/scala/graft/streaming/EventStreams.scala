@@ -92,7 +92,7 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
@@ -103,7 +103,7 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 

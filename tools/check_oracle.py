@@ -2,22 +2,38 @@
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
 Runs graft.Verify's output (outDir/<name> parquet dirs + oracle_sql.json)
-against DuckDB on the same sf tables, sorts columns by name, compares
-row-by-row with a small float tolerance, and prints a per-query verdict.
+against DuckDB on the same sf tables and prints a per-query verdict.
 
-Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+Default mode is EXACT and driver-faithful (round-2 lesson: the driver's
+hash gate is output-TYPE sensitive, not just value sensitive):
+
+  - the Spark side is read with pandas/pyarrow, so parquet DECIMAL
+    columns stay `decimal.Decimal` objects (rendering "50.10"),
+  - the oracle side is DuckDB `fetch_df()`, which renders DECIMAL and
+    HUGEINT aggregates as float64 (rendering "50.1"),
+  - cells are compared by str() rendering AND the pandas dtypes of both
+    frames are compared.
+
+A query that is value-equal but type-divergent (exactly the 13
+CORRECTNESS_r02 misses) therefore FAILs here, tagged TYPE-ONLY when the
+tolerant comparison would have passed. `--tolerant` restores the old
+1e-9/str() behavior for debugging value-level diffs only.
+
+Usage: python3 tools/check_oracle.py [--tolerant] <sfDir> <outDir>
 """
+import glob
 import json
 import math
 import sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 
 def norm(v):
-    """Map engine/pandas dtype artifacts to one comparable form:
-    Decimal→float, None/NaN/NaT→one sentinel, numpy scalars→python."""
+    """Tolerant-mode normalization: Decimal→float, None/NaN/NaT→one
+    sentinel, numpy scalars→python."""
     import decimal
     if v is None:
         return None
@@ -26,7 +42,6 @@ def norm(v):
     if isinstance(v, float) and math.isnan(v):
         return None
     try:  # pandas NaT / numpy nan in object columns
-        import pandas as pd
         if pd.isna(v):
             return None
     except (TypeError, ValueError):
@@ -36,7 +51,7 @@ def norm(v):
     return v
 
 
-def rows_equal(a, b):
+def rows_equal_tolerant(a, b):
     if len(a) != len(b):
         return False
     for x, y in zip(a, b):
@@ -56,7 +71,43 @@ def rows_equal(a, b):
     return True
 
 
-def main(sf_dir, out_dir):
+def render(v):
+    """Exact-mode cell rendering: str() of the raw fetched value, with
+    only NULL and calendar dates unified. NULL: Spark parquet→pandas
+    gives NaN/NaT/None depending on dtype; so does DuckDB. Dates:
+    pyarrow yields datetime.date objects ("1992-01-03") where DuckDB's
+    fetch_df yields datetime64 ("1992-01-03 00:00:00") — the driver gate
+    demonstrably canonicalizes these (q_minmax_orders passed r2 with two
+    DATE columns) while it does NOT canonicalize Decimal-vs-float64 or
+    int64-vs-float64, so we normalize exactly this one case."""
+    import datetime
+    if v is None:
+        return "<null>"
+    try:
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return str(pd.Timestamp(v))
+    return str(v)
+
+
+def rows_equal_exact(a, b):
+    return len(a) == len(b) and all(render(x) == render(y) for x, y in zip(a, b))
+
+
+def read_spark(pq):
+    """Driver-faithful read of Spark's parquet output: pandas/pyarrow,
+    decimals kept as Decimal objects (dtype object)."""
+    files = sorted(glob.glob(str(pq / "*.parquet")))
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def main(argv):
+    tolerant = "--tolerant" in argv
+    argv = [a for a in argv if not a.startswith("--")]
+    sf_dir, out_dir = argv
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -71,8 +122,7 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{pq}/*.parquet')").fetch_df()
+            got = read_spark(pq)
             want = con.execute(sql).fetch_df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
@@ -88,22 +138,36 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             n_fail += 1
             continue
+        rows_equal = rows_equal_tolerant if tolerant else rows_equal_exact
         bad = None
         for i in range(len(got)):
             if not rows_equal(list(got.iloc[i]), list(want.iloc[i])):
                 bad = i
                 break
-        if bad is not None:
-            print(f"FAIL {name}: first mismatch at row {bad}:")
-            print(f"  spark: {list(got.iloc[bad])}")
-            print(f"  duck : {list(want.iloc[bad])}")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(got)} rows)")
+        # Fragility audit: an object (Decimal) column against float64
+        # currently renders equal only while no value carries a trailing
+        # zero — the r2 q_distinct_priority trap. Warn, don't fail: the
+        # driver gate is render-based (int32-vs-int64 and
+        # datetime64[ns]-vs-[us] columns passed it in r2).
+        fragile = [
+            (c, str(got[c].dtype), str(want[c].dtype))
+            for c in got.columns
+            if "object" in (str(got[c].dtype), str(want[c].dtype))
+            and "float64" in (str(got[c].dtype), str(want[c].dtype))]
+        if bad is None:
+            warn = f"  [WARN fragile dtypes: {fragile}]" if fragile and not tolerant else ""
+            print(f"PASS {name} ({len(got)} rows){warn}")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+            continue
+        n_fail += 1
+        type_only = rows_equal_tolerant(list(got.iloc[bad]), list(want.iloc[bad]))
+        tag = " [TYPE-ONLY: values match under tolerance]" if type_only else ""
+        print(f"FAIL {name}: first mismatch at row {bad}{tag}:")
+        print(f"  spark: {[render(v) for v in got.iloc[bad]]}")
+        print(f"  duck : {[render(v) for v in want.iloc[bad]]}")
+    print(f"== {n_pass} pass, {n_fail} fail ({'tolerant' if tolerant else 'exact'} mode) ==")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1:]))
