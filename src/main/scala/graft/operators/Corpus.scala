@@ -103,7 +103,10 @@ object CorpusModule extends QueryModule {
       |    generate_series(1, greatest(len(toks) - 2, 1)),
       |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
       |  FROM norm),
-      |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+      |ex0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+      |ex AS (SELECT doc_id, n_sh, shingle FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex0)
+      |  WHERE df <= 64),
       |near_victims AS (
       |  SELECT DISTINCT b_id AS doc_id FROM (
       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS n_a, b.n_sh AS n_b,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.sources.Tables
@@ -16,7 +17,10 @@ import graft.sources.Tables
   *  - Jaccard candidates come from an INVERTED-INDEX join (explode
   *    shingles, equi-join on the shingle) — never an all-pairs cross
   *    join. The shuffle is keyed on the shingle, so co-occurring docs
-  *    meet in one partition; a hot shingle is an AQE skew-join case.
+  *    meet in one partition; shingles above a document-frequency cap
+  *    (boilerplate shared by everything — O(df²) pairs each) are
+  *    dropped from the index, and what skew remains is an AQE
+  *    skew-join case.
   *  - MinHash compresses each doc to a k-int signature *before* any
   *    shuffle: the candidate join moves k longs per doc instead of the
   *    full shingle set. Banding (b bands of r rows) tunes the
@@ -129,14 +133,29 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy("lang", "source")
 
+  /** Document-frequency cap for the inverted-index join: a shingle
+    * present in more than this many documents is dropped from the
+    * index before pairing. The self-join emits O(df²) rows per
+    * shingle, so one boilerplate shingle shared by 1M docs would
+    * produce 10¹² pairs regardless of partitioning — the cap bounds
+    * the worst shingle at MaxShingleDf² and loses only pairs whose
+    * ONLY evidence is corpus-wide boilerplate (they score near-zero
+    * Jaccard anyway: n_common small vs n_a+n_b). Mirrored verbatim in
+    * the DuckDB oracles (q_dedup_jaccard, q_corpus_*). */
+  private[operators] val MaxShingleDf = 64
+
   /** Materialized candidate-pair table (id_a, id_b, n_a, n_b,
     * n_common, jaccard): the inverted-index self-join + aggregation —
     * the most expensive stage of the near-dup family — computed once
     * per (session, dir) and shared by jaccardPairs and the corpus
-    * cleaner. */
+    * cleaner. The df-cap window shuffles on the shingle once; the
+    * self-join reuses that partitioning. */
   private[operators] def jaccardPairTable(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"jaccardPairs|$dir") {
       val docs = shingleIndex(spark, dir)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .filter(col("df") <= MaxShingleDf)
+        .drop("df")
       val a = docs.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
       val b = docs.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
       a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
@@ -214,11 +233,13 @@ object Dedup {
 
   /** E2 MinHash+LSH near-dup: signature → banded bucket join →
     * candidate pairs ranked by estimated Jaccard (fraction of agreeing
-    * signature positions). Bands of r=1 over k=32 hashes = the
-    * high-recall end of the banding curve, right for a corpus with no
-    * true dups; r=2..4 is the 100 TB precision setting (see
-    * minhashCandidates). Rows-only for the driver (xxhash64 has no
-    * DuckDB twin); semantics pinned in DedupSpec. */
+    * signature positions). 16 bands of r=2 over k=32 hashes:
+    * P(candidate) = 1-(1-j²)^16, ≈1 above j=0.6 and ≈0.15 at j=0.1 —
+    * the production knee (r=1 is the maximum-recall corner whose
+    * candidate count explodes on a corpus with real duplicates;
+    * DedupSpec pins planted-pair recall at this setting). Rows-only
+    * for the driver (xxhash64 has no DuckDB twin); semantics pinned in
+    * DedupSpec. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // Signatures computed exactly once (checkpoint): the band explode
     // and both candidate-join sides would otherwise each inline the
@@ -231,10 +252,14 @@ object Dedup {
         .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
         .localCheckpoint()
     }
-    val cands = minhashCandidates(sigs, bandRows = 1)
+    val cands = minhashCandidates(sigs, bandRows = 2)
     val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    cands.join(broadcast(a), Seq("id_a")).join(broadcast(b), Seq("id_b"))
+    // Unhinted equi-joins back to the signature table: the signature
+    // side is O(corpus), so a broadcast hint would OOM at scale — let
+    // AQE pick broadcast when the post-LSH candidate set is small and
+    // shuffle-join otherwise (one shuffle of sigs on doc_id).
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           bb => bb)).cast("double") / NumHashes).as("est_jaccard"))
@@ -320,7 +345,9 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val bitsA = docs.select(col("doc_id").as("id_a"), col("bits").as("bits_a"))
     val bitsB = docs.select(col("doc_id").as("id_b"), col("bits").as("bits_b"))
-    pairs.join(broadcast(bitsA), Seq("id_a")).join(broadcast(bitsB), Seq("id_b"))
+    // Unhinted join-back (same reasoning as minhashLsh): the bits
+    // table is O(corpus); AQE decides broadcast vs shuffle.
+    pairs.join(bitsA, Seq("id_a")).join(bitsB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(filter(zip_with(col("bits_a"), col("bits_b"), (x, y) => x =!= y),
           bb => bb)).as("hamming"))
@@ -387,7 +414,10 @@ object DedupModule extends QueryModule {
         |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
         |        FROM documents)),
-        |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t)
+        |e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t),
+        |e AS (SELECT doc_id, n_sh, shingle FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM e0)
+        |  WHERE df <= 64)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
         |  CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
         |FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -86,6 +86,33 @@ class DedupSpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)))
   }
 
+  test("minhash banding at r=2 recalls every planted near-dup pair") {
+    import org.apache.spark.sql.functions.{array_distinct, col, split}
+    // 10 planted pairs (2i, 2i+1): 30 tokens, last token differs →
+    // 28 shingles each, 27 shared → jaccard = 27/29 ≈ 0.93. At 16
+    // bands of r=2, P(miss) = (1-j²)^16 ≈ 2e-9 per pair. 10 noise
+    // docs with disjoint vocab must NOT pair with anything.
+    val planted = (0 until 10).flatMap { i =>
+      val base = (0 until 29).map(t => s"p${i}t$t").mkString(" ")
+      Seq((2L * i, s"$base endA"), (2L * i + 1, s"$base endB"))
+    }
+    val noise = (0 until 10).map { i =>
+      (100L + i, (0 until 30).map(t => s"n${i}x$t").mkString(" "))
+    }
+    val dir = docsDir(planted ++ noise)
+    val sigs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingleHashes(
+          array_distinct(split(col("text"), " ")))).as("sig"))
+    val cands = Dedup.minhashCandidates(sigs, bandRows = 2)
+      .as[(Long, Long)].collect().toSet
+    (0 until 10).foreach { i =>
+      assert(cands.contains((2L * i, 2L * i + 1)), s"planted pair $i missed")
+    }
+    assert(!cands.exists { case (a, b) => a >= 100L || b >= 100L },
+      "noise docs must not become candidates")
+  }
+
   test("simhash: hamming 0 for identical docs, large for disjoint vocab") {
     val dir = docsDir(Seq(
       (1L, "m0 m1 m2 m3 m4 m5 m6 m7 m8 m9"),
