@@ -22,8 +22,9 @@ import graft.sources.Tables
   *    (explicit char classes, no lookaround).
   *  - Scale posture: every operator is a single narrow map over the
   *    documents scan (no shuffle at all except the final presentation
-  *    ORDER BY and the histogram's one groupBy). At 100 TB these run
-  *    scan-bound with full column pruning.
+  *    ORDER BY, the histogram/bigram groupBys, and repetition's
+  *    top-token aggregation). At 100 TB these run scan-bound with full
+  *    column pruning.
   */
 object TextAnalysis {
 
@@ -139,7 +140,16 @@ object TextAnalysis {
 
   /** Repetition signals (Gopher-style quality filters): duplicated
     * bigram/trigram fractions and the most frequent token's share of
-    * the document. High values flag boilerplate/spam for removal. */
+    * the document. High values flag boilerplate/spam for removal.
+    *
+    * The top-token count runs as explode → (doc, token) hash count →
+    * per-doc max — whole-stage codegen with map-side partials, linear
+    * per document. (The per-row lambda alternative —
+    * array_max(transform(distinct, tok => count of tok)) — is
+    * O(distinct × tokens) in an interpreted higher-order chain: on a
+    * long boilerplate doc that is quadratic work on one core.) The
+    * n-gram dup fractions stay per-row: array_distinct over an O(n)
+    * n-gram array is linear. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     def ngrams(t: Column, n: Int): Column = transform(
       sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
@@ -147,14 +157,18 @@ object TextAnalysis {
     def dupFrac(g: Column): Column =
       round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6)
     val t = col("toks")
-    val topCount = array_max(transform(array_distinct(t),
-      tok => size(filter(t, x => x === tok))))
-    Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        dupFrac(ngrams(t, 2)).as("dup_bigram_frac"),
-        dupFrac(ngrams(t, 3)).as("dup_trigram_frac"),
-        round(topCount.cast("double") / size(t), 6).as("top_token_frac"))
+    val fracs = base.select(col("doc_id"),
+      dupFrac(ngrams(t, 2)).as("dup_bigram_frac"),
+      dupFrac(ngrams(t, 3)).as("dup_trigram_frac"),
+      size(t).as("n_toks"))
+    val top = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_count"))
+    fracs.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("dup_bigram_frac"), col("dup_trigram_frac"),
+        round(col("top_count").cast("double") / col("n_toks"), 6).as("top_token_frac"))
       .orderBy("doc_id")
   }
 
@@ -305,38 +319,6 @@ object TextAnalysisModule extends QueryModule {
         |    i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM t)
         |SELECT bigram, COUNT(*) AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
-    "q_text_repetition" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-        |           FROM documents),
-        |g AS (SELECT doc_id, toks,
-        |  list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
-        |    i -> array_to_string(toks[i:i+1], ' ')) AS bi,
-        |  list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
-        |    i -> array_to_string(toks[i:i+2], ' ')) AS tri
-        |  FROM d)
-        |SELECT doc_id,
-        |  round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 6) AS dup_bigram_frac,
-        |  round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6) AS dup_trigram_frac,
-        |  round(CAST(list_max(list_transform(list_distinct(toks),
-        |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks), 6) AS top_token_frac
-        |FROM g ORDER BY doc_id""".stripMargin,
-    "q_text_redact" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
-        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    'https?://[^ \t\n]+', '<URL>', 'g'),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_text_bigrams" ->
-      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
-        |b AS (SELECT unnest(list_transform(
-        |    generate_series(1, greatest(len(toks) - 1, 1)),
-        |    i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM t)
-        |SELECT bigram, COUNT(*) AS n FROM b
-        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
     "q_text_fingerprint" ->
       """WITH d AS (SELECT doc_id,
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents)
@@ -344,8 +326,20 @@ object TextAnalysisModule extends QueryModule {
         |  list_min(list_transform(
         |    generate_series(1, greatest(length(norm) - 7, 1)),
         |    i -> md5(substr(norm, CAST(i AS INT), 8)))) AS shingle_fp,
-        |  list_min(list_transform(
-        |    generate_series(1, greatest(length(norm) - 7, 1)),
-        |    i -> ((((((((((((((((CAST(0 AS BIGINT) * 131 + CAST(ord(substr(norm, CAST(i+0 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+1 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+2 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+3 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+4 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+5 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+6 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+7 AS INT), 1)) AS BIGINT)) % 1000000007))) AS rolling_fp
+        |  CASE
+        |    WHEN length(norm) = 0 THEN NULL
+        |    WHEN length(norm) < 8 THEN
+        |      -- whole-string window (k = min(8, len) in the engine
+        |      -- kernel): fold h = (h*131 + codepoint) mod 1e9+7 from
+        |      -- h = 0, which equals list_reduce seeded by the first
+        |      -- codepoint (0*131 + c1 = c1)
+        |      list_reduce(list_transform(generate_series(1, length(norm)),
+        |        i -> CAST(ord(substr(norm, CAST(i AS INT), 1)) AS BIGINT)),
+        |        (a, b) -> (a * 131 + b) % 1000000007)
+        |    ELSE
+        |      list_min(list_transform(
+        |        generate_series(1, greatest(length(norm) - 7, 1)),
+        |        i -> ((((((((((((((((CAST(0 AS BIGINT) * 131 + CAST(ord(substr(norm, CAST(i+0 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+1 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+2 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+3 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+4 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+5 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+6 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+7 AS INT), 1)) AS BIGINT)) % 1000000007)))
+        |  END AS rolling_fp
         |FROM d ORDER BY doc_id""".stripMargin)
 }
