@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, ParseIntJs}
+import graft.functions.{ArrayDotProduct, JsonPretty, ParseIntJs}
 
 /** SparkSessionExtensions entry point: wires graft's custom Catalyst
   * pieces into a session so the SQL surface sees them
@@ -32,7 +32,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => ParseIntJs(children.head)),
     (new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
+    (new FunctionIdentifier("json_pretty"),
+      new ExpressionInfo(classOf[JsonPretty].getName, "json_pretty"),
+      (children: Seq[Expression]) => JsonPretty(children.head)))
 
   /** Register into a live session (the extensions path only applies at
     * session construction). */

@@ -151,25 +151,49 @@ object Alto {
   def transcript(simplified: Column): Column =
     array_join(simplified("text")("text"), " ")
 
-  /** Simplified-JSON serialization (F5): compact vs the reference's
-    * 2-space pretty print; `ignoreNullFields` matches JSON.stringify
-    * dropping undefined keys — compare parsed, not textual. */
+  /** Simplified-JSON serialization (F5), compact form;
+    * `ignoreNullFields` matches JSON.stringify dropping undefined
+    * keys. */
   def toSimplifiedJson(simplified: Column): Column =
     to_json(simplified, Map("ignoreNullFields" -> "true"))
 
+  /** Byte-parity form of F5: the reference emits
+    * `JSON.stringify(simplifiedAlto, null, 2)`
+    * (`extract-text-lines-from-alto.js:24071`) — 2-space pretty JSON.
+    * json_pretty re-lays the compact form in that exact byte format,
+    * so S5 objects written from this column equal the reference's S3
+    * objects byte-for-byte (AltoSpec pins a golden). */
+  def toSimplifiedJsonPretty(simplified: Column): Column =
+    graft.functions.JsonPrettyColumn(toSimplifiedJson(simplified))
+
   /** Full document pipeline over (id, url, xml) rows: the engine-side
     * equivalent of the reference's per-row task chain
-    * (`flows/main_flow.py:136-153`), minus the external sinks. */
+    * (`flows/main_flow.py:136-153`), minus the external sinks.
+    *
+    * The reference logs every unsupported-namespace document to stderr
+    * before emitting the all-null record
+    * (`extract-text-lines-from-alto.js:24045`); per-row stderr is not
+    * an executor-side concept, so the engine-idiomatic equivalent is an
+    * `observe()` metric: after any action, `alto_pipeline` reports
+    * (docs, skipped_unsupported_docs) via
+    * `df.queryExecution.observedMetrics` / a QueryExecutionListener —
+    * zero overhead beyond one counter per partition, no UDFs. */
   def pipeline(df: DataFrame, idCol: String = "representation_id",
                urlCol: String = "url", xmlCol: String = "xml"): DataFrame = {
     import graft.functions.GraftFunctions._
+    val ns = col("alto")("_xmlns")
     df.withColumn("alto", parseXml(col(xmlCol)))
+      .observe("alto_pipeline",
+        count(lit(1)).as("docs"),
+        sum(when(ns.isNull || (ns =!= NsV2 && ns =!= NsV3), 1).otherwise(0))
+          .as("skipped_unsupported_docs"))
       .withColumn("simplified", simplify(col("alto")))
       .withColumn("json", toSimplifiedJson(col("simplified")))
+      .withColumn("json_pretty", toSimplifiedJsonPretty(col("simplified")))
       .withColumn("transcript", transcript(col("simplified")))
       .withColumn("s3_key", s3Key(col(urlCol)))
       .select(col(idCol), col(urlCol), col("simplified"),
-        col("json"), col("transcript"), col("s3_key"))
+        col("json"), col("json_pretty"), col("transcript"), col("s3_key"))
   }
 
   /** Exploded token-level relational view (one row per kept `<String>`)

@@ -33,16 +33,23 @@ object WatermarkStore {
     }
   }
 
-  /** Persist the mark for the next run (atomic overwrite via rename —
-    * a torn write must not corrupt the watermark). */
+  /** Persist the mark for the next run. Atomic overwrite: write to a
+    * temp file, then FileContext.rename with Rename.OVERWRITE — a
+    * single filesystem operation, so a valid mark is visible at every
+    * instant. (The FileSystem API has no overwriting rename; the
+    * delete-then-rename workaround opens a window where a crash or a
+    * concurrent reader sees NO mark and silently restarts from the
+    * full history — correct only because sinks are idempotent, but it
+    * forfeits the incremental win.) */
   def write(path: String, mark: String): Unit = {
-    val p = new Path(path)
-    val tmp = new Path(path + ".tmp")
-    val fs = p.getFileSystem(new Configuration())
+    val conf = new Configuration()
+    val fs = new Path(path).getFileSystem(conf)
+    val p = fs.makeQualified(new Path(path))
+    val tmp = new Path(p.toString + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(mark.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** One incremental run: filter by the stored mark, run `body`, and

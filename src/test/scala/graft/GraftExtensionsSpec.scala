@@ -14,6 +14,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, Some(12)), (2, Some(16)), (3, None)))
   }
 
+  test("json_pretty is callable from SQL and matches JSON.stringify layout") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      """SELECT json_pretty('{"a":1,"b":[],"c":{"d":"x"}}') AS p""")
+      .collect().head.getString(0)
+    assert(out == "{\n  \"a\": 1,\n  \"b\": [],\n  \"c\": {\n    \"d\": \"x\"\n  }\n}")
+  }
+
   test("array_dot is callable from SQL and widens float arrays to double") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -99,6 +99,57 @@ class AltoSpec extends SparkSpec {
     assert(out.getAs[String]("transcript") == "Hello world")
   }
 
+  test("pretty JSON is byte-identical to JSON.stringify(obj, null, 2)") {
+    // golden: the reference emits JSON.stringify(simplifiedAlto, null, 2)
+    // (extract-text-lines-from-alto.js:24071) — 2-space indent, one
+    // space after the colon, empty objects inline.
+    val expected =
+      """{
+        |  "description": {
+        |    "fileName": "page_001.tif",
+        |    "processingDateTime": "2023-05-01T10:00:00",
+        |    "processingStepSettings": "dpi:300",
+        |    "softwareCreator": "ABBYY",
+        |    "softwareName": "FineReader",
+        |    "softwareVersion": "11.0",
+        |    "width": "2400",
+        |    "height": "3600"
+        |  },
+        |  "text": [
+        |    {
+        |      "text": "Hello",
+        |      "x": 100,
+        |      "y": 200,
+        |      "width": 50,
+        |      "height": 20
+        |    },
+        |    {
+        |      "text": "world",
+        |      "x": 160,
+        |      "y": 200,
+        |      "width": 55,
+        |      "height": 20
+        |    }
+        |  ]
+        |}""".stripMargin
+    val got = Alto.pipeline(load("alto_v2_basic.xml")).collect().head
+      .getAs[String]("json_pretty")
+    assert(got == expected)
+    // unsupported namespace: JSON.stringify collapses the all-undefined
+    // record to {"description": {}} (empty object stays inline)
+    val un = Alto.pipeline(load("alto_unsupported.xml")).collect().head
+      .getAs[String]("json_pretty")
+    assert(un == "{\n  \"description\": {}\n}")
+  }
+
+  test("pipeline observe() reports the unsupported-document count") {
+    val df = Alto.pipeline(AltoModule.fixtureDf(spark))
+    df.collect()
+    val m = df.queryExecution.observedMetrics("alto_pipeline")
+    assert(m.getAs[Long]("docs") == 5L)
+    assert(m.getAs[Long]("skipped_unsupported_docs") == 1L)
+  }
+
   test("per-URL fetch fallback feeds the same pipeline (pluggable fetcher)") {
     // fixture-backed fetcher stands in for the HTTP client (no egress
     // here); the url->xml map is what the reference's per-URL

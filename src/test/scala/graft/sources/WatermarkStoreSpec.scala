@@ -33,6 +33,16 @@ class WatermarkStoreSpec extends SparkSpec {
     assert(WatermarkStore.read(path).contains("2024-01-15"))
   }
 
+  test("overwrite is a single rename: no temp file left, new value wins") {
+    val path = tmpMark()
+    WatermarkStore.write(path, "2024-01-15")
+    WatermarkStore.write(path, "2024-02-01")
+    assert(WatermarkStore.read(path).contains("2024-02-01"))
+    val dir = new java.io.File(path).getParentFile
+    assert(dir.listFiles().map(_.getName).filter(_.endsWith(".tmp")).isEmpty,
+      "temp file must be renamed away, not left behind")
+  }
+
   test("drives the incremental catalog work-list end to end") {
     val path = tmpMark()
     WatermarkStore.write(path, "1999-01-01")
