@@ -59,18 +59,22 @@ object Corpus {
   }
 
   /** The cleaned corpus: survivors of exact-dedup, near-dedup (≥0.8),
-    * and quality filtering, with the drop reason for audit. */
-  def cleanedCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val victims =
-      exactVictims(docs).withColumn("reason", lit("exact_dup"))
-        .unionByName(nearVictims(spark, dir, 0.8).withColumn("reason", lit("near_dup")))
-        .unionByName(qualityVictims(docs).withColumn("reason", lit("quality")))
-        .groupBy("doc_id").agg(min(col("reason")).as("reason"))
-    docs.join(victims, Seq("doc_id"), "left_anti")
-      .select("doc_id", "lang", "source")
-      .orderBy("doc_id")
-  }
+    * and quality filtering, with the drop reason for audit. The
+    * survivor table is session-memoized (Dedup's index cache): the
+    * clean and inventory queries share one materialization instead of
+    * re-deriving the three victim scans each. */
+  def cleanedCorpus(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(spark, s"cleanedCorpus|$dir") {
+      val docs = Tables.documents(spark, dir)
+      val victims =
+        exactVictims(docs).withColumn("reason", lit("exact_dup"))
+          .unionByName(nearVictims(spark, dir, 0.8).withColumn("reason", lit("near_dup")))
+          .unionByName(qualityVictims(docs).withColumn("reason", lit("quality")))
+          .groupBy("doc_id").agg(min(col("reason")).as("reason"))
+      docs.join(victims, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .localCheckpoint()
+    }.orderBy("doc_id")
 
   /** Post-cleaning inventory: docs per language that survived — the
     * "what do we actually train on" report. */

@@ -69,7 +69,7 @@ object Dedup {
     * computeIfAbsent: index builds nest (shingleIndex builds
     * docShingles), and a nested computeIfAbsent on the same map throws
     * "Recursive update". */
-  private def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  private[operators] def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = System.identityHashCode(spark) + "|" + key
     val hit = indexCache.get(k)
     if (hit != null) hit
