@@ -314,6 +314,20 @@ object Relational {
         percentile(col("o_totalprice"), lit(0.75)).as("p75"))
       .orderBy("o_orderstatus")
 
+  /** Sketch twin of percentiles: approx_percentile (GK summaries,
+    * mergeable map-side — the 100 TB path where the exact sort-based
+    * percentile would shuffle every value). No DuckDB oracle (sketch
+    * internals are engine-specific) — declared rows-only like HLL;
+    * PropertiesSpec bounds the error against the exact twin. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        approx_percentile(col("o_totalprice"), lit(0.25), lit(10000)).as("p25"),
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+        approx_percentile(col("o_totalprice"), lit(0.75), lit(10000)).as("p75"))
+      .orderBy("o_orderstatus")
+
   /** Left-semi join: customers having at least one open order. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -406,6 +420,7 @@ object RelationalModule extends QueryModule {
     "q_set_intersect_all" -> ((s: SparkSession, d: String) => setIntersectAll(s, d)),
     "q_minmax_orders" -> ((s: SparkSession, d: String) => orderExtremes(s, d)),
     "q_percentiles" -> ((s: SparkSession, d: String) => percentiles(s, d)),
+    "q_percentiles_approx" -> ((s: SparkSession, d: String) => approxPercentiles(s, d)),
     "q_misc_aggs" -> ((s: SparkSession, d: String) => miscAggregates(s, d)),
     "q_unpivot" -> ((s: SparkSession, d: String) => unpivotExtremes(s, d)),
     "q_shipmode_priority" -> ((s: SparkSession, d: String) => shipModePriority(s, d)),

@@ -103,6 +103,23 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: approx percentiles track the exact sort-based twin (sf0.001)") {
+    val exact = operators.Relational.percentiles(spark, sf("sf0.001"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val approx = operators.Relational.approxPercentiles(spark, sf("sf0.001"))
+      .as[(String, Double, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (status, a25, a50, a75) =>
+      val (e25, e50, e75) = exact(status)
+      assert(a25 <= a50 && a50 <= a75, s"$status: quantiles not monotone")
+      // sketch returns a data value near the exact interpolated quantile
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"$status p50: $a50 vs $e50")
+      assert(math.abs(a25 - e25) / e25 < 0.05, s"$status p25: $a25 vs $e25")
+      assert(math.abs(a75 - e75) / e75 < 0.05, s"$status p75: $a75 vs $e75")
+    }
+  }
+
   test("property: token histogram counts equal the Scala multiset count") {
     val expected = corpus.flatMap(_._2.trim.toLowerCase.split("\\s+")).groupBy(identity)
       .map { case (t, g) => t -> g.size.toLong }
