@@ -25,9 +25,12 @@ object SparkEntry {
     graft.operators.CorpusModule
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query; driver smoke-checks rows>0. The data directory
+    * defaults to the driver's sf0.001 layout but follows
+    * SPARK_GRAFT_SF_DIR like Bench does. */
   def entry(spark: SparkSession): DataFrame =
-    graft.operators.Catalog.worklist(spark, "/root/testdata/sf0.001")
+    graft.operators.Catalog.worklist(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -38,10 +38,9 @@ class ReferenceFlowSpec extends SparkSpec {
       val out = Alto.pipeline(
         Alto.fetchXml(withUrls, byUrl.apply),
         idCol = "representation_id")
-      // 4. both sinks: object-per-row JSON + transactional upsert
-      Sinks.writeObjectPerRow(
-        out.withColumn("payload", to_json(col("simplified"))),
-        "s3_key", "payload", objDir)
+      // 4. both sinks: object-per-row JSON (reference-parity pretty
+      // bytes, JSON.stringify(obj, null, 2)) + transactional upsert
+      Sinks.writeObjectPerRow(out, "s3_key", "json_pretty", objDir)
       Sinks.jdbcUpsert(
         out.select(col("representation_id"), col("transcript"),
           concat(lit("https://objects.test/bucket/"), col("s3_key")).as("transcript_url"))
@@ -55,6 +54,14 @@ class ReferenceFlowSpec extends SparkSpec {
     val files = new java.io.File(objDir).listFiles().filterNot(_.getName.startsWith("."))
     assert(files.length == urls.length)
     assert(files.forall(_.getName.endsWith(".xml.json")))
+    // object bytes are the reference's pretty JSON (2-space indent,
+    // node's JSON.stringify layout), not the compact Spark form
+    val v2obj = files.find(_.getName == "alto_v2_basic.xml.json")
+    v2obj.foreach { f =>
+      val bytes = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(bytes.startsWith("{\n  \"description\": {\n    \"fileName\": \"page_001.tif\","))
+      assert(bytes.endsWith("\n}"))
+    }
     // the upsert ran both DMLs per row inside one committed transaction
     val calls = JdbcRecorder.calls(runId)
     assert(calls.count(_.startsWith("addBatch:UPDATE")) == urls.length)
