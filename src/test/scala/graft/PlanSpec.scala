@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Executable version of PLANS.md: pins the physical-plan properties
+  * the engine is designed around, so a regression (lost pushdown, a
+  * resurrected forced broadcast, a second shuffle before a window)
+  * fails CI instead of only showing up in a bench diff at scale. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("filters and projection reach the parquet scans") {
+    val p = plan(q("q_pricing_summary"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double"), p)
+    assert(!p.contains("l_comment"), "projection must prune unused lineitem columns")
+    val w = plan(q("q_catalog_worklist"))
+    assert(w.contains("StringContains(c_mktsegment,BUILD"), w)
+  }
+
+  test("aggregation is partial+final (map-side combine before the shuffle)") {
+    val p = plan(q("q_pricing_summary"))
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs in:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan(q("q_topk_orders"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("+- Sort "), s"global sort would buffer the full dataset:\n$p")
+  }
+
+  test("feature queries never read the media payload column") {
+    val p = plan(q("q_media_features"))
+    assert(!p.contains("payload:binary"),
+      s"payload bytes must be pruned out of feature scans:\n$p")
+  }
+
+  test("windows cost exactly one shuffle each") {
+    for (name <- Seq("q_window_running", "q_window_range")) {
+      val p = plan(q(name))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1, s"$name: expected 1 hash exchange, got $exchanges:\n$p")
+    }
+  }
+
+  test("no forced broadcast on O(corpus) signature tables (stats/AQE decide)") {
+    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash")) {
+      val o = optimized(q(name))
+      assert(!o.contains("ResolvedHint") && !o.contains("UnresolvedHint"),
+        s"$name must not hint-force a broadcast:\n${o.take(2000)}")
+    }
+  }
+
+  test("dimension joins broadcast under the hint; bucketed layout needs no exchange") {
+    val p = plan(q("q_revenue_by_region"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
