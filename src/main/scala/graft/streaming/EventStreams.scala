@@ -115,6 +115,31 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each error event joined to the
+    * click events of the same user in the preceding `horizon` — the
+    * streaming counterpart of the batch as-of join (Relational
+    * .asofJoin finds the latest click; this emits every click in the
+    * window, the shape stream-stream joins support with bounded
+    * state). Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark can expire buffered rows:
+    * state is O(active users × horizon), not history. */
+  def errorClickJoin(events: DataFrame, horizon: String = "1 hour",
+                     watermark: String = "1 hour"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr(s"INTERVAL $horizon"))
+      .select("error_id", "user_id", "error_ts", "click_id", "click_ts")
+  }
+
   /** Streaming → sink integration: every micro-batch of closed
     * sessions lands through the same partition-batched object sink the
     * batch path uses (foreachBatch bridges streaming to any batch

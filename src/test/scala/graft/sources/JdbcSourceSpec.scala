@@ -67,6 +67,25 @@ class JdbcSourceSpec extends SparkSpec {
       s"projection not pruned; received:\n${dataReads.mkString("\n")}")
   }
 
+  test("partitioned read issues one strided query per partition") {
+    val bucket = "wl5"
+    StubDb.clearLog(bucket)
+    StubDb.registerTable("graph_big", StubDb.Table(
+      Seq("uid", "name"),
+      (0 until 8).map(i => Seq(i.toString, s"n$i")),
+      Seq(java.sql.Types.BIGINT, java.sql.Types.VARCHAR)))
+    val rows = JdbcSource.table(spark, s"jdbc:graftstub:$bucket", "graph_big",
+        driverOpt ++ Map(
+          "partitionColumn" -> "uid", "lowerBound" -> "0",
+          "upperBound" -> "8", "numPartitions" -> "2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == (0L until 8L).toSet)
+    val dataReads = StubDb.log(bucket).filter(s => !s.contains("WHERE 1=0"))
+    assert(dataReads.size == 2, s"expected 2 strided queries:\n${dataReads.mkString("\n")}")
+    assert(dataReads.exists(_.contains("\"uid\" < 4")), dataReads.mkString("\n"))
+    assert(dataReads.exists(_.contains("\"uid\" >= 4")), dataReads.mkString("\n"))
+  }
+
   test("pushed-SQL form ships the query text for the database to execute") {
     val bucket = "wl4"
     StubDb.clearLog(bucket)

@@ -17,7 +17,14 @@ import scala.collection.mutable
   * what the pushdown assertions read. Buckets (the URL suffix) isolate
   * parallel suites. */
 object StubDb {
-  case class Table(cols: Seq[String], rows: Seq[Seq[String]])
+  /** `types` holds java.sql.Types per column; empty = all VARCHAR.
+    * Row values are stored as strings regardless (BIGINT columns hold
+    * digit strings and are served via getLong). */
+  case class Table(cols: Seq[String], rows: Seq[Seq[String]],
+                   types: Seq[Int] = Nil) {
+    def typeOf(i: Int): Int =
+      if (types.isEmpty) java.sql.Types.VARCHAR else types(i)
+  }
 
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, Table]()
   private val canned = new java.util.concurrent.ConcurrentHashMap[String, Table]()
@@ -41,10 +48,13 @@ object StubDb {
     java.util.regex.Pattern.quote(pat).replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")
 
   private val NotNullRe = """"(\w+)" IS NOT NULL""".r
+  private val NullRe = """(?i)"(\w+)" is null""".r
   private val EqRe = """"(\w+)" = '(.*)'""".r
   private val GeRe = """"(\w+)" >= '(.*)'""".r
   // Spark's JDBC pushdown compiles LIKE with an explicit ESCAPE '\'
   private val LikeRe = """"(\w+)" LIKE '(.*?)'(?: ESCAPE '\\')?""".r
+  // partitioned-read stride clauses use unquoted numeric literals
+  private val NumCmpRe = """"(\w+)" (<|>=|<=|>) (-?\d+)""".r
 
   private def evalPredicate(t: Table, row: Seq[String], p: String): Boolean = {
     def v(c: String): String = {
@@ -52,12 +62,27 @@ object StubDb {
       require(i >= 0, s"unknown column $c in predicate $p")
       row(i)
     }
-    p.trim match {
-      case NotNullRe(c) => v(c) != null
-      case EqRe(c, x) => v(c) != null && v(c) == x
-      case GeRe(c, x) => v(c) != null && v(c) >= x
-      case LikeRe(c, x) => v(c) != null && v(c).matches(likeToRegex(x))
-      case other => sys.error(s"stub evaluator: unsupported predicate '$other'")
+    // stride clauses arrive as disjunctions: `"id" < 2 or "id" is null`
+    p.trim.split("(?i) or ").map(_.trim) match {
+      case parts if parts.length > 1 => parts.exists(evalPredicate(t, row, _))
+      case _ => p.trim match {
+        case NotNullRe(c) => v(c) != null
+        case NullRe(c) => v(c) == null
+        case EqRe(c, x) => v(c) != null && v(c) == x
+        case GeRe(c, x) => v(c) != null && v(c) >= x
+        case LikeRe(c, x) => v(c) != null && v(c).matches(likeToRegex(x))
+        case NumCmpRe(c, op, x) =>
+          v(c) != null && {
+            val (a, b) = (v(c).toLong, x.toLong)
+            op match {
+              case "<" => a < b
+              case "<=" => a <= b
+              case ">" => a > b
+              case ">=" => a >= b
+            }
+          }
+        case other => sys.error(s"stub evaluator: unsupported predicate '$other'")
+      }
     }
   }
 
@@ -89,12 +114,12 @@ object StubDb {
           t.rows.filter(r => preds.forall(p => evalPredicate(t, r, p)))
       }
     val sel = m.group(1).trim
-    if (sel == "*") Table(t.cols, rows)
+    if (sel == "*") Table(t.cols, rows, t.types)
     else {
       val cols = sel.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
       val idx = cols.map(c => t.cols.indexOf(c))
       require(idx.forall(_ >= 0), s"stub: unknown select column in $sel")
-      Table(cols, rows.map(r => idx.map(r)))
+      Table(cols, rows.map(r => idx.map(r)), idx.map(t.typeOf))
     }
   }
 }
@@ -169,20 +194,25 @@ object StubJdbcDriver {
   private def statement(bucket: String, sql: String): PreparedStatement =
     proxy(classOf[PreparedStatement]) {
       case ("executeQuery", _) => resultSet(StubDb.run(bucket, sql))
-      case ("getMetaData", _) => rsMeta(StubDb.run(bucket, sql).cols)
+      case ("getMetaData", _) => rsMeta(StubDb.run(bucket, sql))
     }
 
-  private def rsMeta(cols: Seq[String]): ResultSetMetaData =
+  private def rsMeta(t: StubDb.Table): ResultSetMetaData =
     proxy(classOf[ResultSetMetaData]) {
-      case ("getColumnCount", _) => Int.box(cols.size)
-      case ("getColumnName", a) => cols(a(0).asInstanceOf[Int] - 1)
-      case ("getColumnLabel", a) => cols(a(0).asInstanceOf[Int] - 1)
-      case ("getColumnType", _) => Int.box(Types.VARCHAR)
-      case ("getColumnTypeName", _) => "VARCHAR"
-      case ("getColumnClassName", _) => "java.lang.String"
-      case ("getPrecision", _) => Int.box(255)
+      case ("getColumnCount", _) => Int.box(t.cols.size)
+      case ("getColumnName", a) => t.cols(a(0).asInstanceOf[Int] - 1)
+      case ("getColumnLabel", a) => t.cols(a(0).asInstanceOf[Int] - 1)
+      case ("getColumnType", a) => Int.box(t.typeOf(a(0).asInstanceOf[Int] - 1))
+      case ("getColumnTypeName", a) =>
+        if (t.typeOf(a(0).asInstanceOf[Int] - 1) == Types.BIGINT) "BIGINT" else "VARCHAR"
+      case ("getColumnClassName", a) =>
+        if (t.typeOf(a(0).asInstanceOf[Int] - 1) == Types.BIGINT) "java.lang.Long"
+        else "java.lang.String"
+      case ("getPrecision", a) =>
+        Int.box(if (t.typeOf(a(0).asInstanceOf[Int] - 1) == Types.BIGINT) 19 else 255)
       case ("getScale", _) => Int.box(0)
-      case ("isSigned", _) => java.lang.Boolean.FALSE
+      case ("isSigned", a) =>
+        java.lang.Boolean.valueOf(t.typeOf(a(0).asInstanceOf[Int] - 1) == Types.BIGINT)
       case ("isNullable", _) => Int.box(ResultSetMetaData.columnNullable)
     }
 
@@ -197,8 +227,12 @@ object StubJdbcDriver {
         val v = t.rows(cursor)(a(0).asInstanceOf[Int] - 1)
         lastWasNull = v == null
         v
+      case ("getLong", a) =>
+        val v = t.rows(cursor)(a(0).asInstanceOf[Int] - 1)
+        lastWasNull = v == null
+        Long.box(if (v == null) 0L else v.toLong)
       case ("wasNull", _) => java.lang.Boolean.valueOf(lastWasNull)
-      case ("getMetaData", _) => rsMeta(t.cols)
+      case ("getMetaData", _) => rsMeta(t)
     }
   }
 }

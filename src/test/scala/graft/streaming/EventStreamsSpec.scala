@@ -175,6 +175,28 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join pairs errors with preceding clicks only") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = errorClickJoin(input.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    withQuery(q) {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1),                       // click u1
+        ev(2, "2024-01-01 10:20:00", 1, "error"),              // error u1 ← joins click 1
+        ev(3, "2024-01-01 10:30:00", 2),                       // click u2 (other user)
+        ev(4, "2024-01-01 12:30:00", 1, "error"))              // error u1, >1h after click 1
+      q.processAllAvailable()
+      // advance both watermarks so results finalize (the ts-equal
+      // click/error pair for user 3 joins too: bound is inclusive)
+      input.addData(ev(9, "2024-01-01 15:00:00", 3), ev(10, "2024-01-01 15:00:00", 3, "error"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((2L, 1L), (10L, 9L)), s"got $rows")
+    }
+  }
+
   test("streaming session windows match the batch session query on the same rows") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
