@@ -22,7 +22,8 @@ object SparkEntry {
     graft.operators.SimilarityModule,
     graft.operators.EventsModule,
     graft.operators.MultimodalModule,
-    graft.operators.CorpusModule
+    graft.operators.CorpusModule,
+    graft.operators.CurationModule
   )
 
   /** Flagship query; driver smoke-checks rows>0. The data directory

@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Corpus-curation operators for LLM training-data pipelines — the
+  * selection/splitting half of the story that Dedup (removal) and
+  * TextAnalysis (scoring) leave open:
+  *
+  *  - benchmark decontamination (n-gram overlap vs a held-out eval set),
+  *  - deterministic hash-based train/val/test splitting,
+  *  - per-group quota sampling,
+  *  - fixed-size token-window chunking,
+  *  - one-pass column profiling.
+  *
+  * Scale posture (100 TB):
+  *  - Decontamination is an inverted-index equi-join keyed on the
+  *    n-gram — never an all-pairs comparison. In production the eval
+  *    side is a benchmark suite (10³–10⁵ docs), tiny next to the
+  *    corpus, so the join is broadcast-shaped; we leave the join
+  *    unhinted and let AQE/stats decide rather than forcing a
+  *    broadcast that would OOM if the eval set is ever corpus-sized.
+  *  - Splitting and chunking are narrow per-row maps (no shuffle at
+  *    all for the per-doc assignment; one hash-agg for the summary).
+  *    Hash-based assignment is the point at scale: reproducible across
+  *    runs, engines, and repartitions — no RNG seed drift, and a doc's
+  *    split never changes when the corpus grows.
+  *  - Quota sampling shuffles once on the group key. Here the group is
+  *    `lang` (low cardinality) to keep the oracle small; production
+  *    groups are crawl domains (millions of keys), where the same plan
+  *    spreads evenly. For a pathological hot group, cap candidates
+  *    per-partition first (rank within mapPartitions) before the
+  *    global window — noted, not needed at this cardinality.
+  *  - Profiling is ONE pass over the table with multi-column distinct
+  *    aggregation (Catalyst plans an Expand — rows × #distinct-cols —
+  *    all map-side partials); the alternative per-column scans would
+  *    read the table N times.
+  */
+object Curation {
+
+  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Staged (doc_id, lang, n_chars, toks): tokenized once per
+    * (session, dir) behind a checkpoint barrier so the n-gram and
+    * chunk lambdas slice a bound attribute instead of re-splitting per
+    * element (CollapseProject would inline the split — quadratic). */
+  private def docToks(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(spark, s"curationToks|$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          toks(col("text")).as("toks"))
+        .localCheckpoint()
+    }
+
+  /** Decontamination n-gram length. Long grams (8 tokens vs the dedup
+    * family's 3) make overlap evidence specific: sharing one 8-gram is
+    * near-certain contamination, while 3-grams are common phrases. */
+  private[operators] val NgramLen = 8
+
+  /** Distinct word 8-grams of an already-staged token array. */
+  private def ngramArray(t: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - (NgramLen - 1), lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(NgramLen)))))
+
+  /** The held-out "benchmark" for decontamination: every 20th doc_id.
+    * Stands in for an external eval suite (no second corpus in the
+    * testdata); the operator itself takes any (doc_id, gram) set. */
+  private[operators] val EvalModulus = 20
+
+  /** Benchmark decontamination: flag training documents sharing at
+    * least one 8-gram with the eval set, with the evidence counts a
+    * curation pipeline filters/audits on. Inverted-index join on the
+    * gram; output (train_id, n_shared grams, n_eval_docs hit). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docToks(spark, dir)
+      .select(col("doc_id"), explode(ngramArray(col("toks"))).as("gram"))
+    val evalSide = grams.filter(col("doc_id") % EvalModulus === 0)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val trainSide = grams.filter(col("doc_id") % EvalModulus =!= 0)
+      .select(col("doc_id").as("train_id"), col("gram"))
+    trainSide.join(evalSide, Seq("gram"))
+      .groupBy("train_id")
+      .agg(countDistinct(col("gram")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("n_shared").desc, col("train_id").asc)
+  }
+
+  /** Split-fraction boundaries on the first md5 hex byte of the doc id:
+    * 0x00–0xcc train (~80.1%), 0xcd–0xe5 val (~9.8%), rest test.
+    * Lexicographic compare on the lowercase hex string is engine-
+    * portable (no hex→int parsing, which DuckDB lacks). */
+  private def splitOf(id: Column): Column = {
+    val b = substring(md5(id.cast("string")), 1, 2)
+    when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+  }
+
+  /** Deterministic train/val/test split summary: docs and total chars
+    * per split. Pure map + one hash-agg; assignment is a function of
+    * the doc id alone. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(splitOf(col("doc_id")).as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+
+  /** Per-group sample quota. */
+  private[operators] val QuotaPerGroup = 50
+
+  /** Quota sampling: at most QuotaPerGroup docs per language, chosen
+    * by hash order (md5 of the id) — a deterministic uniform draw with
+    * no RNG state, so the sample is stable under reruns and
+    * repartitioning. One shuffle on the group key. */
+  def quotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= QuotaPerGroup)
+      .orderBy(col("lang").asc, col("rn").asc)
+  }
+
+  /** Tokens per training chunk. */
+  private[operators] val ChunkTokens = 64
+
+  /** Fixed-size token-window chunking: split every document into
+    * consecutive ChunkTokens-token windows (last window ragged) — the
+    * sequence-packing precursor that turns documents into training
+    * rows. Narrow map + generator, no shuffle; emits the chunk digest
+    * rather than the text so the result stays audit-sized. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val k = ChunkTokens
+    docToks(spark, dir)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), ((size(col("toks")) - 1) / k).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(k), size(col("toks")) - col("chunk_idx") * k).as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("chunk_idx") * k + 1, lit(k)))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val ProfileCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val NumericCols = Set("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** One-pass column profiler over `orders`: per column, row/null/
+    * distinct counts and min/max (numeric columns as double, the rest
+    * rendered as strings). The multi-column COUNT(DISTINCT) plans one
+    * Expand + hash-agg — a single scan of the table, vs one scan per
+    * column for the naive UNION formulation (which the oracle uses:
+    * DuckDB pays 6 scans of a 15k-row table, Spark pays 1 of the
+    * 100 TB one). */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"))
+    }
+    val g = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    def numOrNull(c: String, side: String): Column =
+      if (NumericCols(c)) col(s"${side}_$c").cast("double")
+      else lit(null).cast("double")
+    def strOrNull(c: String, side: String): Column =
+      if (NumericCols(c)) lit(null).cast("string")
+      else col(s"${side}_$c").cast("string")
+    val rows = ProfileCols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        numOrNull(c, "min").as("min_num"), numOrNull(c, "max").as("max_num"),
+        strOrNull(c, "min").as("min_str"), strOrNull(c, "max").as("max_str"))
+    }
+    g.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy("col_name")
+  }
+}
+
+/** Driver-contract registration: every curation query is DuckDB-
+  * oracled (all the arithmetic is md5/int/string — engine-portable). */
+object CurationModule extends QueryModule {
+  import Curation._
+
+  def queries = Map(
+    "q_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
+    "q_hash_split" -> ((s: SparkSession, d: String) => hashSplit(s, d)),
+    "q_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
+    "q_chunk_docs" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
+    "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)))
+
+  def oracles = Map(
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 7, 1)),
+        |    i -> array_to_string(toks[i:i+7], ' '))) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 20 <> 0)
+        |SELECT train_id, CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared,
+        |  CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+        |FROM tr JOIN ev ON tr.gram = ev.gram
+        |GROUP BY train_id
+        |ORDER BY n_shared DESC, train_id ASC""".stripMargin,
+    "q_hash_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+    "q_quota_sample" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY lang ASC, rn ASC""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents)
+        |SELECT doc_id, j AS chunk_idx,
+        |  least(64, len(toks) - j*64) AS n_tokens,
+        |  md5(array_to_string(toks[j*64+1 : j*64+64], ' ')) AS chunk_md5
+        |FROM t, unnest(generate_series(0, (len(toks)-1)//64)) AS u(j)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_profile_orders" -> {
+      val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+      val selects = Seq(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority").map { c =>
+        val (minN, maxN, minS, maxS) =
+          if (numeric(c))
+            (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+             "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          else
+            ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+             s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $minN AS min_num, $maxN AS max_num,
+           |  $minS AS min_str, $maxS AS max_str
+           |FROM orders""".stripMargin
+      }
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    })
+}

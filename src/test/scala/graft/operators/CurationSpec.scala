@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-curation family (Curation.scala). The
+  * DuckDB oracle pins exact values; these pin the semantic properties
+  * that must survive refactors (partition-function totality, sample
+  * determinism, chunk accounting, contamination recall). */
+class CurationSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("hash split partitions every document exactly once, near the 80/10/10 target") {
+    val total = Tables.documents(spark, dir).count()
+    val splits = Curation.hashSplit(spark, dir)
+      .select("split", "n_docs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits.values.sum == total, "splits must partition the corpus")
+    val trainFrac = splits("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+  }
+
+  test("hash split assignment is a pure function of doc_id (stable across sf dirs)") {
+    // The same doc_id must land in the same split at every scale —
+    // the property that lets a growing corpus keep historic splits.
+    val a = Curation.hashSplit(spark, dir).collect()
+    val b = Curation.hashSplit(spark, dir).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("quota sample takes at most the quota per group and is deterministic") {
+    val s1 = Curation.quotaSample(spark, dir).collect()
+    val s2 = Curation.quotaSample(spark, dir).collect()
+    assert(s1.sameElements(s2), "sample must be reproducible")
+    val perGroup = s1.groupBy(_.getString(0)).map { case (_, rs) => rs.length }
+    assert(perGroup.forall(_ <= Curation.QuotaPerGroup))
+    // rn is dense 1..n within each group
+    s1.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("chunking accounts for every token exactly once") {
+    val docTokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(trim(lower(col("text"))), "\\s+")).as("n"))
+    val chunkSums = Curation.chunkDocs(spark, dir)
+      .groupBy("doc_id").agg(sum("n_tokens").as("s"), count(lit(1)).as("c"))
+    val joined = docTokens.join(chunkSums, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (n, s, c) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      assert(s == n, s"doc ${r.getLong(0)}: chunk tokens $s != doc tokens $n")
+      assert(c == (n + Curation.ChunkTokens - 1) / Curation.ChunkTokens,
+        s"doc ${r.getLong(0)}: $c chunks for $n tokens")
+    }
+  }
+
+  test("decontamination flags every exact duplicate of an eval document") {
+    // Any training doc whose text equals an eval doc's text shares all
+    // its 8-grams — it must be flagged (docs here are all ≥ 8 tokens).
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+    val ev = docs.filter(col("doc_id") % Curation.EvalModulus === 0)
+      .select(col("norm"))
+    val dupTrainIds = docs.filter(col("doc_id") % Curation.EvalModulus =!= 0)
+      .join(ev, "norm").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val flagged = Curation.decontaminate(spark, dir)
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    assert(dupTrainIds.subsetOf(flagged),
+      s"unflagged exact dupes: ${dupTrainIds -- flagged}")
+  }
+
+  test("profiler counts agree with direct aggregation") {
+    val p = Curation.profileOrders(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val o = Tables.orders(spark, dir)
+    val nRows = o.count()
+    assert(p.values.forall(_.getLong(1) == nRows))
+    val distinctStatus = o.select(countDistinct("o_orderstatus")).first().getLong(0)
+    assert(p("o_orderstatus").getLong(3) == distinctStatus)
+    // numeric columns carry min/max as double, strings as rendered text
+    assert(!p("o_orderkey").isNullAt(4) && p("o_orderkey").isNullAt(6))
+    assert(p("o_orderpriority").isNullAt(4) && !p("o_orderpriority").isNullAt(6))
+  }
+}
