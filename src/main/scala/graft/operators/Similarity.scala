@@ -138,6 +138,27 @@ object Similarity {
       .filter(col("rn") <= k)
       .orderBy("query_id", "rn")
   }
+
+  /** Per-label centroid (mean embedding), one output row per
+    * (label, dimension): posexplode the vector and hash-aggregate on
+    * (label, pos). This is the vector-aggregation shape that scales —
+    * whole-stage codegen with map-side partial sums, shuffling only
+    * labels × dim accumulator rows — unlike an `aggregate()` array
+    * fold, which runs interpreted and shuffles whole vectors. The same
+    * plan computes IVF centroid refinement (swap label for cell id).
+    *
+    * Oracle parity: elements widen float → double → DECIMAL(27,9)
+    * before summing (partial-aggregation order immunity), and the
+    * mean finishes as round(double/count, 6) on both sides. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(col("v").cast("double").cast("decimal(27,9)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        round(col("s").cast("double") / col("n"), 6).as("centroid"))
+      .orderBy("label", "pos")
 }
 
 object SimilarityIvf {
@@ -231,11 +252,18 @@ object SimilarityModule extends QueryModule {
     "q_knn_exact" -> ((s: SparkSession, d: String) => knnExact(s, d)),
     "q_knn_exact_agg" -> ((s: SparkSession, d: String) => knnExactAgg(s, d)),
     "q_knn_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
-    "q_knn_ivf" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvf(s, d)))
+    "q_knn_ivf" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvf(s, d)),
+    "q_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)))
 
   // q_knn_exact_agg shares q_knn_exact's oracle: same semantics, the
   // Aggregator formulation just changes the physical plan.
   def oracles = Map(
     "q_knn_exact_agg" -> knnOracleSql,
-    "q_knn_exact" -> knnOracleSql)
+    "q_knn_exact" -> knnOracleSql,
+    "q_label_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, i - 1 AS pos, CAST(v[i] AS DECIMAL(27,9)) AS val
+        |      FROM e, unnest(generate_series(1, len(v))) AS u(i))
+        |SELECT label, pos, round(CAST(SUM(val) AS DOUBLE) / COUNT(*), 6) AS centroid
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin)
 }

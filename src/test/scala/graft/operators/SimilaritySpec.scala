@@ -96,4 +96,26 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
     }
   }
+
+  test("label centroids match a driver-side element-wise mean") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val got = Similarity.labelCentroids(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val raw = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val dims = raw.head._2.length
+    raw.groupBy(_._1).foreach { case (label, rows) =>
+      (0 until dims).foreach { pos =>
+        // differential vs plain double accumulation: the decimal-sum
+        // path must agree with the naive mean to well under the
+        // 1e-6 rounding grain
+        val mean = rows.map(_._2(pos).toDouble).sum / rows.length
+        assert(math.abs(got((label, pos)) - mean) < 1e-6,
+          s"label $label pos $pos: ${got((label, pos))} vs $mean")
+      }
+    }
+    assert(got.size == raw.map(_._1).distinct.length * dims)
+  }
 }
