@@ -200,6 +200,65 @@ object Dedup {
       .limit(20)
   }
 
+  /** Near-dup threshold for the cluster graph (same as Corpus's
+    * cleaning policy). */
+  private[operators] val ClusterJaccard = 0.8
+
+  /** Transitive dedup clustering: connected components over the
+    * similarity graph, where edges are (a) exact-duplicate star pairs
+    * (keep-lowest-id → other members of the same normalized-text
+    * group) and (b) near-duplicate pairs with Jaccard ≥ 0.8. Each doc
+    * in the graph gets its component's minimum doc_id as the canonical
+    * id — the cluster-resolution step that turns Dedup's pair reports
+    * into keep/drop decisions with transitivity (A~B~C collapses to
+    * one cluster even when A≁C, which the greedy policy in Corpus
+    * deliberately over-drops).
+    *
+    * Execution: Pregel-style min-label propagation — labels start as
+    * the node id and each iteration takes the min over neighbors,
+    * until a fixpoint. Iterations = graph diameter (dup clusters are
+    * shallow; the pair table is tiny next to the corpus), each one a
+    * distributed join + agg with the lineage truncated by
+    * localCheckpoint; the driver sees only the converged count. At
+    * adversarial diameters the same loop upgrades to large-star/
+    * small-star (O(log n) rounds) without changing the output.
+    * Oracle: a DuckDB recursive CTE over the identical edge set. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val exactPairs = Tables.documents(spark, dir)
+      .groupBy(md5(normText(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), collect_list(col("doc_id")).as("ids"))
+      .select(col("keep_id").as("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val nearPairs = jaccardPairTable(spark, dir)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("id_a"), col("id_b"))
+    val pairs = exactPairs.unionByName(nearPairs)
+    // undirected: propagate along both directions of every edge
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("id")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.alias("l")
+        .join(nbrMin.alias("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("l.lbl"), coalesce(col("n.nbr_lbl"), col("l.lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.alias("a")
+        .join(labels.select(col("id"), col("lbl").as("old")).alias("b"), Seq("id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .orderBy("component", "doc_id")
+  }
+
   // ---- MinHash + LSH ------------------------------------------------
 
   /** Mersenne prime 2^31-1: universal-hash modulus. a*x+b stays well
@@ -396,7 +455,8 @@ object DedupModule extends QueryModule {
     "q_dedup_editdist" -> ((s: SparkSession, d: String) => editDistancePairs(s, d)),
     "q_dedup_minhash" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
-    "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)))
+    "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
+    "q_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)))
 
   def oracles = Map(
     "q_dedup_exact" ->
@@ -433,6 +493,41 @@ object DedupModule extends QueryModule {
         |  AND substr(a.prefix, 1, 2) = substr(b.prefix, 1, 2)
         |  AND a.doc_id < b.doc_id
         |ORDER BY edit_dist ASC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |exact_pairs AS (
+        |  SELECT keep_id AS id_a, doc_id AS id_b FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS keep_id FROM norm)
+        |  WHERE doc_id != keep_id),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM norm),
+        |ex0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+        |ex AS (SELECT doc_id, n_sh, shingle FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex0)
+        |  WHERE df <= 64),
+        |near_pairs AS (
+        |  SELECT a_id AS id_a, b_id AS id_b FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS n_a, b.n_sh AS n_b,
+        |      COUNT(*) AS common
+        |    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2, 3, 4)
+        |  WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.8),
+        |pairs AS (SELECT id_a, id_b FROM exact_pairs UNION SELECT id_a, id_b FROM near_pairs),
+        |edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT id_a AS id, id_a AS lbl FROM edges
+        |  UNION
+        |  SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.id),
+        |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)
+        |SELECT doc_id, component,
+        |  COUNT(*) OVER (PARTITION BY component) AS cluster_size
+        |FROM comp ORDER BY component, doc_id""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings)

@@ -46,6 +46,26 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(top._4 - 9.0 / 11.0) < 1e-12)
   }
 
+  test("dedupClusters is transitive: A~B~C clusters together even when A is not ~C") {
+    // 12 shared middle tokens; A and C each diverge by 2 tokens on
+    // opposite ends: jaccard(A,B) = jaccard(B,C) = 10/12 ≥ 0.8 but
+    // jaccard(A,C) = 10/14 < 0.8 — only transitive closure puts all
+    // three in one cluster. Docs 10/11 are exact duplicates (their own
+    // cluster); doc 20 touches no pair and must not appear.
+    val mid = (1 to 12).map(i => s"m$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, s"$mid a1 a2"),
+      (2L, mid),
+      (3L, s"c1 c2 $mid"),
+      (10L, "some exact duplicate text right here"),
+      (11L, "some exact duplicate text right here"),
+      (20L, "an unrelated document about nothing shared at all")))
+    val out = Dedup.dedupClusters(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
   test("minhash estimate: exact 1.0 for identical docs, near true jaccard otherwise") {
     // doc1 == doc2; doc3 shares roughly half its shingles with doc1.
     val shared = (0 until 20).map(i => s"s$i").mkString(" ")
