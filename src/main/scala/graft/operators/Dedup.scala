@@ -239,8 +239,15 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence probe: labels only ever decrease, so the exact label
+    // sum (DECIMAL(38,0) — no overflow at any corpus size) strictly
+    // decreases iff any label changed. One aggregate over the tiny
+    // checkpointed label table per round, instead of a join + count.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
+    while (!converged) {
       val nbrMin = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id")).agg(min(col("lbl")).as("nbr_lbl"))
       val next = labels.alias("l")
@@ -248,9 +255,9 @@ object Dedup {
         .select(col("id"),
           least(col("l.lbl"), coalesce(col("n.nbr_lbl"), col("l.lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.alias("a")
-        .join(labels.select(col("id"), col("lbl").as("old")).alias("b"), Seq("id"))
-        .filter(col("lbl") =!= col("old")).count()
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("component"))

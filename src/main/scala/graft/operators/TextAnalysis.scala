@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.sources.Tables
@@ -138,6 +139,37 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
 
+  /** TF-IDF top-3 terms per document — the classic relevance/keyword
+    * signal, formulated as three hash aggregations and one vocabulary
+    * join: tf = (doc, term) counts, df = docs-per-term over the tf
+    * table, N joined in as a broadcast scalar (1-row aggregate, never
+    * a driver-side collect). At 100 TB the df/vocabulary table is tiny
+    * next to the corpus (it aggregates the already-shrunk tf table)
+    * and the term join broadcasts; the only corpus-sized shuffle is
+    * the (doc, term) count, which has full map-side combining.
+    *
+    * Oracle parity: the smoothed idf ln((N+1)/(df+1)) is computed on
+    * identical doubles in both engines; ranking uses the ROUNDED score
+    * (term-asc tiebreak) so a sub-ulp libm divergence cannot flip the
+    * order. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        col("tf").cast("double") *
+          log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
   /** Repetition signals (Gopher-style quality filters): duplicated
     * bigram/trigram fractions and the most frequent token's share of
     * the document. High values flag boilerplate/spam for removal.
@@ -229,6 +261,7 @@ object TextAnalysisModule extends QueryModule {
     "q_text_token_count" -> ((s: SparkSession, d: String) => tokenCount(s, d)),
     "q_text_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "q_text_bigrams" -> ((s: SparkSession, d: String) => bigrams(s, d)),
+    "q_text_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "q_text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
     "q_text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "q_text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)))
@@ -236,6 +269,22 @@ object TextAnalysisModule extends QueryModule {
   // DuckDB lambda syntax (list_transform / list_filter) mirrors Spark's
   // higher-order functions one-to-one; counts are BIGINT on both sides.
   def oracles = Map(
+    "q_text_tfidf" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term, tf, df,
+        |    round(CAST(tf AS DOUBLE) *
+        |      ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "q_text_stats" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
         |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)

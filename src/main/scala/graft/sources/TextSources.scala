@@ -68,4 +68,17 @@ object TextSources {
     * pruning that the text formats cannot provide. */
   def toParquet(df: DataFrame, outDir: String): Unit =
     df.write.mode("overwrite").parquet(outDir)
+
+  /** ORC landing twin of [[toParquet]] — same columnar guarantees
+    * (vectorized reader, predicate pushdown into stripe/row-group
+    * selection, column pruning) for shops whose lake standard is ORC.
+    * Both directions use Spark's built-in datasource; no format
+    * branching anywhere else in the engine, because every operator
+    * consumes a DataFrame regardless of where the scan came from. */
+  def toOrc(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").orc(outDir)
+
+  /** ORC scan (explicit schema optional — ORC files carry one). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

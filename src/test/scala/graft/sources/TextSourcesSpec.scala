@@ -49,4 +49,17 @@ class TextSourcesSpec extends SparkSpec {
     assert(scan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"), scan)
     assert(q.count() == 1)
   }
+
+  test("orc landing round-trips and pushes filters like parquet") {
+    val dir = writeLines(Seq("id,name", "1,alpha", "2,beta"), ".csv")
+    val (clean, _) = TextSources.splitCorrupt(TextSources.csv(spark, dir, schema))
+    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/t"
+    TextSources.toOrc(clean, out)
+    val back = TextSources.orc(spark, out)
+    assert(back.as[(Long, String)].collect().toSet == Set((1L, "alpha"), (2L, "beta")))
+    val q = back.filter($"id" === 2L)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"), scan)
+    assert(q.count() == 1)
+  }
 }
