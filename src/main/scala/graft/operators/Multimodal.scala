@@ -97,6 +97,45 @@ object Multimodal {
           .otherwise(lit(1)).cast("int").as("n_frames"))
       .orderBy("doc_id")
 
+  /** Frame sampling: every `everyK`-th frame of each video payload as
+    * its own row — the 1→many generator that turns videos into
+    * training frames. `sequence(0, n-1, k)` + explode keeps it inside
+    * codegen; the per-frame "content" is a deterministic digest of
+    * (payload, frame index) standing in for the decoded frame bytes
+    * (codec-free environment), so the row shape, keys, and ordering
+    * are exactly what a real decoder would emit. Payloads never
+    * shuffle: the explode happens in the scan stage and only
+    * (doc_id, frame_idx, digest) rows move on. */
+  def frameSamples(spark: SparkSession, dir: String, everyK: Int = 5): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .filter(col("media_type") === "video")
+      .withColumn("n_frames",
+        (lit(1) + length(col("payload")).cast("long") % 250).cast("int"))
+      .select(col("doc_id"), col("n_frames"), col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        sha2(concat(col("payload"),
+          encode(concat(lit(":"), col("frame_idx").cast("string")), "UTF-8")), 256)
+          .as("frame_sha"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Resize planning: fit-within-a-box target dimensions for every
+    * image (aspect-preserving, integer arithmetic so both engines
+    * agree exactly). The real resize kernel would consume these dims
+    * inside the same batched mapPartitions stage as FakeDecoder; the
+    * plan-level point is that target-dim computation is a narrow
+    * column op that never touches payload bytes (column pruning keeps
+    * them out of the scan entirely). */
+  def resizePlan(spark: SparkSession, dir: String, box: Int = 256): DataFrame =
+    featuresColumnar(spark, dir)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("width"), col("height"),
+        when(greatest(col("width"), col("height")) <= box, col("width").cast("long"))
+          .otherwise(expr(s"(width * $box) div greatest(width, height)")).as("out_w"),
+        when(greatest(col("width"), col("height")) <= box, col("height").cast("long"))
+          .otherwise(expr(s"(height * $box) div greatest(width, height)")).as("out_h"))
+      .orderBy("doc_id")
+
   /** Per-media-type rollup over the features — the "what's in this
     * 100 TB bucket" inventory query. */
   def mediaInventory(spark: SparkSession, dir: String): DataFrame =
@@ -113,7 +152,9 @@ object MultimodalModule extends QueryModule {
 
   def queries = Map(
     "q_media_features" -> ((s: SparkSession, d: String) => featuresColumnar(s, d)),
-    "q_media_inventory" -> ((s: SparkSession, d: String) => mediaInventory(s, d)))
+    "q_media_inventory" -> ((s: SparkSession, d: String) => mediaInventory(s, d)),
+    "q_media_frames" -> ((s: SparkSession, d: String) => frameSamples(s, d)),
+    "q_media_resize" -> ((s: SparkSession, d: String) => resizePlan(s, d)))
 
   // DuckDB's sha256 hashes the VARCHAR's UTF-8 bytes — identical input
   // bytes to Spark's sha2(encode(text,'UTF-8'), 256).
@@ -129,6 +170,32 @@ object MultimodalModule extends QueryModule {
         |  CAST(1 + (byte_len * 7) % 768 AS INT) AS height,
         |  CAST(CASE WHEN media_type = 'video' THEN 1 + byte_len % 250 ELSE 1 END AS INT) AS n_frames
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_media_frames" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |  FROM documents),
+        |v AS (SELECT doc_id, text, CAST(1 + byte_len % 250 AS INT) AS n_frames
+        |      FROM m WHERE media_type = 'video')
+        |SELECT doc_id, i AS frame_idx, n_frames,
+        |  sha256(text || ':' || CAST(i AS VARCHAR)) AS frame_sha
+        |FROM v, unnest(generate_series(0, n_frames - 1, 5)) AS u(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(1 + byte_len % 1024 AS INT) AS width,
+        |    CAST(1 + (byte_len * 7) % 768 AS INT) AS height
+        |  FROM m WHERE media_type = 'image')
+        |SELECT doc_id, width, height,
+        |  CASE WHEN greatest(width, height) <= 256 THEN CAST(width AS BIGINT)
+        |       ELSE (width * 256) // greatest(width, height) END AS out_w,
+        |  CASE WHEN greatest(width, height) <= 256 THEN CAST(height AS BIGINT)
+        |       ELSE (height * 256) // greatest(width, height) END AS out_h
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_media_inventory" ->
       """WITH m AS (SELECT doc_id,
         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,

@@ -30,6 +30,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("frame sampling emits ceil(n_frames/k) rows per video, indices strided") {
+    val frames = Multimodal.frameSamples(spark, sf("sf0.001"), everyK = 5)
+      .select("doc_id", "frame_idx", "n_frames")
+      .as[(Long, Int, Int)].collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_._1).foreach { case (id, rows) =>
+      val n = rows.head._3
+      assert(rows.length == (n + 4) / 5, s"doc $id: ${rows.length} rows for $n frames")
+      assert(rows.map(_._2).sorted.sameElements(0 until n by 5))
+    }
+  }
+
+  test("resize plan fits the box, preserves aspect, never upscales") {
+    val dims = Multimodal.resizePlan(spark, sf("sf0.001"), box = 256)
+      .as[(Long, Int, Int, Long, Long)].collect()
+    assert(dims.nonEmpty)
+    dims.foreach { case (id, w, h, ow, oh) =>
+      assert(ow <= w && oh <= h, s"doc $id upscaled")
+      assert(math.max(ow, oh) <= 256, s"doc $id exceeds box")
+      if (math.max(w, h) > 256) {
+        assert(math.max(ow, oh) == 256, s"doc $id under-uses box: ${ow}x$oh")
+        // integer-floor aspect preservation: out/in ratios differ by < 1 px
+        assert(math.abs(ow.toDouble / w - oh.toDouble / h) < 1.0 / math.min(w, h))
+      } else assert(ow == w && oh == h)
+    }
+  }
+
   test("binaryFile source loads raw files as (path, length, content)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bin")
     val payloads = Map("a.bin" -> Array[Byte](1, 2, 3), "b.bin" -> Array[Byte](9, 8, 7, 6))
