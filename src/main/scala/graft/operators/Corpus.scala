@@ -30,13 +30,17 @@ object Corpus {
   private def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  /** doc_ids dropped as exact duplicates (keep-lowest-id policy). */
-  private def exactVictims(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(normText(col("text"))).as("fp"))
-      .agg(min(col("doc_id")).as("keep_id"), collect_list(col("doc_id")).as("ids"))
-      .select(explode(col("ids")).as("doc_id"), col("keep_id"))
+  /** doc_ids dropped as exact duplicates (keep-lowest-id policy).
+    * Window-min over the fingerprint, never collect_list: a document
+    * copied n times stays n rows through the window instead of one
+    * n-element array row — the hot-key OOM shape at corpus scale. */
+  private def exactVictims(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") =!= col("keep_id"))
       .select("doc_id")
+  }
 
   /** doc_ids dropped as near-duplicates: higher id of every pair with
     * Jaccard ≥ `threshold` — thresholded view of the shared
@@ -108,16 +112,32 @@ object CorpusModule extends QueryModule {
       |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
       |  FROM norm),
       |ex0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
-      |ex AS (SELECT doc_id, n_sh, shingle FROM (
-      |    SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex0)
-      |  WHERE df <= 64),
+      |ex AS (SELECT doc_id, n_sh, shingle,
+      |    COUNT(*) OVER (PARTITION BY shingle) AS df,
+      |    MIN(doc_id) OVER (PARTITION BY shingle) AS min_id
+      |  FROM ex0),
+      |small_scored AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+      |    COUNT(*) AS n_common
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  WHERE a.df <= 64
+      |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh),
+      |star_cand AS (
+      |  SELECT DISTINCT min_id AS id_a, doc_id AS id_b FROM ex
+      |  WHERE df > 64 AND doc_id != min_id),
+      |star_scored AS (
+      |  SELECT id_a, id_b, len(sa.sh) AS n_a, len(sb.sh) AS n_b,
+      |    len(list_intersect(sa.sh, sb.sh)) AS n_common
+      |  FROM star_cand JOIN sh sa ON sa.doc_id = star_cand.id_a
+      |                 JOIN sh sb ON sb.doc_id = star_cand.id_b),
+      |np AS (
+      |  SELECT id_a, id_b, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+      |    MAX(n_common) AS n_common
+      |  FROM (SELECT * FROM small_scored UNION ALL SELECT * FROM star_scored)
+      |  GROUP BY id_a, id_b),
       |near_victims AS (
-      |  SELECT DISTINCT b_id AS doc_id FROM (
-      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS n_a, b.n_sh AS n_b,
-      |      COUNT(*) AS common
-      |    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |    GROUP BY 1, 2, 3, 4)
-      |  WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.8),
+      |  SELECT DISTINCT id_b AS doc_id FROM np
+      |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.8),
       |quality_victims AS (
       |  SELECT doc_id FROM norm
       |  WHERE len(toks) < 10

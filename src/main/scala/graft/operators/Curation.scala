@@ -46,8 +46,9 @@ object Curation {
   /** Staged (doc_id, lang, n_chars, toks): tokenized once per
     * (session, dir) behind a checkpoint barrier so the n-gram and
     * chunk lambdas slice a bound attribute instead of re-splitting per
-    * element (CollapseProject would inline the split — quadratic). */
-  private def docToks(spark: SparkSession, dir: String): DataFrame =
+    * element (CollapseProject would inline the split — quadratic).
+    * Shared with TextAnalysis.bigrams, which has the same hazard. */
+  private[operators] def docToks(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"curationToks|$dir") {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -71,13 +72,28 @@ object Curation {
     * testdata); the operator itself takes any (doc_id, gram) set. */
   private[operators] val EvalModulus = 20
 
+  /** Document-frequency cap for decontamination grams: an 8-gram
+    * present in more than this many documents (train+eval combined) is
+    * corpus boilerplate — headers, licenses, navigation chrome — not
+    * contamination evidence, and each such gram contributes
+    * O(df_train × df_eval) join rows. Dropping it is the standard
+    * decontamination stance (overlap evidence must be SPECIFIC; that
+    * is the whole reason the gram length is 8, not 3) — unlike the
+    * Jaccard index, there is no recall obligation to boilerplate here,
+    * so no star fallback is needed. Mirrored in the DuckDB oracle. */
+  private[operators] val MaxGramDf = 64
+
   /** Benchmark decontamination: flag training documents sharing at
     * least one 8-gram with the eval set, with the evidence counts a
     * curation pipeline filters/audits on. Inverted-index join on the
-    * gram; output (train_id, n_shared grams, n_eval_docs hit). */
+    * gram, boilerplate grams capped by document frequency; output
+    * (train_id, n_shared grams, n_eval_docs hit). */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val grams = docToks(spark, dir)
       .select(col("doc_id"), explode(ngramArray(col("toks"))).as("gram"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("df") <= MaxGramDf)
+      .drop("df")
     val evalSide = grams.filter(col("doc_id") % EvalModulus === 0)
       .select(col("doc_id").as("eval_id"), col("gram"))
     val trainSide = grams.filter(col("doc_id") % EvalModulus =!= 0)
@@ -137,6 +153,9 @@ object Curation {
   def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
     val k = ChunkTokens
     docToks(spark, dir)
+      // degenerate guard: a null text yields a null token array; the
+      // oracle's NULL propagation emits no row for it, so neither do we
+      .filter(col("toks").isNotNull)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), ((size(col("toks")) - 1) / k).cast("int")))
           .as("chunk_idx"))
@@ -208,7 +227,10 @@ object CurationModule extends QueryModule {
         |    i -> array_to_string(toks[i:i+7], ' '))) AS grams
         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
         |        FROM documents)),
-        |g AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+        |g0 AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+        |g AS (SELECT doc_id, gram FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY gram) AS df FROM g0)
+        |  WHERE df <= 64),
         |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 20 = 0),
         |tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 20 <> 0)
         |SELECT train_id, CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared,

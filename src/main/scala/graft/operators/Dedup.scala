@@ -65,6 +65,46 @@ object Dedup {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Persistent-RDD ids held by each memoized entry (and by loose
+    * iteration state registered via trackStray), so releaseIndexes can
+    * free the block-manager storage, not just drop the references.
+    * A dropped reference alone leaves the checkpoint blocks resident
+    * until the session dies — at 32 concurrent tasks that turns into
+    * steady heap growth and a GC-bound session (the round-3 bench ran
+    * 2× slower for exactly this reason). */
+  private val indexRdds =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Int]]()
+
+  /** Eager localCheckpoint that also reports the persistent-RDD ids it
+    * registered, so the caller can free the blocks once the table is
+    * superseded. (Dataset.unpersist does not release checkpoint blocks
+    * — they live on the RDD, not in the CacheManager.) */
+  private[operators] def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    val ids = sc.getPersistentRDDs.keySet.toSet -- before
+    (out, ids)
+  }
+
+  /** Free the block-manager storage behind previously tracked
+    * checkpoint ids. Safe to call twice (unpersist is idempotent). */
+  private[operators] def unpersistIds(spark: SparkSession, ids: Set[Int]): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Register loose (non-memoized) checkpoint ids — e.g. the final
+    * label table of an iterative job — for release with the rest of
+    * the session's index state. */
+  private[operators] def trackStray(spark: SparkSession, ids: Set[Int]): Unit = {
+    val k = System.identityHashCode(spark) + "|stray"
+    indexCache.synchronized {
+      val prev = Option(indexRdds.get(k)).getOrElse(Set.empty)
+      indexRdds.put(k, prev ++ ids)
+    }
+  }
+
   /** Double-checked get/build under a re-entrant lock — NOT
     * computeIfAbsent: index builds nest (shingleIndex builds
     * docShingles), and a nested computeIfAbsent on the same map throws
@@ -77,10 +117,30 @@ object Dedup {
       val again = indexCache.get(k)
       if (again != null) again
       else {
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
         val df = build
+        val after = spark.sparkContext.getPersistentRDDs.keySet.toSet
         indexCache.put(k, df)
+        indexRdds.put(k, after -- before)
         df
       }
+    }
+  }
+
+  /** Release every index table this session has materialized: drop the
+    * memo entries AND unpersist their checkpoint blocks. The library's
+    * eviction API — a long-lived session that sweeps many directories
+    * (or a bench harness moving between operator families) calls this
+    * at the boundary; the next query transparently rebuilds what it
+    * needs. Nested entries may share ids; unpersist is idempotent. */
+  def releaseIndexes(spark: SparkSession): Unit = indexCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    val prefix = System.identityHashCode(spark) + "|"
+    val keys = (indexCache.keySet.asScala ++ indexRdds.keySet.asScala)
+      .filter(_.startsWith(prefix)).toList
+    keys.foreach { k =>
+      indexCache.remove(k)
+      Option(indexRdds.remove(k)).foreach(unpersistIds(spark, _))
     }
   }
 
@@ -90,13 +150,19 @@ object Dedup {
     * consuming lambda, resurrecting the quadratic split. The barrier
     * pins one split per document; shingle assembly then slices the
     * bound attribute. */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def docShingles(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"docShingles|$dir") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), toks(col("text")).as("toks"))
-        .localCheckpoint()
+      val (staged, stagedIds) = trackedCheckpoint(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), toks(col("text")).as("toks")))
+      val out = staged
         .select(col("doc_id"), shingleArray(col("toks")).as("sh"))
         .localCheckpoint()
+      // the token staging is only a lambda barrier for the shingle
+      // build; once the shingle table is materialized its blocks are
+      // dead weight — free them instead of holding both tables
+      unpersistIds(spark, stagedIds)
+      out
     }
 
   /** Materialized inverted shingle index (doc_id, n_sh, shingle) —
@@ -133,34 +199,76 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy("lang", "source")
 
-  /** Document-frequency cap for the inverted-index join: a shingle
-    * present in more than this many documents is dropped from the
-    * index before pairing. The self-join emits O(df²) rows per
-    * shingle, so one boilerplate shingle shared by 1M docs would
-    * produce 10¹² pairs regardless of partitioning — the cap bounds
-    * the worst shingle at MaxShingleDf² and loses only pairs whose
-    * ONLY evidence is corpus-wide boilerplate (they score near-zero
-    * Jaccard anyway: n_common small vs n_a+n_b). Mirrored verbatim in
-    * the DuckDB oracles (q_dedup_jaccard, q_corpus_*). */
+  /** Document-frequency threshold for the inverted-index join. The
+    * all-pairs self-join emits O(df²) rows per shingle, so one
+    * boilerplate shingle shared by 1M docs would produce 10¹² pairs
+    * regardless of partitioning. Shingles at or below the threshold
+    * pair all-vs-all; shingles ABOVE it degrade to a star (every doc
+    * paired with the shingle group's minimum doc_id — O(df) rows), so
+    * the evidence is kept instead of dropped: a template copied 100×
+    * still connects through the star even when every shared shingle is
+    * hot — star pairs are scored by EXACT intersection of the full
+    * shingle sets (true Jaccard ≈ 1 for such templates), and the
+    * transitive clustering closes the component. Sub-threshold pairs
+    * score off the index join count, which omits shared hot shingles —
+    * a conservative lower bound, and any pair so affected is also
+    * star-covered. Mirrored verbatim in the DuckDB oracles
+    * (q_dedup_jaccard, q_dedup_clusters, q_corpus_*). */
   private[operators] val MaxShingleDf = 64
 
   /** Materialized candidate-pair table (id_a, id_b, n_a, n_b,
-    * n_common, jaccard): the inverted-index self-join + aggregation —
-    * the most expensive stage of the near-dup family — computed once
-    * per (session, dir) and shared by jaccardPairs and the corpus
-    * cleaner. The df-cap window shuffles on the shingle once; the
-    * self-join reuses that partitioning. */
+    * n_common, jaccard) — the most expensive stage of the near-dup
+    * family — computed once per (session, dir) and shared by
+    * jaccardPairs, dedupClusters, and the corpus cleaner.
+    *
+    * Two scoring branches, merged by pair key:
+    *  - sub-threshold shingles pair all-vs-all and score straight off
+    *    the index join (groupBy pair → count of shared shingles):
+    *    whole-stage-codegen hash aggregation, no arrays shuffled —
+    *    with ~10⁶ candidate pairs at sf0.1, re-intersecting full
+    *    shingle arrays per pair measured 6× slower than the count.
+    *    n_common omits shared HOT shingles (a conservative lower
+    *    bound on true Jaccard) — acceptable because any pair sharing
+    *    a hot shingle is also star-covered below.
+    *  - hot shingles contribute star pairs (doc → shingle-group min),
+    *    scored by exact intersection of the pair's full shingle sets
+    *    — typically a tiny set (only templated near-identical docs),
+    *    so the array join-back is bounded.
+    * A pair found by both branches keeps the larger n_common (the
+    * star's exact count dominates the sub-threshold undercount).
+    * One shuffle on the shingle computes df and the group minimum in
+    * a single window pass; the candidate join reuses that
+    * partitioning. */
   private[operators] def jaccardPairTable(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"jaccardPairs|$dir") {
-      val docs = shingleIndex(spark, dir)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-        .filter(col("df") <= MaxShingleDf)
-        .drop("df")
-      val a = docs.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
-      val b = docs.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
-      a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      val w = Window.partitionBy(col("shingle"))
+      val idx = shingleIndex(spark, dir)
+        .withColumn("df", count(lit(1)).over(w))
+        .withColumn("min_id", min(col("doc_id")).over(w))
+      val small = idx.filter(col("df") <= MaxShingleDf)
+      val a = small.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+      val b = small.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+      val smallScored = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(count(lit(1)).as("n_common"))
+        .select(col("id_a"), col("id_b"), col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"), col("n_common"))
+      val starCands = idx.filter(col("df") > MaxShingleDf)
+        .filter(col("doc_id") =!= col("min_id"))
+        .select(col("min_id").as("id_a"), col("doc_id").as("id_b"))
+        .distinct()
+      val sh = docShingles(spark, dir)
+      val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val starScored = starCands.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(col("sh_a")).cast("long").as("n_a"),
+          size(col("sh_b")).cast("long").as("n_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"))
+      smallScored.unionByName(starScored)
+        .groupBy("id_a", "id_b")
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          max(col("n_common")).as("n_common"))
         .withColumn("jaccard",
           col("n_common").cast("double") /
             (col("n_a") + col("n_b") - col("n_common")))
@@ -224,21 +332,25 @@ object Dedup {
     * small-star (O(log n) rounds) without changing the output.
     * Oracle: a DuckDB recursive CTE over the identical edge set. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // exact-dup star via window-min, never collect_list: a document
+    // copied n times is n rows through the window, not one n-element
+    // array row (the hot-key OOM shape at corpus scale)
+    val wFp = Window.partitionBy(col("fp"))
     val exactPairs = Tables.documents(spark, dir)
-      .groupBy(md5(normText(col("text"))).as("fp"))
-      .agg(min(col("doc_id")).as("keep_id"), collect_list(col("doc_id")).as("ids"))
-      .select(col("keep_id").as("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
+      .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("keep_id").as("id_a"), col("doc_id").as("id_b"))
     val nearPairs = jaccardPairTable(spark, dir)
       .filter(col("jaccard") >= ClusterJaccard)
       .select(col("id_a"), col("id_b"))
     val pairs = exactPairs.unionByName(nearPairs)
     // undirected: propagate along both directions of every edge
-    val edges = pairs
+    val (edges, edgeIds) = trackedCheckpoint(pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+      .distinct())
+    var (labels, labelIds) = trackedCheckpoint(
+      edges.select(col("id_a").as("id")).distinct().withColumn("lbl", col("id")))
     // Convergence probe: labels only ever decrease, so the exact label
     // sum (DECIMAL(38,0) — no overflow at any corpus size) strictly
     // decreases iff any label changed. One aggregate over the tiny
@@ -250,16 +362,24 @@ object Dedup {
     while (!converged) {
       val nbrMin = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.alias("l")
+      val (next, nextIds) = trackedCheckpoint(labels.alias("l")
         .join(nbrMin.alias("n"), Seq("id"), "left")
         .select(col("id"),
-          least(col("l.lbl"), coalesce(col("n.nbr_lbl"), col("l.lbl"))).as("lbl"))
-        .localCheckpoint()
+          least(col("l.lbl"), coalesce(col("n.nbr_lbl"), col("l.lbl"))).as("lbl")))
       val nextSum = lblSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
+      // the superseded label table is dead once `next` is materialized;
+      // holding every round's checkpoint grows block-manager storage
+      // linearly in iteration count (the round-3 leak)
+      unpersistIds(spark, labelIds)
       labels = next
+      labelIds = nextIds
     }
+    unpersistIds(spark, edgeIds)
+    // the final label table backs the returned (lazy) DataFrame; its
+    // blocks are released with the rest of the session's index state
+    trackStray(spark, labelIds)
     labels.select(col("id").as("doc_id"), col("lbl").as("component"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("component"))))
@@ -482,14 +602,34 @@ object DedupModule extends QueryModule {
         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
         |        FROM documents)),
         |e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t),
-        |e AS (SELECT doc_id, n_sh, shingle FROM (
-        |    SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM e0)
-        |  WHERE df <= 64)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
-        |  CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
-        |FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-        |ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+        |e AS (SELECT doc_id, n_sh, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df,
+        |    MIN(doc_id) OVER (PARTITION BY shingle) AS min_id
+        |  FROM e0),
+        |small_scored AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(a.n_sh AS BIGINT) AS n_a, CAST(b.n_sh AS BIGINT) AS n_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  WHERE a.df <= 64
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh),
+        |star_cand AS (
+        |  SELECT DISTINCT min_id AS id_a, doc_id AS id_b FROM e
+        |  WHERE df > 64 AND doc_id != min_id),
+        |star_scored AS (
+        |  SELECT id_a, id_b, CAST(len(sa.sh) AS BIGINT) AS n_a,
+        |    CAST(len(sb.sh) AS BIGINT) AS n_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common
+        |  FROM star_cand JOIN t sa ON sa.doc_id = star_cand.id_a
+        |                 JOIN t sb ON sb.doc_id = star_cand.id_b),
+        |p AS (
+        |  SELECT id_a, id_b, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |    MAX(n_common) AS n_common
+        |  FROM (SELECT * FROM small_scored UNION ALL SELECT * FROM star_scored)
+        |  GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, n_common,
+        |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+        |FROM p ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
     "q_dedup_editdist" ->
       """WITH d AS (SELECT doc_id, lang,
         |    substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 24) AS prefix
@@ -515,16 +655,32 @@ object DedupModule extends QueryModule {
         |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
         |  FROM norm),
         |ex0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
-        |ex AS (SELECT doc_id, n_sh, shingle FROM (
-        |    SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex0)
-        |  WHERE df <= 64),
+        |ex AS (SELECT doc_id, n_sh, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df,
+        |    MIN(doc_id) OVER (PARTITION BY shingle) AS min_id
+        |  FROM ex0),
+        |small_scored AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+        |    COUNT(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  WHERE a.df <= 64
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh),
+        |star_cand AS (
+        |  SELECT DISTINCT min_id AS id_a, doc_id AS id_b FROM ex
+        |  WHERE df > 64 AND doc_id != min_id),
+        |star_scored AS (
+        |  SELECT id_a, id_b, len(sa.sh) AS n_a, len(sb.sh) AS n_b,
+        |    len(list_intersect(sa.sh, sb.sh)) AS n_common
+        |  FROM star_cand JOIN sh sa ON sa.doc_id = star_cand.id_a
+        |                 JOIN sh sb ON sb.doc_id = star_cand.id_b),
+        |np AS (
+        |  SELECT id_a, id_b, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |    MAX(n_common) AS n_common
+        |  FROM (SELECT * FROM small_scored UNION ALL SELECT * FROM star_scored)
+        |  GROUP BY id_a, id_b),
         |near_pairs AS (
-        |  SELECT a_id AS id_a, b_id AS id_b FROM (
-        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS n_a, b.n_sh AS n_b,
-        |      COUNT(*) AS common
-        |    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |    GROUP BY 1, 2, 3, 4)
-        |  WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.8),
+        |  SELECT id_a, id_b FROM np
+        |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.8),
         |pairs AS (SELECT id_a, id_b FROM exact_pairs UNION SELECT id_a, id_b FROM near_pairs),
         |edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
         |reach(id, lbl) AS (

@@ -106,32 +106,56 @@ object Similarity {
       when(dot(v, typedLit(plane)) >= 0, "1").otherwise("0")
     }: _*)
 
-  /** (vec_id, table_idx, bucket) rows: T narrow map outputs per vector. */
-  private[operators] def bucketize(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(array((0 until NumTables).map(t => bucketId(col("v"), t)): _*))
-        .as(Seq("table_idx", "bucket")))
+  /** Base vector table (vec_id, v, nrm), materialized once per
+    * (session, dir) and shared by the ANN index builds and reranks —
+    * the norm and the staged attribute binding are paid once, not per
+    * query run. Released with Dedup.releaseIndexes. */
+  private[operators] def embBase(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(spark, s"embBase|$dir") {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .localCheckpoint()
+    }
 
-  /** Approximate top-k: LSH candidates (equi-join on table+bucket,
-    * deduped), exact cosine rerank, per-query top-k. Rows-only for the
-    * driver; recall pinned in SimilaritySpec. */
+  /** Materialized LSH bucket index (vec_id, table_idx, bucket) — ids
+    * only, never the vectors: the index holds T short strings per
+    * vector instead of T copies of the embedding, and the 64×64-double
+    * hyperplane literals compile and evaluate exactly once per
+    * (session, dir) instead of once per query side per run. At 100 TB
+    * this is the bucket-index parquet table maintained alongside the
+    * corpus. */
+  private[operators] def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(spark, s"lshBuckets|$dir") {
+      embBase(spark, dir)
+        .select(col("vec_id"),
+          posexplode(array((0 until NumTables).map(t => bucketId(col("v"), t)): _*))
+            .as(Seq("table_idx", "bucket")))
+        .localCheckpoint()
+    }
+
+  /** Approximate top-k: LSH candidate pairs from the ids-only bucket
+    * index (equi-join on table+bucket, deduped), then an exact cosine
+    * rerank that joins the vectors back in — the corpus-side join is
+    * unhinted (candidates are usually tiny → AQE broadcasts them; at
+    * adversarial collision rates it degrades to a shuffle instead of
+    * an OOM), the query side is an explicit broadcast of nQueries
+    * rows. Rows-only for the driver; recall pinned in SimilaritySpec. */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val buckets = bucketize(e)
-    val q = buckets.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("v_q"),
-        col("nrm").as("nrm_q"), col("table_idx"), col("bucket"))
-    val c = buckets.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
-      col("nrm").as("nrm_c"), col("table_idx"), col("bucket"))
+    val base = embBase(spark, dir)
+    val buckets = lshBuckets(spark, dir)
+    val qb = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("table_idx"), col("bucket"))
+    val cb = buckets.select(col("vec_id").as("neighbor_id"), col("table_idx"), col("bucket"))
+    val pairs = broadcast(qb).join(cb, Seq("table_idx", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
+    val cv = base.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nrm").as("nrm_c"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(q).join(c, Seq("table_idx", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("v_q"), col("nrm_q"),
-        col("v_c"), col("nrm_c"))
-      .dropDuplicates("query_id", "neighbor_id")
+    pairs.join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
       .withColumn("rn", row_number().over(w))
@@ -179,13 +203,6 @@ object SimilarityIvf {
   private def centroidDots(v: Column): Column =
     array(centroids.map(c => dot(v, typedLit(c))): _*)
 
-  /** Index side: each vector lands in the single cell of its nearest
-    * (max-dot) centroid — the inverted-file list. */
-  private def cellOf(v: Column): Column = {
-    val dots = centroidDots(v)
-    array_position(dots, array_max(dots)).cast("int")
-  }
-
   /** Query side: probe the `NumProbe` nearest cells (standard IVF
     * recall knob — a vector near a cell boundary is found through the
     * neighboring probes). */
@@ -195,9 +212,29 @@ object SimilarityIvf {
         centroidDots(v), sequence(lit(1), lit(NumCentroids))))), 1, NumProbe),
       s => s.getField("1").cast("int"))
 
-  /** Approximate top-k via IVF: one narrow map assigns cells, the
-    * candidate join is an equi-join on the cell id, exact cosine
-    * reranks. Rows-only for the driver (centroid seeds are
+  /** Materialized IVF cell index (vec_id, cell) — ids only, built once
+    * per (session, dir). The centroid-dot array is staged behind a
+    * short-lived checkpoint so argmax's two references (array_position
+    * + array_max) read a bound attribute instead of re-evaluating the
+    * 16×64 dot products twice (CollapseProject inlines single-use
+    * aliases); the staging blocks are freed as soon as the id table
+    * materializes. */
+  private[operators] def ivfCells(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(spark, s"ivfCells|$dir") {
+      val (staged, stagedIds) = Dedup.trackedCheckpoint(
+        Similarity.embBase(spark, dir)
+          .select(col("vec_id"), centroidDots(col("v")).as("dots")))
+      val out = staged
+        .select(col("vec_id"),
+          array_position(col("dots"), array_max(col("dots"))).cast("int").as("cell"))
+        .localCheckpoint()
+      Dedup.unpersistIds(spark, stagedIds)
+      out
+    }
+
+  /** Approximate top-k via IVF: candidate pairs from the ids-only cell
+    * index (equi-join on the cell id), exact cosine rerank via vector
+    * join-back. Rows-only for the driver (centroid seeds are
     * Spark-side); planted-duplicate recall pinned in SimilaritySpec.
     *
     * Scale posture vs LSH: IVF moves each corpus vector into exactly
@@ -207,22 +244,22 @@ object SimilarityIvf {
     * gaussians — same plan shape. */
   def annIvf(spark: SparkSession, dir: String,
              nQueries: Int = NumQueriesDefault, k: Int = TopKDefault): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .localCheckpoint()
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
-      col("nrm").as("nrm_c"), cellOf(col("v")).as("cell"))
-    val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"),
-        explode(probedCells(col("v"))).as("cell"))
+    val base = Similarity.embBase(spark, dir)
+    val cells = ivfCells(spark, dir)
+    val qcells = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), explode(probedCells(col("v"))).as("cell"))
+    val pairs = broadcast(qcells)
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
+    val cv = base.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nrm").as("nrm_c"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(queries).join(corpus, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    pairs.join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .orderBy("query_id", "rn")

@@ -41,21 +41,24 @@ object TextAnalysis {
   private val esStop = Seq("el", "los", "las", "y", "es", "no")
 
   /** Per-document token statistics: token count, distinct-token count,
-    * summed token length, average token length. One narrow projection —
-    * scan-bound at any scale. */
+    * summed token length, average token length. Explode + one hash
+    * aggregation keyed on the doc — whole-stage codegen with map-side
+    * partial aggregation, so the shuffle carries one accumulator row
+    * per document. (The per-row `aggregate(transform(...))` fold
+    * computes the same values in a narrow map but runs interpreted —
+    * per-token virtual-call overhead on the hottest path.) */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"), length(col("text")).as("n_chars_calc"))
-      .select(
-        col("doc_id"),
-        col("n_chars_calc").cast("long").as("n_chars_calc"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
-        aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
-          .cast("long").as("sum_token_len"),
-        round(
-          aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
-            .cast("double") / size(col("toks")), 6).as("avg_token_len"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_calc"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "n_chars_calc")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct_tokens"),
+        sum(length(col("tok")).cast("long")).as("sum_token_len"))
+      .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"),
+        col("n_distinct_tokens"), col("sum_token_len"),
+        round(col("sum_token_len").cast("double") / col("n_tokens"), 6)
+          .as("avg_token_len"))
       .orderBy("doc_id")
 
   /** Heuristic language ID: per-language stopword hit counts over the
@@ -128,13 +131,18 @@ object TextAnalysis {
       .limit(20)
 
   /** Corpus bigram statistics (n-gram language-model counts): explode
-    * word bigrams, one hash aggregation, top 20. */
+    * word bigrams, one hash aggregation, top 20. The token array comes
+    * from the staged/checkpointed token table (shared with the
+    * curation family): the slice lambda must reference a BOUND
+    * attribute — a plain `tokens(text)` alias is single-referenced, so
+    * CollapseProject would inline the split into the lambda and
+    * re-split the document once per bigram position (quadratic; this
+    * exact regression cost 5× in round 3). */
   def bigrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(tokens(col("text")).as("toks"))
-      .select(explode(expr(
-        "transform(sequence(1, greatest(size(toks) - 1, 1)), i -> concat_ws(' ', slice(toks, i, 2)))"))
-        .as("bigram"))
+    Curation.docToks(spark, dir)
+      .select(explode(transform(
+        sequence(lit(1), greatest(size(col("toks")) - 1, lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)

@@ -66,6 +66,29 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("star branch connects a template cluster larger than MaxShingleDf") {
+    // 80 near-identical docs (> MaxShingleDf = 64): every SHARED
+    // shingle has df = 80, so the all-pairs branch sees none of them —
+    // the pre-round-4 df cap dropped this cluster entirely (zero
+    // candidate pairs despite true jaccard ≈ 0.93). The star branch
+    // must link every doc to the group minimum with the EXACT
+    // intersection score, and the transitive clustering must close the
+    // component. 31 tokens → 29 distinct shingles, 28 shared →
+    // jaccard = 28 / (29 + 29 - 28) = 28/30.
+    val n = 80
+    val base = (1 to 30).map(i => s"t$i").mkString(" ")
+    val dir = docsDir((0 until n).map(i => (i.toLong, s"$base u$i")))
+    val clusters = Dedup.dedupClusters(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(clusters.size == n)
+    assert(clusters.forall { case (_, comp, sz) => comp == 0L && sz == n.toLong })
+    val top = Dedup.jaccardPairs(spark, dir)
+      .select("id_a", "id_b", "n_common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(top._1 == 0L && top._3 == 28L)
+    assert(math.abs(top._4 - 28.0 / 30.0) < 1e-12)
+  }
+
   test("minhash estimate: exact 1.0 for identical docs, near true jaccard otherwise") {
     // doc1 == doc2; doc3 shares roughly half its shingles with doc1.
     val shared = (0 until 20).map(i => s"s$i").mkString(" ")
