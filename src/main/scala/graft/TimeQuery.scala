@@ -1,0 +1,30 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time one named query repeatedly on a chosen sf dir —
+  * separates plan/compile cost (first run) from steady-state execute
+  * (later runs) when diagnosing a bench outlier.
+  *
+  * sbt "runMain graft.TimeQuery q_text_repetition /root/testdata/sf0.1 3"
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 20).selectExpr("sum(id)").count() // neutral warmup
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(f"[time] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -49,6 +49,21 @@ object Alto {
       .withColumn("alto", struct(col("_xmlns"), col("Description"), col("Layout")))
       .select("alto")
 
+  /** Failure policy for the per-URL fetch path. */
+  sealed trait FetchPolicy
+  object FetchPolicy {
+    /** Reference-faithful (`flows/main_flow.py:59-60`: a non-zero
+      * fetch exit raises and fails the flow run): a throwing fetcher
+      * fails the Spark task — after task retries, the job. This is the
+      * default. */
+    case object FailFast extends FetchPolicy
+    /** The pipeline's poison-doc stance (same policy simplify() takes
+      * for unsupported namespaces): a throwing fetcher yields a null
+      * xml for that row, and the `fetch_xml` observe() metric reports
+      * (urls, failed_fetches) after any action. */
+    case object NullOnError extends FetchPolicy
+  }
+
   /** Per-URL fetch fallback (S2, reference
     * `extract-text-lines-from-alto.js:24061-24063`): a distributed
     * url→document map for archives NOT on a Hadoop-readable store.
@@ -58,10 +73,20 @@ object Alto {
     * Node process per URL instead). Prefer readAltoXmlFiles: a scan
     * beats N point fetches whenever the store supports it. */
   def fetchXml(df: DataFrame, fetcher: String => String,
-               urlCol: String = "url", outCol: String = "xml"): DataFrame = {
-    val fetchUdf = udf(fetcher)
-    df.withColumn(outCol, fetchUdf(col(urlCol)))
-  }
+               urlCol: String = "url", outCol: String = "xml",
+               policy: FetchPolicy = FetchPolicy.FailFast): DataFrame =
+    policy match {
+      case FetchPolicy.FailFast =>
+        df.withColumn(outCol, udf(fetcher).apply(col(urlCol)))
+      case FetchPolicy.NullOnError =>
+        val safe = (u: String) =>
+          try Option(fetcher(u))
+          catch { case scala.util.control.NonFatal(_) => None }
+        df.withColumn(outCol, udf(safe).apply(col(urlCol)))
+          .observe("fetch_xml",
+            count(lit(1)).as("urls"),
+            sum(when(col(outCol).isNull, 1).otherwise(0)).as("failed_fetches"))
+    }
 
   /** Parse an XML string column into the ALTO struct (`from_xml`). */
   def parseXml(xmlCol: Column): Column =

@@ -1,6 +1,7 @@
 package graft.functions
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.core.{JsonParser, JsonToken}
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -32,45 +33,68 @@ import org.apache.spark.unsafe.types.UTF8String
 object JsonPretty {
   private val mapper = new ObjectMapper()
 
+  /** Token-streaming re-layout: structure and whitespace are rewritten
+    * to the JSON.stringify(,null,2) format; STRING scalars are
+    * re-escaped (Jackson's escaping matches JSON.stringify's);
+    * NUMERIC tokens pass through byte-verbatim from the compact input
+    * — json_pretty never re-formats a number, so it cannot introduce
+    * a divergence (a Jackson re-serialization would turn 1e+21 into
+    * 1.0E21 etc.). Byte parity with Node for numbers therefore rests
+    * on the compact serializer: Spark's to_json renders integers the
+    * way JS does, and the pipeline's simplified schema is int/string
+    * only (pinned by the parity test in JsonPrettySpec — a DOUBLE
+    * field entering this path would surface there, not silently). */
   def compute(s: UTF8String): UTF8String = {
     if (s == null) return null
     val sb = new java.lang.StringBuilder(s.numBytes * 2)
-    render(mapper.readTree(s.toString), 0, sb)
+    val p = mapper.getFactory.createParser(s.toString)
+    try render(p, p.nextToken(), 0, sb)
+    finally p.close()
     UTF8String.fromString(sb.toString)
   }
 
-  private def render(n: JsonNode, depth: Int, sb: java.lang.StringBuilder): Unit = {
-    def indent(d: Int): Unit = { var i = 0; while (i < d * 2) { sb.append(' '); i += 1 } }
-    if (n.isObject) {
-      if (n.isEmpty) { sb.append("{}"); return }
+  private def indent(sb: java.lang.StringBuilder, d: Int): Unit = {
+    var i = 0; while (i < d * 2) { sb.append(' '); i += 1 }
+  }
+
+  private def render(p: JsonParser, t: JsonToken, depth: Int,
+                     sb: java.lang.StringBuilder): Unit = t match {
+    case JsonToken.START_OBJECT =>
+      var tok = p.nextToken()
+      if (tok == JsonToken.END_OBJECT) { sb.append("{}"); return }
       sb.append("{\n")
-      val it = n.fields()
       var first = true
-      while (it.hasNext) {
-        val e = it.next()
+      while (tok != JsonToken.END_OBJECT) {
         if (!first) sb.append(",\n")
         first = false
-        indent(depth + 1)
-        sb.append(mapper.writeValueAsString(e.getKey)).append(": ")
-        render(e.getValue, depth + 1, sb)
+        indent(sb, depth + 1)
+        sb.append(mapper.writeValueAsString(p.currentName)).append(": ")
+        render(p, p.nextToken(), depth + 1, sb)
+        tok = p.nextToken()
       }
-      sb.append('\n'); indent(depth); sb.append('}')
-    } else if (n.isArray) {
-      if (n.isEmpty) { sb.append("[]"); return }
+      sb.append('\n'); indent(sb, depth); sb.append('}')
+    case JsonToken.START_ARRAY =>
+      var tok = p.nextToken()
+      if (tok == JsonToken.END_ARRAY) { sb.append("[]"); return }
       sb.append("[\n")
-      var i = 0
-      while (i < n.size()) {
-        if (i > 0) sb.append(",\n")
-        indent(depth + 1)
-        render(n.get(i), depth + 1, sb)
-        i += 1
+      var first = true
+      while (tok != JsonToken.END_ARRAY) {
+        if (!first) sb.append(",\n")
+        first = false
+        indent(sb, depth + 1)
+        render(p, tok, depth + 1, sb)
+        tok = p.nextToken()
       }
-      sb.append('\n'); indent(depth); sb.append(']')
-    } else {
-      // scalar (string/number/bool/null): Jackson's compact form
-      // matches JSON.stringify's scalar serialization
-      sb.append(mapper.writeValueAsString(n))
-    }
+      sb.append('\n'); indent(sb, depth); sb.append(']')
+    case JsonToken.VALUE_STRING =>
+      sb.append(mapper.writeValueAsString(p.getText))
+    case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT =>
+      sb.append(p.getText) // original token, verbatim
+    case JsonToken.VALUE_TRUE => sb.append("true")
+    case JsonToken.VALUE_FALSE => sb.append("false")
+    case JsonToken.VALUE_NULL => sb.append("null")
+    case other =>
+      throw new IllegalArgumentException(s"json_pretty: unexpected token $other")
   }
 }
 

@@ -33,14 +33,17 @@ object WatermarkStore {
     }
   }
 
-  /** Persist the mark for the next run. Atomic overwrite: write to a
-    * temp file, then FileContext.rename with Rename.OVERWRITE — a
-    * single filesystem operation, so a valid mark is visible at every
-    * instant. (The FileSystem API has no overwriting rename; the
-    * delete-then-rename workaround opens a window where a crash or a
-    * concurrent reader sees NO mark and silently restarts from the
-    * full history — correct only because sinks are idempotent, but it
-    * forfeits the incremental win.) */
+  /** Persist the mark for the next run. Overwrite via write-to-temp +
+    * FileContext.rename(Rename.OVERWRITE): on HDFS-like filesystems
+    * that honor the FileContext contract this is one atomic namespace
+    * operation, so a valid mark is visible at every instant. On
+    * RawLocalFileSystem (file:// paths — tests, single-node runs) the
+    * overwrite rename still delegates to delete-then-rename, so the
+    * no-mark window is narrowed, not eliminated: a crash in that
+    * window makes the next run silently restart from the full history
+    * — correct because sinks are idempotent, but it forfeits that
+    * run's incremental win. (The plain FileSystem API has no
+    * overwriting rename at all, which is why FileContext is used.) */
   def write(path: String, mark: String): Unit = {
     val conf = new Configuration()
     val fs = new Path(path).getFileSystem(conf)

@@ -168,6 +168,36 @@ class AltoSpec extends SparkSpec {
     assert(viaFetch == direct)
   }
 
+  test("fetch failure: FailFast fails the job like the reference's raise-on-error") {
+    // reference flows/main_flow.py:59-60: a non-zero fetch exit raises
+    // and fails the flow run — the default policy must do the same
+    val urls = Seq((1L, "ok://a"), (2L, "boom://b")).toDF("representation_id", "url")
+    val fetcher = (u: String) =>
+      if (u.startsWith("boom")) sys.error(s"fetch failed: $u") else "<alto/>"
+    val ex = intercept[Exception] {
+      Alto.fetchXml(urls, fetcher).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("fetch failed")))
+  }
+
+  test("fetch failure: NullOnError nulls the row and counts it via observe()") {
+    val urls = Seq((1L, "ok://a"), (2L, "boom://b"), (3L, "ok://c"))
+      .toDF("representation_id", "url")
+    val fetcher = (u: String) =>
+      if (u.startsWith("boom")) sys.error(s"fetch failed: $u") else "<alto/>"
+    val df = Alto.fetchXml(urls, fetcher, policy = Alto.FetchPolicy.NullOnError)
+    val rows = df.collect()
+      .map(r => r.getAs[String]("url") -> Option(r.getAs[String]("xml"))).toMap
+    assert(rows("ok://a").contains("<alto/>") && rows("ok://c").contains("<alto/>"))
+    assert(rows("boom://b").isEmpty)
+    val m = df.queryExecution.observedMetrics("fetch_xml")
+    assert(m.getAs[Long]("urls") == 3L)
+    assert(m.getAs[Long]("failed_fetches") == 1L)
+  }
+
   test("XML datasource ingest path matches from_xml path") {
     val viaDs = Alto.readAltoXmlFiles(spark, resource("/alto/alto_v2_basic.xml"))
       .select(Alto.simplify($"alto").as("s"))

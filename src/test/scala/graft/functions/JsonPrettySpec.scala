@@ -52,6 +52,17 @@ class JsonPrettySpec extends SparkSpec {
     }
   }
 
+  test("numeric tokens pass through byte-verbatim (never re-formatted)") {
+    // a Jackson tree round-trip would rewrite 1e+21 → 1.0E21 and
+    // 7.0 → 7.0-vs-7 depending on node type — json_pretty must not
+    // touch number tokens at all, so whatever the compact serializer
+    // emitted survives to the byte-parity sink
+    val pretty = JsonPretty.compute(UTF8String.fromString(
+      """{"a":1e+21,"b":7.0,"c":-0.5,"d":42,"e":1E-7}""")).toString
+    assert(pretty ==
+      "{\n  \"a\": 1e+21,\n  \"b\": 7.0,\n  \"c\": -0.5,\n  \"d\": 42,\n  \"e\": 1E-7\n}")
+  }
+
   test("layout invariants: 2-space ladder, no space before colon, inline empties") {
     val pretty = JsonPretty.compute(UTF8String.fromString(
       """{"a":{"b":[1,{"c":"x"},[]],"d":{}},"e":null}""")).toString
