@@ -48,7 +48,7 @@ object Bench {
     // here touches the benchmark tables.
     val warm = spark.range(2000).selectExpr("id",
       "repeat(concat('tok', cast(id % 97 as string), ' '), 40) as text")
-    warm.selectExpr("split(trim(lower(text)), '\\\\s+') toks")
+    warm.selectExpr("id", "split(trim(lower(text)), '\\\\s+') toks")
       .selectExpr("id", "toks",
         "transform(sequence(1, greatest(size(toks) - 1, 1)), i -> concat_ws(' ', slice(toks, i, 2))) bi")
       .selectExpr("id", "size(array_distinct(bi)) d", "explode(toks) tok",
