@@ -43,19 +43,54 @@ object Similarity {
     graft.functions.ArrayDotProduct(a, b)
 
   /** Exact cosine top-k for queries vec_id < `nQueries`, k = `k`.
-    * The query side is broadcast; the corpus side streams. */
+    * The query side is broadcast; the corpus side streams — each
+    * executor scans its slice once and scores it inside codegen. A
+    * per-partition top-k heap then prunes BEFORE the window's
+    * exchange: each input partition forwards at most |Q|·k rows, so
+    * the shuffle carries O(|Q|·k·partitions) instead of O(|Q|·N) —
+    * the same bound as the knnExactAgg twin, the formulation that
+    * survives a 100× corpus. The global top-k is a subset of the
+    * union of per-partition top-ks (same total order: cos desc,
+    * neighbor_id asc), so the final window returns the identical,
+    * deterministic result — SimilaritySpec pins exact == agg and the
+    * driver oracle hash-checks it. */
   def knnExact(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nrm").as("nrm_c"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
+    val pruned = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      // min-heap per query: head is the worst kept candidate under the
+      // (cos desc, neighbor_id asc) total order
+      val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+        case (cos, nid) => (-cos, nid)
+      }
+      val best = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (qid, nid, cos) =>
+        val h = best.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        if (h.size < k) h.enqueue((cos, nid))
+        else {
+          val (wc, wn) = h.head
+          if (cos > wc || (cos == wc && nid < wn)) {
+            h.dequeue(); h.enqueue((cos, nid))
+          }
+        }
+      }
+      best.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (cos, nid) => (qid, nid, cos) }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pruned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .orderBy("query_id", "rn")
