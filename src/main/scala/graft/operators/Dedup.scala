@@ -248,11 +248,12 @@ object Dedup {
       val small = idx.filter(col("df") <= MaxShingleDf)
       val a = small.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
       val b = small.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
-      val smallScored = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(count(lit(1)).as("n_common"))
-        .select(col("id_a"), col("id_b"), col("n_a").cast("long").as("n_a"),
-          col("n_b").cast("long").as("n_b"), col("n_common"))
+      // one shared-shingle row per (pair, shingle); star_common null
+      // marks the branch so a SINGLE aggregation merges both
+      val smallRows = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          lit(null).cast("long").as("star_common"))
       val starCands = idx.filter(col("df") > MaxShingleDf)
         .filter(col("doc_id") =!= col("min_id"))
         .select(col("min_id").as("id_a"), col("doc_id").as("id_b"))
@@ -260,15 +261,23 @@ object Dedup {
       val sh = docShingles(spark, dir)
       val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val starScored = starCands.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      val starRows = starCands.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           size(col("sh_a")).cast("long").as("n_a"),
           size(col("sh_b")).cast("long").as("n_b"),
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"))
-      smallScored.unionByName(starScored)
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("star_common"))
+      // single pair-keyed aggregation with map-side partials: the
+      // shared-shingle count (small branch) and the exact intersection
+      // (star branch) combine as greatest() — equivalent to the
+      // two-step union+max merge, one exchange instead of two
+      smallRows.unionByName(starRows)
         .groupBy("id_a", "id_b")
         .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          max(col("n_common")).as("n_common"))
+          count(when(col("star_common").isNull, 1)).as("small_common"),
+          max(col("star_common")).as("star_max"))
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+          greatest(col("small_common"), coalesce(col("star_max"), lit(0L)))
+            .as("n_common"))
         .withColumn("jaccard",
           col("n_common").cast("double") /
             (col("n_a") + col("n_b") - col("n_common")))
