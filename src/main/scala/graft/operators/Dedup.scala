@@ -321,6 +321,92 @@ object Dedup {
     * cleaning policy). */
   private[operators] val ClusterJaccard = 0.8
 
+  /** Connected components by alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public algorithm): each round rewires every
+    * node's neighborhood toward its minimum, and the edge set
+    * converges to stars rooted at each component's minimum id in
+    * O(log n) rounds REGARDLESS of graph diameter — the kernel for
+    * adversarial chain-shaped graphs where per-round min-label
+    * propagation (dedupClusters' default, optimal for the shallow
+    * clusters dup graphs actually have) would need diameter rounds.
+    *
+    * Input: undirected edges (id_a, id_b). Output: (id, component) for
+    * every node incident to an edge, component = min id of the
+    * component (same contract as the propagation loop; DedupSpec pins
+    * equivalence against a driver-side union-find on seeded random
+    * graphs and the round bound on a 200-node path).
+    *
+    * Each round is two window passes + distincts over the EDGE table
+    * (tiny next to the corpus); superseded edge checkpoints are freed
+    * as soon as the next round materializes. Convergence is an exact
+    * multiset compare of consecutive edge sets (exceptAll both ways is
+    * overkill — equal counts + empty one-sided exceptAll suffices for
+    * distinct edge sets). */
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** connectedComponents plus the number of star rounds it took —
+    * exposed so DedupSpec can pin the O(log n) bound on a path graph
+    * (200 nodes ⇒ well under 20 rounds; min-label propagation would
+    * need ~200). */
+  private[operators] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    // canonical undirected, self-loop-free edge set
+    var (edges, edgeIds) = trackedCheckpoint(pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      // large-star: for every node u, link each STRICTLY LARGER
+      // neighbor to the minimum of the closed neighborhood
+      val bidir = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      val w = Window.partitionBy(col("a"))
+      val ls = bidir
+        .withColumn("m", least(col("a"), min(col("b")).over(w)))
+        .filter(col("b") > col("a"))
+        .select(least(col("b"), col("m")).as("u"),
+          greatest(col("b"), col("m")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: for every node a, link its smaller-or-self
+      // neighborhood to that neighborhood's minimum
+      val bidir2 = ls.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(ls.select(col("v").as("a"), col("u").as("b")))
+      val smaller = bidir2.filter(col("b") < col("a"))
+      val w2 = Window.partitionBy(col("a"))
+      val withMin = smaller.withColumn("m", min(col("b")).over(w2))
+      val ss = withMin
+        .select(col("a"), col("b"), col("m"))
+        .select(explode(array(
+          struct(col("a").as("x"), col("m").as("y")),
+          struct(col("b").as("x"), col("m").as("y")))).as("e"))
+        .select(least(col("e.x"), col("e.y")).as("u"),
+          greatest(col("e.x"), col("e.y")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val (next, nextIds) = trackedCheckpoint(ss)
+      val sameCount = next.count() == edges.count()
+      converged = sameCount &&
+        next.exceptAll(edges).limit(1).count() == 0
+      unpersistIds(spark, edgeIds)
+      edges = next
+      edgeIds = nextIds
+    }
+    trackStray(spark, edgeIds)
+    // converged edges are stars (root = component min); roots label
+    // themselves
+    val labels = edges.select(col("v").as("id"), col("u").as("component"))
+      .unionByName(edges.select(col("u").as("id"), col("u").as("component")))
+      .groupBy("id").agg(min(col("component")).as("component"))
+    (labels, rounds)
+  }
+
   /** Transitive dedup clustering: connected components over the
     * similarity graph, where edges are (a) exact-duplicate star pairs
     * (keep-lowest-id → other members of the same normalized-text
@@ -337,8 +423,9 @@ object Dedup {
     * shallow; the pair table is tiny next to the corpus), each one a
     * distributed join + agg with the lineage truncated by
     * localCheckpoint; the driver sees only the converged count. At
-    * adversarial diameters the same loop upgrades to large-star/
-    * small-star (O(log n) rounds) without changing the output.
+    * adversarial diameters, swap the loop for connectedComponents
+    * (alternating large-star/small-star, O(log n) rounds, identical
+    * output — DedupSpec pins the equivalence and the round bound).
     * Oracle: a DuckDB recursive CTE over the identical edge set. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // exact-dup star via window-min, never collect_list: a document

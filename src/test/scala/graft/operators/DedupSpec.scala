@@ -89,6 +89,63 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(top._4 - 28.0 / 30.0) < 1e-12)
   }
 
+  /** Driver-side union-find — the differential oracle for the
+    * distributed connected-components kernel. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // min id per set: roots chosen by min-merge above already are the
+    // set minimum, but normalize defensively
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }.toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val df = edges.toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(df)
+    (labels.as[(Long, Long)].collect().toMap, rounds)
+  }
+
+  test("connectedComponents matches driver-side union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 8).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = (0 until (n * 3 / 2)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val (got, _) = ccOf(edges)
+      assert(got == unionFind(edges), s"trial $trial diverged from union-find")
+    }
+  }
+
+  test("connectedComponents: 200-node path converges in O(log n) rounds, not O(diameter)") {
+    // the adversarial shape for min-label propagation: a chain needs
+    // one round per hop (~200); alternating stars must stay well under
+    // 20 and still label every node with the chain minimum
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val (labels, rounds) = ccOf(path)
+    assert(labels.size == 200 && labels.values.forall(_ == 0L))
+    assert(rounds < 20, s"took $rounds rounds — not the O(log n) kernel")
+  }
+
+  test("connectedComponents: stars and singleton pairs are already stable") {
+    val edges = Seq((5L, 1L), (1L, 9L), (1L, 7L), (100L, 200L))
+    val (labels, rounds) = ccOf(edges)
+    assert(labels == Map(1L -> 1L, 5L -> 1L, 7L -> 1L, 9L -> 1L,
+      100L -> 100L, 200L -> 100L))
+    assert(rounds <= 2)
+  }
+
   test("minhash estimate: exact 1.0 for identical docs, near true jaccard otherwise") {
     // doc1 == doc2; doc3 shares roughly half its shingles with doc1.
     val shared = (0 until 20).map(i => s"s$i").mkString(" ")
