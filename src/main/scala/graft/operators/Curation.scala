@@ -166,6 +166,91 @@ object Curation {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Sample size for PPS sampling. */
+  private[operators] val PpsSampleN = 100L
+
+  /** Scalable global running sum: cumulative `valCol` in `orderCol`
+    * order WITHOUT a single-partition window over the full table. The
+    * rows cumsum within their block (distributed window keyed on the
+    * block), block totals prefix-sum in one tiny single-partition
+    * window (one row per block), and the two add up. The DuckDB
+    * oracles express the same quantity as a plain
+    * SUM() OVER (ORDER BY …) — identical values, different physics. */
+  private def blockCumsum(df: DataFrame, blockCol: Column, orderCol: Seq[Column],
+                          valCol: Column): DataFrame = {
+    val withBlock = df.withColumn("_blk", blockCol)
+    val within = sum(valCol).over(
+      Window.partitionBy(col("_blk")).orderBy(orderCol: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val blockTotals = withBlock.groupBy(col("_blk"))
+      .agg(sum(valCol).as("_blk_total"))
+      .withColumn("_blk_prefix",
+        coalesce(sum(col("_blk_total")).over(
+          Window.orderBy(col("_blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_blk"), col("_blk_prefix"))
+    withBlock.withColumn("_within", within)
+      .join(blockTotals, Seq("_blk"))
+      .withColumn("_cum", col("_blk_prefix") + col("_within"))
+      .drop("_blk", "_within", "_blk_prefix")
+  }
+
+  /** Systematic probability-proportional-to-size sampling: n evenly
+    * spaced probes over the cumulative weight axis (w = n_chars + 1),
+    * docs in doc_id order. Deterministic AND exact across engines: the
+    * probe test counts k ∈ [0, n) with (2k+1)·W ≤ 2n·cum, i.e.
+    * (2n·cum + W) intdiv (2W) — pure BIGINT arithmetic, no RNG, no
+    * libm (an Efraimidis–Spirakis key u^(1/w) would hang the oracle
+    * hash on pow/ln ulps). A doc heavier than W/n can be hit more
+    * than once — standard PPS; n_hits reports it. Scale: one
+    * distributed block cumsum + a narrow map (the probe count is a
+    * closed form, never a join against the probe list). */
+  def ppsSample(spark: SparkSession, dir: String, n: Long = PpsSampleN): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("n_chars") + 1L).as("w"))
+    // contiguous-range block key: block b's rows all precede block
+    // b+1's in doc_id order, which is what lets the block prefix
+    // stand in for the global one
+    val withCum = blockCumsum(docs, expr("doc_id DIV 1024"),
+      Seq(col("doc_id")), col("w"))
+    val total = docs.agg(sum(col("w")).cast("long").as("total"))
+    withCum.crossJoin(broadcast(total))
+      .withColumn("hits_le",
+        expr(s"(2 * $n * _cum + total) DIV (2 * total)"))
+      .withColumn("hits_lt",
+        expr(s"(2 * $n * (_cum - w) + total) DIV (2 * total)"))
+      .select(col("doc_id"), col("w").cast("long").as("w"),
+        (col("hits_le") - col("hits_lt")).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Tokens per packed training shard. */
+  private[operators] val PackBudget = 512L
+
+  /** Sequence packing (token-budget sharding): lay the chunk stream
+    * (doc_id, chunk_idx order) along the cumulative token axis and cut
+    * a shard every PackBudget tokens — shard = exclusive-prefix
+    * intdiv budget. Chunks stay atomic within their shard assignment;
+    * a chunk straddling a boundary belongs to the shard its first
+    * token falls in (deterministic, no sequential state, identical
+    * under repartitioning — the property greedy first-fit packing
+    * lacks). Output is the per-shard audit: chunk/token/doc counts
+    * and fill level. */
+  def packChunks(spark: SparkSession, dir: String, budget: Long = PackBudget): DataFrame = {
+    val chunks = chunkDocs(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
+    val withCum = blockCumsum(chunks, expr("doc_id DIV 1024"),
+      Seq(col("doc_id"), col("chunk_idx")), col("n_tokens"))
+    withCum
+      .withColumn("shard", expr(s"(_cum - n_tokens) DIV $budget"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("shard")
+  }
+
   private val ProfileCols = Seq(
     "o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -217,6 +302,8 @@ object CurationModule extends QueryModule {
     "q_hash_split" -> ((s: SparkSession, d: String) => hashSplit(s, d)),
     "q_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
     "q_chunk_docs" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
+    "q_pps_sample" -> ((s: SparkSession, d: String) => ppsSample(s, d)),
+    "q_pack_chunks" -> ((s: SparkSession, d: String) => packChunks(s, d)),
     "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)))
 
   def oracles = Map(
@@ -261,6 +348,33 @@ object CurationModule extends QueryModule {
         |  md5(array_to_string(toks[j*64+1 : j*64+64], ' ')) AS chunk_md5
         |FROM t, unnest(generate_series(0, (len(toks)-1)//64)) AS u(j)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pps_sample" ->
+      """WITH d AS (SELECT doc_id, n_chars + 1 AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |    SUM(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |t AS (SELECT SUM(w) AS total FROM d)
+        |SELECT doc_id, w, n_hits FROM (
+        |  SELECT doc_id, CAST(w AS BIGINT) AS w,
+        |    CAST((2*100*cum + total) // (2*total)
+        |       - (2*100*(cum - w) + total) // (2*total) AS BIGINT) AS n_hits
+        |  FROM c CROSS JOIN t)
+        |WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |ch AS (SELECT doc_id, j AS chunk_idx, least(64, len(toks) - j*64) AS n_tokens
+        |       FROM t, unnest(generate_series(0, (len(toks)-1)//64)) AS u(j)),
+        |c AS (SELECT doc_id, chunk_idx, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ch)
+        |SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
     "q_profile_orders" -> {
       val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
       val selects = Seq(

@@ -198,6 +198,35 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Int8 scalar-quantization audit: per vector, scale = max |v_i|
+    * (exact double) and q_i = floor(v_i·127/scale + 0.5) ∈ [-127, 127]
+    * — the symmetric int8 compression step of an embedding-store
+    * pipeline, reported as the per-vector audit (min/max/checksum of q
+    * and the saturated-lane count) the compression job gates on.
+    *
+    * Engine-parity: every operation is an exactly-rounded IEEE
+    * primitive (cast, multiply, divide, floor) — no libm — so the
+    * quantized integers are bit-identical across engines and the
+    * driver hash-checks them. Zero vectors quantize to all-zero.
+    * Shape: the scale is computed per row BEFORE the explode, the
+    * per-element quantize + per-vector stats run as explode + one
+    * codegen hash aggregation with map-side partials (one accumulator
+    * row per vector crosses the exchange). */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val q = when(col("scale") === 0d, lit(0L))
+      .otherwise(floor(col("v").cast("double") * 127d / col("scale") + 0.5d).cast("long"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("scale"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), q.as("q"))
+      .groupBy("vec_id")
+      .agg(min(col("q")).as("qmin"), max(col("q")).as("qmax"),
+        sum(col("q")).as("qsum"),
+        sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label centroid (mean embedding), one output row per
     * (label, dimension): posexplode the vector and hash-aggregate on
     * (label, pos). This is the vector-aggregation shape that scales —
@@ -325,13 +354,29 @@ object SimilarityModule extends QueryModule {
     "q_knn_exact_agg" -> ((s: SparkSession, d: String) => knnExactAgg(s, d)),
     "q_knn_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvf(s, d)),
-    "q_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)))
+    "q_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
+    "q_quantize_embeddings" -> ((s: SparkSession, d: String) => quantizeEmbeddings(s, d)))
 
   // q_knn_exact_agg shares q_knn_exact's oracle: same semantics, the
   // Aggregator formulation just changes the physical plan.
   def oracles = Map(
     "q_knn_exact_agg" -> knnOracleSql,
     "q_knn_exact" -> knnOracleSql,
+    "q_quantize_embeddings" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id,
+        |    list_max(list_transform(v, y -> abs(y))) AS scale,
+        |    unnest(v) AS val
+        |  FROM e),
+        |qq AS (SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN 0
+        |         ELSE CAST(floor(val * 127 / scale + 0.5) AS BIGINT) END AS q
+        |  FROM x)
+        |SELECT vec_id,
+        |  CAST(MIN(q) AS BIGINT) AS qmin, CAST(MAX(q) AS BIGINT) AS qmax,
+        |  CAST(SUM(q) AS BIGINT) AS qsum,
+        |  CAST(SUM(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
+        |FROM qq GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT label, i - 1 AS pos, CAST(v[i] AS DECIMAL(27,9)) AS val

@@ -58,6 +58,42 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("PPS sample: exactly n probes land, heavy docs get multiple hits, integer-exact") {
+    val out = Curation.ppsSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // systematic PPS places exactly n probes over the weight axis
+    assert(out.map(_._3).sum == Curation.PpsSampleN)
+    assert(out.forall(_._3 >= 1))
+    // inclusion is weight-monotone in aggregate: the selected docs'
+    // mean weight must exceed the corpus mean (that is what
+    // probability-proportional-to-size means)
+    val corpusMeanW = Tables.documents(spark, dir)
+      .agg(avg(col("n_chars") + 1)).head.getDouble(0)
+    val sampleMeanW = out.map(_._2).sum.toDouble / out.length
+    assert(sampleMeanW > corpusMeanW,
+      s"sample mean $sampleMeanW not above corpus mean $corpusMeanW")
+    // determinism
+    val again = Curation.ppsSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sameElements(again))
+  }
+
+  test("pack chunks: shards are contiguous, tokens fully accounted, budget respected") {
+    val shards = Curation.packChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ids = shards.map(_._1)
+    assert(ids.head == 0L && ids.sameElements(ids.min to ids.max),
+      "shard ids must be contiguous from 0")
+    val totalTokens = Curation.chunkDocs(spark, dir)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(shards.map(_._3).sum == totalTokens, "every token in exactly one shard")
+    // a shard overfills only by the tail of one straddling chunk, so
+    // its token count is bounded by budget + (max chunk - 1)
+    val maxChunk = Curation.chunkDocs(spark, dir)
+      .agg(max(col("n_tokens"))).head.getInt(0)
+    assert(shards.forall(_._3 <= Curation.PackBudget + maxChunk - 1))
+  }
+
   test("decontamination flags every exact duplicate of an eval document") {
     // Any training doc whose text equals an eval doc's text shares all
     // its 8-grams — it must be flagged (docs here are all ≥ 8 tokens).

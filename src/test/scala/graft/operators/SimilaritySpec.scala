@@ -15,6 +15,20 @@ class SimilaritySpec extends SparkSpec {
     .select("query_id", "neighbor_id", "cos", "rn")
     .as[(Long, Long, Double, Int)].collect()
 
+  test("int8 quantization: range bounded, max-abs lane saturates exactly") {
+    val rows = Similarity.quantizeEmbeddings(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qmin, qmax, nSat) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(qmin >= -127 && qmax <= 127)
+      if (qmin != 0L || qmax != 0L) {
+        // the element with |v| = scale quantizes to exactly ±127
+        assert(qmax == 127L || qmin == -127L, s"vec ${r.getLong(0)} never saturates")
+        assert(nSat >= 1L)
+      }
+    }
+  }
+
   test("knnExact returns k=5 ranked neighbors per query, cos non-increasing") {
     val byQuery = exact.groupBy(_._1)
     assert(byQuery.size == 10)
