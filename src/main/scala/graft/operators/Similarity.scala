@@ -264,16 +264,16 @@ object SimilarityIvf {
     Seq.fill(NumCentroids, Similarity.Dim)(rnd.nextGaussian())
   }
 
-  private def centroidDots(v: Column): Column =
-    array(centroids.map(c => dot(v, typedLit(c))): _*)
+  private def centroidDots(v: Column, cents: Seq[Seq[Double]]): Column =
+    array(cents.map(c => dot(v, typedLit(c))): _*)
 
   /** Query side: probe the `NumProbe` nearest cells (standard IVF
     * recall knob — a vector near a cell boundary is found through the
     * neighboring probes). */
-  private def probedCells(v: Column): Column =
+  private def probedCells(v: Column, cents: Seq[Seq[Double]]): Column =
     transform(
       slice(reverse(array_sort(arrays_zip(
-        centroidDots(v), sequence(lit(1), lit(NumCentroids))))), 1, NumProbe),
+        centroidDots(v, cents), sequence(lit(1), lit(cents.length))))), 1, NumProbe),
       s => s.getField("1").cast("int"))
 
   /** Materialized IVF cell index (vec_id, cell) — ids only, built once
@@ -283,11 +283,14 @@ object SimilarityIvf {
     * 16×64 dot products twice (CollapseProject inlines single-use
     * aliases); the staging blocks are freed as soon as the id table
     * materializes. */
-  private[operators] def ivfCells(spark: SparkSession, dir: String): DataFrame =
-    Dedup.memo(spark, s"ivfCells|$dir") {
+  private[operators] def ivfCells(spark: SparkSession, dir: String,
+                                  cents: Seq[Seq[Double]] = centroids,
+                                  memoKey: String = ""): DataFrame = {
+    val key = if (memoKey.nonEmpty) memoKey else s"ivfCells|$dir"
+    Dedup.memo(spark, key) {
       val (staged, stagedIds) = Dedup.trackedCheckpoint(
         Similarity.embBase(spark, dir)
-          .select(col("vec_id"), centroidDots(col("v")).as("dots")))
+          .select(col("vec_id"), centroidDots(col("v"), cents).as("dots")))
       val out = staged
         .select(col("vec_id"),
           array_position(col("dots"), array_max(col("dots"))).cast("int").as("cell"))
@@ -295,6 +298,71 @@ object SimilarityIvf {
       Dedup.unpersistIds(spark, stagedIds)
       out
     }
+  }
+
+  /** Cached sampled-k-means centroid fits per (session, dir): the
+    * model is 16×64 doubles — negligible — so unlike the index tables
+    * it needs no eviction discipline. */
+  private val fitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+
+  /** Coarse-quantizer training: Lloyd's k-means on a deterministic
+    * hash-ordered sample of the corpus, fitted driver-side. This is
+    * the standard IVF training shape at any scale (FAISS-style coarse
+    * quantizers train on samples, not the corpus): the executors ship
+    * only `sampleN` vectors (≈ 128 KB here) and the fitted model goes
+    * back into the plan as literals, so the cell-assignment scan is
+    * unchanged. The hash-ordered draw makes the fit reproducible
+    * across runs and repartitionings — no RNG state. Empty clusters
+    * re-seed from the sample (hash order), so exactly k centroids
+    * always come back. */
+  private[operators] def fitCentroids(spark: SparkSession, dir: String,
+                                      k: Int = NumCentroids, sampleN: Int = 512,
+                                      iters: Int = 5): Seq[Seq[Double]] = {
+    val key = System.identityHashCode(spark) + "|" + dir + "|" + k
+    val hit = fitCache.get(key)
+    if (hit != null) return hit
+    val sample = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = (0 until k).map { c =>
+        if (counts(c) == 0) sample(c % sample.length).clone()
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    val out = centroids.map(_.toSeq).toSeq
+    fitCache.put(key, out)
+    out
+  }
+
+  /** annIvf with centroids trained by the sampled k-means fit instead
+    * of seeded gaussians — same plan shape, data-adapted cells (the
+    * production configuration the seeded variant stands in for).
+    * Rows-only for the driver; planted recall pinned in
+    * SimilaritySpec. */
+  def annIvfFitted(spark: SparkSession, dir: String,
+                   nQueries: Int = NumQueriesDefault, k: Int = TopKDefault): DataFrame =
+    annIvfWith(spark, dir, fitCentroids(spark, dir), s"ivfCellsFit|$dir", nQueries, k)
 
   /** Approximate top-k via IVF: candidate pairs from the ids-only cell
     * index (equi-join on the cell id), exact cosine rerank via vector
@@ -303,15 +371,18 @@ object SimilarityIvf {
     *
     * Scale posture vs LSH: IVF moves each corpus vector into exactly
     * ONE cell (vs T bucket copies), so the index shuffle is 1× the
-    * corpus; recall is bought at query time via nprobe. At 100 TB the
-    * centroids come from a sampled k-means fit instead of seeded
-    * gaussians — same plan shape. */
+    * corpus; recall is bought at query time via nprobe (annIvfFitted
+    * swaps in sampled-k-means centroids — same plan). */
   def annIvf(spark: SparkSession, dir: String,
-             nQueries: Int = NumQueriesDefault, k: Int = TopKDefault): DataFrame = {
+             nQueries: Int = NumQueriesDefault, k: Int = TopKDefault): DataFrame =
+    annIvfWith(spark, dir, centroids, s"ivfCells|$dir", nQueries, k)
+
+  private def annIvfWith(spark: SparkSession, dir: String, cents: Seq[Seq[Double]],
+                         memoKey: String, nQueries: Int, k: Int): DataFrame = {
     val base = Similarity.embBase(spark, dir)
-    val cells = ivfCells(spark, dir)
+    val cells = ivfCells(spark, dir, cents, memoKey)
     val qcells = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), explode(probedCells(col("v"))).as("cell"))
+      .select(col("vec_id").as("query_id"), explode(probedCells(col("v"), cents)).as("cell"))
     val pairs = broadcast(qcells)
       .join(cells.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -354,6 +425,7 @@ object SimilarityModule extends QueryModule {
     "q_knn_exact_agg" -> ((s: SparkSession, d: String) => knnExactAgg(s, d)),
     "q_knn_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvf(s, d)),
+    "q_knn_ivf_fit" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvfFitted(s, d)),
     "q_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
     "q_quantize_embeddings" -> ((s: SparkSession, d: String) => quantizeEmbeddings(s, d)))
 

@@ -83,6 +83,15 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect())
   }
 
+  test("fitted-centroid IVF recovers planted neighbors; fit is deterministic") {
+    assertPlantedRecovered("ivf_fit", SimilarityIvf.annIvfFitted(spark, plantedDir)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect())
+    val f1 = SimilarityIvf.fitCentroids(spark, sf("sf0.001"))
+    val f2 = SimilarityIvf.fitCentroids(spark, sf("sf0.001"))
+    assert(f1 == f2, "hash-ordered sample + Lloyd must be reproducible")
+    assert(f1.length == 16 && f1.forall(_.length == 64))
+  }
+
   test("IVF ranks are dense, scores agree with exact cosine on shared pairs") {
     val ivf = SimilarityIvf.annIvf(spark, sf("sf0.001"))
       .select("query_id", "neighbor_id", "cos", "rn")
