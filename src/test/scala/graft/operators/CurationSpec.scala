@@ -94,6 +94,19 @@ class CurationSpec extends SparkSpec {
     assert(shards.forall(_._3 <= Curation.PackBudget + maxChunk - 1))
   }
 
+  test("cumulative operators are layout-stable: a 7-file shuffle of the input moves nothing") {
+    // PPS sampling and packing ride a global cumulative sum — the
+    // ordering-sensitive shape. The block cumsum must make them a pure
+    // function of the DATA, not of file/partition layout.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    Tables.documents(spark, dir).repartition(7)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Curation.ppsSample(spark, tmp).collect().toSeq ==
+      Curation.ppsSample(spark, dir).collect().toSeq)
+    assert(Curation.packChunks(spark, tmp).collect().toSeq ==
+      Curation.packChunks(spark, dir).collect().toSeq)
+  }
+
   test("decontamination flags every exact duplicate of an eval document") {
     // Any training doc whose text equals an eval doc's text shares all
     // its 8-grams — it must be flagged (docs here are all ≥ 8 tokens).
