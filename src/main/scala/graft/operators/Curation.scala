@@ -132,13 +132,39 @@ object Curation {
   /** Quota sampling: at most QuotaPerGroup docs per language, chosen
     * by hash order (md5 of the id) — a deterministic uniform draw with
     * no RNG state, so the sample is stable under reruns and
-    * repartitioning. One shuffle on the group key. */
+    * repartitioning. A per-partition heap prunes each input partition
+    * to ≤ quota rows per group BEFORE the window's exchange, so a
+    * pathological hot group (half the corpus one language) shuffles
+    * O(quota·partitions) rows instead of O(group) — the group's true
+    * quota winners are a subset of the union of per-partition winners
+    * under the same (hash, id) total order, so the final window
+    * returns the identical rows. */
   def quotaSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quota = QuotaPerGroup
+    val keyed = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val pruned = keyed.as[(String, Long, String)].mapPartitions { it =>
+      // max-heap on (hash, id): head is the worst kept candidate
+      val worstFirst = Ordering.by[(String, Long), (String, Long)](identity)
+      val best = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.PriorityQueue[(String, Long)]]
+      it.foreach { case (lang, id, h) =>
+        val q = best.getOrElseUpdate(lang,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        if (q.size < quota) q.enqueue((h, id))
+        else if (worstFirst.lt((h, id), q.head)) { q.dequeue(); q.enqueue((h, id)) }
+      }
+      best.iterator.flatMap { case (lang, q) =>
+        q.iterator.map { case (h, id) => (lang, id, h) }
+      }
+    }.toDF("lang", "doc_id", "h")
     val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-    Tables.documents(spark, dir)
+      .orderBy(col("h").asc, col("doc_id").asc)
+    pruned
       .select(col("lang"), col("doc_id"), row_number().over(w).as("rn"))
-      .filter(col("rn") <= QuotaPerGroup)
+      .filter(col("rn") <= quota)
       .orderBy(col("lang").asc, col("rn").asc)
   }
 
