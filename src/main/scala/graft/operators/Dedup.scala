@@ -17,10 +17,11 @@ import graft.sources.Tables
   *  - Jaccard candidates come from an INVERTED-INDEX join (explode
   *    shingles, equi-join on the shingle) — never an all-pairs cross
   *    join. The shuffle is keyed on the shingle, so co-occurring docs
-  *    meet in one partition; shingles above a document-frequency cap
-  *    (boilerplate shared by everything — O(df²) pairs each) are
-  *    dropped from the index, and what skew remains is an AQE
-  *    skew-join case.
+  *    meet in one partition; shingles above a document-frequency
+  *    threshold (boilerplate shared by everything — O(df²) pairs
+  *    each) degrade to star pairs against the shingle-group minimum
+  *    (O(df), exact-intersection scored), and what skew remains is an
+  *    AQE skew-join case.
   *  - MinHash compresses each doc to a k-int signature *before* any
   *    shuffle: the candidate join moves k longs per doc instead of the
   *    full shingle set. Banding (b bands of r rows) tunes the
@@ -98,7 +99,7 @@ object Dedup {
     * label table of an iterative job — for release with the rest of
     * the session's index state. */
   private[operators] def trackStray(spark: SparkSession, ids: Set[Int]): Unit = {
-    val k = System.identityHashCode(spark) + "|stray"
+    val k = s"${System.identityHashCode(spark)}|stray"
     indexCache.synchronized {
       val prev = Option(indexRdds.get(k)).getOrElse(Set.empty)
       indexRdds.put(k, prev ++ ids)
@@ -110,7 +111,7 @@ object Dedup {
     * docShingles), and a nested computeIfAbsent on the same map throws
     * "Recursive update". */
   private[operators] def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = System.identityHashCode(spark) + "|" + key
+    val k = s"${System.identityHashCode(spark)}|$key"
     val hit = indexCache.get(k)
     if (hit != null) hit
     else indexCache.synchronized {
@@ -135,7 +136,7 @@ object Dedup {
     * needs. Nested entries may share ids; unpersist is idempotent. */
   def releaseIndexes(spark: SparkSession): Unit = indexCache.synchronized {
     import scala.jdk.CollectionConverters._
-    val prefix = System.identityHashCode(spark) + "|"
+    val prefix = s"${System.identityHashCode(spark)}|"
     val keys = (indexCache.keySet.asScala ++ indexRdds.keySet.asScala)
       .filter(_.startsWith(prefix)).toList
     keys.foreach { k =>

@@ -14,11 +14,10 @@ import graft.sources.Tables
   * Scale posture (100 TB):
   *  - Brute force is O(|Q|·N) dot products: fine when the query set is
   *    small (it is broadcast, so the big side never shuffles — each
-  *    executor scans its partition of the corpus once). The per-query
-  *    top-k is a window over query_id: shuffle is proportional to
-  *    |Q|·N rows of (id, cos) pairs, NOT embeddings. At scale, cap it
-  *    with a per-partition pre-top-k (mapPartitions heap) — here the
-  *    window formulation keeps the whole plan declarative.
+  *    executor scans its partition of the corpus once). A
+  *    per-partition top-k heap prunes ahead of the ranking window, so
+  *    the exchange carries O(|Q|·k·partitions) rows, never |Q|·N —
+  *    in both the window and the typed-Aggregator formulation.
   *  - LSH hashes every vector to T×1 bucket ids (T tables, H
   *    hyperplanes each) in one narrow map; the candidate join is an
   *    equi-join on (table, bucket) — co-located, no cross product. The
@@ -319,7 +318,7 @@ object SimilarityIvf {
   private[operators] def fitCentroids(spark: SparkSession, dir: String,
                                       k: Int = NumCentroids, sampleN: Int = 512,
                                       iters: Int = 5): Seq[Seq[Double]] = {
-    val key = System.identityHashCode(spark) + "|" + dir + "|" + k
+    val key = s"${System.identityHashCode(spark)}|$dir|$k"
     val hit = fitCache.get(key)
     if (hit != null) return hit
     val sample = Tables.embeddings(spark, dir)
