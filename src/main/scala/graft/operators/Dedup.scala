@@ -474,58 +474,105 @@ object Dedup {
     * (alternating large-star/small-star, O(log n) rounds, identical
     * output — DedupSpec pins the equivalence and the round bound).
     * Oracle: a DuckDB recursive CTE over the identical edge set. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // exact-dup star via window-min, never collect_list: a document
-    // copied n times is n rows through the window, not one n-element
-    // array row (the hot-key OOM shape at corpus scale)
-    val wFp = Window.partitionBy(col("fp"))
-    val exactPairs = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
-      .withColumn("keep_id", min(col("doc_id")).over(wFp))
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select(col("keep_id").as("id_a"), col("doc_id").as("id_b"))
-    val nearPairs = jaccardPairTable(spark, dir)
-      .filter(col("jaccard") >= ClusterJaccard)
-      .select(col("id_a"), col("id_b"))
-    val pairs = exactPairs.unionByName(nearPairs)
-    // undirected: propagate along both directions of every edge
-    val (edges, edgeIds) = trackedCheckpoint(pairs
-      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .distinct())
-    var (labels, labelIds) = trackedCheckpoint(
-      edges.select(col("id_a").as("id")).distinct().withColumn("lbl", col("id")))
-    // Convergence probe: labels only ever decrease, so the exact label
-    // sum (DECIMAL(38,0) — no overflow at any corpus size) strictly
-    // decreases iff any label changed. One aggregate over the tiny
-    // checkpointed label table per round, instead of a join + count.
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
-    var prevSum = lblSum(labels)
-    var converged = false
-    while (!converged) {
-      val nbrMin = edges.join(labels, edges("id_b") === labels("id"))
-        .groupBy(edges("id_a").as("id")).agg(min(col("lbl")).as("nbr_lbl"))
-      val (next, nextIds) = trackedCheckpoint(labels.alias("l")
-        .join(nbrMin.alias("n"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("l.lbl"), coalesce(col("n.nbr_lbl"), col("l.lbl"))).as("lbl")))
-      val nextSum = lblSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      // the superseded label table is dead once `next` is materialized;
-      // holding every round's checkpoint grows block-manager storage
-      // linearly in iteration count (the round-3 leak)
-      unpersistIds(spark, labelIds)
-      labels = next
-      labelIds = nextIds
-    }
-    unpersistIds(spark, edgeIds)
-    // the final label table backs the returned (lazy) DataFrame; its
-    // blocks are released with the rest of the session's index state
-    trackStray(spark, labelIds)
-    labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("component"))))
+      .orderBy("component", "doc_id")
+
+  /** Memoized converged component labels (doc_id, component) over the
+    * similarity graph — the propagation loop runs once per (session,
+    * dir) and is shared by dedupClusters and clusterCanonical (the
+    * memo's tracked-checkpoint discipline frees the label blocks at
+    * releaseIndexes). Only docs incident to an edge appear. */
+  private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"clusterLabels|$dir") {
+      // exact-dup star via window-min, never collect_list: a document
+      // copied n times is n rows through the window, not one n-element
+      // array row (the hot-key OOM shape at corpus scale)
+      val wFp = Window.partitionBy(col("fp"))
+      val exactPairs = Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+        .withColumn("keep_id", min(col("doc_id")).over(wFp))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("keep_id").as("id_a"), col("doc_id").as("id_b"))
+      val nearPairs = jaccardPairTable(spark, dir)
+        .filter(col("jaccard") >= ClusterJaccard)
+        .select(col("id_a"), col("id_b"))
+      val pairs = exactPairs.unionByName(nearPairs)
+      // undirected: propagate along both directions of every edge
+      val (edges, edgeIds) = trackedCheckpoint(pairs
+        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .distinct())
+      var (labels, labelIds) = trackedCheckpoint(
+        edges.select(col("id_a").as("id")).distinct().withColumn("lbl", col("id")))
+      // Convergence probe: labels only ever decrease, so the exact label
+      // sum (DECIMAL(38,0) — no overflow at any corpus size) strictly
+      // decreases iff any label changed. One aggregate over the tiny
+      // checkpointed label table per round, instead of a join + count.
+      def lblSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+      var prevSum = lblSum(labels)
+      var converged = false
+      while (!converged) {
+        val nbrMin = edges.join(labels, edges("id_b") === labels("id"))
+          .groupBy(edges("id_a").as("id")).agg(min(col("lbl")).as("nbr_lbl"))
+        val (next, nextIds) = trackedCheckpoint(labels.alias("l")
+          .join(nbrMin.alias("n"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("l.lbl"), coalesce(col("n.nbr_lbl"), col("l.lbl"))).as("lbl")))
+        val nextSum = lblSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        // the superseded label table is dead once `next` is materialized;
+        // holding every round's checkpoint grows block-manager storage
+        // linearly in iteration count (the round-3 leak)
+        unpersistIds(spark, labelIds)
+        labels = next
+        labelIds = nextIds
+      }
+      unpersistIds(spark, edgeIds)
+      // the final label checkpoint survives as the memo entry; its ids
+      // land in indexRdds via the memo's before/after diff
+      labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+    }
+
+  /** Quality-aware canonical selection: for every dup cluster, keep the
+    * best member instead of the lowest id — prefer documents the
+    * quality heuristics pass ('ok' over any reject tier), then longer
+    * documents, then the lowest doc_id as the final tie-break. Emits a
+    * per-document keep/drop decision — the actual output a curation
+    * pipeline consumes (dedupClusters reports the clusters; this turns
+    * them into actions that retain the most valuable copy).
+    *
+    * Scale: the label table is tiny (docs incident to a dup edge), so
+    * the corpus join broadcasts it under AQE stats; the selection
+    * window partitions by component over that already-small join
+    * result. The quality columns are one narrow scan projection —
+    * ratios identical to TextAnalysis.qualityScore, whose oracle
+    * hash-matches, so the tier comparison is parity-safe. */
+  def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t)
+    val punctRatio = round(
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
+        length(col("text")), 6)
+    val distinctRatio = round(size(array_distinct(t)).cast("double") / nTok, 6)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+        when(nTok < 10, "too_short")
+          .when(punctRatio > 0.2, "too_punct")
+          .when(distinctRatio < 0.2, "too_repetitive")
+          .otherwise("ok").as("quality"))
+    val sel = Window.partitionBy(col("component"))
+      .orderBy(when(col("quality") === "ok", 0).otherwise(1).asc,
+        col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    clusterLabels(spark, dir).join(docs, Seq("doc_id"))
+      .withColumn("keep_id", first(col("doc_id")).over(sel))
+      .select(col("doc_id"), col("component"), col("quality"), col("n_tokens"),
+        col("keep_id"),
+        when(col("doc_id") === col("keep_id"), "keep").otherwise("drop").as("action"))
       .orderBy("component", "doc_id")
   }
 
@@ -735,7 +782,8 @@ object DedupModule extends QueryModule {
     "q_dedup_minhash" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
-    "q_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)))
+    "q_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
+    "q_dedup_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(s, d)))
 
   def oracles = Map(
     "q_dedup_exact" ->
@@ -843,6 +891,75 @@ object DedupModule extends QueryModule {
         |SELECT doc_id, component,
         |  COUNT(*) OVER (PARTITION BY component) AS cluster_size
         |FROM comp ORDER BY component, doc_id""".stripMargin,
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |exact_pairs AS (
+        |  SELECT keep_id AS id_a, doc_id AS id_b FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS keep_id FROM norm)
+        |  WHERE doc_id != keep_id),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM norm),
+        |ex0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+        |ex AS (SELECT doc_id, n_sh, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df,
+        |    MIN(doc_id) OVER (PARTITION BY shingle) AS min_id
+        |  FROM ex0),
+        |small_scored AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+        |    COUNT(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  WHERE a.df <= 64
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh),
+        |star_cand AS (
+        |  SELECT DISTINCT min_id AS id_a, doc_id AS id_b FROM ex
+        |  WHERE df > 64 AND doc_id != min_id),
+        |star_scored AS (
+        |  SELECT id_a, id_b, len(sa.sh) AS n_a, len(sb.sh) AS n_b,
+        |    len(list_intersect(sa.sh, sb.sh)) AS n_common
+        |  FROM star_cand JOIN sh sa ON sa.doc_id = star_cand.id_a
+        |                 JOIN sh sb ON sb.doc_id = star_cand.id_b),
+        |np AS (
+        |  SELECT id_a, id_b, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |    MAX(n_common) AS n_common
+        |  FROM (SELECT * FROM small_scored UNION ALL SELECT * FROM star_scored)
+        |  GROUP BY id_a, id_b),
+        |near_pairs AS (
+        |  SELECT id_a, id_b FROM np
+        |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.8),
+        |pairs AS (SELECT id_a, id_b FROM exact_pairs UNION SELECT id_a, id_b FROM near_pairs),
+        |edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT id_a AS id, id_a AS lbl FROM edges
+        |  UNION
+        |  SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.id),
+        |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+        |q AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |qm AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+        |  FROM q),
+        |qq AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens < 10 THEN 'too_short'
+        |       WHEN punct_ratio > 0.2 THEN 'too_punct'
+        |       WHEN distinct_ratio < 0.2 THEN 'too_repetitive'
+        |       ELSE 'ok' END AS quality FROM qm),
+        |sel AS (SELECT c.doc_id, c.component, qq.quality, qq.n_tokens,
+        |  FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.component
+        |    ORDER BY CASE WHEN qq.quality = 'ok' THEN 0 ELSE 1 END ASC,
+        |      qq.n_tokens DESC, c.doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep_id
+        |  FROM comp c JOIN qq ON qq.doc_id = c.doc_id)
+        |SELECT doc_id, component, quality, n_tokens, keep_id,
+        |  CASE WHEN doc_id = keep_id THEN 'keep' ELSE 'drop' END AS action
+        |FROM sel ORDER BY component, doc_id""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings)

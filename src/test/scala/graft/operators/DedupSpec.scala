@@ -66,6 +66,37 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("clusterCanonical keeps the quality winner, not the lowest id") {
+    // A (id 1) and B (id 2) are near-dups: 12 shared tokens; A carries
+    // a 24-char punctuation token (punct_ratio ≈ 0.4 → too_punct)
+    // while B adds a clean 13th token (quality ok). Both have 13
+    // tokens, so a (n_tokens, doc_id) ranking alone would keep A —
+    // only the quality tier puts B first. Shingle overlap: 11 each,
+    // 10 shared → jaccard 10/12 ≥ 0.8. Docs 10/11 are exact dups with
+    // identical text (equal quality/length), so the tie-break keeps
+    // the lower id. Doc 20 is clean and unclustered — absent.
+    val mid = (1 to 12).map(i => s"m$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, s"$mid !!!!!!!!!!!!!!!!!!!!!!!!"),
+      (2L, s"$mid m13"),
+      (10L, "some exact duplicate text right here now ok fine"),
+      (11L, "some exact duplicate text right here now ok fine"),
+      (20L, "an unrelated clean document about nothing shared at all")))
+    val out = Dedup.clusterCanonical(spark, dir)
+      .select("doc_id", "component", "quality", "keep_id", "action")
+      .as[(Long, Long, String, Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 10L, 11L))
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(byDoc(1L)._3 == "too_punct" && byDoc(2L)._3 == "ok")
+    assert(byDoc(1L)._4 == 2L && byDoc(2L)._4 == 2L)
+    assert(byDoc(1L)._5 == "drop" && byDoc(2L)._5 == "keep")
+    assert(byDoc(10L)._4 == 10L && byDoc(10L)._5 == "keep")
+    assert(byDoc(11L)._4 == 10L && byDoc(11L)._5 == "drop")
+    // exactly one keep per component
+    val keeps = out.groupBy(_._2).map { case (_, rs) => rs.count(_._5 == "keep") }
+    assert(keeps.forall(_ == 1))
+  }
+
   test("star branch connects a template cluster larger than MaxShingleDf") {
     // 80 near-identical docs (> MaxShingleDf = 64): every SHARED
     // shingle has df = 80, so the all-pairs branch sees none of them —
