@@ -105,6 +105,53 @@ object Curation {
       .orderBy(col("n_shared").desc, col("train_id").asc)
   }
 
+  /** Exact-substring duplication audit — the span-level view of exact
+    * dedup (the shape of Lee et al.'s "Deduplicating Training Data
+    * Makes Language Models Better": remove REPEATED SUBSTRINGS, not
+    * whole near-dup documents). Per document: how many token positions
+    * are covered by a word 8-gram that occurs more than once in the
+    * corpus (any other position, same or different doc), and the
+    * covered fraction a curation pipeline thresholds on.
+    *
+    * Scale: never a doc×doc join — occurrence counting is one window
+    * (equivalently hash-agg) keyed by the gram, and span merging is a
+    * per-document window over only the FLAGGED positions. Interval
+    * union via running max-end: contribution of an interval is its
+    * end minus the larger of its start and the furthest end seen so
+    * far — one pass, no self-join, exact even for nested/overlapping
+    * intervals. Short documents (< 8 tokens) produce one short gram
+    * whose span is clamped to the doc length; both sides mirror the
+    * clamp. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val base = docToks(spark, dir)
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    val pos = base.select(col("doc_id"), col("n_tokens"),
+      posexplode(transform(
+        sequence(lit(1), greatest(size(col("toks")) - (NgramLen - 1), lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(NgramLen)))))
+        .as(Seq("pos", "gram")))
+    val flagged = pos
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("occ") > 1)
+    val spanEnd = least(col("pos") + NgramLen, col("n_tokens"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = flagged
+      .withColumn("prev_end", max(spanEnd).over(wDoc))
+      .select(col("doc_id"),
+        greatest(spanEnd - greatest(col("pos").cast("long"),
+          coalesce(col("prev_end"), lit(0L))), lit(0L)).as("contrib"))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
   /** Split-fraction boundaries on the first md5 hex byte of the doc id:
     * 0x00–0xcc train (~80.1%), 0xcd–0xe5 val (~9.8%), rest test.
     * Lexicographic compare on the lowercase hex string is engine-
@@ -277,6 +324,34 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** Token budget for the quality-first selection. */
+  private[operators] val TokenBudget = 8000L
+
+  /** Token-budget curation: fill a fixed training-token budget with the
+    * best documents — 'ok'-quality docs first, doc_id order within a
+    * tier, each doc kept only if it fits entirely (its cumulative token
+    * count stays within the budget). The naive formulation is a global
+    * ORDER BY + running-sum window — a single-partition window at any
+    * scale. This one rides blockCumsum: the block key (tier, doc_id
+    * block) is a contiguous-range prefix of the selection order, so the
+    * cumulative axis is a per-block window plus a blocks-count-sized
+    * prefix table — the same two-pass distributed prefix sum PPS
+    * sampling and sequence packing use. CurationSpec pins equivalence
+    * with the naive global window. */
+  def tokenBudget(spark: SparkSession, dir: String, budget: Long = TokenBudget): DataFrame = {
+    val docs = TextAnalysis.qualityTiers(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .withColumn("tier", when(col("quality") === "ok", 0L).otherwise(1L))
+    // 2^40 ≫ any block index: the block key stays monotone in the
+    // (tier, doc_id) selection order
+    val withCum = blockCumsum(docs, expr("tier * 1099511627776 + doc_id DIV 1024"),
+      Seq(col("tier"), col("doc_id")), col("n_tokens"))
+    withCum.filter(col("_cum") <= budget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("_cum").cast("long").as("cum_tokens"))
+      .orderBy("cum_tokens")
+  }
+
   private val ProfileCols = Seq(
     "o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -330,6 +405,7 @@ object CurationModule extends QueryModule {
     "q_chunk_docs" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "q_pps_sample" -> ((s: SparkSession, d: String) => ppsSample(s, d)),
     "q_pack_chunks" -> ((s: SparkSession, d: String) => packChunks(s, d)),
+    "q_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)))
 
   def oracles = Map(
@@ -351,6 +427,26 @@ object CurationModule extends QueryModule {
         |FROM tr JOIN ev ON tr.gram = ev.gram
         |GROUP BY train_id
         |ORDER BY n_shared DESC, train_id ASC""".stripMargin,
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+        |  FROM d),
+        |q AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens < 10 THEN 'too_short'
+        |       WHEN punct_ratio > 0.2 THEN 'too_punct'
+        |       WHEN distinct_ratio < 0.2 THEN 'too_repetitive'
+        |       ELSE 'ok' END AS quality FROM s),
+        |c AS (SELECT doc_id, quality, n_tokens,
+        |  SUM(n_tokens) OVER (
+        |    ORDER BY CASE WHEN quality = 'ok' THEN 0 ELSE 1 END, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 8000 ORDER BY cum_tokens""".stripMargin,
     "q_hash_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'

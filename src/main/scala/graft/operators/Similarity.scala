@@ -246,6 +246,44 @@ object Similarity {
       .select(col("label"), col("pos"),
         round(col("s").cast("double") / col("n"), 6).as("centroid"))
       .orderBy("label", "pos")
+
+  /** Embedding-outlier audit: the k vectors per label FARTHEST (lowest
+    * cosine) from their own label centroid — the mislabeled/noise
+    * candidates a curation pass reviews before training. Composes the
+    * labelCentroids plan: the centroid table (labels × dim rows) is an
+    * explicit broadcast against the posexploded corpus, so the big
+    * side is one narrow scan + map-side-partial hash-agg back to one
+    * row per vector — a single vec-count-sized shuffle, never a
+    * vector-by-vector cross join.
+    *
+    * Oracle parity: centroids are the rounded-6 doubles the oracled
+    * labelCentroids emits; all three inner products (v·c, v·v, c·c)
+    * are double products summed through DECIMAL(27,15) (partial-agg
+    * order immunity), finished in double, rounded to 6. Ranking uses
+    * the ROUNDED cosine with a vec_id tie-break so both engines rank
+    * identically. */
+  def embeddingOutliers(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val cents = labelCentroids(spark, dir)
+    val nc = cents.groupBy("label")
+      .agg(sum((col("centroid") * col("centroid")).cast("decimal(27,15)")).as("nc"))
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), col("pos"), col("v").cast("double").as("v"))
+    val agg = ex.join(broadcast(cents), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("v") * col("centroid")).cast("decimal(27,15)")).as("dotc"),
+        sum((col("v") * col("v")).cast("decimal(27,15)")).as("nv"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+    agg.join(broadcast(nc), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(col("dotc").cast("double") /
+          (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))), 6)
+          .as("cos_centroid"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("label", "rn")
+  }
 }
 
 object SimilarityIvf {
@@ -426,6 +464,7 @@ object SimilarityModule extends QueryModule {
     "q_knn_ivf" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvf(s, d)),
     "q_knn_ivf_fit" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvfFitted(s, d)),
     "q_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
+    "q_embedding_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
     "q_quantize_embeddings" -> ((s: SparkSession, d: String) => quantizeEmbeddings(s, d)))
 
   // q_knn_exact_agg shares q_knn_exact's oracle: same semantics, the
@@ -453,5 +492,29 @@ object SimilarityModule extends QueryModule {
         |x AS (SELECT label, i - 1 AS pos, CAST(v[i] AS DECIMAL(27,9)) AS val
         |      FROM e, unnest(generate_series(1, len(v))) AS u(i))
         |SELECT label, pos, round(CAST(SUM(val) AS DOUBLE) / COUNT(*), 6) AS centroid
-        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin)
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "q_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, i - 1 AS pos, CAST(v[i] AS DECIMAL(27,9)) AS val
+        |      FROM e, unnest(generate_series(1, len(v))) AS u(i)),
+        |cent AS (SELECT label, pos, round(CAST(SUM(val) AS DOUBLE) / COUNT(*), 6) AS c
+        |         FROM x GROUP BY label, pos),
+        |nc AS (SELECT label, SUM(CAST(c * c AS DECIMAL(27,15))) AS nc
+        |       FROM cent GROUP BY label),
+        |ev AS (SELECT vec_id, label, i - 1 AS pos, v[i] AS val
+        |       FROM e, unnest(generate_series(1, len(v))) AS u(i)),
+        |agg AS (SELECT vec_id, ev.label,
+        |    SUM(CAST(ev.val * cent.c AS DECIMAL(27,15))) AS dotc,
+        |    SUM(CAST(ev.val * ev.val AS DECIMAL(27,15))) AS nv
+        |  FROM ev JOIN cent ON ev.label = cent.label AND ev.pos = cent.pos
+        |  GROUP BY vec_id, ev.label),
+        |sc AS (SELECT a.label, vec_id,
+        |    round(CAST(dotc AS DOUBLE) /
+        |      (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc.nc AS DOUBLE))), 6) AS cos_centroid
+        |  FROM agg a JOIN nc ON a.label = nc.label)
+        |SELECT label, vec_id, cos_centroid, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY label ORDER BY cos_centroid ASC, vec_id ASC) AS rn
+        |  FROM sc)
+        |WHERE rn <= 5 ORDER BY label, rn""".stripMargin)
 }

@@ -89,7 +89,14 @@ object TextAnalysis {
   /** Quality scoring: length/punctuation/stopword/repetition ratios and
     * a bucketed verdict — the standard pre-training corpus filters.
     * All ratios are round()ed so the cross-engine compare is exact. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityTiers(spark, dir).orderBy("doc_id")
+
+  /** Unordered quality table (doc_id, n_tokens, ratios, quality) —
+    * the building block qualityScore sorts for its oracle and the
+    * curation operators consume sort-free (an inherited orderBy
+    * would plan a dead range exchange under their own shuffles). */
+  private[operators] def qualityTiers(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val nTok = size(t)
     val nChars = length(col("text"))
@@ -106,7 +113,6 @@ object TextAnalysis {
           .when(punctRatio > 0.2, "too_punct")
           .when(distinctRatio < 0.2, "too_repetitive")
           .otherwise("ok").as("quality"))
-      .orderBy("doc_id")
   }
 
   /** Tokenizer-style counting: whitespace tokens vs a BPE-ish regex

@@ -135,4 +135,28 @@ class CurationSpec extends SparkSpec {
     assert(!p("o_orderkey").isNullAt(4) && p("o_orderkey").isNullAt(6))
     assert(p("o_orderpriority").isNullAt(4) && !p("o_orderpriority").isNullAt(6))
   }
+
+  test("token budget equals the naive global-order running sum") {
+    // The distributed two-pass prefix sum must reproduce exactly what a
+    // single-partition global window would: sort (ok-first, doc_id),
+    // running-sum, keep while cum <= budget.
+    val got = Curation.tokenBudget(spark, dir)
+      .select("doc_id", "quality", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val all = TextAnalysis.qualityScore(spark, dir)
+      .select("doc_id", "quality", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (if (t._2 == "ok") 0 else 1, t._1))
+    val expected = all.scanLeft((0L, "", 0L, 0L)) {
+      case ((_, _, _, cum), (id, q, n)) => (id, q, n, cum + n)
+    }.drop(1).takeWhile(_._4 <= Curation.TokenBudget)
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty, "budget must admit at least one document")
+    // boundary: the next document in order would not have fit
+    val next = all.drop(got.length)
+    next.headOption.foreach { case (_, _, n) =>
+      assert(got.last._4 + n > Curation.TokenBudget,
+        "selection must be maximal for the budget")
+    }
+  }
 }

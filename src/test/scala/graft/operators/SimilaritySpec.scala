@@ -141,4 +141,31 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got.size == raw.map(_._1).distinct.length * dims)
   }
+
+  test("embedding outliers surface a planted anti-centroid vector first") {
+    // label 0: eight near-copies of a base direction plus one planted
+    // inversion (id 99). The centroid tracks the base direction, so
+    // the inverted vector's cosine to it is ≈ -1 → it must rank rn=1;
+    // every clean vector stays on the positive side.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def near() = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val rows = (0 until 8).map(i => (i.toLong, near().toSeq, 0)) :+
+      (99L, base.map(-_).toSeq, 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-out").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.embeddingOutliers(spark, dir)
+      .select("label", "vec_id", "cos_centroid", "rn")
+      .as[(Int, Long, Double, Int)].collect()
+    assert(out.length == 5, "bottom-5 per label")
+    assert(out.map(_._4).sorted.toSeq == (1 to 5), "dense ranks")
+    val top = out.find(_._4 == 1).get
+    assert(top._2 == 99L && top._3 < -0.9,
+      s"planted inversion must rank first, got $top")
+    assert(out.filter(_._2 != 99L).forall(_._3 > 0.5),
+      "clean near-copies stay close to the centroid")
+    // cosine to own centroid is a true cosine: bounded
+    assert(out.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
+  }
 }
