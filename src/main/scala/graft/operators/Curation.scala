@@ -406,6 +406,7 @@ object CurationModule extends QueryModule {
     "q_pps_sample" -> ((s: SparkSession, d: String) => ppsSample(s, d)),
     "q_pack_chunks" -> ((s: SparkSession, d: String) => packChunks(s, d)),
     "q_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
+    "q_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
     "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)))
 
   def oracles = Map(
@@ -447,6 +448,28 @@ object CurationModule extends QueryModule {
         |  FROM q)
         |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= 8000 ORDER BY cum_tokens""".stripMargin,
+    "q_dup_spans" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM d),
+        |g AS (SELECT doc_id, n_tokens, i - 1 AS pos,
+        |    array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM n, unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS u(i)),
+        |f AS (SELECT doc_id, n_tokens, pos FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY gram) AS occ FROM g)
+        |  WHERE occ > 1),
+        |m AS (SELECT doc_id, n_tokens, pos,
+        |    MAX(least(pos + 8, n_tokens)) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM f),
+        |s AS (SELECT doc_id, SUM(greatest(
+        |    least(pos + 8, n_tokens) - greatest(pos, coalesce(prev_end, 0)), 0)) AS dup_tokens
+        |  FROM m GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_tokens,
+        |  CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  round(CAST(coalesce(s.dup_tokens, 0) AS DOUBLE) / n.n_tokens, 6) AS dup_fraction
+        |FROM n LEFT JOIN s ON n.doc_id = s.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "q_hash_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'

@@ -136,6 +136,34 @@ class CurationSpec extends SparkSpec {
     assert(p("o_orderpriority").isNullAt(4) && !p("o_orderpriority").isNullAt(6))
   }
 
+  test("dup spans: merged 8-gram coverage, cross-doc and within-doc") {
+    import spark.implicits._
+    // docs 1/2 share a 10-token sentence behind distinct 4-token
+    // prefixes: only the three 8-grams fully inside the shared region
+    // are duplicated, and their merged span is exactly the 10 shared
+    // positions. doc 3 is clean. doc 4 repeats its own 8 tokens —
+    // within-doc repetition counts too, covering the whole doc.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    Seq(
+      (1L, s"u1 u2 u3 u4 $shared"),
+      (2L, s"w1 w2 w3 w4 $shared"),
+      (3L, (1 to 12).map(i => s"c$i").mkString(" ")),
+      (4L, s"$rep $rep"))
+      .map { case (id, text) => (id, text, "en", "srcT", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.dupSpans(spark, dir)
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_fraction")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 14L, 10L, 0.714286),
+      (2L, 14L, 10L, 0.714286),
+      (3L, 12L, 0L, 0.0),
+      (4L, 16L, 16L, 1.0)))
+  }
+
   test("token budget equals the naive global-order running sum") {
     // The distributed two-pass prefix sum must reproduce exactly what a
     // single-partition global window would: sort (ok-first, doc_id),
