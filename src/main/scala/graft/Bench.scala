@@ -21,7 +21,8 @@ object Bench {
       n == "q_decontaminate" || n == "q_chunk_docs" ||
       n == "q_pack_chunks" || n == "q_text_bigrams"
 
-  private def isSimFamily(n: String): Boolean = n.startsWith("q_knn")
+  private def isSimFamily(n: String): Boolean =
+    n.startsWith("q_knn") || n == "q_embedding_outliers"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -12,7 +12,8 @@ object PlanProbe {
     val names = Seq("q_catalog_worklist", "q_pricing_summary", "q_revenue_by_region",
       "q_topk_orders", "q_dedup_jaccard", "q_knn_exact", "q_events_sessions",
       "q_events_salted_agg", "q_media_features", "q_dedup_minhash", "q_dedup_simhash",
-      "q_decontaminate", "q_hash_split", "q_chunk_docs", "q_profile_orders")
+      "q_decontaminate", "q_hash_split", "q_chunk_docs", "q_profile_orders",
+      "q_dedup_canonical", "q_embedding_outliers", "q_token_budget", "q_dup_spans")
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
       println(s"===== $name =====")

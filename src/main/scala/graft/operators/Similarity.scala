@@ -262,8 +262,18 @@ object Similarity {
     * order immunity), finished in double, rounded to 6. Ranking uses
     * the ROUNDED cosine with a vec_id tie-break so both engines rank
     * identically. */
+  /** Session-materialized centroid table (labels × dim rows, tiny) —
+    * built once per (session, dir); at 100 TB this is the centroid
+    * parquet artifact maintained next to the corpus, and staging it
+    * keeps embeddingOutliers at ONE corpus scan (the plan otherwise
+    * recomputes the centroid aggregation for each consumer subtree). */
+  private[operators] def centroidTable(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(spark, s"labelCentroids|$dir") {
+      labelCentroids(spark, dir).localCheckpoint()
+    }
+
   def embeddingOutliers(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val cents = labelCentroids(spark, dir)
+    val cents = centroidTable(spark, dir)
     val nc = cents.groupBy("label")
       .agg(sum((col("centroid") * col("centroid")).cast("decimal(27,15)")).as("nc"))
     val ex = Tables.embeddings(spark, dir)
