@@ -105,6 +105,56 @@ object Curation {
       .orderBy(col("n_shared").desc, col("train_id").asc)
   }
 
+  /** Target language mix for corpus rebalancing, in integer percent
+    * (sums to 100). Languages absent from the table are dropped from
+    * the rebalanced corpus. */
+  private[operators] val MixTargets =
+    Seq(("en", 40L), ("zh", 20L), ("de", 15L), ("fr", 15L), ("es", 10L))
+
+  /** Corpus language-mix rebalancing: downsample to the largest corpus
+    * achieving the target language proportions, selecting per-language
+    * by deterministic hash order (no RNG — same doc set on every run
+    * and every engine). Feasible size N* = min over languages of
+    * n_lang·100 ÷ pct_lang (the scarcest language binds); each
+    * language keeps N*·pct ÷ 100 docs — all BIGINT arithmetic, exact
+    * cross-engine.
+    *
+    * Scale: the naive per-language rank is a one-reducer-per-language
+    * window (the largest language lands on a single task). Here the
+    * rank is assembled from hash-prefix blocks: row_number within
+    * (lang, first-2-hex-chars) partitions — 256× finer parallelism,
+    * widen the prefix as the corpus grows — plus a broadcast
+    * (langs × 256)-row block-prefix table, the same two-pass shape as
+    * blockCumsum. The quota table is a broadcast scalar fan-out, never
+    * a driver-side loop. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("doc_id"))
+    val targets = MixTargets.toDF("lang", "pct")
+    val feas = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(targets), Seq("lang"))
+    val nStar = feas.select(min(expr("n_docs * 100 DIV pct")).as("n_star"))
+    val quota = feas.crossJoin(broadcast(nStar))
+      .select(col("lang"), expr("n_star * pct DIV 100").as("n_keep"))
+    val withH = docs
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("blk", substring(col("h"), 1, 2))
+    val wBlk = Window.partitionBy(col("lang"), col("blk"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val wLang = Window.partitionBy(col("lang")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkPrefix = withH.groupBy("lang", "blk").agg(count(lit(1)).as("n"))
+      .withColumn("prefix", coalesce(sum(col("n")).over(wLang), lit(0L)))
+      .select(col("lang"), col("blk"), col("prefix"))
+    withH.withColumn("rk_in_blk", row_number().over(wBlk))
+      .join(broadcast(blkPrefix), Seq("lang", "blk"))
+      .withColumn("rk", col("prefix") + col("rk_in_blk"))
+      .join(broadcast(quota), Seq("lang"))
+      .filter(col("rk") <= col("n_keep"))
+      .select(col("lang"), col("doc_id"), col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
   /** Exact-substring duplication audit — the span-level view of exact
     * dedup (the shape of Lee et al.'s "Deduplicating Training Data
     * Makes Language Models Better": remove REPEATED SUBSTRINGS, not
@@ -407,6 +457,7 @@ object CurationModule extends QueryModule {
     "q_pack_chunks" -> ((s: SparkSession, d: String) => packChunks(s, d)),
     "q_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "q_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
+    "q_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
     "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)))
 
   def oracles = Map(
@@ -470,6 +521,22 @@ object CurationModule extends QueryModule {
         |  round(CAST(coalesce(s.dup_tokens, 0) AS DOUBLE) / n.n_tokens, 6) AS dup_fraction
         |FROM n LEFT JOIN s ON n.doc_id = s.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+        |t(lang, pct) AS (VALUES
+        |  ('en', 40), ('zh', 20), ('de', 15), ('fr', 15), ('es', 10)),
+        |feas AS (SELECT c.lang, n_docs, CAST(pct AS BIGINT) AS pct
+        |         FROM counts c JOIN t ON c.lang = t.lang),
+        |ns AS (SELECT MIN(n_docs * 100 // pct) AS n_star FROM feas),
+        |quota AS (SELECT lang, (n_star * pct) // 100 AS n_keep
+        |          FROM feas CROSS JOIN ns),
+        |r AS (SELECT lang, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.lang, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM r JOIN quota ON r.lang = quota.lang
+        |WHERE rk <= n_keep ORDER BY r.lang, rk""".stripMargin,
     "q_hash_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'

@@ -340,6 +340,37 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
       .limit(20)
 
+  /** Stand-in ingest batch: every doc_id ≡ 9 (mod 10) is "newly
+    * arrived"; the rest are the existing corpus. The operator itself
+    * takes any batch predicate — the testdata has no ingest column. */
+  private[operators] val NewBatchModulus = 10
+
+  /** Incremental ingest dedup: near-dup matches of the NEW batch
+    * against the EXISTING corpus only — the per-batch question a
+    * 100 TB pipeline actually asks (is this new document a copy of
+    * something we already have?), answered WITHOUT rebuilding or
+    * rescanning corpus-vs-corpus pairs. Rides the memoized (and
+    * parquet-persistable, see writeIndexes) pair table: the only new
+    * work is orienting the cross-batch pairs and a per-new-doc top-k
+    * window. Corpus-corpus and new-new pairs never reach the output —
+    * dedup WITHIN the batch is exactDedup/jaccardPairs' job. */
+  def incrementalNearDups(spark: SparkSession, dir: String,
+                          threshold: Double = 0.5, k: Int = 3): DataFrame = {
+    val isNewA = col("id_a") % NewBatchModulus === (NewBatchModulus - 1)
+    val isNewB = col("id_b") % NewBatchModulus === (NewBatchModulus - 1)
+    val oriented = jaccardPairTable(spark, dir)
+      .filter(isNewA =!= isNewB)
+      .select(when(isNewA, col("id_a")).otherwise(col("id_b")).as("new_id"),
+        when(isNewA, col("id_b")).otherwise(col("id_a")).as("match_id"),
+        col("n_common"), col("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("match_id").asc)
+    oriented.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("new_id", "rn")
+  }
+
   /** E2 edit-distance near-dup: Levenshtein over 24-char normalized
     * prefixes, blocked on (language, 2-char prefix block) — standard
     * blocking: the quadratic DP only runs inside small candidate
@@ -783,7 +814,8 @@ object DedupModule extends QueryModule {
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
-    "q_dedup_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(s, d)))
+    "q_dedup_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(s, d)),
+    "q_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalNearDups(s, d)))
 
   def oracles = Map(
     "q_dedup_exact" ->
@@ -830,6 +862,50 @@ object DedupModule extends QueryModule {
         |SELECT id_a, id_b, n_common,
         |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
         |FROM p ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)),
+        |e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t),
+        |e AS (SELECT doc_id, n_sh, shingle,
+        |    COUNT(*) OVER (PARTITION BY shingle) AS df,
+        |    MIN(doc_id) OVER (PARTITION BY shingle) AS min_id
+        |  FROM e0),
+        |small_scored AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(a.n_sh AS BIGINT) AS n_a, CAST(b.n_sh AS BIGINT) AS n_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  WHERE a.df <= 64
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh),
+        |star_cand AS (
+        |  SELECT DISTINCT min_id AS id_a, doc_id AS id_b FROM e
+        |  WHERE df > 64 AND doc_id != min_id),
+        |star_scored AS (
+        |  SELECT id_a, id_b, CAST(len(sa.sh) AS BIGINT) AS n_a,
+        |    CAST(len(sb.sh) AS BIGINT) AS n_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common
+        |  FROM star_cand JOIN t sa ON sa.doc_id = star_cand.id_a
+        |                 JOIN t sb ON sb.doc_id = star_cand.id_b),
+        |p AS (
+        |  SELECT id_a, id_b, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |    MAX(n_common) AS n_common
+        |  FROM (SELECT * FROM small_scored UNION ALL SELECT * FROM star_scored)
+        |  GROUP BY id_a, id_b),
+        |orient AS (
+        |  SELECT CASE WHEN id_a % 10 = 9 THEN id_a ELSE id_b END AS new_id,
+        |    CASE WHEN id_a % 10 = 9 THEN id_b ELSE id_a END AS match_id,
+        |    n_common,
+        |    CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+        |  FROM p WHERE (id_a % 10 = 9) != (id_b % 10 = 9))
+        |SELECT new_id, match_id, n_common, jaccard, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY new_id ORDER BY jaccard DESC, match_id ASC) AS rn
+        |  FROM orient WHERE jaccard >= 0.5)
+        |WHERE rn <= 3 ORDER BY new_id, rn""".stripMargin,
     "q_dedup_editdist" ->
       """WITH d AS (SELECT doc_id, lang,
         |    substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 24) AS prefix

@@ -136,6 +136,35 @@ class CurationSpec extends SparkSpec {
     assert(p("o_orderpriority").isNullAt(4) && !p("o_orderpriority").isNullAt(6))
   }
 
+  test("corpus mix: quotas hit the integer targets, selection is lowest-hash-first") {
+    import org.apache.spark.sql.functions.md5
+    val out = Curation.corpusMix(spark, dir)
+      .select("lang", "doc_id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val counts = Tables.documents(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Curation.MixTargets.toMap
+    // integer feasibility: the scarcest language binds
+    val nStar = targets.collect { case (l, pct) if counts.contains(l) =>
+      counts(l) * 100 / pct }.min
+    val keep = out.groupBy(_._1).map { case (l, rs) => l -> rs.length.toLong }
+    targets.foreach { case (l, pct) =>
+      if (counts.contains(l)) assert(keep.getOrElse(l, 0L) == nStar * pct / 100,
+        s"$l: kept ${keep.getOrElse(l, 0L)}, want ${nStar * pct / 100}")
+    }
+    assert(keep.keySet.subsetOf(targets.keySet), "untargeted languages dropped")
+    // ranks are dense from 1 and selection is the hash-order prefix
+    val hashes = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    out.groupBy(_._1).foreach { case (l, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
+      val expect = hashes.filter(_._1 == l).sortBy(t => (t._3, t._2))
+        .take(rs.length).map(_._2).toSet
+      assert(rs.map(_._2).toSet == expect, s"$l selection is not the hash prefix")
+    }
+  }
+
   test("dup spans: merged 8-gram coverage, cross-doc and within-doc") {
     import spark.implicits._
     // docs 1/2 share a 10-token sentence behind distinct 4-token

@@ -97,6 +97,27 @@ class DedupSpec extends SparkSpec {
     assert(keeps.forall(_ == 1))
   }
 
+  test("incremental dedup matches new-batch docs against the corpus only") {
+    // ids ≡ 9 (mod 10) are the "new batch". Docs 19 and 29 are
+    // near-variants of corpus doc 3 → each must match 3. Corpus pair
+    // (1,2) and new-new pair (19,29) must NEVER appear, and the clean
+    // new doc 9 has no match row.
+    val baseA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val baseB = "one two three four five six seven eight nine ten eleven twelve"
+    val dir = docsDir(Seq(
+      (1L, baseB),
+      (2L, baseB.replace("six", "SIX")),
+      (3L, baseA),
+      (9L, "a totally unrelated clean new document with nothing shared"),
+      (19L, baseA.replace("zeta", "ZETA")),
+      (29L, baseA.replace("iota", "IOTA"))))
+    val out = Dedup.incrementalNearDups(spark, dir)
+      .select("new_id", "match_id", "jaccard", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)).toSet == Set((19L, 3L), (29L, 3L)))
+    assert(out.forall(r => r._3 >= 0.5 && r._4 == 1))
+  }
+
   test("star branch connects a template cluster larger than MaxShingleDf") {
     // 80 near-identical docs (> MaxShingleDf = 64): every SHARED
     // shingle has df = 80, so the all-pairs branch sees none of them —
