@@ -221,7 +221,9 @@ object Dedup {
         .localCheckpoint()
     }
 
-  private def normText(c: Column): Column =
+  // shared with streaming.IngestDedup — the stream-side fingerprint
+  // must be byte-identical to the batch family's
+  private[graft] def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** E1 exact dedup: group on md5 of the whitespace/case-normalized
