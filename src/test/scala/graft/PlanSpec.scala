@@ -65,4 +65,34 @@ class PlanSpec extends SparkSpec {
     val p = plan(q("q_revenue_by_region"))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("no cartesian product anywhere in the query surface") {
+    // The only crossJoins in the engine are 1-row scalar broadcasts
+    // (TF-IDF's N, PPS's total, corpusMix's N*), which plan as
+    // BroadcastNestedLoopJoin — a CartesianProductExec anywhere means
+    // a join lost its keys and would be a corpus², not a plan detail.
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${p.take(2000)}")
+    }
+  }
+
+  test("unpartitioned windows appear only over block-total prefix tables") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unpartitioned(name: String): Int =
+      SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.size
+    // the distributed prefix-sum family: exactly ONE unpartitioned
+    // window each, and it consumes block TOTALS (≤ a few thousand
+    // rows), never document rows
+    for (name <- Seq("q_token_budget", "q_pps_sample", "q_pack_chunks"))
+      assert(unpartitioned(name) == 1, s"$name block-prefix window count")
+    // per-lang/per-doc rank assembly must stay fully partitioned
+    for (name <- Seq("q_corpus_mix", "q_dup_spans", "q_dedup_canonical",
+        "q_embedding_outliers"))
+      assert(unpartitioned(name) == 0, s"$name has an unpartitioned window")
+  }
 }
