@@ -19,7 +19,8 @@ object Bench {
   private def isDocFamily(n: String): Boolean =
     n.startsWith("q_dedup") || n.startsWith("q_corpus") ||
       n == "q_decontaminate" || n == "q_chunk_docs" ||
-      n == "q_pack_chunks" || n == "q_text_bigrams"
+      n == "q_pack_chunks" || n == "q_text_bigrams" ||
+      n.startsWith("q_dup_spans")
 
   private def isSimFamily(n: String): Boolean =
     n.startsWith("q_knn") || n == "q_embedding_outliers"

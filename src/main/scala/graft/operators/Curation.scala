@@ -172,18 +172,25 @@ object Curation {
     * intervals. Short documents (< 8 tokens) produce one short gram
     * whose span is clamped to the doc length; both sides mirror the
     * clamp. */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, n_tokens, pos) of every 8-gram start position whose gram
+    * occurs more than once in the corpus — the flagged-span feed both
+    * the audit (dupSpans) and the removal (dupSpansApply) consume. */
+  private def flaggedGramPositions(spark: SparkSession, dir: String): DataFrame = {
     val base = docToks(spark, dir)
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n_tokens"))
-    val pos = base.select(col("doc_id"), col("n_tokens"),
+    base.select(col("doc_id"), col("n_tokens"),
       posexplode(transform(
         sequence(lit(1), greatest(size(col("toks")) - (NgramLen - 1), lit(1))),
         i => concat_ws(" ", slice(col("toks"), i, lit(NgramLen)))))
         .as(Seq("pos", "gram")))
-    val flagged = pos
       .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .filter(col("occ") > 1)
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+  }
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = flaggedGramPositions(spark, dir)
     val spanEnd = least(col("pos") + NgramLen, col("n_tokens"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -193,12 +200,46 @@ object Curation {
         greatest(spanEnd - greatest(col("pos").cast("long"),
           coalesce(col("prev_end"), lit(0L))), lit(0L)).as("contrib"))
       .groupBy("doc_id").agg(sum(col("contrib")).as("dup_tokens"))
-    base.select(col("doc_id"), col("n_tokens"))
+    docToks(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
           .as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  /** Apply side of dupSpans: REMOVE every token position covered by a
+    * duplicated 8-gram and re-emit the cleaned text (the aggressive
+    * removal policy — both copies go; keep-one-copy needs a global
+    * first-occurrence order and is the documented variant a production
+    * pipeline layers on). Per-document work only: covered positions
+    * explode from the flagged spans, surviving tokens anti-join them,
+    * and the text rebuilds from a per-document sort — the collect_list
+    * here is bounded by a single document's length, never by a dup
+    * group's size. */
+  def dupSpansApply(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = flaggedGramPositions(spark, dir)
+    val spanEnd = least(col("pos") + NgramLen, col("n_tokens"))
+    val covered = flagged
+      .select(col("doc_id"), explode(sequence(col("pos").cast("long"), spanEnd - 1)).as("p"))
+      .distinct()
+    val tokPos = docToks(spark, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .withColumn("p", col("p").cast("long"))
+    val rebuilt = tokPos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(p, tok))), s -> s.tok)"))
+          .as("clean_text"))
+    docToks(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy("doc_id")
   }
 
@@ -457,6 +498,7 @@ object CurationModule extends QueryModule {
     "q_pack_chunks" -> ((s: SparkSession, d: String) => packChunks(s, d)),
     "q_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "q_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
+    "q_dup_spans_apply" -> ((s: SparkSession, d: String) => dupSpansApply(s, d)),
     "q_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
     "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)))
 
@@ -520,6 +562,30 @@ object CurationModule extends QueryModule {
         |  CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
         |  round(CAST(coalesce(s.dup_tokens, 0) AS DOUBLE) / n.n_tokens, 6) AS dup_fraction
         |FROM n LEFT JOIN s ON n.doc_id = s.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    "q_dup_spans_apply" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM d),
+        |g AS (SELECT doc_id, n_tokens, i - 1 AS pos,
+        |    array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM n, unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS u(i)),
+        |f AS (SELECT doc_id, n_tokens, pos FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY gram) AS occ FROM g)
+        |  WHERE occ > 1),
+        |cov AS (SELECT DISTINCT doc_id, u.p
+        |  FROM f, unnest(generate_series(pos, least(pos + 8, n_tokens) - 1)) AS u(p)),
+        |tp AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+        |  FROM n, unnest(generate_series(1, len(toks))) AS u(i)),
+        |kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+        |  ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_tokens,
+        |  CAST(n.n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
         |ORDER BY n.doc_id""".stripMargin,
     "q_corpus_mix" ->
       """WITH counts AS (

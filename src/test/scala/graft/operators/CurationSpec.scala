@@ -191,6 +191,15 @@ class CurationSpec extends SparkSpec {
       (2L, 14L, 10L, 0.714286),
       (3L, 12L, 0L, 0.0),
       (4L, 16L, 16L, 1.0)))
+    // apply side: covered positions removed, survivors rebuilt in order
+    val applied = Curation.dupSpansApply(spark, dir)
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(applied == Seq(
+      (1L, 10L, "u1 u2 u3 u4"),
+      (2L, 10L, "w1 w2 w3 w4"),
+      (3L, 0L, (1 to 12).map(i => s"c$i").mkString(" ")),
+      (4L, 16L, "")))
   }
 
   test("token budget equals the naive global-order running sum") {
