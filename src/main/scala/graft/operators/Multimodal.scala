@@ -97,6 +97,26 @@ object Multimodal {
           .otherwise(lit(1)).cast("int").as("n_frames"))
       .orderBy("doc_id")
 
+  /** Exact payload dedup for the media column: group by
+    * (media_type, sha256 of the raw bytes), keep the lowest doc_id —
+    * the byte-identical-asset dedup every multimodal corpus needs
+    * before the expensive decode/feature stages run. The payload is
+    * hashed then DROPPED before the aggregation, so the shuffle
+    * carries 64 hex chars per asset, never media bytes — the same
+    * hash-first discipline as Dedup.exactDedup's text fingerprints.
+    * Identity includes the media type: equal bytes under different
+    * types stay distinct assets. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), col("media_type"),
+        sha2(col("payload"), 256).as("sha256_hex"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .groupBy("media_type", "sha256_hex")
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("byte_len")).as("byte_len"))
+      .orderBy("media_type", "keep_id")
+
   /** Frame sampling: every `everyK`-th frame of each video payload as
     * its own row — the 1→many generator that turns videos into
     * training frames. `sequence(0, n-1, k)` + explode keeps it inside
@@ -154,7 +174,8 @@ object MultimodalModule extends QueryModule {
     "q_media_features" -> ((s: SparkSession, d: String) => featuresColumnar(s, d)),
     "q_media_inventory" -> ((s: SparkSession, d: String) => mediaInventory(s, d)),
     "q_media_frames" -> ((s: SparkSession, d: String) => frameSamples(s, d)),
-    "q_media_resize" -> ((s: SparkSession, d: String) => resizePlan(s, d)))
+    "q_media_resize" -> ((s: SparkSession, d: String) => resizePlan(s, d)),
+    "q_media_dedup" -> ((s: SparkSession, d: String) => mediaDedup(s, d)))
 
   // DuckDB's sha256 hashes the VARCHAR's UTF-8 bytes — identical input
   // bytes to Spark's sha2(encode(text,'UTF-8'), 256).
@@ -170,6 +191,17 @@ object MultimodalModule extends QueryModule {
         |  CAST(1 + (byte_len * 7) % 768 AS INT) AS height,
         |  CAST(CASE WHEN media_type = 'video' THEN 1 + byte_len % 250 ELSE 1 END AS INT) AS n_frames
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_media_dedup" ->
+      """WITH m AS (SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    sha256(text) AS sha256_hex
+        |  FROM documents)
+        |SELECT media_type, sha256_hex, min(doc_id) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST(MAX(byte_len) AS BIGINT) AS byte_len
+        |FROM m GROUP BY media_type, sha256_hex
+        |ORDER BY media_type, keep_id""".stripMargin,
     "q_media_frames" ->
       """WITH m AS (SELECT doc_id, text,
         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,

@@ -57,6 +57,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("media dedup partitions every asset and keeps the lowest id per digest") {
+    val dir = sf("sf0.001")
+    val total = Multimodal.mediaTable(spark, dir).count()
+    val out = Multimodal.mediaDedup(spark, dir)
+      .select("media_type", "keep_id", "n_copies")
+      .as[(String, Long, Long)].collect()
+    assert(out.map(_._3).sum == total, "every asset in exactly one digest group")
+    assert(out.map(_._1).toSet.subsetOf(Set("image", "audio", "video")))
+    // keep_id is a member of its own (type) stripe: round-robin assignment
+    out.foreach { case (mt, keep, _) =>
+      val expected = Seq("image", "audio", "video")((keep % 3).toInt)
+      assert(mt == expected, s"keep_id $keep cannot be of type $mt")
+    }
+  }
+
   test("binaryFile source loads raw files as (path, length, content)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bin")
     val payloads = Map("a.bin" -> Array[Byte](1, 2, 3), "b.bin" -> Array[Byte](9, 8, 7, 6))
