@@ -13,7 +13,8 @@ object PlanProbe {
       "q_topk_orders", "q_dedup_jaccard", "q_knn_exact", "q_events_sessions",
       "q_events_salted_agg", "q_media_features", "q_dedup_minhash", "q_dedup_simhash",
       "q_decontaminate", "q_hash_split", "q_chunk_docs", "q_profile_orders",
-      "q_dedup_canonical", "q_embedding_outliers", "q_token_budget", "q_dup_spans")
+      "q_dedup_canonical", "q_embedding_outliers", "q_token_budget", "q_dup_spans",
+      "q_dup_spans_apply", "q_corpus_mix", "q_dedup_incremental", "q_media_dedup")
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
       println(s"===== $name =====")
