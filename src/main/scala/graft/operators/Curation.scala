@@ -172,21 +172,34 @@ object Curation {
     * intervals. Short documents (< 8 tokens) produce one short gram
     * whose span is clamped to the doc length; both sides mirror the
     * clamp. */
-  /** (doc_id, n_tokens, pos) of every 8-gram start position whose gram
-    * occurs more than once in the corpus — the flagged-span feed both
-    * the audit (dupSpans) and the removal (dupSpansApply) consume. */
-  private def flaggedGramPositions(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, n_tokens, pos) of flagged 8-gram start positions — the
+    * span feed the audit (dupSpans) and both removal policies consume.
+    * `keepFirst = false` flags EVERY occurrence of a gram that occurs
+    * more than once in the corpus (the aggressive policy: all copies
+    * go); `keepFirst = true` flags only the occurrences after the
+    * gram's global first in deterministic (doc_id, pos) order — the
+    * Lee et al. production policy, where one copy of every duplicated
+    * substring survives. Both are one window keyed on the gram (count
+    * vs row_number over the same partitioning — identical shuffle). */
+  private def flaggedGramPositions(spark: SparkSession, dir: String,
+                                   keepFirst: Boolean = false): DataFrame = {
     val base = docToks(spark, dir)
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n_tokens"))
-    base.select(col("doc_id"), col("n_tokens"),
+    val grams = base.select(col("doc_id"), col("n_tokens"),
       posexplode(transform(
         sequence(lit(1), greatest(size(col("toks")) - (NgramLen - 1), lit(1))),
         i => concat_ws(" ", slice(col("toks"), i, lit(NgramLen)))))
         .as(Seq("pos", "gram")))
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .filter(col("occ") > 1)
-      .select(col("doc_id"), col("n_tokens"), col("pos"))
+    val flagged =
+      if (keepFirst)
+        grams.withColumn("rn", row_number().over(
+            Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))))
+          .filter(col("rn") > 1)
+      else
+        grams.withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+          .filter(col("occ") > 1)
+    flagged.select(col("doc_id"), col("n_tokens"), col("pos"))
   }
 
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
@@ -210,38 +223,62 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** Apply side of dupSpans: REMOVE every token position covered by a
-    * duplicated 8-gram and re-emit the cleaned text (the aggressive
-    * removal policy — both copies go; keep-one-copy needs a global
-    * first-occurrence order and is the documented variant a production
-    * pipeline layers on). Per-document work only: covered positions
-    * explode from the flagged spans, surviving tokens anti-join them,
-    * and the text rebuilds from a per-document sort — the collect_list
-    * here is bounded by a single document's length, never by a dup
-    * group's size. */
-  def dupSpansApply(spark: SparkSession, dir: String): DataFrame = {
-    val flagged = flaggedGramPositions(spark, dir)
+  /** Shared removal kernel for both span policies: aggregate the
+    * flagged spans to ONE bounded row per document, join that row back
+    * to the staged token table, and rebuild the cleaned text with
+    * higher-order array ops entirely inside the row. The earlier
+    * formulation posexploded every document into (doc_id, p, tok) rows,
+    * anti-joined covered positions, and re-sorted per doc — roughly 3×
+    * corpus bytes through an exchange as per-token struct rows. Here
+    * the only aggregation input is the flagged-span rows (already far
+    * smaller than the corpus, with map-side partial collect_set), and
+    * the only join is doc-count-sized: the span table is tiny next to
+    * the corpus, so AQE broadcasts it and the token table never
+    * shuffles at all. PlanSpec pins the shape (one Generate — the gram
+    * posexplode — and no token-level exchange). */
+  private def removeFlaggedSpans(spark: SparkSession, dir: String,
+                                 flagged: DataFrame): DataFrame = {
     val spanEnd = least(col("pos") + NgramLen, col("n_tokens"))
-    val covered = flagged
-      .select(col("doc_id"), explode(sequence(col("pos").cast("long"), spanEnd - 1)).as("p"))
-      .distinct()
-    val tokPos = docToks(spark, dir)
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
-      .withColumn("p", col("p").cast("long"))
-    val rebuilt = tokPos.join(covered, Seq("doc_id", "p"), "left_anti")
+    // one row per flagged doc: its (pos, end) spans — bounded by the
+    // doc's own gram count, never by a dup group's size
+    val spans = flagged
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(p, tok))), s -> s.tok)"))
-          .as("clean_text"))
+      .agg(collect_set(struct(col("pos").cast("long").as("pos"),
+        spanEnd.as("end"))).as("spans"))
     docToks(spark, dir)
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      // covered-position set and the surviving-token filter are per-row
+      // array ops: O(doc² ) worst case inside one row, zero shuffle
+      .withColumn("cov", coalesce(
+        array_distinct(flatten(transform(col("spans"),
+          s => sequence(s.getField("pos"), s.getField("end") - 1)))),
+        array().cast("array<bigint>")))
+      .withColumn("kept",
+        filter(col("toks"), (tok, i) => !array_contains(col("cov"), i.cast("long"))))
       .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** Apply side of dupSpans: REMOVE every token position covered by a
+    * duplicated 8-gram and re-emit the cleaned text — the aggressive
+    * removal policy (all copies go; see dupSpansKeep for the
+    * keep-one-copy production policy). */
+  def dupSpansApply(spark: SparkSession, dir: String): DataFrame =
+    removeFlaggedSpans(spark, dir, flaggedGramPositions(spark, dir))
+
+  /** Keep-one-copy exact-substring removal (Lee et al.'s production
+    * policy): for every duplicated 8-gram, the globally FIRST
+    * occurrence — deterministic (doc_id, pos) order — survives; only
+    * the later occurrences' spans are removed. A first occurrence can
+    * still lose positions that another gram's non-first occurrence
+    * covers (the policy is per-gram, the removal per-position). Same
+    * plan shape as dupSpansApply: the first-occurrence winner is a
+    * row_number over the identical gram-keyed window. */
+  def dupSpansKeep(spark: SparkSession, dir: String): DataFrame =
+    removeFlaggedSpans(spark, dir, flaggedGramPositions(spark, dir, keepFirst = true))
 
   /** Split-fraction boundaries on the first md5 hex byte of the doc id:
     * 0x00–0xcc train (~80.1%), 0xcd–0xe5 val (~9.8%), rest test.
@@ -499,6 +536,7 @@ object CurationModule extends QueryModule {
     "q_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "q_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
     "q_dup_spans_apply" -> ((s: SparkSession, d: String) => dupSpansApply(s, d)),
+    "q_dup_spans_keep" -> ((s: SparkSession, d: String) => dupSpansKeep(s, d)),
     "q_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
     "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)))
 
@@ -573,6 +611,31 @@ object CurationModule extends QueryModule {
         |f AS (SELECT doc_id, n_tokens, pos FROM (
         |    SELECT *, COUNT(*) OVER (PARTITION BY gram) AS occ FROM g)
         |  WHERE occ > 1),
+        |cov AS (SELECT DISTINCT doc_id, u.p
+        |  FROM f, unnest(generate_series(pos, least(pos + 8, n_tokens) - 1)) AS u(p)),
+        |tp AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+        |  FROM n, unnest(generate_series(1, len(toks))) AS u(i)),
+        |kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+        |  ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_tokens,
+        |  CAST(n.n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    "q_dup_spans_keep" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM d),
+        |g AS (SELECT doc_id, n_tokens, i - 1 AS pos,
+        |    array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM n, unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS u(i)),
+        |f AS (SELECT doc_id, n_tokens, pos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g)
+        |  WHERE rn > 1),
         |cov AS (SELECT DISTINCT doc_id, u.p
         |  FROM f, unnest(generate_series(pos, least(pos + 8, n_tokens) - 1)) AS u(p)),
         |tp AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok

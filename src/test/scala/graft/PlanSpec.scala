@@ -91,8 +91,22 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("q_token_budget", "q_pps_sample", "q_pack_chunks"))
       assert(unpartitioned(name) == 1, s"$name block-prefix window count")
     // per-lang/per-doc rank assembly must stay fully partitioned
-    for (name <- Seq("q_corpus_mix", "q_dup_spans", "q_dedup_canonical",
-        "q_embedding_outliers"))
+    for (name <- Seq("q_corpus_mix", "q_dup_spans", "q_dup_spans_keep",
+        "q_dedup_canonical", "q_embedding_outliers"))
       assert(unpartitioned(name) == 0, s"$name has an unpartitioned window")
+  }
+
+  test("span removal is per-document array work: only the gram posexplode generates") {
+    import org.apache.spark.sql.execution.GenerateExec
+    // the rebuild must never posexplode the corpus into (doc_id, p, tok)
+    // rows — covered positions aggregate to one bounded array per doc
+    // and the surviving tokens filter inside the row, so the only
+    // generator in the plan is the 8-gram posexplode of the flag stage
+    for (name <- Seq("q_dup_spans_apply", "q_dup_spans_keep")) {
+      val gens = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.sparkPlan.collect { case g: GenerateExec => g }
+      assert(gens.size == 1,
+        s"$name: expected only the gram posexplode Generate, got ${gens.size}")
+    }
   }
 }

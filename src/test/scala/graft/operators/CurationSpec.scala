@@ -200,6 +200,17 @@ class CurationSpec extends SparkSpec {
       (2L, 10L, "w1 w2 w3 w4"),
       (3L, 0L, (1 to 12).map(i => s"c$i").mkString(" ")),
       (4L, 16L, "")))
+    // keep-one-copy: the globally first occurrence survives — doc 1
+    // keeps the shared sentence and doc 2 loses it; doc 4 keeps the
+    // first of its two self-repeats
+    val kept = Curation.dupSpansKeep(spark, dir)
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(kept == Seq(
+      (1L, 0L, s"u1 u2 u3 u4 $shared"),
+      (2L, 10L, "w1 w2 w3 w4"),
+      (3L, 0L, (1 to 12).map(i => s"c$i").mkString(" ")),
+      (4L, 8L, rep)))
   }
 
   test("token budget equals the naive global-order running sum") {
