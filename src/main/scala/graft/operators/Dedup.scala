@@ -373,29 +373,53 @@ object Dedup {
       .orderBy("new_id", "rn")
   }
 
-  /** E2 edit-distance near-dup: Levenshtein over 24-char normalized
-    * prefixes, blocked on (language, 2-char prefix block) — standard
-    * blocking: the quadratic DP only runs inside small candidate
-    * blocks, never across the corpus (the block key widens to length
-    * buckets/prefix bands as the corpus grows; lang-only blocking
-    * measured 12× slower at sf0.1). Top-20 closest pairs — integer
-    * distances, deterministic tie-break; both engines implement
-    * Wagner-Fischer, so the oracle hash-matches. */
-  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Hard cap on an edit-distance block's membership: a block of n
+    * docs emits O(n²) DP comparisons, so one hot block (boilerplate
+    * corpora where half the documents open with "th…") would be
+    * quadratic with no bound — the same failure mode MaxShingleDf
+    * guards in the Jaccard index. Blocks over the cap keep their
+    * lowest-doc_id members (deterministic, mirrored in the oracle),
+    * bounding any block's pair count at C(cap, 2). */
+  private[operators] val MaxEditBlock = 256
+
+  /** All blocked-and-capped edit-distance candidate pairs (the scored
+    * table editDistancePairs ranks). Exposed for DedupSpec's planted
+    * hot-block bound. */
+  private[operators] def editCandidates(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), normText(col("text")).as("norm"))
       .select(col("doc_id"), col("lang"),
-        substring(normText(col("text")), 1, 24).as("prefix"))
-      .withColumn("blk", substring(col("prefix"), 1, 2))
-    val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("blk"),
-      col("prefix").as("pfx_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("blk"),
-      col("prefix").as("pfx_b"))
-    a.join(b, Seq("lang", "blk")).filter(col("id_a") < col("id_b"))
+        substring(col("norm"), 1, 24).as("prefix"),
+        substring(col("norm"), 1, 2).as("blk"),
+        expr("length(norm) DIV 32").as("lb"))
+    val capped = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("blk"), col("lb")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= MaxEditBlock)
+      .drop("rn")
+    val a = capped.select(col("doc_id").as("id_a"), col("lang"), col("blk"),
+      col("lb"), col("prefix").as("pfx_a"))
+    val b = capped.select(col("doc_id").as("id_b"), col("lang"), col("blk"),
+      col("lb"), col("prefix").as("pfx_b"))
+    a.join(b, Seq("lang", "blk", "lb")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("lang"),
         levenshtein(col("pfx_a"), col("pfx_b")).as("edit_dist"))
+  }
+
+  /** E2 edit-distance near-dup: Levenshtein over 24-char normalized
+    * prefixes, blocked on (language, 2-char prefix block, 32-char
+    * length bucket) — standard blocking: the quadratic DP only runs
+    * inside small candidate blocks, never across the corpus (lang-only
+    * blocking measured 12× slower at sf0.1; the length bucket keeps a
+    * 10-char note from pairing with a 10k-char page that happens to
+    * share its opening). Blocks are additionally capped at MaxEditBlock
+    * members, so no hot block is ever quadratic in the corpus. Top-20
+    * closest pairs — integer distances, deterministic tie-break; both
+    * engines implement Wagner-Fischer, so the oracle hash-matches. */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame =
+    editCandidates(spark, dir)
       .orderBy(col("edit_dist").asc, col("id_a").asc, col("id_b").asc)
       .limit(20)
-  }
 
   /** Near-dup threshold for the cluster graph (same as Corpus's
     * cleaning policy). */
@@ -909,13 +933,20 @@ object DedupModule extends QueryModule {
         |  FROM orient WHERE jaccard >= 0.5)
         |WHERE rn <= 3 ORDER BY new_id, rn""".stripMargin,
     "q_dedup_editdist" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |    substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 24) AS prefix
-        |  FROM documents)
+      """WITH d0 AS (SELECT doc_id, lang,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents),
+        |d1 AS (SELECT doc_id, lang, substr(norm, 1, 24) AS prefix,
+        |    substr(norm, 1, 2) AS blk, length(norm) // 32 AS lb
+        |  FROM d0),
+        |d AS (SELECT doc_id, lang, prefix, blk, lb FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY lang, blk, lb ORDER BY doc_id) AS rn FROM d1)
+        |  WHERE rn <= 256)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
         |  levenshtein(a.prefix, b.prefix) AS edit_dist
         |FROM d a JOIN d b ON a.lang = b.lang
-        |  AND substr(a.prefix, 1, 2) = substr(b.prefix, 1, 2)
+        |  AND a.blk = b.blk AND a.lb = b.lb
         |  AND a.doc_id < b.doc_id
         |ORDER BY edit_dist ASC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
     "q_dedup_clusters" ->

@@ -118,6 +118,27 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r._3 >= 0.5 && r._4 == 1))
   }
 
+  test("edit-distance hot block is capped at MaxEditBlock lowest ids") {
+    // 300 docs share (lang, 2-char prefix, length bucket) — uncapped,
+    // this block alone is C(300,2) = 44850 quadratic DP pairs and
+    // grows without bound on boilerplate corpora. The cap must keep
+    // exactly the 256 lowest doc_ids (deterministic truncation →
+    // C(256,2) pairs), and a same-prefix doc in a DIFFERENT length
+    // bucket must not pair with the block at all.
+    val hot = (0 until 300).map { i =>
+      (i.toLong, f"thdoc$i%03d padding tokens x")  // constant length → one bucket
+    }
+    val dir = docsDir(hot :+ (1000L, "th" + "z" * 100))
+    val cands = Dedup.editCandidates(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val cap = Dedup.MaxEditBlock
+    assert(cands.length == cap * (cap - 1) / 2,
+      s"expected C($cap,2) pairs, got ${cands.length}")
+    val ids = cands.flatMap(r => Seq(r._1, r._2)).toSet
+    assert(ids == (0L until cap.toLong).toSet,
+      "cap must keep the lowest doc_ids and exclude the long-doc bucket")
+  }
+
   test("star branch connects a template cluster larger than MaxShingleDf") {
     // 80 near-identical docs (> MaxShingleDf = 64): every SHARED
     // shingle has df = 80, so the all-pairs branch sees none of them —
