@@ -79,12 +79,18 @@ object Dedup {
   /** Eager localCheckpoint that also reports the persistent-RDD ids it
     * registered, so the caller can free the blocks once the table is
     * superseded. (Dataset.unpersist does not release checkpoint blocks
-    * — they live on the RDD, not in the CacheManager.) */
+    * — they live on the RDD, not in the CacheManager.) The ids are
+    * read directly off the returned plan's LogicalRDD leaf (exact
+    * attribution even with concurrent jobs persisting their own RDDs);
+    * the before/after diff is only the fallback for a plan shape with
+    * no visible LogicalRDD. */
   private[operators] def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint()
-    val ids = sc.getPersistentRDDs.keySet.toSet -- before
+    val exact = org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRddIds(out)
+    val ids = if (exact.nonEmpty) exact
+              else sc.getPersistentRDDs.keySet.toSet -- before
     (out, ids)
   }
 
@@ -120,9 +126,15 @@ object Dedup {
       else {
         val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
         val df = build
-        val after = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        // exact ownership: every memo build returns a checkpointed
+        // table, so its LogicalRDD leaves name the blocks this entry
+        // owns (nested builds registered their own under their own
+        // keys). The before/after diff is only the fallback.
+        val exact = org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRddIds(df)
+        val ids = if (exact.nonEmpty) exact
+                  else spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
         indexCache.put(k, df)
-        indexRdds.put(k, after -- before)
+        indexRdds.put(k, ids)
         df
       }
     }
@@ -133,7 +145,19 @@ object Dedup {
     * eviction API — a long-lived session that sweeps many directories
     * (or a bench harness moving between operator families) calls this
     * at the boundary; the next query transparently rebuilds what it
-    * needs. Nested entries may share ids; unpersist is idempotent. */
+    * needs. Nested entries may share ids; unpersist is idempotent.
+    *
+    * INVALIDATION CONTRACT: releasing frees the block-manager storage
+    * that memoized DataFrames are built on, so any still-held reference
+    * to a DataFrame previously returned by an index-backed operator
+    * (jaccardPairs, minhashLsh, annLsh, …) is invalid after this call —
+    * its next action fails with block-not-found rather than rebuilding
+    * (a localCheckpoint truncates lineage; there is nothing to recompute
+    * from). Call releaseIndexes only at a boundary where no results from
+    * this session's index-backed queries are still live, and re-obtain
+    * DataFrames through the API afterwards — the memo rebuilds on first
+    * use. Tables primed from parquet (primeIndexes) are exempt: their
+    * storage is the file, and release only drops the cache entry. */
   def releaseIndexes(spark: SparkSession): Unit = indexCache.synchronized {
     import scala.jdk.CollectionConverters._
     val prefix = s"${System.identityHashCode(spark)}|"
@@ -814,6 +838,8 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      // zero-norm vectors can't be cosine-ranked (ANSI 0/0 error)
+      .filter(col("nrm") > 0d)
     val a = e.select(col("vec_id").as("id_a"), col("label"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("id_b"), col("label"),

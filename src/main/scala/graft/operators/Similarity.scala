@@ -55,9 +55,13 @@ object Similarity {
     * driver oracle hash-checks it. */
   def knnExact(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     import spark.implicits._
+    // zero-norm vectors have no cosine (0/0 — a DIVIDE_BY_ZERO error
+    // under ANSI mode, the Spark 4 default) and are excluded from
+    // ranking on both sides; SimilaritySpec pins the exclusion
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0d)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nrm").as("nrm_c"))
@@ -65,10 +69,17 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
     val pruned = scored.as[(Long, Long, Double)].mapPartitions { it =>
-      // min-heap per query: head is the worst kept candidate under the
-      // (cos desc, neighbor_id asc) total order
-      val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
-        case (cos, nid) => (-cos, nid)
+      // min-heap per query: head is the worst kept candidate. The
+      // order MUST be the ranking window's total order — cos desc with
+      // NaN ranked greatest (java.lang.Double.compare semantics, what
+      // Spark's desc sort does), then neighbor_id asc — or a zero-norm
+      // vector's NaN cosine would be pruned here yet ranked first by
+      // the window, a silent prune/window divergence.
+      val worstFirst = new Ordering[(Double, Long)] {
+        def compare(x: (Double, Long), y: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(y._1, x._1) // lower cos = worse
+          if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+        }
       }
       val best = scala.collection.mutable.Map
         .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
@@ -76,11 +87,8 @@ object Similarity {
         val h = best.getOrElseUpdate(qid,
           scala.collection.mutable.PriorityQueue.empty(worstFirst))
         if (h.size < k) h.enqueue((cos, nid))
-        else {
-          val (wc, wn) = h.head
-          if (cos > wc || (cos == wc && nid < wn)) {
-            h.dequeue(); h.enqueue((cos, nid))
-          }
+        else if (worstFirst.lt((cos, nid), h.head)) {
+          h.dequeue(); h.enqueue((cos, nid))
         }
       }
       best.iterator.flatMap { case (qid, h) =>
@@ -105,6 +113,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0d)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nrm").as("nrm_c"))
@@ -149,6 +158,8 @@ object Similarity {
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        // zero-norm vectors can't be cosine-ranked (ANSI 0/0 error)
+        .filter(col("nrm") > 0d)
         .localCheckpoint()
     }
 
@@ -283,6 +294,8 @@ object Similarity {
       .groupBy("vec_id", "label")
       .agg(sum((col("v") * col("centroid")).cast("decimal(27,15)")).as("dotc"),
         sum((col("v") * col("v")).cast("decimal(27,15)")).as("nv"))
+      // a zero-norm vector has no cosine to its centroid (ANSI 0/0)
+      .filter(col("nv") > 0)
     val w = Window.partitionBy(col("label"))
       .orderBy(col("cos_centroid").asc, col("vec_id").asc)
     agg.join(broadcast(nc), Seq("label"))
@@ -375,14 +388,19 @@ object SimilarityIvf {
       .limit(sampleN)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())
+    require(sample.nonEmpty, s"cannot fit IVF centroids: $dir/embeddings is empty")
+    // fewer rows than requested cells → fit what the data supports
+    // (indexing over k > n is well-defined with kEff cells, whereas
+    // centroids(c) past the sample would throw)
+    val kEff = math.min(k, sample.length)
+    var centroids: Array[Array[Double]] = sample.take(kEff).map(_.clone())
     (1 to iters).foreach { _ =>
-      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
-      val counts = new Array[Long](k)
+      val sums = Array.fill(kEff)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](kEff)
       sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < k) {
+        while (c < kEff) {
           var d = 0.0; var i = 0
           while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c }
@@ -392,7 +410,7 @@ object SimilarityIvf {
         while (i < v.length) { sums(best)(i) += v(i); i += 1 }
         counts(best) += 1
       }
-      centroids = (0 until k).map { c =>
+      centroids = (0 until kEff).map { c =>
         if (counts(c) == 0) sample(c % sample.length).clone()
         else sums(c).map(_ / counts(c))
       }.toArray

@@ -46,18 +46,25 @@ object TextAnalysis {
     * partial aggregation, so the shuffle carries one accumulator row
     * per document. (The per-row `aggregate(transform(...))` fold
     * computes the same values in a narrow map but runs interpreted —
-    * per-token virtual-call overhead on the hottest path.) */
+    * per-token virtual-call overhead on the hottest path.)
+    *
+    * NULL-text documents still get an audit row (all-NULL stats, the
+    * oracle's NULL propagation): explode_outer keeps the doc as a
+    * null-token row, and the zero-count aggregates finish as NULL. A
+    * plain explode would silently drop the doc — lost audit rows. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_calc"),
-        explode(tokens(col("text"))).as("tok"))
+        explode_outer(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "n_chars_calc")
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("tok")).as("n_distinct_tokens"),
+      .agg(count(col("tok")).as("cnt"),
+        countDistinct(col("tok")).as("dcnt"),
         sum(length(col("tok")).cast("long")).as("sum_token_len"))
-      .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"),
-        col("n_distinct_tokens"), col("sum_token_len"),
-        round(col("sum_token_len").cast("double") / col("n_tokens"), 6)
+      .select(col("doc_id"), col("n_chars_calc"),
+        when(col("cnt") > 0, col("cnt")).as("n_tokens"),
+        when(col("cnt") > 0, col("dcnt")).as("n_distinct_tokens"),
+        col("sum_token_len"),
+        round(col("sum_token_len").cast("double") / col("cnt"), 6)
           .as("avg_token_len"))
       .orderBy("doc_id")
 

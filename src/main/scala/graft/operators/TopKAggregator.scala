@@ -22,8 +22,17 @@ case class ScoredNeighbor(cos: Double, neighbor_id: Long)
 class TopKNeighbors(k: Int)
     extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
 
-  private val ord: Ordering[ScoredNeighbor] =
-    Ordering.by((s: ScoredNeighbor) => (-s.cos, s.neighbor_id))
+  // the ranking window's exact total order: cos desc with NaN ranked
+  // greatest (java.lang.Double.compare — Spark's desc sort semantics),
+  // then neighbor_id asc. Ordering.by(-cos) would send a zero-norm
+  // vector's NaN cosine to the WORST rank while the window formulation
+  // ranks it first — a silent agg/window divergence on degenerate input.
+  private val ord: Ordering[ScoredNeighbor] = new Ordering[ScoredNeighbor] {
+    def compare(a: ScoredNeighbor, b: ScoredNeighbor): Int = {
+      val c = java.lang.Double.compare(b.cos, a.cos)
+      if (c != 0) c else java.lang.Long.compare(a.neighbor_id, b.neighbor_id)
+    }
+  }
 
   override def zero: Seq[ScoredNeighbor] = Vector.empty
 

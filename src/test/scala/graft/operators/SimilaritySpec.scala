@@ -120,6 +120,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("zero-norm vectors are excluded from cosine ranking; heap equals aggregator") {
+    // vec 2 (a query id) and vec 50 (a corpus vector) are all-zero:
+    // their cosine is 0/0 — a DIVIDE_BY_ZERO error under ANSI mode
+    // (the Spark 4 default) — so every similarity operator must
+    // exclude them from scoring instead of crashing the query.
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 12).map { i =>
+      val v = if (i == 2) Seq.fill(64)(0f)
+              else Seq.fill(64)(rnd.nextGaussian().toFloat)
+      (i.toLong, v, i % 3)
+    } :+ (50L, Seq.fill(64)(0f), 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zero").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cos", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val heap = run(Similarity.knnExact(spark, dir, nQueries = 3, k = 4))
+    val agg = run(Similarity.knnExactAgg(spark, dir, nQueries = 3, k = 4))
+    assert(heap == agg, "heap prune and aggregator diverge")
+    assert(heap.nonEmpty)
+    assert(heap.forall(t => t._1 != 2L && t._2 != 2L && t._2 != 50L),
+      "zero-norm vectors must appear on neither side of the ranking")
+    val lsh = run(Similarity.annLsh(spark, dir, nQueries = 3, k = 4))
+    assert(lsh.forall(t => t._1 != 2L && t._2 != 2L && t._2 != 50L))
+  }
+
+  test("fitCentroids handles tables smaller than k and rejects empty ones") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 3).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat), i))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiny").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val fit = SimilarityIvf.fitCentroids(spark, dir)
+    assert(fit.length == 3 && fit.forall(_.length == 64),
+      "3-row table must fit 3 cells, not crash indexing centroids(3)")
+    val out = SimilarityIvf.annIvfFitted(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty && out.forall { case (q, n) => q != n })
+
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-empty-emb").toString
+    rows.toDF("vec_id", "embedding", "label").limit(0)
+      .write.mode("overwrite").parquet(s"$emptyDir/embeddings.parquet")
+    intercept[IllegalArgumentException] {
+      SimilarityIvf.fitCentroids(spark, emptyDir)
+    }
+  }
+
   test("label centroids match a driver-side element-wise mean") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
