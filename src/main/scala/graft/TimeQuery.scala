@@ -19,8 +19,13 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 4th arg "cold": release the session index cache between reps, so
+    // every rep re-times the index BUILD (diagnoses build variance)
+    // instead of rep1 build + warm reps.
+    val cold = args.length > 3 && args(3) == "cold"
     spark.range(1 << 20).selectExpr("sum(id)").count() // neutral warmup
     (1 to reps).foreach { i =>
+      if (cold) graft.operators.Dedup.releaseIndexes(spark)
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
       println(f"[time] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic utility: per-stage cold-build timings for the shingle
+  * index family (docShingles → shingleIndex → jaccardPairTable),
+  * releasing the session cache between reps. Used to separate engine
+  * cost from host-level stall windows when a bench sample spikes
+  * (observed on this host: identical cold builds ranging 0.9–8 s with
+  * flat GC — hypervisor scheduling noise, mitigated in Bench by the
+  * outlier re-run). */
+object BuildProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 20).selectExpr("sum(id)").count()
+    (1 to 5).foreach { i =>
+      Dedup.releaseIndexes(spark)
+      def t(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[probe] rep$i $name%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s ($n rows)")
+      }
+      t("docShingles") { Dedup.docShingles(spark, dir).count() }
+      t("shingleIndex") { Dedup.shingleIndex(spark, dir).count() }
+      t("pairTable") { Dedup.jaccardPairTable(spark, dir).count() }
+    }
+    spark.stop()
+  }
+}

@@ -56,6 +56,15 @@ object Dedup {
       sequence(lit(1), greatest(size(t) - 2, lit(1))),
       i => concat_ws(" ", slice(t, i, lit(3)))))
 
+  /** Shingle set of a raw text column in one expression tree — the
+    * batch docShingles pipeline without its checkpoint stages, using
+    * the same lambda-variable binding as minhashOfText (the token
+    * array is bound once; CollapseProject cannot inline through a
+    * higher-order-function lambda). For batch-sized inputs (index
+    * appends, streams) where a memoized checkpoint would be waste. */
+  private def shingleOfText(text: Column): Column =
+    element_at(transform(array(toks(text)), t => shingleArray(t)), 1)
+
   /** Session-scoped cache of materialized signature/index tables —
     * the engine's equivalent of a database index: MinHash, Jaccard,
     * and the corpus-cleaning pipeline all need the same shingle
@@ -185,6 +194,7 @@ object Dedup {
     "shingleIndex" -> (shingleIndex(_, _)),
     "jaccardPairs" -> (jaccardPairTable(_, _)),
     "minhashSigs" -> (minhashSignatures(_, _)),
+    "minhashBands" -> (minhashBandTable(_, _)),
     "simhashTable" -> (simhashDocs(_, _)),
     "embBase" -> ((s, d) => Similarity.embBase(s, d)),
     "lshBuckets" -> ((s, d) => Similarity.lshBuckets(s, d)))
@@ -202,6 +212,77 @@ object Dedup {
       .foreach { case (name, build) =>
         build(spark, dir).write.mode("overwrite").parquet(s"$indexDir/$name.parquet")
       }
+
+  /** Drop (and unpersist) one memo entry — the targeted version of
+    * releaseIndexes, for maintenance jobs that invalidate a single
+    * derived artifact. */
+  private def memoDrop(spark: SparkSession, key: String): Unit = indexCache.synchronized {
+    val k = s"${System.identityHashCode(spark)}|$key"
+    indexCache.remove(k)
+    Option(indexRdds.remove(k)).foreach(unpersistIds(spark, _))
+  }
+
+  /** Append a new ingest batch to previously written index artifacts
+    * WITHOUT rebuilding them from the full corpus — the on-disk
+    * complement of incrementalNearDups. `docPredicate` selects the
+    * batch's rows of the documents table (pushed down to the scan, so
+    * only the batch's row groups are read); `embPredicate`, when
+    * given, selects the batch's rows of the embeddings table.
+    *
+    * Per-document artifacts (shingles, inverted shingle index, MinHash
+    * signatures and bands, SimHash fingerprints, embedding base and
+    * LSH buckets) decompose row-wise: the batch's rows are computed at
+    * batch size — via the same lambda-bound single-expression staging
+    * the streaming path uses, no checkpoint residency — and appended.
+    * The candidate-pair table does NOT decompose (shingle document
+    * frequencies and star minima are corpus-global), so it is
+    * re-derived — but from the just-appended parquet shingle
+    * artifacts, never by re-shingling corpus text: the full-corpus
+    * text scan is exactly what an append skips.
+    *
+    * Carries releaseIndexes' invalidation contract: on return the
+    * session cache serves every artifact from the updated parquet, and
+    * previously returned index-backed DataFrames are invalid.
+    * IndexPersistenceSpec pins append-then-read equal to a full
+    * rebuild, artifact by artifact. */
+  def appendIndexes(spark: SparkSession, dir: String, indexDir: String,
+                    docPredicate: Column,
+                    embPredicate: Option[Column] = None): Unit = {
+    def append(df: DataFrame, name: String): Unit =
+      df.write.mode("append").parquet(s"$indexDir/$name.parquet")
+    val (batch, batchIds) = trackedCheckpoint(
+      Tables.documents(spark, dir).filter(docPredicate)
+        .select(col("doc_id"), col("text")))
+    val sh = batch.select(col("doc_id"), shingleOfText(col("text")).as("sh"))
+    append(sh, "docShingles")
+    append(sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle")), "shingleIndex")
+    val sigs = batch.select(col("doc_id"), minhashOfText(col("text")).as("sig"))
+    append(sigs, "minhashSigs")
+    append(sigs.select(col("doc_id"),
+      posexplode(bandHashes(col("sig"))).as(Seq("band_idx", "band_hash"))), "minhashBands")
+    append(simhashTableOf(batch), "simhashTable")
+    unpersistIds(spark, batchIds)
+    embPredicate.foreach { p =>
+      val (base, baseIds) = trackedCheckpoint(
+        Similarity.embBaseOf(Tables.embeddings(spark, dir).filter(p)))
+      append(base, "embBase")
+      append(Similarity.lshBucketsOf(base), "lshBuckets")
+      unpersistIds(spark, baseIds)
+    }
+    // Re-derive the corpus-global pair table from the appended per-doc
+    // artifacts: serve them from parquet, drop the stale pair entry,
+    // rebuild (jaccardPairTable now reads the primed shingle tables),
+    // persist, and re-prime so the session serves the new file.
+    releaseIndexes(spark)
+    primeIndexes(spark, dir, indexDir)
+    memoDrop(spark, s"jaccardPairs|$dir")
+    jaccardPairTable(spark, dir).write.mode("overwrite")
+      .parquet(s"$indexDir/jaccardPairs.parquet")
+    memoDrop(spark, s"jaccardPairs|$dir")
+    memoPut(spark, s"jaccardPairs|$dir",
+      spark.read.parquet(s"$indexDir/jaccardPairs.parquet"))
+  }
 
   /** Load previously written index artifacts into the session cache:
     * subsequent dedup/similarity queries against `dir` read the
@@ -662,7 +743,7 @@ object Dedup {
   /** Mersenne prime 2^31-1: universal-hash modulus. a*x+b stays well
     * inside Long (a,x < 2^31 → product < 2^62). */
   private val P = 2147483647L
-  private val NumHashes = 32
+  private[graft] val NumHashes = 32
 
   /** Seeded (a,b) pairs for the k universal hash functions — fixed
     * seed so signatures are stable across runs and executors. */
@@ -703,7 +784,7 @@ object Dedup {
     * 32-hash × shingle-set computation per reference. Staged
     * projections (shingles → hashes → signature) keep each expensive
     * array built once per row. */
-  private[operators] def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"minhashSigs|$dir") {
       docShingles(spark, dir)
         .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
@@ -728,15 +809,49 @@ object Dedup {
       .limit(20)
   }
 
+  /** Array of per-band bucket hashes over a signature column: band j
+    * is md5 of the comma-joined signature slice [j*r, (j+1)*r). Shared
+    * by the batch candidate join, the persisted band-bucket artifact,
+    * and the streaming ingest's query side — all three MUST bucket
+    * identically or stream/batch recall diverges. */
+  private[graft] def bandHashes(sig: Column, bandRows: Int = 2): Column =
+    array((0 until NumHashes / bandRows).map { j =>
+      md5(concat_ws(",", slice(sig, j * bandRows + 1, bandRows)))
+    }: _*)
+
+  /** MinHash signature of a raw text column in ONE expression tree —
+    * the streaming-safe twin of the batch docShingles→minhashSignatures
+    * pipeline (a stream cannot localCheckpoint its projection stages).
+    * The checkpoint barriers exist only to stop CollapseProject from
+    * re-inlining multiply-referenced arrays; here each stage is bound
+    * as a higher-order-function lambda variable instead (a singleton
+    * `transform`), which Catalyst cannot inline through: tokens are
+    * split once, shingle hashes are built once, and the 32 min-hash
+    * probes all read the bound `hs` value. Byte-identical output to
+    * the batch path (IngestDedupSpec pins parity). */
+  private[graft] def minhashOfText(text: Column): Column =
+    element_at(transform(array(toks(text)), t =>
+      element_at(transform(array(shingleHashes(shingleArray(t))), hs =>
+        minhashSignature(hs)), 1)), 1)
+
+  /** Materialized (doc_id, band_idx, band_hash) LSH band-bucket table —
+    * the inverted index a streaming ingest probes with a stream-static
+    * join (IngestDedup.nearDupIngest); persisted/primed via
+    * writeIndexes/primeIndexes like every other index artifact. */
+  private[graft] def minhashBandTable(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"minhashBands|$dir") {
+      minhashSignatures(spark, dir)
+        .select(col("doc_id"),
+          posexplode(bandHashes(col("sig"))).as(Seq("band_idx", "band_hash")))
+        .localCheckpoint()
+    }
+
   /** Banded LSH candidate generation: hash each band of `bandRows`
     * signature values, join docs sharing a (band index, band hash)
     * bucket. Output: distinct (id_a < id_b) pairs. */
   def minhashCandidates(sigs: DataFrame, bandRows: Int): DataFrame = {
-    val numBands = NumHashes / bandRows
     val bands = sigs.select(col("doc_id"),
-      posexplode(array((0 until numBands).map { j =>
-        md5(concat_ws(",", slice(col("sig"), j * bandRows + 1, bandRows)))
-      }: _*)).as(Seq("band_idx", "band_hash")))
+      posexplode(bandHashes(col("sig"), bandRows)).as(Seq("band_idx", "band_hash")))
     val a = bands.select(col("doc_id").as("id_a"), col("band_idx"), col("band_hash"))
     val b = bands.select(col("doc_id").as("id_b"), col("band_idx"), col("band_hash"))
     a.join(b, Seq("band_idx", "band_hash")).filter(col("id_a") < col("id_b"))
@@ -773,12 +888,17 @@ object Dedup {
     * position. Unlike the per-row lambda formulation (simhashBits,
     * kept for Column-level use), this shape is whole-stage-codegen'd
     * with map-side partial aggregation — the 100 TB path. */
-  def simhashTable(spark: SparkSession, dir: String): DataFrame = {
+  def simhashTable(spark: SparkSession, dir: String): DataFrame =
+    simhashTableOf(Tables.documents(spark, dir))
+
+  /** simhashTable over an arbitrary documents slice (doc_id, text …) —
+    * the core writeIndexes/appendIndexes share. */
+  private def simhashTableOf(docs: DataFrame): DataFrame = {
     // bit position i (0-based, MSB first — matches simhashBits'
     // bin()/lpad layout; DedupSpec's differential test pins the parity)
     def contrib(i: Int) =
       sum(when(shiftright(col("h"), 63 - i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    val sums = Tables.documents(spark, dir)
+    val sums = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
       .groupBy("doc_id")

@@ -155,13 +155,16 @@ object Similarity {
     * query run. Released with Dedup.releaseIndexes. */
   private[operators] def embBase(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"embBase|$dir") {
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-        // zero-norm vectors can't be cosine-ranked (ANSI 0/0 error)
-        .filter(col("nrm") > 0d)
-        .localCheckpoint()
+      embBaseOf(Tables.embeddings(spark, dir)).localCheckpoint()
     }
+
+  /** embBase over an arbitrary embeddings slice — the core the
+    * memoized session build and Dedup.appendIndexes share. */
+  private[operators] def embBaseOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      // zero-norm vectors can't be cosine-ranked (ANSI 0/0 error)
+      .filter(col("nrm") > 0d)
 
   /** Materialized LSH bucket index (vec_id, table_idx, bucket) — ids
     * only, never the vectors: the index holds T short strings per
@@ -172,12 +175,15 @@ object Similarity {
     * corpus. */
   private[operators] def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"lshBuckets|$dir") {
-      embBase(spark, dir)
-        .select(col("vec_id"),
-          posexplode(array((0 until NumTables).map(t => bucketId(col("v"), t)): _*))
-            .as(Seq("table_idx", "bucket")))
-        .localCheckpoint()
+      lshBucketsOf(embBase(spark, dir)).localCheckpoint()
     }
+
+  /** Bucket index over an arbitrary (vec_id, v, …) base slice — the
+    * core the memoized session build and Dedup.appendIndexes share. */
+  private[operators] def lshBucketsOf(base: DataFrame): DataFrame =
+    base.select(col("vec_id"),
+      posexplode(array((0 until NumTables).map(t => bucketId(col("v"), t)): _*))
+        .as(Seq("table_idx", "bucket")))
 
   /** Approximate top-k: LSH candidate pairs from the ids-only bucket
     * index (equi-join on table+bucket, deduped), then an exact cosine
@@ -187,12 +193,56 @@ object Similarity {
     * an OOM), the query side is an explicit broadcast of nQueries
     * rows. Rows-only for the driver; recall pinned in SimilaritySpec. */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val base = embBase(spark, dir)
-    val buckets = lshBuckets(spark, dir)
-    val qb = buckets.filter(col("vec_id") < nQueries)
+    val qb = lshBuckets(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("table_idx"), col("bucket"))
+    rerankCandidates(embBase(spark, dir), lshBuckets(spark, dir), qb, nQueries, k)
+  }
+
+  /** Multi-probe ANN (Lv et al., VLDB'07 shape): annLsh plus, per
+    * table, the NumPlanes query-side buckets at Hamming distance 1
+    * (one sign bit flipped) — the recall knob that matches IVF's
+    * nprobe WITHOUT touching the index: the corpus side and the
+    * persisted bucket artifact are byte-identical to annLsh's; only
+    * the tiny broadcast query side fans out ×(1+NumPlanes). The output
+    * candidate set is a superset of annLsh's, and the exact-cosine
+    * rerank makes recall monotone in the candidate set —
+    * SimilaritySpec pins recall(multi) ≥ recall(single) plus the
+    * planted-copy recovery at the tighter bar. */
+  def annLshMultiProbe(spark: SparkSession, dir: String, nQueries: Int = 10,
+                       k: Int = 5): DataFrame = {
+    val base = embBase(spark, dir)
+    // own bucket + all 1-bit flips, per table, computed from the query
+    // vector in one expression: the bucket string binds as a lambda
+    // variable so the 8 plane dot-products run once per (row, table),
+    // not once per probe.
+    def flip(b: Column, i: Int): Column =
+      concat(substring(b, 1, i - 1),
+        when(substring(b, i, 1) === "1", "0").otherwise("1"),
+        substring(b, i + 1, NumPlanes - i))
+    val probeArr = (t: Int) =>
+      element_at(transform(array(bucketId(col("v"), t)), b =>
+        array((struct(lit(t).as("table_idx"), b.as("bucket")) +:
+          (1 to NumPlanes).map(i =>
+            struct(lit(t).as("table_idx"), flip(b, i).as("bucket")))): _*)), 1)
+    val qProbes = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(flatten(array((0 until NumTables).map(probeArr): _*))).as("pr"))
+      .select(col("query_id"), col("pr.table_idx").as("table_idx"),
+        col("pr.bucket").as("bucket"))
+    rerankCandidates(base, lshBuckets(spark, dir), qProbes, nQueries, k)
+  }
+
+  /** Shared tail of the LSH variants: candidate pairs from a query-side
+    * (query_id, table_idx, bucket) probe table joined against the
+    * corpus bucket index, then the exact cosine rerank. The corpus-side
+    * join is unhinted (candidates are usually tiny → AQE broadcasts
+    * them; at adversarial collision rates it degrades to a shuffle
+    * instead of an OOM); the query side is an explicit broadcast of
+    * nQueries·probes rows. */
+  private def rerankCandidates(base: DataFrame, buckets: DataFrame,
+                               qProbes: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val cb = buckets.select(col("vec_id").as("neighbor_id"), col("table_idx"), col("bucket"))
-    val pairs = broadcast(qb).join(cb, Seq("table_idx", "bucket"))
+    val pairs = broadcast(qProbes).join(cb, Seq("table_idx", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val qv = base.filter(col("vec_id") < nQueries)
@@ -489,6 +539,7 @@ object SimilarityModule extends QueryModule {
     "q_knn_exact" -> ((s: SparkSession, d: String) => knnExact(s, d)),
     "q_knn_exact_agg" -> ((s: SparkSession, d: String) => knnExactAgg(s, d)),
     "q_knn_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
+    "q_knn_lsh_probe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvf(s, d)),
     "q_knn_ivf_fit" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvfFitted(s, d)),
     "q_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),

@@ -52,4 +52,59 @@ object IngestDedup {
       .join(corpusFp.withColumn("hit", lit(1)), Seq("fp"), "left")
       .select(col("doc_id"), col("ts"), col("fp"),
         col("hit").isNotNull.as("in_corpus"))
+
+  // ---- Near-duplicate tier -------------------------------------------
+
+  /** Static sides for the near-dup tier: the corpus MinHash signature
+    * table and its banded LSH bucket index. Both are persistable via
+    * `Dedup.writeIndexes` and servable from parquet via
+    * `Dedup.primeIndexes` — at 100 TB the ingest job primes them from
+    * the maintained artifacts rather than re-shingling the corpus; the
+    * static side is re-resolved each micro-batch, so an index refresh
+    * is picked up without restarting the stream. */
+  def corpusSignatures(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(spark, dir)
+  def corpusBands(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashBandTable(spark, dir)
+
+  /** Streaming NEAR-dup ingest over a (ts, doc_id, text) stream — the
+    * tier the exact-fingerprint path cannot cover: a re-crawled
+    * document with one changed sentence has a new md5 but ~0.7+ Jaccard
+    * to its corpus twin. Per stream document:
+    *
+    *  1. MinHash signature via `Dedup.minhashOfText` — byte-identical
+    *     to the batch `minhashSignatures` artifact (one expression
+    *     tree; a stream cannot checkpoint projection stages).
+    *  2. Band explode + stream-static INNER join against the corpus
+    *     band-bucket index on (band_idx, band_hash) — the standard LSH
+    *     probe, O(matching buckets) not O(corpus).
+    *  3. `dropDuplicatesWithinWatermark` on (doc_id, cand_id): a true
+    *     near-dup shares many of the 16 bands; collapse the multi-band
+    *     hits to one candidate pair with watermark-bounded state.
+    *  4. Join the corpus signature table for the candidate's signature
+    *     and score est-Jaccard (fraction of agreeing positions) —
+    *     emit pairs at or above `minEstJaccard`.
+    *
+    * Output: (doc_id, ts, cand_id, est_jaccard) — one row per detected
+    * (stream doc, corpus doc) near-duplicate. Novel documents emit
+    * nothing here; route them via `dedupIngest`'s exact tier. Both
+    * joins are stream-static (append-safe, stateless); the only state
+    * is the watermarked pair dedup. */
+  def nearDupIngest(docs: DataFrame, bands: DataFrame, sigs: DataFrame,
+                    watermark: String = "1 hour",
+                    minEstJaccard: Double = 0.5): DataFrame =
+    docs
+      .withColumn("sig", Dedup.minhashOfText(col("text")))
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(Dedup.bandHashes(col("sig"))).as(Seq("band_idx", "band_hash")))
+      .join(bands.select(col("doc_id").as("cand_id"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .dropDuplicatesWithinWatermark("doc_id", "cand_id")
+      .join(sigs.select(col("doc_id").as("cand_id"), col("sig").as("cand_sig")),
+        Seq("cand_id"))
+      .select(col("doc_id"), col("ts"), col("cand_id"),
+        (size(filter(zip_with(col("sig"), col("cand_sig"), (x, y) => x === y),
+          b => b)).cast("double") / Dedup.NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
 }

@@ -11,7 +11,7 @@ class IndexPersistenceSpec extends SparkSpec {
   import spark.implicits._
 
   /** Fixture corpus with both a documents and an embeddings table so
-    * all seven index artifacts are exercised. */
+    * all eight index artifacts are exercised. */
   private lazy val dir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-idx-docs").toString
     val base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
@@ -30,7 +30,7 @@ class IndexPersistenceSpec extends SparkSpec {
   }
 
   private val artifacts = Seq("docShingles", "shingleIndex", "jaccardPairs",
-    "minhashSigs", "simhashTable", "embBase", "lshBuckets")
+    "minhashSigs", "minhashBands", "simhashTable", "embBase", "lshBuckets")
 
   test("writeIndexes → releaseIndexes → primeIndexes serves identical results from parquet") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-idx").toString
@@ -59,6 +59,66 @@ class IndexPersistenceSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(primedPairs == builtPairs)
     assert(primedLsh == builtLsh)
+    Dedup.releaseIndexes(spark)
+  }
+
+  test("appendIndexes: old corpus + appended batch equals a full rebuild, artifact by artifact") {
+    import org.apache.spark.sql.functions.col
+    // Same corpus split two ways: dirOld holds only the pre-batch rows,
+    // dirFull holds everything. Indexes written from dirOld then
+    // appended with dirFull's batch rows must equal indexes rebuilt
+    // from dirFull wholesale.
+    val allDocs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end1"),
+      (2L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end2"),
+      (3L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"),
+      (4L, "lone text with no relatives at all here"),
+      // the appended batch: one near-dup of doc 1, one novel doc
+      (5L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end5"),
+      (6L, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"))
+      .map { case (id, text) => (id, text, "en", "srcT", text.length.toLong) }
+    val rnd = new scala.util.Random(11)
+    val allEmb = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat), i % 5))
+    def mkDir(docIds: Long => Boolean, embIds: Long => Boolean): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-idx-append").toString
+      allDocs.filter(r => docIds(r._1))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      allEmb.filter(r => embIds(r._1))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val dirOld = mkDir(_ <= 4, _ < 30)
+    val dirFull = mkDir(_ => true, _ => true)
+
+    val idxA = java.nio.file.Files.createTempDirectory("graft-idx-a").toString
+    Dedup.writeIndexes(spark, dirOld, idxA)
+    Dedup.releaseIndexes(spark)
+    Dedup.appendIndexes(spark, dirFull, idxA,
+      docPredicate = col("doc_id") >= 5L,
+      embPredicate = Some(col("vec_id") >= 30L))
+
+    // the session serves the appended artifacts right after the call
+    val served = Dedup.jaccardPairTable(spark, dirFull)
+    assert(served.inputFiles.nonEmpty && served.inputFiles.forall(_.contains(idxA)))
+    // the appended near-dup pair (1,5) must be present with high overlap
+    val pair = served.filter(col("id_a") === 1L && col("id_b") === 5L).collect()
+    assert(pair.length == 1, "appended batch's near-dup pair missing from pair table")
+
+    val idxB = java.nio.file.Files.createTempDirectory("graft-idx-b").toString
+    Dedup.releaseIndexes(spark)
+    Dedup.writeIndexes(spark, dirFull, idxB)
+
+    artifacts.foreach { a =>
+      val appended = spark.read.parquet(s"$idxA/$a.parquet")
+      val rebuilt = spark.read.parquet(s"$idxB/$a.parquet")
+      assert(appended.columns.toSeq == rebuilt.columns.toSeq, s"$a schema drift")
+      val ap = appended.collect().map(_.toSeq).toSet
+      val rb = rebuilt.collect().map(_.toSeq).toSet
+      assert(ap == rb, s"artifact $a: append differs from full rebuild")
+    }
     Dedup.releaseIndexes(spark)
   }
 

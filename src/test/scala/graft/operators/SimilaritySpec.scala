@@ -78,6 +78,21 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect())
   }
 
+  test("multi-probe LSH recovers planted neighbors; recall never below single-probe") {
+    assertPlantedRecovered("lsh_probe", Similarity.annLshMultiProbe(spark, plantedDir)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect())
+    // recall vs the exact top-k is monotone in the candidate set (the
+    // rerank is exact cosine), and multi-probe's candidates are a
+    // superset of annLsh's — so this can only tie or improve.
+    val truth = exact.map(r => (r._1, r._2)).toSet
+    def recall(out: Seq[(Long, Long)]): Double =
+      out.count(truth).toDouble / truth.size
+    val multi = Similarity.annLshMultiProbe(spark, sf("sf0.001"))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    val single = lsh.map(r => (r._1, r._2)).toSeq
+    assert(recall(multi) >= recall(single), "multi-probe lost recall vs single-probe")
+  }
+
   test("IVF recovers planted near-duplicate neighbors (fixture embeddings)") {
     assertPlantedRecovered("ivf", SimilarityIvf.annIvf(spark, plantedDir)
       .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect())

@@ -29,6 +29,23 @@ class IngestDedupSpec extends SparkSpec {
     dir
   }
 
+  /** Corpus with long documents (enough 3-gram shingles for MinHash to
+    * estimate Jaccard meaningfully) for the near-dup tier. */
+  private lazy val nearDupDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-nd").toString
+    val article = "the committee met on tuesday to review the annual budget " +
+      "proposal and after a long discussion approved additional funding " +
+      "for the public library system across all districts"
+    val recipe = "combine the flour sugar and butter in a large bowl then " +
+      "fold in the eggs one at a time until the batter is smooth and pour " +
+      "it into a greased pan before baking"
+    Seq((10L, article), (20L, recipe))
+      .map { case (id, text) => (id, text, "en", "srcT", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   test("ingest dedup: within-stream collapse + corpus flag, fingerprints match batch") {
     implicit val sq = spark.sqlContext
     val corpusFp = IngestDedup.corpusFingerprints(spark, corpusDir)
@@ -74,5 +91,49 @@ class IngestDedupSpec extends SparkSpec {
       val ids = spark.table("ingest2").select("doc_id").as[Long].collect().toSeq
       assert(ids == Seq(200L), s"cross-batch replay must collapse, got $ids")
     }
+  }
+
+  test("near-dup ingest: one-sentence edit is caught across micro-batches, novel doc is not") {
+    implicit val sq = spark.sqlContext
+    val bands = IngestDedup.corpusBands(spark, nearDupDir)
+    val sigs = IngestDedup.corpusSignatures(spark, nearDupDir)
+    val input = MemoryStream[Doc]
+    val q = IngestDedup.nearDupIngest(input.toDF(), bands, sigs)
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    withQuery(q) {
+      // batch 1: re-crawl of corpus doc 10 with one phrase changed —
+      // a new md5 (the exact tier would miss it) but high Jaccard
+      input.addData(Doc(ts("2024-01-01 10:00:00"), 100L,
+        "the committee met on wednesday to review the annual budget " +
+        "proposal and after a long discussion approved additional funding " +
+        "for the public library system across all districts"))
+      q.processAllAvailable()
+      // batch 2: a genuinely novel document
+      input.addData(Doc(ts("2024-01-01 10:01:00"), 101L,
+        "quantum entanglement experiments require carefully isolated " +
+        "detectors and cryogenic shielding to suppress thermal noise"))
+      q.processAllAvailable()
+      val out = spark.table("neardup")
+        .select("doc_id", "cand_id", "est_jaccard")
+        .as[(Long, Long, Double)].collect()
+      assert(out.map(_._1).toSet == Set(100L),
+        s"only the re-crawl should match, got ${out.toSeq}")
+      val hit = out.find(_._1 == 100L).get
+      assert(hit._2 == 10L, s"must match corpus doc 10, got ${hit._2}")
+      assert(hit._3 >= 0.5 && hit._3 <= 1.0, s"est_jaccard out of range: ${hit._3}")
+    }
+    graft.operators.Dedup.releaseIndexes(spark)
+  }
+
+  test("stream-side minhashOfText is byte-identical to the batch signature artifact") {
+    import org.apache.spark.sql.functions.col
+    val batch = graft.operators.Dedup.minhashSignatures(spark, nearDupDir)
+      .as[(Long, Seq[Long])].collect().toMap
+    val streamExpr = spark.read.parquet(s"$nearDupDir/documents.parquet")
+      .select(col("doc_id"), graft.operators.Dedup.minhashOfText(col("text")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(streamExpr == batch,
+      "minhashOfText must reproduce the batch pipeline's signatures exactly")
+    graft.operators.Dedup.releaseIndexes(spark)
   }
 }
