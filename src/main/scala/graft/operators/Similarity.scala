@@ -210,26 +210,20 @@ object Similarity {
     * planted-copy recovery at the tighter bar. */
   def annLshMultiProbe(spark: SparkSession, dir: String, nQueries: Int = 10,
                        k: Int = 5): DataFrame = {
-    val base = embBase(spark, dir)
-    // own bucket + all 1-bit flips, per table, computed from the query
-    // vector in one expression: the bucket string binds as a lambda
-    // variable so the 8 plane dot-products run once per (row, table),
-    // not once per probe.
+    // Probes derive from the query's OWN bucket-index rows by string
+    // bit-flips — no plane dot-products on the query side at all, so
+    // the probe stage is a few string ops riding the (possibly
+    // parquet-primed) bucket artifact rather than 72 re-evaluations of
+    // the hyperplane literals.
     def flip(b: Column, i: Int): Column =
       concat(substring(b, 1, i - 1),
         when(substring(b, i, 1) === "1", "0").otherwise("1"),
         substring(b, i + 1, NumPlanes - i))
-    val probeArr = (t: Int) =>
-      element_at(transform(array(bucketId(col("v"), t)), b =>
-        array((struct(lit(t).as("table_idx"), b.as("bucket")) +:
-          (1 to NumPlanes).map(i =>
-            struct(lit(t).as("table_idx"), flip(b, i).as("bucket")))): _*)), 1)
-    val qProbes = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        explode(flatten(array((0 until NumTables).map(probeArr): _*))).as("pr"))
-      .select(col("query_id"), col("pr.table_idx").as("table_idx"),
-        col("pr.bucket").as("bucket"))
-    rerankCandidates(base, lshBuckets(spark, dir), qProbes, nQueries, k)
+    val qProbes = lshBuckets(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("table_idx"),
+        explode(array(col("bucket") +:
+          (1 to NumPlanes).map(i => flip(col("bucket"), i)): _*)).as("bucket"))
+    rerankCandidates(embBase(spark, dir), lshBuckets(spark, dir), qProbes, nQueries, k)
   }
 
   /** Shared tail of the LSH variants: candidate pairs from a query-side
