@@ -91,13 +91,18 @@ object Bench {
           try { all(name)(spark, sfDir).count() } catch { case _: Throwable => () }
           (System.nanoTime() - t0) / 1e9
         }
-        val first = once()
-        val sec = if (first <= StallSec) first else {
+        // up to 2 retries: a stall window can span two consecutive
+        // samples (observed), so keep sampling while the running min
+        // still exceeds the threshold
+        var sec = once()
+        var tries = 1
+        while (sec > StallSec && tries < 3) {
           if (phase != "plain") graft.operators.Dedup.releaseIndexes(spark)
-          val second = once()
+          val again = once()
+          tries += 1
           System.err.println(
-            f"[bench] $phase%-5s $name%-28s stall-retry: ${first}%.3f vs ${second}%.3f s")
-          math.min(first, second)
+            f"[bench] $phase%-5s $name%-28s stall-retry $tries: ${sec}%.3f vs ${again}%.3f s")
+          sec = math.min(sec, again)
         }
         results(name) = sec
         System.err.println(

@@ -7,6 +7,33 @@ import org.apache.spark.sql.SparkSession
   *
   * sbt "runMain graft.TimeQuery q_text_repetition /root/testdata/sf0.1 3"
   */
+/** Dev utility: run a comma-separated list of queries in order in ONE
+  * JVM/session (shared memo state, like a bench family) and print each
+  * wall time — reproduces context-dependent slowdowns that single-query
+  * timing hides.
+  *
+  * sbt "runMain graft.TimeQueries q_corpus_clean,q_dedup_minhash /root/testdata/sf0.1"
+  */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(f"[time] $name ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
+
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val name = args(0)

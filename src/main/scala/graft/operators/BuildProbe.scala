@@ -34,3 +34,39 @@ object BuildProbe {
     spark.stop()
   }
 }
+
+/** Diagnostic utility: the maintained-artifact posture measured — run
+  * the index job once (writeIndexes), then time the index-backed
+  * queries served from the parquet artifacts (primeIndexes) instead of
+  * session rebuilds. The at-scale shape: an analysis session against a
+  * 100 TB corpus primes artifacts a maintenance job keeps current; no
+  * query pays the build, and nothing occupies the block manager.
+  *
+  * sbt "runMain graft.operators.PrimeProbe /tmp/corpus10x /tmp/corpus10x_idx"
+  */
+object PrimeProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val idx = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[prime] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($n rows)")
+    }
+    t("writeIndexes(job)") { Dedup.writeIndexes(spark, dir, idx); 0L }
+    Dedup.releaseIndexes(spark)
+    Dedup.primeIndexes(spark, dir, idx)
+    Seq("q_corpus_clean", "q_dedup_jaccard", "q_dedup_canonical",
+      "q_dedup_incremental", "q_dedup_minhash", "q_knn_lsh").foreach { q =>
+      t(q) { graft.SparkEntry.queries(q)(spark, dir).count() }
+    }
+    spark.stop()
+  }
+}

@@ -77,7 +77,7 @@ object Corpus {
           .groupBy("doc_id").agg(min(col("reason")).as("reason"))
       docs.join(victims, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source")
-        .localCheckpoint()
+        .transform(Dedup.checkpointSer)
     }.orderBy("doc_id")
 
   /** Post-cleaning inventory: docs per language that survived — the

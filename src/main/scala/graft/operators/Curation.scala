@@ -53,7 +53,7 @@ object Curation {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           toks(col("text")).as("toks"))
-        .localCheckpoint()
+        .transform(Dedup.checkpointSer)
     }
 
   /** Decontamination n-gram length. Long grams (8 tokens vs the dedup

@@ -65,6 +65,21 @@ object Dedup {
   private def shingleOfText(text: Column): Column =
     element_at(transform(array(toks(text)), t => shingleArray(t)), 1)
 
+  /** House checkpoint for session-resident index state: eager
+    * localCheckpoint at MEMORY_AND_DISK_SER. The default level stores
+    * one UnsafeRow object per row; a multi-million-row shingle or
+    * signature table then costs the old generation millions of live
+    * objects and every query in the session pays the GC scans
+    * (measured at a 10× docs tier: q_dedup_canonical 148 s in-session
+    * vs 4.7 s served from parquet — the gap was heap thrash, not
+    * compute). Serialized storage packs each partition into a handful
+    * of byte buffers: same lineage-truncation semantics, ~zero GC
+    * residency, a small per-access deserialization cost the index
+    * access patterns (build once, scan a few times) never notice. */
+  private[graft] def checkpointSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Session-scoped cache of materialized signature/index tables —
     * the engine's equivalent of a database index: MinHash, Jaccard,
     * and the corpus-cleaning pipeline all need the same shingle
@@ -96,7 +111,7 @@ object Dedup {
   private[operators] def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint()
+    val out = checkpointSer(df)
     val exact = org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRddIds(out)
     val ids = if (exact.nonEmpty) exact
               else sc.getPersistentRDDs.keySet.toSet -- before
@@ -309,7 +324,7 @@ object Dedup {
           .select(col("doc_id"), toks(col("text")).as("toks")))
       val out = staged
         .select(col("doc_id"), shingleArray(col("toks")).as("sh"))
-        .localCheckpoint()
+        .transform(checkpointSer)
       // the token staging is only a lambda barrier for the shingle
       // build; once the shingle table is materialized its blocks are
       // dead weight — free them instead of holding both tables
@@ -323,7 +338,7 @@ object Dedup {
     memo(spark, s"shingleIndex|$dir") {
       docShingles(spark, dir)
         .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-        .localCheckpoint()
+        .transform(checkpointSer)
     }
 
   // shared with streaming.IngestDedup — the stream-side fingerprint
@@ -435,7 +450,7 @@ object Dedup {
         .withColumn("jaccard",
           col("n_common").cast("double") /
             (col("n_a") + col("n_b") - col("n_common")))
-        .localCheckpoint()
+        .transform(checkpointSer)
     }
 
   /** E2 n-gram Jaccard near-dup: inverted-index candidate join on
@@ -789,7 +804,7 @@ object Dedup {
       docShingles(spark, dir)
         .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
         .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
-        .localCheckpoint()
+        .transform(checkpointSer)
     }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -843,7 +858,7 @@ object Dedup {
       minhashSignatures(spark, dir)
         .select(col("doc_id"),
           posexplode(bandHashes(col("sig"))).as(Seq("band_idx", "band_hash")))
-        .localCheckpoint()
+        .transform(checkpointSer)
     }
 
   /** Banded LSH candidate generation: hash each band of `bandRows`
@@ -912,7 +927,7 @@ object Dedup {
     * simhashTable). */
   private[operators] def simhashDocs(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"simhashTable|$dir") {
-      simhashTable(spark, dir).localCheckpoint()
+      simhashTable(spark, dir).transform(checkpointSer)
     }
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {

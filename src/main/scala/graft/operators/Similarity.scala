@@ -155,7 +155,7 @@ object Similarity {
     * query run. Released with Dedup.releaseIndexes. */
   private[operators] def embBase(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"embBase|$dir") {
-      embBaseOf(Tables.embeddings(spark, dir)).localCheckpoint()
+      embBaseOf(Tables.embeddings(spark, dir)).transform(Dedup.checkpointSer)
     }
 
   /** embBase over an arbitrary embeddings slice — the core the
@@ -175,7 +175,7 @@ object Similarity {
     * corpus. */
   private[operators] def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"lshBuckets|$dir") {
-      lshBucketsOf(embBase(spark, dir)).localCheckpoint()
+      lshBucketsOf(embBase(spark, dir)).transform(Dedup.checkpointSer)
     }
 
   /** Bucket index over an arbitrary (vec_id, v, …) base slice — the
@@ -324,7 +324,7 @@ object Similarity {
     * recomputes the centroid aggregation for each consumer subtree). */
   private[operators] def centroidTable(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"labelCentroids|$dir") {
-      labelCentroids(spark, dir).localCheckpoint()
+      labelCentroids(spark, dir).transform(Dedup.checkpointSer)
     }
 
   def embeddingOutliers(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
@@ -398,7 +398,7 @@ object SimilarityIvf {
       val out = staged
         .select(col("vec_id"),
           array_position(col("dots"), array_max(col("dots"))).cast("int").as("cell"))
-        .localCheckpoint()
+        .transform(Dedup.checkpointSer)
       Dedup.unpersistIds(spark, stagedIds)
       out
     }
