@@ -985,6 +985,46 @@ object Dedup {
       .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
       .limit(20)
   }
+
+  /** E2 embedding near-dup, the UNBLOCKED scale path: candidate pairs
+    * come from the random-hyperplane LSH bucket index (a pair is a
+    * candidate if it collides in ANY of the T tables) instead of a
+    * label-block all-pairs — cost ∝ bucket collisions rather than
+    * Σ label_size², and near-copies with DIFFERENT labels (mislabeled
+    * re-ingests — precisely the duplicates a label block can never
+    * see) are found. Rides the same memoized/parquet-persistable
+    * embBase/lshBuckets artifacts as the ANN family; the rerank is
+    * exact cosine, so precision is exact and only recall depends on
+    * the banding (two vectors at cos ≥ 0.99 agree on a table's 8
+    * sign bits with high probability; 8 tables drive the miss rate
+    * toward zero — DedupSpec plants cross-label near-copies).
+    * Rows-only for the driver (plane-seeded buckets). At adversarial
+    * bucket skew (a dense region collapsing into one bucket) the
+    * candidate join degrades like any inverted index — the shingle
+    * index's df-cap/star pattern applies if ever needed; embedding
+    * buckets at H=8 split 2⁵⁶-ish regions and have not needed it. */
+  def embeddingPairsAnn(spark: SparkSession, dir: String,
+                        minCos: Double = -1.0): DataFrame = {
+    // default reports the top-20 collided pairs whatever their cosine
+    // (the label-blocked twin's contract — a random corpus has no true
+    // near-dups but the audit still shows the closest collisions);
+    // production dedup passes an explicit threshold, e.g. 0.95
+    val buckets = Similarity.lshBuckets(spark, dir)
+    val bA = buckets.select(col("vec_id").as("id_a"), col("table_idx"), col("bucket"))
+    val bB = buckets.select(col("vec_id").as("id_b"), col("table_idx"), col("bucket"))
+    val cands = bA.join(bB, Seq("table_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val base = Similarity.embBase(spark, dir)
+    val vA = base.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val vB = base.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    cands.join(vA, Seq("id_a")).join(vB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .limit(20)
+  }
 }
 
 /** Driver-contract registration for the dedup set. MinHash/SimHash are
@@ -1000,6 +1040,7 @@ object DedupModule extends QueryModule {
     "q_dedup_minhash" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
+    "q_dedup_embedding_ann" -> ((s: SparkSession, d: String) => embeddingPairsAnn(s, d)),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "q_dedup_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(s, d)),
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalNearDups(s, d)))

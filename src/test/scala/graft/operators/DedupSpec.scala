@@ -326,4 +326,36 @@ class DedupSpec extends SparkSpec {
     val cs = rows.map(_._3)
     assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("embeddingPairsAnn finds cross-label near-copies the label block cannot see") {
+    // 40 seeded vectors, labels i % 10; ids 1/3/7 get a near-copy at
+    // 21/23/27 with a DIFFERENT label — a mislabeled re-ingest. The
+    // label-blocked operator is structurally blind to these pairs; the
+    // bucket-blocked one must surface all three.
+    val rnd = new scala.util.Random(321)
+    def randVec() = Seq.fill(64)((rnd.nextGaussian() * 0.5).toFloat)
+    val base = (0 until 40).filterNot(i => Seq(21, 23, 27).contains(i))
+      .map(i => (i.toLong, randVec(), i % 10))
+    val planted = Seq(1, 3, 7).map { i =>
+      val src = base.find(_._1 == i.toLong).get._2
+      ((20 + i).toLong, src.map(x => x + 0.001f * rnd.nextGaussian().toFloat),
+        (i + 5) % 10) // different label than the source
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-ann").toString
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ann = Dedup.embeddingPairsAnn(spark, dir)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    Seq((1L, 21L), (3L, 23L), (7L, 27L)).foreach { p =>
+      val hit = ann.find(r => (r._1, r._2) == p)
+      assert(hit.nonEmpty, s"bucket-blocked near-dup must find cross-label pair $p")
+      assert(hit.get._3 >= 0.99, s"planted copy $p should score ~1, got ${hit.get._3}")
+    }
+    val blocked = Dedup.embeddingPairs(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    Seq((1L, 21L), (3L, 23L), (7L, 27L)).foreach { p =>
+      assert(!blocked.contains(p), s"label block unexpectedly contains $p")
+    }
+    Dedup.releaseIndexes(spark)
+  }
 }
