@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Dedup
 import graft.sources.Tables
@@ -17,12 +18,16 @@ import graft.sources.Tables
   *     at-scale requirement: an unbounded `dropDuplicates` keeps
   *     every fingerprint ever seen in the state store).
   *  2. AGAINST the standing corpus — a stream-static left join on the
-  *     corpus fingerprint table. The static side is re-resolved per
-  *     micro-batch, so a corpus refresh (new parquet snapshot) is
-  *     picked up without restarting the query; at 100 TB the
-  *     fingerprint artifact is 32 hex chars per distinct document,
-  *     not the documents themselves, and the join broadcasts or
-  *     shuffles by AQE/stats exactly like its batch twin.
+  *     corpus fingerprint table. The static side is re-EXECUTED per
+  *     micro-batch, but its parquet file listing is captured when the
+  *     DataFrame is defined: a corpus snapshot OVERWRITE under a
+  *     running query fails it with FILE_NOT_EXIST (probed, pinned in
+  *     IngestDedupSpec) — use `dedupIngestForeachBatch`, which
+  *     re-reads the corpus table inside foreachBatch, when the corpus
+  *     is refreshed while the stream runs. At 100 TB the fingerprint
+  *     artifact is 32 hex chars per distinct document, not the
+  *     documents themselves, and the join broadcasts or shuffles by
+  *     AQE/stats exactly like its batch twin.
   *
   * Both tiers hash with `Dedup.normText` so the stream-side
   * fingerprints are byte-identical to every batch operator's.
@@ -52,6 +57,29 @@ object IngestDedup {
       .join(corpusFp.withColumn("hit", lit(1)), Seq("fp"), "left")
       .select(col("doc_id"), col("ts"), col("fp"),
         col("hit").isNotNull.as("in_corpus"))
+
+  /** dedupIngest for a corpus that is REFRESHED while the stream runs:
+    * the watermarked within-stream dedup stays in the streaming plan
+    * (stateful), and the corpus join moves into foreachBatch, where
+    * the fingerprint table is re-created — fresh file listing — every
+    * micro-batch. This is the Spark-idiomatic refreshable-static-side
+    * pattern: a plain stream-static join pins its file index at query
+    * definition and dies with FILE_NOT_EXIST when the snapshot is
+    * overwritten under it (probed; IngestDedupSpec pins both
+    * behaviors). `sink` receives each joined micro-batch. */
+  def dedupIngestForeachBatch(docs: DataFrame, spark: SparkSession, dir: String,
+      watermark: String = "1 hour")(sink: DataFrame => Unit): StreamingQuery =
+    docs.withColumn("fp", md5(Dedup.normText(col("text"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(batch
+          .join(corpusFingerprints(spark, dir).withColumn("hit", lit(1)), Seq("fp"), "left")
+          .select(col("doc_id"), col("ts"), col("fp"),
+            col("hit").isNotNull.as("in_corpus")))
+      }
+      .start()
 
   // ---- Near-duplicate tier -------------------------------------------
 

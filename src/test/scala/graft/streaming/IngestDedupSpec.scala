@@ -93,6 +93,50 @@ class IngestDedupSpec extends SparkSpec {
     }
   }
 
+  test("corpus refresh mid-stream: plain static join dies, foreachBatch variant sees the new snapshot") {
+    implicit val sq = spark.sqlContext
+    def writeCorpus(dir: String, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, text) => (id, text, "en", "srcT", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // (a) the plain stream-static join pins its file listing at query
+    // definition: an overwrite under it fails the stream — the doc'd
+    // reason dedupIngestForeachBatch exists
+    val dirA = java.nio.file.Files.createTempDirectory("graft-refresh-a").toString
+    writeCorpus(dirA, Seq((1L, "alpha beta gamma")))
+    val inA = MemoryStream[Doc]
+    val qA = IngestDedup.dedupIngest(inA.toDF(), IngestDedup.corpusFingerprints(spark, dirA))
+      .writeStream.format("memory").queryName("refresh_a").outputMode("append").start()
+    inA.addData(Doc(ts("2024-01-01 10:00:00"), 100L, "alpha beta gamma"))
+    qA.processAllAvailable()
+    writeCorpus(dirA, Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")))
+    inA.addData(Doc(ts("2024-01-01 10:10:00"), 101L, "delta epsilon zeta"))
+    val died = try { qA.processAllAvailable(); false }
+      catch { case _: Throwable => true } finally qA.stop()
+    assert(died, "snapshot overwrite under a pinned file index must fail the stream")
+
+    // (b) foreachBatch re-reads the corpus each micro-batch: the
+    // post-refresh document is flagged in_corpus
+    val dirB = java.nio.file.Files.createTempDirectory("graft-refresh-b").toString
+    writeCorpus(dirB, Seq((1L, "alpha beta gamma")))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val inB = MemoryStream[Doc]
+    val qB = IngestDedup.dedupIngestForeachBatch(inB.toDF(), spark, dirB) { out =>
+      got ++= out.select("doc_id", "in_corpus").as[(Long, Boolean)].collect()
+    }
+    withQuery(qB) {
+      inB.addData(Doc(ts("2024-01-01 10:00:00"), 200L, "an unrelated first document"))
+      qB.processAllAvailable()
+      writeCorpus(dirB, Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")))
+      inB.addData(Doc(ts("2024-01-01 10:10:00"), 201L, "Delta  Epsilon ZETA"))
+      qB.processAllAvailable()
+    }
+    val byDoc = got.toMap
+    assert(!byDoc(200L), "before the refresh the text is novel")
+    assert(byDoc(201L), "after the refresh the same fingerprint must flag in_corpus")
+  }
+
   test("near-dup ingest: one-sentence edit is caught across micro-batches, novel doc is not") {
     implicit val sq = spark.sqlContext
     val bands = IngestDedup.corpusBands(spark, nearDupDir)
