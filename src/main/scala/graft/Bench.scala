@@ -17,13 +17,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   private def isDocFamily(n: String): Boolean =
-    n.startsWith("q_dedup") || n.startsWith("q_corpus") ||
+    (n.startsWith("q_dedup") && !isSimFamily(n)) || n.startsWith("q_corpus") ||
       n == "q_decontaminate" || n == "q_chunk_docs" ||
       n == "q_pack_chunks" || n == "q_text_bigrams" ||
       n.startsWith("q_dup_spans")
 
+  // q_dedup_embedding_ann rides the embedding bucket index, not the
+  // shingle family — grouping it here shares embBase/lshBuckets with
+  // the knn queries instead of rebuilding them in the docs phase
   private def isSimFamily(n: String): Boolean =
-    n.startsWith("q_knn") || n == "q_embedding_outliers"
+    n.startsWith("q_knn") || n == "q_embedding_outliers" ||
+      n == "q_dedup_embedding_ann"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
