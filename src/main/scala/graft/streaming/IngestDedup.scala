@@ -117,7 +117,16 @@ object IngestDedup {
     * (stream doc, corpus doc) near-duplicate. Novel documents emit
     * nothing here; route them via `dedupIngest`'s exact tier. Both
     * joins are stream-static (append-safe, stateless); the only state
-    * is the watermarked pair dedup. */
+    * is the watermarked pair dedup.
+    *
+    * Index-refresh note: `Dedup.appendIndexes` only APPENDS files to
+    * the signature and band artifacts (it overwrites just the derived
+    * pair table, which this stream never reads), so an index append
+    * under a running near-dup stream is safe — the pinned file listing
+    * keeps serving the pre-append corpus until the query restarts,
+    * with no FILE_NOT_EXIST hazard. A wholesale `writeIndexes`
+    * overwrite is NOT safe under a running stream; restart it, or move
+    * the probe into foreachBatch (`dedupIngestForeachBatch` pattern). */
   def nearDupIngest(docs: DataFrame, bands: DataFrame, sigs: DataFrame,
                     watermark: String = "1 hour",
                     minEstJaccard: Double = 0.5): DataFrame =
