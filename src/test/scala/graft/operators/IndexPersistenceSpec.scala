@@ -122,6 +122,22 @@ class IndexPersistenceSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
   }
 
+  test("appendIndexes with an empty batch leaves artifacts equivalent to the originals") {
+    import org.apache.spark.sql.functions.col
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-idx-empty-batch").toString
+    Dedup.releaseIndexes(spark)
+    Dedup.writeIndexes(spark, dir, indexDir)
+    val before = spark.read.parquet(s"$indexDir/jaccardPairs.parquet")
+      .collect().map(_.toSeq).toSet
+    Dedup.appendIndexes(spark, dir, indexDir, docPredicate = col("doc_id") < 0L)
+    val after = spark.read.parquet(s"$indexDir/jaccardPairs.parquet")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "empty append must not change the pair table")
+    val sigs = spark.read.parquet(s"$indexDir/minhashSigs.parquet").count()
+    assert(sigs == 4, "empty append must not add signature rows")
+    Dedup.releaseIndexes(spark)
+  }
+
   test("primeIndexes with missing artifacts is a no-op and builders still run") {
     val emptyDir = java.nio.file.Files.createTempDirectory("graft-idx-empty").toString
     Dedup.primeIndexes(spark, dir, emptyDir)
