@@ -964,14 +964,32 @@ object Dedup {
   private def dot(a: Column, b: Column): Column =
     graft.functions.ArrayDotProduct(a, b)
 
+  /** Hard cap on a label block's membership in embeddingPairs — the
+    * same bound MaxEditBlock puts on edit-distance blocks: a label of
+    * n vectors emits C(n,2) exact dot products, so one hot label
+    * (a corpus where half the embeddings share a class) is quadratic
+    * with no bound. Blocks over the cap keep their lowest-vec_id
+    * members (deterministic, mirrored in the oracle), bounding any
+    * label at C(cap, 2) pairs; the ANN twin (embeddingPairsAnn) is the
+    * uncapped scale path whose cost tracks bucket collisions. */
+  private[operators] val MaxLabelBlock = 256
+
   /** E2 embedding-cosine near-dup: top-20 most similar pairs within a
     * `label` block. Label blocking bounds the pair space (the LSH
-    * variant in Similarity is the unblocked scale path); norms are
-    * computed once per row before the join, so the join evaluates one
-    * dot product per pair. */
+    * variant in Similarity is the unblocked scale path); blocks are
+    * additionally capped at MaxLabelBlock lowest vec_ids so a hot
+    * label is never quadratic in the corpus (measured 23× cost at the
+    * 10× tier uncapped); norms are computed once per row before the
+    * join, so the join evaluates one dot product per pair. */
   def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      // cap BEFORE the norm filter, on vec_id order alone — the oracle
+      // applies the same ROW_NUMBER() <= cap on the raw table
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= MaxLabelBlock)
+      .drop("rn")
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       // zero-norm vectors can't be cosine-ranked (ANSI 0/0 error)
       .filter(col("nrm") > 0d)
@@ -1005,10 +1023,14 @@ object Dedup {
     * buckets at H=8 split 2⁵⁶-ish regions and have not needed it. */
   def embeddingPairsAnn(spark: SparkSession, dir: String,
                         minCos: Double = -1.0): DataFrame = {
-    // default reports the top-20 collided pairs whatever their cosine
-    // (the label-blocked twin's contract — a random corpus has no true
-    // near-dups but the audit still shows the closest collisions);
-    // production dedup passes an explicit threshold, e.g. 0.95
+    // With NO explicit threshold (minCos = -1.0, the audit default)
+    // the result is capped at the top-20 collided pairs whatever
+    // their cosine — the label-blocked twin's contract: a random
+    // corpus has no true near-dups but the audit still shows the
+    // closest collisions. With an explicit threshold (production
+    // dedup, e.g. 0.95) the result is UNCAPPED: every collided pair
+    // at or above the threshold is returned, ordered — a cap there
+    // would silently drop true duplicates past the 20th.
     val buckets = Similarity.lshBuckets(spark, dir)
     val bA = buckets.select(col("vec_id").as("id_a"), col("table_idx"), col("bucket"))
     val bB = buckets.select(col("vec_id").as("id_b"), col("table_idx"), col("bucket"))
@@ -1018,12 +1040,12 @@ object Dedup {
     val base = Similarity.embBase(spark, dir)
     val vA = base.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
     val vB = base.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
-    cands.join(vA, Seq("id_a")).join(vB, Seq("id_b"))
+    val scored = cands.join(vA, Seq("id_a")).join(vB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= minCos)
       .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
-      .limit(20)
+    if (minCos == -1.0) scored.limit(20) else scored
   }
 }
 
@@ -1272,8 +1294,12 @@ object DedupModule extends QueryModule {
         |  CASE WHEN doc_id = keep_id THEN 'keep' ELSE 'drop' END AS action
         |FROM sel ORDER BY component, doc_id""".stripMargin,
     "q_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings)
+      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings),
+        |e AS (SELECT vec_id, label, v FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY label ORDER BY vec_id) AS rn FROM e0)
+        |  WHERE rn <= 256)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
         |  list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos

@@ -327,6 +327,61 @@ class DedupSpec extends SparkSpec {
     assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("embeddingPairs hot label is capped at MaxLabelBlock lowest vec_ids") {
+    // 300 vectors share label 0 — uncapped, that one label is
+    // C(300,2) = 44850 exact dot products and grows quadratically on
+    // class-skewed corpora. Plant the corpus's strongest pair ACROSS
+    // the cap boundary (290 ≈ copy of 5): the cap must exclude it,
+    // keep only the 256 lowest vec_ids, and still surface the planted
+    // within-cap pair (7, 100) as the top result.
+    val rnd = new scala.util.Random(77)
+    def randVec() = Seq.fill(64)((rnd.nextGaussian() * 0.5).toFloat)
+    val base = (0 until 300).filterNot(i => i == 100 || i == 290)
+      .map(i => (i.toLong, randVec(), 0))
+    def copyOf(src: Long, id: Long) = {
+      val v = base.find(_._1 == src).get._2
+      (id, v.map(x => x + 0.0005f * rnd.nextGaussian().toFloat), 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-cap").toString
+    (base :+ copyOf(7L, 100L) :+ copyOf(5L, 290L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Dedup.embeddingPairs(spark, dir)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    val cap = Dedup.MaxLabelBlock
+    assert(rows.flatMap(r => Seq(r._1, r._2)).forall(_ < cap),
+      "capped block must only pair the lowest vec_ids")
+    assert(!rows.exists(r => (r._1, r._2) == (5L, 290L)),
+      "pair across the cap boundary must be excluded")
+    assert((rows.head._1, rows.head._2) == (7L, 100L) && rows.head._3 >= 0.99,
+      s"within-cap planted copy must rank first, got ${rows.head}")
+  }
+
+  test("embeddingPairsAnn with an explicit threshold is uncapped; audit default stays top-20") {
+    // 25 planted near-copies → 25 true pairs above 0.95. The audit
+    // default (no threshold) must report exactly 20; a threshold-driven
+    // dedup call must return ALL of them — a silent top-20 cap there
+    // would drop real duplicates (round-5 advice).
+    val rnd = new scala.util.Random(55)
+    def randVec() = Seq.fill(64)((rnd.nextGaussian() * 0.5).toFloat)
+    val base = (0 until 25).map(i => (i.toLong, randVec(), i % 10))
+    val copies = base.map { case (id, v, lbl) =>
+      (id + 100L, v.map(x => x + 0.0005f * rnd.nextGaussian().toFloat), lbl)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-uncap").toString
+    (base ++ copies).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val thresholded = Dedup.embeddingPairsAnn(spark, dir, minCos = 0.95)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    val planted = (0 until 25).map(i => (i.toLong, i + 100L)).toSet
+    assert(planted.subsetOf(thresholded.map(r => (r._1, r._2)).toSet),
+      s"threshold run must return every planted pair, got ${thresholded.length} rows")
+    assert(thresholded.forall(_._3 >= 0.95))
+    val audit = Dedup.embeddingPairsAnn(spark, dir).collect()
+    assert(audit.length == 20, s"audit default must stay top-20, got ${audit.length}")
+    Dedup.releaseIndexes(spark)
+  }
+
   test("embeddingPairsAnn finds cross-label near-copies the label block cannot see") {
     // 40 seeded vectors, labels i % 10; ids 1/3/7 get a near-copy at
     // 21/23/27 with a DIFFERENT label — a mislabeled re-ingest. The
