@@ -201,6 +201,12 @@ object Dedup {
       indexCache.put(s"${System.identityHashCode(spark)}|$key", df)
     }
 
+  /** Peek at a memo entry without building — lets a driver-side model
+    * load (SimilarityIvf.fitCentroids) serve from a primed parquet
+    * artifact instead of refitting. */
+  private[operators] def memoGet(spark: SparkSession, key: String): Option[DataFrame] =
+    Option(indexCache.get(s"${System.identityHashCode(spark)}|$key"))
+
   /** The engine's materializable index artifacts: name → builder. The
     * name doubles as the memo-key prefix and the parquet directory
     * name under the index root. */
@@ -212,7 +218,15 @@ object Dedup {
     "minhashBands" -> (minhashBandTable(_, _)),
     "simhashTable" -> (simhashDocs(_, _)),
     "embBase" -> ((s, d) => Similarity.embBase(s, d)),
-    "lshBuckets" -> ((s, d) => Similarity.lshBuckets(s, d)))
+    "lshBuckets" -> ((s, d) => Similarity.lshBuckets(s, d)),
+    "ivfCells" -> ((s, d) => SimilarityIvf.ivfCells(s, d)),
+    "ivfCentroidsFit" -> ((s, d) => SimilarityIvf.centroidTable(s, d)),
+    "ivfCellsFit" -> ((s, d) => SimilarityIvf.ivfCellsFit(s, d)))
+
+  /** Builder names that read the embeddings table — skipped when a
+    * corpus has no embeddings (`withEmbeddings = false`). */
+  private val embeddingArtifacts =
+    Set("embBase", "lshBuckets", "ivfCells", "ivfCentroidsFit", "ivfCellsFit")
 
   /** Materialize every index artifact for `dir` as parquet under
     * `indexDir` — the 100 TB posture made literal: the shingle /
@@ -223,7 +237,7 @@ object Dedup {
   def writeIndexes(spark: SparkSession, dir: String, indexDir: String,
                    withEmbeddings: Boolean = true): Unit =
     indexBuilders
-      .filter { case (n, _) => withEmbeddings || (n != "embBase" && n != "lshBuckets") }
+      .filter { case (n, _) => withEmbeddings || !embeddingArtifacts(n) }
       .foreach { case (name, build) =>
         build(spark, dir).write.mode("overwrite").parquet(s"$indexDir/$name.parquet")
       }
@@ -262,7 +276,8 @@ object Dedup {
     * rebuild, artifact by artifact. */
   def appendIndexes(spark: SparkSession, dir: String, indexDir: String,
                     docPredicate: Column,
-                    embPredicate: Option[Column] = None): Unit = {
+                    embPredicate: Option[Column] = None,
+                    rebuildPairs: Boolean = true): Unit = {
     def append(df: DataFrame, name: String): Unit =
       df.write.mode("append").parquet(s"$indexDir/$name.parquet")
     val (batch, batchIds) = trackedCheckpoint(
@@ -283,14 +298,46 @@ object Dedup {
         Similarity.embBaseOf(Tables.embeddings(spark, dir).filter(p)))
       append(base, "embBase")
       append(Similarity.lshBucketsOf(base), "lshBuckets")
+      // IVF cell assignments for the batch. The seeded quantizer is a
+      // compile-time constant, so the append is trivially consistent
+      // with the existing rows; the FITTED quantizer is train-once
+      // (standard IVF posture — FAISS-style coarse quantizers are not
+      // refit on ingest): the batch is assigned under the PERSISTED
+      // centroid artifact, never a refit, so old and new rows share one
+      // cell geometry. A corpus whose index predates the IVF artifacts
+      // simply skips the fitted append.
+      append(SimilarityIvf.ivfAssign(base, SimilarityIvf.centroids), "ivfCells")
+      SimilarityIvf.readCentroidArtifact(spark, indexDir).foreach { cents =>
+        append(SimilarityIvf.ivfAssign(base, cents), "ivfCellsFit")
+      }
       unpersistIds(spark, baseIds)
     }
     // Re-derive the corpus-global pair table from the appended per-doc
     // artifacts: serve them from parquet, drop the stale pair entry,
     // rebuild (jaccardPairTable now reads the primed shingle tables),
     // persist, and re-prime so the session serves the new file.
+    // `rebuildPairs = false` defers this — the rebuild is the dominant
+    // append cost and nothing on the ingest path reads the pair table
+    // (the near-dup stream joins the band index; incremental dedup
+    // derives its own candidates), so an operational pipeline can run
+    // cheap per-batch appends and refresh the pair table asynchronously
+    // on its own schedule by calling rebuildPairTable — the deferred
+    // call produces a byte-identical artifact (IndexPersistenceSpec
+    // pins deferred-then-rebuild ≡ eager). Until that refresh, the
+    // persisted pair table reflects the pre-append corpus.
     releaseIndexes(spark)
     primeIndexes(spark, dir, indexDir)
+    if (rebuildPairs) rebuildPairTable(spark, dir, indexDir)
+  }
+
+  /** Rebuild the corpus-global Jaccard candidate-pair artifact from the
+    * (already appended) per-document parquet artifacts and re-prime the
+    * session to serve it — the deferrable tail of appendIndexes.
+    * Requires the session to be primed on `indexDir` (appendIndexes
+    * leaves it primed; a fresh maintenance session calls primeIndexes
+    * first) so the derivation reads parquet shingle tables, not a
+    * re-shingle of the corpus text. */
+  def rebuildPairTable(spark: SparkSession, dir: String, indexDir: String): Unit = {
     memoDrop(spark, s"jaccardPairs|$dir")
     jaccardPairTable(spark, dir).write.mode("overwrite")
       .parquet(s"$indexDir/jaccardPairs.parquet")

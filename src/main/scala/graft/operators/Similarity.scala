@@ -404,11 +404,63 @@ object SimilarityIvf {
     }
   }
 
+  /** Row-wise IVF cell assignment over an arbitrary (vec_id, v, …)
+    * base slice — the core Dedup.appendIndexes uses to assign an
+    * ingest batch under a FIXED quantizer. No checkpoint staging: for
+    * a batch-sized input the double evaluation of the dot array
+    * (argmax reads it twice after CollapseProject inlining) is cheaper
+    * than a materialization round-trip; the memoized corpus-wide build
+    * above keeps its staged form. Values are bit-identical either
+    * way. */
+  private[operators] def ivfAssign(base: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    base.select(col("vec_id"), centroidDots(col("v"), cents).as("dots"))
+      .select(col("vec_id"),
+        array_position(col("dots"), array_max(col("dots"))).cast("int").as("cell"))
+
+  /** The fitted coarse quantizer as a persistable table (cell,
+    * centroid) — 16 rows of 64 doubles. This is the model artifact a
+    * 100 TB deployment trains once and ships with the cell index:
+    * primeIndexes loads it back and fitCentroids serves it from the
+    * session cache instead of refitting, so a fresh analysis session
+    * does zero k-means and zero cell assignment. Cell ids are 1-based,
+    * matching array_position in the assignment scan. */
+  private[operators] def centroidTable(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(spark, s"ivfCentroidsFit|$dir") {
+      val cents = fitCentroids(spark, dir)
+      spark.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i + 1, c) })
+        .toDF("cell", "centroid")
+    }
+
+  /** Materialized cell index under the FITTED quantizer — the memo
+    * twin annIvfFitted rides, exposed as a named artifact so
+    * writeIndexes/primeIndexes/appendIndexes maintain it alongside the
+    * seeded one. */
+  private[operators] def ivfCellsFit(spark: SparkSession, dir: String): DataFrame =
+    ivfCells(spark, dir, fitCentroids(spark, dir), s"ivfCellsFit|$dir")
+
+  /** Load the persisted fitted-quantizer artifact, if present — the
+    * append path assigns new batches under these centroids (train-once
+    * posture; a refit would put old and new rows in different cell
+    * geometries). */
+  private[operators] def readCentroidArtifact(spark: SparkSession,
+                                              indexDir: String): Option[Seq[Seq[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/ivfCentroidsFit.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq)
+  }
+
   /** Cached sampled-k-means centroid fits per (session, dir): the
     * model is 16×64 doubles — negligible — so unlike the index tables
     * it needs no eviction discipline. */
   private val fitCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+
+  /** Test hook: drop every cached fitted model, so a persistence
+    * round-trip can prove fitCentroids serves the parquet artifact
+    * rather than the in-process cache. */
+  private[operators] def clearFitCache(): Unit = fitCache.clear()
 
   /** Coarse-quantizer training: Lloyd's k-means on a deterministic
     * hash-ordered sample of the corpus, fitted driver-side. This is
@@ -426,6 +478,17 @@ object SimilarityIvf {
     val key = s"${System.identityHashCode(spark)}|$dir|$k"
     val hit = fitCache.get(key)
     if (hit != null) return hit
+    // A session primed from parquet serves the persisted quantizer
+    // (16 rows — a negligible collect) instead of refitting: the model
+    // travels with the cell index, so assignments and probes stay in
+    // one cell geometry across sessions and appends.
+    if (k == NumCentroids) {
+      Dedup.memoGet(spark, s"ivfCentroidsFit|$dir").foreach { df =>
+        val cents = df.orderBy("cell").collect()
+          .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
+        if (cents.nonEmpty) { fitCache.put(key, cents); return cents }
+      }
+    }
     val sample = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)

@@ -30,7 +30,8 @@ class IndexPersistenceSpec extends SparkSpec {
   }
 
   private val artifacts = Seq("docShingles", "shingleIndex", "jaccardPairs",
-    "minhashSigs", "minhashBands", "simhashTable", "embBase", "lshBuckets")
+    "minhashSigs", "minhashBands", "simhashTable", "embBase", "lshBuckets",
+    "ivfCells", "ivfCentroidsFit", "ivfCellsFit")
 
   test("writeIndexes → releaseIndexes → primeIndexes serves identical results from parquet") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-idx").toString
@@ -43,22 +44,45 @@ class IndexPersistenceSpec extends SparkSpec {
       .select("id_a", "id_b", "n_common").as[(Long, Long, Long)].collect().toSet
     val builtLsh = Dedup.minhashLsh(spark, dir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(builtPairs.nonEmpty)
+    val builtIvf = SimilarityIvf.annIvf(spark, dir)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val builtIvfFit = SimilarityIvf.annIvfFitted(spark, dir)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val builtCents = SimilarityIvf.fitCentroids(spark, dir)
+    assert(builtPairs.nonEmpty && builtIvf.nonEmpty)
 
     Dedup.releaseIndexes(spark)
+    SimilarityIvf.clearFitCache()
     Dedup.primeIndexes(spark, dir, indexDir)
 
     // The primed pair table must be the parquet artifact, not a rebuild.
     val primed = Dedup.jaccardPairTable(spark, dir)
     assert(primed.inputFiles.nonEmpty && primed.inputFiles.forall(_.contains(indexDir)),
       s"primed table not served from $indexDir: ${primed.inputFiles.take(3).mkString(",")}")
+    // … and so must both IVF cell indexes: a primed session does ZERO
+    // assignment work (the scans below read the parquet artifact).
+    Seq(SimilarityIvf.ivfCells(spark, dir), SimilarityIvf.ivfCellsFit(spark, dir))
+      .foreach { cells =>
+        assert(cells.inputFiles.nonEmpty && cells.inputFiles.forall(_.contains(indexDir)),
+          "primed IVF cell index not served from parquet")
+      }
+    // … and the fitted quantizer loads from the artifact, not a refit
+    // (fit cache cleared above, so a refit would be the only other way).
+    assert(SimilarityIvf.fitCentroids(spark, dir) == builtCents,
+      "primed centroids differ from the fitted model that was persisted")
 
     val primedPairs = Dedup.jaccardPairs(spark, dir)
       .select("id_a", "id_b", "n_common").as[(Long, Long, Long)].collect().toSet
     val primedLsh = Dedup.minhashLsh(spark, dir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val primedIvf = SimilarityIvf.annIvf(spark, dir)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val primedIvfFit = SimilarityIvf.annIvfFitted(spark, dir)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect().toSet
     assert(primedPairs == builtPairs)
     assert(primedLsh == builtLsh)
+    assert(primedIvf == builtIvf)
+    assert(primedIvfFit == builtIvfFit)
     Dedup.releaseIndexes(spark)
   }
 
@@ -111,7 +135,12 @@ class IndexPersistenceSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
     Dedup.writeIndexes(spark, dirFull, idxB)
 
-    artifacts.foreach { a =>
+    // The fitted-quantizer family is train-once BY DESIGN: a rebuild
+    // from dirFull refits k-means on the grown corpus, while an append
+    // keeps the original model and assigns the batch under it — so
+    // those two artifacts are compared against the ORIGINAL-centroid
+    // reference below, not against the rebuild.
+    artifacts.filterNot(Set("ivfCentroidsFit", "ivfCellsFit")).foreach { a =>
       val appended = spark.read.parquet(s"$idxA/$a.parquet")
       val rebuilt = spark.read.parquet(s"$idxB/$a.parquet")
       assert(appended.columns.toSeq == rebuilt.columns.toSeq, s"$a schema drift")
@@ -119,6 +148,18 @@ class IndexPersistenceSpec extends SparkSpec {
       val rb = rebuilt.collect().map(_.toSeq).toSet
       assert(ap == rb, s"artifact $a: append differs from full rebuild")
     }
+    // Appended fitted-cell index ≡ assigning the FULL corpus under the
+    // ORIGINAL (pre-append) quantizer: one cell geometry across old and
+    // new rows, model untouched by the append.
+    val origCents = SimilarityIvf.readCentroidArtifact(spark, idxA).get
+    val appendedFit = spark.read.parquet(s"$idxA/ivfCellsFit.parquet")
+      .as[(Long, Int)].collect().toSet
+    Dedup.releaseIndexes(spark)
+    val referenceFit = SimilarityIvf
+      .ivfAssign(Similarity.embBase(spark, dirFull), origCents)
+      .as[(Long, Int)].collect().toSet
+    assert(appendedFit == referenceFit,
+      "fitted cell append must equal full-corpus assignment under the original quantizer")
     Dedup.releaseIndexes(spark)
   }
 
@@ -151,8 +192,61 @@ class IndexPersistenceSpec extends SparkSpec {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-idx-noemb").toString
     Dedup.writeIndexes(spark, dir, indexDir, withEmbeddings = false)
     assert(new java.io.File(s"$indexDir/docShingles.parquet").exists())
-    assert(!new java.io.File(s"$indexDir/embBase.parquet").exists())
-    assert(!new java.io.File(s"$indexDir/lshBuckets.parquet").exists())
+    Seq("embBase", "lshBuckets", "ivfCells", "ivfCentroidsFit", "ivfCellsFit")
+      .foreach { a =>
+        assert(!new java.io.File(s"$indexDir/$a.parquet").exists(),
+          s"embedding artifact $a written despite withEmbeddings=false")
+      }
+    Dedup.releaseIndexes(spark)
+  }
+
+  test("appendIndexes rebuildPairs=false defers the pair table; a later rebuild equals the eager path") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end1"),
+      (2L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end2"),
+      (3L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"),
+      // the appended batch: a near-dup of doc 1 the pair table can
+      // only know about after a rebuild
+      (5L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end5"))
+      .map { case (id, text) => (id, text, "en", "srcT", text.length.toLong) }
+    def mkDir(p: Long => Boolean): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-idx-defer").toString
+      docs.filter(r => p(r._1)).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val dirOld = mkDir(_ <= 3)
+    val dirFull = mkDir(_ => true)
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-defer-a").toString
+    Dedup.writeIndexes(spark, dirOld, idx, withEmbeddings = false)
+    val stale = spark.read.parquet(s"$idx/jaccardPairs.parquet")
+      .collect().map(_.toSeq).toSet
+    Dedup.releaseIndexes(spark)
+
+    // Deferred append: per-doc artifacts grow, the pair artifact stays
+    // the pre-append file — the cheap per-batch ingest posture.
+    Dedup.appendIndexes(spark, dirFull, idx,
+      docPredicate = col("doc_id") >= 5L, rebuildPairs = false)
+    assert(spark.read.parquet(s"$idx/minhashSigs.parquet").count() == 4,
+      "per-doc artifacts must include the appended batch")
+    val deferred = spark.read.parquet(s"$idx/jaccardPairs.parquet")
+      .collect().map(_.toSeq).toSet
+    assert(deferred == stale, "deferred append must leave the pair artifact untouched")
+
+    // The async refresh: rebuildPairTable derives from the appended
+    // parquet artifacts and must equal a from-scratch full rebuild.
+    Dedup.rebuildPairTable(spark, dirFull, idx)
+    val refreshed = spark.read.parquet(s"$idx/jaccardPairs.parquet")
+      .collect().map(_.toSeq).toSet
+    assert(refreshed.exists(r => r.take(2) == Seq(1L, 5L)),
+      "refreshed pair table must see the appended near-dup pair")
+    val idxFull = java.nio.file.Files.createTempDirectory("graft-idx-defer-b").toString
+    Dedup.releaseIndexes(spark)
+    Dedup.writeIndexes(spark, dirFull, idxFull, withEmbeddings = false)
+    val rebuilt = spark.read.parquet(s"$idxFull/jaccardPairs.parquet")
+      .collect().map(_.toSeq).toSet
+    assert(refreshed == rebuilt, "deferred-then-rebuild must equal the eager/full path")
     Dedup.releaseIndexes(spark)
   }
 }
