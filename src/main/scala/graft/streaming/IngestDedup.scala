@@ -122,11 +122,37 @@ object IngestDedup {
     * Index-refresh note: `Dedup.appendIndexes` only APPENDS files to
     * the signature and band artifacts (it overwrites just the derived
     * pair table, which this stream never reads), so an index append
-    * under a running near-dup stream is safe — the pinned file listing
-    * keeps serving the pre-append corpus until the query restarts,
-    * with no FILE_NOT_EXIST hazard. A wholesale `writeIndexes`
-    * overwrite is NOT safe under a running stream; restart it, or move
-    * the probe into foreachBatch (`dedupIngestForeachBatch` pattern). */
+    * under a running near-dup stream is safe PROVIDED the static sides
+    * were primed from parquet (`Dedup.primeIndexes`): a primed table's
+    * storage is the file, so the stream's pinned listing keeps serving
+    * the pre-append corpus until the query restarts, with no
+    * FILE_NOT_EXIST hazard, and appendIndexes' internal releaseIndexes
+    * only drops cache entries. With SESSION-BUILT static sides (what
+    * un-primed corpusBands/corpusSignatures return — localCheckpoint
+    * tables), that same releaseIndexes unpersists their checkpoint
+    * blocks mid-stream and the next micro-batch fails with
+    * block-not-found (lineage is truncated; nothing to recompute from)
+    * — prime before starting the stream, or restart it around the
+    * maintenance window. A wholesale `writeIndexes` overwrite is NOT
+    * safe under a running stream either way; restart it, or move the
+    * probe into foreachBatch (`dedupIngestForeachBatch` pattern).
+    *
+    * Continuous-maintenance recipe (pinned end-to-end in
+    * IngestDedupSpec):
+    * {{{
+    *   Dedup.primeIndexes(spark, dir, idx)        // file-backed static sides
+    *   val q = nearDupIngest(stream,
+    *     corpusBands(spark, dir), corpusSignatures(spark, dir))
+    *     .writeStream…start()                     // flags near-dups vs corpus
+    *   // each maintenance window: route the flagged-novel docs into the
+    *   // corpus table, then grow the index without re-shingling:
+    *   novelDocs.write.mode("append").parquet(s"$dir/documents.parquet")
+    *   Dedup.appendIndexes(spark, dir, idx,
+    *     docPredicate = col("doc_id").isin(novelIds: _*),
+    *     rebuildPairs = false)                    // pair table deferred
+    *   // the running query keeps serving the pre-append snapshot;
+    *   // restart it to probe against the grown index
+    * }}} */
   def nearDupIngest(docs: DataFrame, bands: DataFrame, sigs: DataFrame,
                     watermark: String = "1 hour",
                     minEstJaccard: Double = 0.5): DataFrame =

@@ -169,6 +169,80 @@ class IngestDedupSpec extends SparkSpec {
     graft.operators.Dedup.releaseIndexes(spark)
   }
 
+  test("continuous maintenance loop: flag → append novels to index → restarted stream flags against the grown index") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val Dedup = graft.operators.Dedup
+    val article = "the committee met on tuesday to review the annual budget " +
+      "proposal and after a long discussion approved additional funding " +
+      "for the public library system across all districts"
+    val recipe = "combine the flour sugar and butter in a large bowl then " +
+      "fold in the eggs one at a time until the batter is smooth and pour " +
+      "it into a greased pan before baking"
+    def docRow(id: Long, text: String) = (id, text, "en", "srcT", text.length.toLong)
+
+    // Standing corpus: just the article. Index written once, then the
+    // session primed from parquet — the file-backed static sides the
+    // append-under-stream safety note requires.
+    val dir = java.nio.file.Files.createTempDirectory("graft-loop").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-loop-idx").toString
+    Seq(docRow(1L, article)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Dedup.writeIndexes(spark, dir, idx, withEmbeddings = false)
+    Dedup.releaseIndexes(spark)
+    Dedup.primeIndexes(spark, dir, idx)
+
+    // Micro-batch 1: a near-copy of corpus doc 1 (must be flagged) and
+    // a novel recipe (must not be).
+    val in1 = MemoryStream[Doc]
+    val q1 = IngestDedup.nearDupIngest(in1.toDF(),
+        IngestDedup.corpusBands(spark, dir), IngestDedup.corpusSignatures(spark, dir))
+      .writeStream.format("memory").queryName("loop1").outputMode("append").start()
+    in1.addData(
+      Doc(ts("2024-01-01 10:00:00"), 100L, article.replace("tuesday", "wednesday")),
+      Doc(ts("2024-01-01 10:00:30"), 101L, recipe))
+    q1.processAllAvailable()
+    val out1 = spark.table("loop1").select("doc_id", "cand_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out1 == Set((100L, 1L)),
+      s"batch 1: only the article re-crawl should flag, got $out1")
+
+    // Maintenance window, WITH q1 STILL RUNNING: route the novel doc
+    // into the corpus and grow the index artifacts. Safe because the
+    // static sides are parquet-primed (the scaladoc'd condition).
+    Seq(docRow(101L, recipe)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    Dedup.appendIndexes(spark, dir, idx,
+      docPredicate = col("doc_id") === 101L, rebuildPairs = false)
+
+    // The running query's pinned listing serves the PRE-append corpus:
+    // another article re-crawl still flags, and nothing crashes.
+    in1.addData(Doc(ts("2024-01-01 10:01:00"), 150L, article.replace("annual", "yearly")))
+    q1.processAllAvailable()
+    val out1b = spark.table("loop1").select("doc_id", "cand_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out1b.contains((150L, 1L)),
+      "append under a primed running stream must not break the probe")
+    q1.stop()
+
+    // Micro-batch 2 in a RESTARTED stream (the documented refresh
+    // semantics): a near-copy of the batch-1 novel doc is now flagged
+    // against the GROWN index.
+    val in2 = MemoryStream[Doc]
+    val q2 = IngestDedup.nearDupIngest(in2.toDF(),
+        IngestDedup.corpusBands(spark, dir), IngestDedup.corpusSignatures(spark, dir))
+      .writeStream.format("memory").queryName("loop2").outputMode("append").start()
+    withQuery(q2) {
+      in2.addData(Doc(ts("2024-01-01 11:00:00"), 200L, recipe.replace("butter", "margarine")))
+      q2.processAllAvailable()
+      val out2 = spark.table("loop2").select("doc_id", "cand_id")
+        .as[(Long, Long)].collect().toSet
+      assert(out2 == Set((200L, 101L)),
+        s"batch 2 must flag against the appended doc 101, got $out2")
+    }
+    Dedup.releaseIndexes(spark)
+  }
+
   test("stream-side minhashOfText is byte-identical to the batch signature artifact") {
     import org.apache.spark.sql.functions.col
     val batch = graft.operators.Dedup.minhashSignatures(spark, nearDupDir)
