@@ -10,11 +10,15 @@ import graft.sources.Tables
   * struct; decode / feature-extraction runs as batched per-partition
   * processing over the binary column.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
+  * Image DIMENSIONS are decoded for real: PNG IHDR and JPEG SOFn
+  * headers are pure byte arithmetic (graft.functions.MediaHeaders), no
+  * codec needed, and MultimodalSpec pins true dimensions on real
+  * payload fixtures. Full-frame decode and audio/video remain a
   * clearly marked STUB (`FakeDecoder`) — a deterministic function of
-  * the bytes. Everything around it is the real engineering surface:
-  * schema (binary + struct), partition-level batching, the typed
-  * Dataset path, and the column-function twin the oracle checks.
+  * the bytes — because the container has no codecs. Everything around
+  * the kernel is the real engineering surface: schema (binary +
+  * struct), partition-level batching, the typed Dataset path, and the
+  * column-function twin the oracle checks.
   *
   * Scale posture: payloads never pass through a shuffle — features are
   * extracted in the scan stage (narrow), and only the small feature
@@ -34,12 +38,12 @@ object Multimodal {
                            sha256_hex: String, width: Int, height: Int,
                            n_frames: Int)
 
-  /** STUB decode kernel — stands in for an image/audio/video codec
-    * (none available in this environment). Deterministic in the bytes:
-    * "dimensions" are arithmetic in the payload length, "frame count"
-    * only for video. The real implementation would slot in here with
-    * the same signature (bytes in, features out) without touching any
-    * plan shape. */
+  /** STUB decode kernel — stands in for full-frame image decode and
+    * for audio/video codecs (none available in this environment).
+    * Deterministic in the bytes: "dimensions" are arithmetic in the
+    * payload length, "frame count" only for video. The real
+    * implementation would slot in here with the same signature (bytes
+    * in, features out) without touching any plan shape. */
   object FakeDecoder {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
       val len = payload.length
@@ -47,6 +51,24 @@ object Multimodal {
       val height = 1 + (len * 7) % 768
       val frames = if (mediaType == "video") 1 + len % 250 else 1
       (width, height, frames)
+    }
+  }
+
+  /** The real decode dispatch: image payloads that are genuine PNG/JPEG
+    * containers get their TRUE pixel dimensions from header-level byte
+    * parsing (graft.functions.MediaHeaders — no codec dependency);
+    * everything else (synthetic payloads, audio, video) falls through
+    * to the labeled stub. The columnar twin (featuresColumnarOf)
+    * dispatches identically via the ImageDims expression, calling the
+    * SAME static kernel — parity is one code path, not two
+    * implementations. */
+  object HeaderDecoder {
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
+      if (mediaType == "image") {
+        val d = graft.functions.MediaHeaders.imageDims(payload)
+        if (d != null) return (d(0), d(1), 1)
+      }
+      FakeDecoder.decode(mediaType, payload)
     }
   }
 
@@ -73,7 +95,7 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch setup would happen here (codec init, model load)
         batch.iterator.map { r =>
-          val (w, h, f) = FakeDecoder.decode(r.media_type, r.payload)
+          val (w, h, f) = HeaderDecoder.decode(r.media_type, r.payload)
           val sha = java.security.MessageDigest.getInstance("SHA-256")
             .digest(r.payload).map("%02x".format(_)).mkString
           MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, sha, w, h, f)
@@ -82,20 +104,34 @@ object Multimodal {
     }
   }
 
-  /** Column-function twin of extractFeatures — whole-stage-codegen'd,
-    * and the form the DuckDB oracle can check. MultimodalSpec pins
-    * that both paths agree row-for-row. */
-  def featuresColumnar(spark: SparkSession, dir: String): DataFrame =
-    mediaTable(spark, dir).toDF()
+  /** Column-function twin of extractFeatures — whole-stage-codegen'd
+    * (ImageDims is a native codegen Expression over the same static
+    * header kernel HeaderDecoder calls), and the form the DuckDB
+    * oracle can check: the driver corpus's payloads are synthetic text
+    * bytes — never a real container — so the oracle's length
+    * arithmetic is the active branch there, while real PNG/JPEG
+    * payloads take the header branch (MultimodalSpec's fixture pins
+    * the true dimensions on both paths). */
+  def featuresColumnarOf(media: DataFrame): DataFrame =
+    media
       .select(col("doc_id"), col("media_type"),
         length(col("payload")).cast("long").as("byte_len"),
-        sha2(col("payload"), 256).as("sha256_hex"))
+        sha2(col("payload"), 256).as("sha256_hex"),
+        when(col("media_type") === "image",
+          graft.functions.ImageDims(col("payload"))).as("dims"))
       .select(col("doc_id"), col("media_type"), col("byte_len"), col("sha256_hex"),
-        (lit(1) + col("byte_len") % 1024).cast("int").as("width"),
-        (lit(1) + (col("byte_len") * 7) % 768).cast("int").as("height"),
+        coalesce(element_at(col("dims"), 1),
+          (lit(1) + col("byte_len") % 1024).cast("int")).as("width"),
+        coalesce(element_at(col("dims"), 2),
+          (lit(1) + (col("byte_len") * 7) % 768).cast("int")).as("height"),
         when(col("media_type") === "video", lit(1) + col("byte_len") % 250)
           .otherwise(lit(1)).cast("int").as("n_frames"))
       .orderBy("doc_id")
+
+  /** featuresColumnarOf over the corpus media table — the registered
+    * `q_media_features` query. */
+  def featuresColumnar(spark: SparkSession, dir: String): DataFrame =
+    featuresColumnarOf(mediaTable(spark, dir).toDF())
 
   /** Exact payload dedup for the media column: group by
     * (media_type, sha256 of the raw bytes), keep the lowest doc_id —

@@ -72,6 +72,76 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- Real-payload fixtures: genuine container headers ------------
+
+  /** A minimal real PNG: signature + IHDR chunk declaring 640×480.
+    * Header-complete (the kernel reads only bytes 0–23); the CRC and
+    * image data are irrelevant to dimension parsing. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0) // bit depth…interlace + dummy CRC
+  }
+
+  /** A minimal real JPEG: SOI, an APP0 (JFIF) segment the scanner must
+    * walk over, then a SOF0 frame header declaring the dimensions. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    Array(0xff, 0xd8).map(_.toByte) ++
+      (Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+        "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) ++
+      (Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+        be16(h) ++ be16(w) ++
+        Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)) ++
+      Array(0xff, 0xd9).map(_.toByte)
+  }
+
+  test("real PNG/JPEG payloads decode true header dimensions; non-containers keep the stub") {
+    import Multimodal.MediaRow
+    val text = "not an image at all, just text bytes".getBytes("UTF-8")
+    val truncatedPng = pngBytes(640, 480).take(8) // signature only
+    val rows = Seq(
+      MediaRow(1L, "image", pngBytes(640, 480), "en", "s"),
+      MediaRow(2L, "image", jpegBytes(1920, 1080), "en", "s"),
+      MediaRow(3L, "image", text, "en", "s"),
+      MediaRow(4L, "image", truncatedPng, "en", "s"),
+      // a real PNG labeled audio: dispatch is on media_type, so stub
+      MediaRow(5L, "audio", pngBytes(640, 480), "en", "s"),
+      MediaRow(6L, "video", text, "en", "s"))
+    val out = Multimodal.featuresColumnarOf(rows.toDS().toDF())
+      .select("doc_id", "width", "height", "n_frames")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def fake(mt: String, p: Array[Byte]) = Multimodal.FakeDecoder.decode(mt, p)
+    assert(out(1L) == ((640, 480, 1)), "PNG IHDR dims must be the true pixels")
+    assert(out(2L) == ((1920, 1080, 1)), "JPEG SOF0 dims must be the true pixels")
+    assert(out(3L) == fake("image", text), "text bytes fall through to the stub")
+    assert(out(4L) == fake("image", truncatedPng), "truncated container falls through")
+    assert(out(5L) == fake("audio", pngBytes(640, 480)), "non-image media_type keeps the stub")
+    assert(out(6L) == fake("video", text))
+  }
+
+  test("header decode differential: typed mapPartitions path equals the columnar path on real payloads") {
+    import Multimodal.MediaRow
+    val rows = Seq(
+      MediaRow(1L, "image", pngBytes(7, 5), "en", "s"),
+      MediaRow(2L, "image", jpegBytes(13, 11), "en", "s"),
+      MediaRow(3L, "image", "plain old bytes".getBytes("UTF-8"), "en", "s"),
+      MediaRow(4L, "audio", "zzz".getBytes("UTF-8"), "en", "s"),
+      MediaRow(5L, "video", "vvv".getBytes("UTF-8"), "en", "s"))
+    val typed = Multimodal.extractFeatures(rows.toDS(), batchSize = 2)
+      .collect().map(f => f.doc_id -> ((f.width, f.height, f.n_frames, f.sha256_hex))).toMap
+    val columnar = Multimodal.featuresColumnarOf(rows.toDS().toDF())
+      .select("doc_id", "width", "height", "n_frames", "sha256_hex")
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(columnar.length == 5)
+    columnar.foreach { case (id, w, h, f, sha) =>
+      assert(typed(id) == ((w, h, f, sha)), s"doc $id diverges between paths")
+    }
+    assert(typed(1L)._1 == 7 && typed(1L)._2 == 5)
+    assert(typed(2L)._1 == 13 && typed(2L)._2 == 11)
+  }
+
   test("binaryFile source loads raw files as (path, length, content)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bin")
     val payloads = Map("a.bin" -> Array[Byte](1, 2, 3), "b.bin" -> Array[Byte](9, 8, 7, 6))
