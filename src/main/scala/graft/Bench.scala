@@ -27,7 +27,7 @@ object Bench {
   // the knn queries instead of rebuilding them in the docs phase
   private def isSimFamily(n: String): Boolean =
     n.startsWith("q_knn") || n == "q_embedding_outliers" ||
-      n == "q_dedup_embedding_ann"
+      n.startsWith("q_dedup_embedding_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

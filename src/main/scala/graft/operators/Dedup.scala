@@ -1084,15 +1084,45 @@ object Dedup {
     val cands = bA.join(bB, Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val base = Similarity.embBase(spark, dir)
-    val vA = base.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
-    val vB = base.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
-    val scored = cands.join(vA, Seq("id_a")).join(vB, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
+    val scored = rerankExact(cands, Similarity.embBase(spark, dir))
       .filter(col("cos") >= minCos)
       .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
     if (minCos == -1.0) scored.limit(20) else scored
+  }
+
+  /** The exact-cosine rerank tail shared by embeddingPairsAnn and its
+    * oracle-paired fixed-candidate twin: join the vectors back onto a
+    * (id_a, id_b) candidate table and score one dot product per pair.
+    * Candidate tables are tiny next to the corpus — unhinted, AQE
+    * broadcasts them. */
+  private def rerankExact(cands: DataFrame, base: DataFrame): DataFrame = {
+    val vA = base.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val vB = base.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    cands.join(vA, Seq("id_a")).join(vB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
+  }
+
+  /** Deterministic probe pairs for the rerank oracle: a chain and a
+    * doubling fan over vec_ids 0–499 — present at every test SF, so
+    * one static oracle covers all of them. */
+  private[operators] val rerankProbePairs: Seq[(Long, Long)] =
+    ((0L until 200L).map(i => (i, i + 1L)) ++
+      (1L until 120L).map(i => (i, 2L * i)))
+      .filter { case (a, b) => a < b && b < 500L }.distinct
+
+  /** The ANN query's rerank tail made oracle-checkable: candidate
+    * GENERATION in embeddingPairsAnn is Spark-plane-seeded (rows-only
+    * by design), but the exact-cosine scoring and ordering are plain
+    * arithmetic — so this twin runs the SAME rerankExact tail over a
+    * FIXED candidate list and the driver hash-checks cosine values and
+    * ordering against DuckDB. Pairs whose vectors are zero-norm (or
+    * absent at the SF) drop out of the inner join, mirrored in the
+    * oracle's norm filter. */
+  def embeddingRerankFixed(spark: SparkSession, dir: String): DataFrame = {
+    val cands = spark.createDataFrame(rerankProbePairs).toDF("id_a", "id_b")
+    rerankExact(cands, Similarity.embBase(spark, dir))
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
   }
 }
 
@@ -1110,6 +1140,7 @@ object DedupModule extends QueryModule {
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
     "q_dedup_embedding_ann" -> ((s: SparkSession, d: String) => embeddingPairsAnn(s, d)),
+    "q_dedup_embedding_ann_rerank" -> ((s: SparkSession, d: String) => embeddingRerankFixed(s, d)),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "q_dedup_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(s, d)),
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalNearDups(s, d)))
@@ -1351,5 +1382,17 @@ object DedupModule extends QueryModule {
         |  list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin)
+        |ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    "q_dedup_embedding_ann_rerank" -> {
+      val values = Dedup.rerankProbePairs
+        .map { case (a, b) => s"($a, $b)" }.mkString(", ")
+      s"""WITH cand(id_a, id_b) AS (VALUES $values),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |f AS (SELECT vec_id, v FROM e WHERE sqrt(list_dot_product(v, v)) > 0)
+         |SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+         |  list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+         |FROM cand c JOIN f a ON a.vec_id = c.id_a JOIN f b ON b.vec_id = c.id_b
+         |ORDER BY cos DESC, id_a ASC, id_b ASC""".stripMargin
+    })
 }
