@@ -86,6 +86,30 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Media table from a raw file/object-store directory via Spark's
+    * binaryFile source — the shape a 100 TB multimodal corpus actually
+    * arrives in (payload files in an object store, not parquet
+    * columns). media_type derives from the file extension, doc_id from
+    * a hash of the path (deterministic, collision-audited by
+    * mediaDedup's digest grouping downstream). The source supports
+    * pushdown on path glob and modifiedAfter; payloads stay in the
+    * scan stage exactly like the parquet-backed table. */
+  def mediaTableFromFiles(spark: SparkSession, path: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    spark.read.format("binaryFile").load(path)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        when(ext.isin("png", "jpg", "jpeg", "gif", "bmp", "webp"), "image")
+          .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+          .when(ext.isin("mp4", "mkv", "webm", "avi"), "video")
+          .otherwise("binary").as("media_type"),
+        col("content").as("payload"),
+        lit("und").as("lang"),
+        col("path").as("source"))
+      .as[MediaRow]
+  }
+
   /** Batched per-partition decode: the mapPartitions shape a real
     * codec UDF needs (amortize per-batch model/codec setup across
     * `batchSize` rows), kept as a typed Dataset transform. */

@@ -90,9 +90,12 @@ class PlanSpec extends SparkSpec {
     // rows), never document rows
     for (name <- Seq("q_token_budget", "q_pps_sample", "q_pack_chunks"))
       assert(unpartitioned(name) == 1, s"$name block-prefix window count")
-    // per-lang/per-doc rank assembly must stay fully partitioned
+    // per-lang/per-doc rank assembly must stay fully partitioned —
+    // including the embedding label-block cap's row_number, which
+    // partitions by label (a global-sort cap would serialize the corpus
+    // through one partition)
     for (name <- Seq("q_corpus_mix", "q_dup_spans", "q_dup_spans_keep",
-        "q_dedup_canonical", "q_embedding_outliers"))
+        "q_dedup_canonical", "q_embedding_outliers", "q_dedup_embedding"))
       assert(unpartitioned(name) == 0, s"$name has an unpartitioned window")
   }
 

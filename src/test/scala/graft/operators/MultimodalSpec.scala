@@ -142,6 +142,24 @@ class MultimodalSpec extends SparkSpec {
     assert(typed(2L)._1 == 13 && typed(2L)._2 == 11)
   }
 
+  test("mediaTableFromFiles: raw files → media table → true header dims end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-files")
+    java.nio.file.Files.write(dir.resolve("photo.png"), pngBytes(320, 200))
+    java.nio.file.Files.write(dir.resolve("scan.jpeg"), jpegBytes(800, 600))
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "hello".getBytes("UTF-8"))
+    val media = Multimodal.mediaTableFromFiles(spark, dir.toString)
+    val byName = media.collect().map(r => r.source.split('/').last -> r).toMap
+    assert(byName("photo.png").media_type == "image")
+    assert(byName("scan.jpeg").media_type == "image")
+    assert(byName("notes.txt").media_type == "binary")
+    assert(byName.values.map(_.doc_id).toSet.size == 3, "path-hash ids must be distinct")
+    val feats = Multimodal.featuresColumnarOf(media.toDF())
+      .select("doc_id", "width", "height").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(feats(byName("photo.png").doc_id) == ((320, 200)))
+    assert(feats(byName("scan.jpeg").doc_id) == ((800, 600)))
+  }
+
   test("binaryFile source loads raw files as (path, length, content)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bin")
     val payloads = Map("a.bin" -> Array[Byte](1, 2, 3), "b.bin" -> Array[Byte](9, 8, 7, 6))
