@@ -355,7 +355,14 @@ object Dedup {
     indexBuilders.foreach { case (name, _) =>
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) memoPut(spark, s"$name|$dir", spark.read.parquet(p.toString))
+      if (fs.exists(p)) {
+        memoPut(spark, s"$name|$dir", spark.read.parquet(p.toString))
+        // the persisted quantizer must win over any model fitted
+        // in-session earlier — a stale fitCache entry would put the
+        // query-side probes and the primed cell index in different
+        // cell geometries
+        if (name == "ivfCentroidsFit") SimilarityIvf.invalidateFit(spark, dir)
+      }
     }
 
   /** (doc_id, sh) with the token array materialized behind a

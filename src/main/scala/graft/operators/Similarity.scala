@@ -462,6 +462,19 @@ object SimilarityIvf {
     * rather than the in-process cache. */
   private[operators] def clearFitCache(): Unit = fitCache.clear()
 
+  /** Drop this (session, dir)'s cached fitted models. Called by
+    * Dedup.primeIndexes when it primes a persisted quantizer: the
+    * artifact must win over any model fitted in-session earlier,
+    * otherwise query-side probes (fitCache) and the primed cell index
+    * (parquet) would sit in DIFFERENT cell geometries and recall would
+    * silently collapse. */
+  private[operators] def invalidateFit(spark: SparkSession, dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val prefix = s"${System.identityHashCode(spark)}|$dir|"
+    fitCache.keySet.asScala.filter(_.startsWith(prefix))
+      .foreach(fitCache.remove)
+  }
+
   /** Coarse-quantizer training: Lloyd's k-means on a deterministic
     * hash-ordered sample of the corpus, fitted driver-side. This is
     * the standard IVF training shape at any scale (FAISS-style coarse

@@ -179,6 +179,27 @@ class IndexPersistenceSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
   }
 
+  test("priming a persisted quantizer overrides an earlier in-session fit") {
+    // Fit in-session first (populates the fit cache), then prime an
+    // artifact carrying a DIFFERENT model: fitCentroids must serve the
+    // artifact — a stale cached model would put probes and the primed
+    // cell index in different cell geometries.
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-idx-fitwin").toString
+    Dedup.writeIndexes(spark, dir, indexDir)
+    val inSession = SimilarityIvf.fitCentroids(spark, dir)
+    // forge a distinguishable "other session's" model into the artifact
+    val forged = inSession.map(_.map(_ + 1000.0))
+    spark.createDataFrame(forged.zipWithIndex.map { case (c, i) => (i + 1, c) })
+      .toDF("cell", "centroid").write.mode("overwrite")
+      .parquet(s"$indexDir/ivfCentroidsFit.parquet")
+    Dedup.releaseIndexes(spark)
+    Dedup.primeIndexes(spark, dir, indexDir)
+    assert(SimilarityIvf.fitCentroids(spark, dir) == forged,
+      "primed artifact must override the in-session fitted model")
+    Dedup.releaseIndexes(spark)
+    SimilarityIvf.clearFitCache()
+  }
+
   test("primeIndexes with missing artifacts is a no-op and builders still run") {
     val emptyDir = java.nio.file.Files.createTempDirectory("graft-idx-empty").toString
     Dedup.primeIndexes(spark, dir, emptyDir)
