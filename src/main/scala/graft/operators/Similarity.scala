@@ -153,7 +153,7 @@ object Similarity {
     * (session, dir) and shared by the ANN index builds and reranks —
     * the norm and the staged attribute binding are paid once, not per
     * query run. Released with Dedup.releaseIndexes. */
-  private[operators] def embBase(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def embBase(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"embBase|$dir") {
       embBaseOf(Tables.embeddings(spark, dir)).transform(Dedup.checkpointSer)
     }
@@ -173,17 +173,24 @@ object Similarity {
     * (session, dir) instead of once per query side per run. At 100 TB
     * this is the bucket-index parquet table maintained alongside the
     * corpus. */
-  private[operators] def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"lshBuckets|$dir") {
       lshBucketsOf(embBase(spark, dir)).transform(Dedup.checkpointSer)
     }
+
+  /** All T bucket strings of a vector column — ONE expression tree
+    * over the seeded hyperplane literals, shared by the batch index
+    * build and the streaming ingest probe (a stream cannot checkpoint
+    * projection stages, and byte-identical bucket strings are what
+    * make a stream-side probe hit the persisted corpus index). */
+  private[graft] def bucketStrings(v: Column): Column =
+    array((0 until NumTables).map(t => bucketId(v, t)): _*)
 
   /** Bucket index over an arbitrary (vec_id, v, …) base slice — the
     * core the memoized session build and Dedup.appendIndexes share. */
   private[operators] def lshBucketsOf(base: DataFrame): DataFrame =
     base.select(col("vec_id"),
-      posexplode(array((0 until NumTables).map(t => bucketId(col("v"), t)): _*))
-        .as(Seq("table_idx", "bucket")))
+      posexplode(bucketStrings(col("v"))).as(Seq("table_idx", "bucket")))
 
   /** Approximate top-k: LSH candidate pairs from the ids-only bucket
     * index (equi-join on table+bucket, deduped), then an exact cosine

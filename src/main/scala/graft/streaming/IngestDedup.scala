@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -153,6 +153,57 @@ object IngestDedup {
     *   // the running query keeps serving the pre-append snapshot;
     *   // restart it to probe against the grown index
     * }}} */
+  /** Streaming EMBEDDING near-dup ingest — the vector-modality twin of
+    * `nearDupIngest`, closing the continuous-maintenance story for the
+    * ANN family: a (ts, vec_id, embedding) stream is probed against
+    * the corpus random-hyperplane bucket index. Per stream vector:
+    *
+    *  1. Its T bucket strings via `Similarity.bucketStrings` —
+    *     byte-identical to the persisted `lshBuckets` artifact (one
+    *     expression tree, same seeded hyperplanes).
+    *  2. Stream-static INNER join against the corpus bucket index on
+    *     (table_idx, bucket) — cost ∝ collisions, O(matching buckets)
+    *     not O(corpus).
+    *  3. `dropDuplicatesWithinWatermark` on (vec_id, cand_id): a true
+    *     near-copy collides in many of the T tables; collapse to one
+    *     candidate pair with watermark-bounded state.
+    *  4. Exact-cosine rerank against the corpus base table — emit
+    *     pairs at or above `minCos`.
+    *
+    * Output: (vec_id, ts, cand_id, cos). Static sides (`embBase`,
+    * `lshBuckets`) are primable from the parquet artifacts
+    * (`Dedup.primeIndexes`) and growable under a running stream by
+    * `Dedup.appendIndexes` under the same parquet-primed safety
+    * condition as the text tier above. Zero-norm stream vectors are
+    * dropped (no cosine exists for them), mirroring `embBaseOf`. */
+  def embNearDupIngest(vecs: DataFrame, buckets: DataFrame, base: DataFrame,
+                       watermark: String = "1 hour",
+                       minCos: Double = 0.9): DataFrame = {
+    def dot(a: Column, b: Column): Column = graft.functions.ArrayDotProduct(a, b)
+    vecs
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0d)
+      .withWatermark("ts", watermark)
+      .select(col("vec_id"), col("ts"), col("embedding"), col("nrm"),
+        posexplode(graft.operators.Similarity.bucketStrings(col("embedding")))
+          .as(Seq("table_idx", "bucket")))
+      .join(buckets.select(col("vec_id").as("cand_id"), col("table_idx"), col("bucket")),
+        Seq("table_idx", "bucket"))
+      .dropDuplicatesWithinWatermark("vec_id", "cand_id")
+      .join(base.select(col("vec_id").as("cand_id"), col("v").as("v_c"),
+        col("nrm").as("nrm_c")), Seq("cand_id"))
+      .select(col("vec_id"), col("ts"), col("cand_id"),
+        (dot(col("embedding"), col("v_c")) / (col("nrm") * col("nrm_c"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Static sides for the embedding tier, memoized/primable like the
+    * text tier's. */
+  def corpusEmbBase(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.embBase(spark, dir)
+  def corpusEmbBuckets(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.lshBuckets(spark, dir)
+
   def nearDupIngest(docs: DataFrame, bands: DataFrame, sigs: DataFrame,
                     watermark: String = "1 hour",
                     minEstJaccard: Double = 0.5): DataFrame =

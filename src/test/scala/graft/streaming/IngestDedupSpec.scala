@@ -13,6 +13,7 @@ class IngestDedupSpec extends SparkSpec {
   import spark.implicits._
 
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
+  case class Vec(ts: Timestamp, vec_id: Long, embedding: Seq[Float])
   private def ts(s: String) = Timestamp.valueOf(s)
 
   private def withQuery[T](q: StreamingQuery)(body: => T): T =
@@ -239,6 +240,72 @@ class IngestDedupSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(out2 == Set((200L, 101L)),
         s"batch 2 must flag against the appended doc 101, got $out2")
+    }
+    Dedup.releaseIndexes(spark)
+  }
+
+  test("embedding near-dup ingest: planted near-copy flags against the bucket index, novel vector does not") {
+    implicit val sq = spark.sqlContext
+    val Dedup = graft.operators.Dedup
+    val rnd = new scala.util.Random(99)
+    def randVec() = Seq.fill(64)((rnd.nextGaussian() * 0.5).toFloat)
+    val corpus = (0 until 30).map(i => (i.toLong, randVec(), i % 5))
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-ingest").toString
+    corpus.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // primed static sides — the operational configuration
+    val idx = java.nio.file.Files.createTempDirectory("graft-emb-ingest-idx").toString
+    val docsStub = Seq((1L, "stub doc", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docsStub.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Dedup.writeIndexes(spark, dir, idx)
+    Dedup.releaseIndexes(spark)
+    Dedup.primeIndexes(spark, dir, idx)
+
+    val input = MemoryStream[Vec]
+    val q = IngestDedup.embNearDupIngest(input.toDF(),
+        IngestDedup.corpusEmbBuckets(spark, dir), IngestDedup.corpusEmbBase(spark, dir))
+      .writeStream.format("memory").queryName("embingest").outputMode("append").start()
+    withQuery(q) {
+      // batch 1: a re-ingest of corpus vec 3 with tiny drift (cos ~ 1)
+      val copy = corpus.find(_._1 == 3L).get._2
+        .map(x => x + 0.0005f * rnd.nextGaussian().toFloat)
+      input.addData(Vec(ts("2024-01-01 10:00:00"), 300L, copy))
+      q.processAllAvailable()
+      // batch 2: a genuinely novel random vector
+      input.addData(Vec(ts("2024-01-01 10:01:00"), 301L, randVec()))
+      q.processAllAvailable()
+      val out = spark.table("embingest")
+        .select("vec_id", "cand_id", "cos").as[(Long, Long, Double)].collect()
+      assert(out.map(_._1).toSet == Set(300L),
+        s"only the re-ingested copy should flag, got ${out.toSeq}")
+      val hit = out.find(_._1 == 300L).get
+      assert(hit._2 == 3L, s"must match corpus vec 3, got ${hit._2}")
+      assert(hit._3 >= 0.99, s"planted copy should score ~1, got ${hit._3}")
+    }
+    // maintenance: append the novel vector to the corpus + artifacts,
+    // restart — a near-copy of IT must now flag (the embedding tier's
+    // continuous-maintenance loop)
+    val novel = randVec()
+    (Seq((400L, novel, 1)) ++ Seq.empty)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    import org.apache.spark.sql.functions.col
+    Dedup.appendIndexes(spark, dir, idx,
+      docPredicate = col("doc_id") < 0L,
+      embPredicate = Some(col("vec_id") === 400L), rebuildPairs = false)
+    val in2 = MemoryStream[Vec]
+    val q2 = IngestDedup.embNearDupIngest(in2.toDF(),
+        IngestDedup.corpusEmbBuckets(spark, dir), IngestDedup.corpusEmbBase(spark, dir))
+      .writeStream.format("memory").queryName("embingest2").outputMode("append").start()
+    withQuery(q2) {
+      in2.addData(Vec(ts("2024-01-01 11:00:00"), 500L,
+        novel.map(x => x + 0.0005f * rnd.nextGaussian().toFloat)))
+      q2.processAllAvailable()
+      val out2 = spark.table("embingest2")
+        .select("vec_id", "cand_id").as[(Long, Long)].collect().toSet
+      assert(out2 == Set((500L, 400L)),
+        s"restarted stream must flag against the appended vector, got $out2")
     }
     Dedup.releaseIndexes(spark)
   }
