@@ -189,4 +189,43 @@ class PropertiesSpec extends SparkSpec {
         .withInitialSeed(Seed(7L)), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property (differential): MediaHeaders round-trips constructed PNG/JPEG dims; garbage never parses or throws") {
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def png(w: Int, h: Int) =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    // pad with junk APPn segments before the SOF so the walk is exercised
+    def jpeg(w: Int, h: Int, nApp: Int, appLen: Int) = {
+      val app = Array(0xff, 0xe1).map(_.toByte) ++ be16(appLen + 2) ++
+        Array.fill(appLen)(0x55.toByte)
+      Array(0xff, 0xd8).map(_.toByte) ++
+        (0 until nApp).flatMap(_ => app).toArray ++
+        (Array(0xff, 0xc2).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+          be16(h) ++ be16(w) ++ Array.fill(10)(1.toByte))
+    }
+    val dimGen = Gen.chooseNum(1, 65535)
+    val pngProp = Prop.forAll(dimGen, dimGen) { (w, h) =>
+      functions.MediaHeaders.imageDims(png(w, h)).toSeq == Seq(w, h)
+    }
+    val jpegProp = Prop.forAll(dimGen, dimGen,
+        Gen.chooseNum(0, 4), Gen.chooseNum(0, 40)) { (w, h, nApp, appLen) =>
+      functions.MediaHeaders.imageDims(jpeg(w, h, nApp, appLen)).toSeq == Seq(w, h)
+    }
+    // arbitrary bytes: never throws, and (modulo an astronomically
+    // unlikely random valid header) returns null
+    val bytesGen = Gen.chooseNum(0, 64)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+    val garbageProp = Prop.forAll(bytesGen) { bs =>
+      functions.MediaHeaders.imageDims(bs.toArray); true
+    }
+    for ((p, name) <- Seq(pngProp -> "png", jpegProp -> "jpeg", garbageProp -> "garbage")) {
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(500)
+          .withInitialSeed(Seed(11L)), p)
+      assert(res.passed, s"$name: ${res.status}")
+    }
+  }
 }
