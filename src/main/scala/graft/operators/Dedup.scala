@@ -280,6 +280,17 @@ object Dedup {
                     rebuildPairs: Boolean = true): Unit = {
     def append(df: DataFrame, name: String): Unit =
       df.write.mode("append").parquet(s"$indexDir/$name.parquet")
+    // Fail fast when the base artifacts were never written: appending
+    // into a missing artifact would silently CREATE a batch-only index
+    // (old corpus rows absent) that every downstream probe would trust.
+    def requireArtifact(name: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
+      require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+        s"appendIndexes: artifact $name.parquet missing under $indexDir — " +
+          "run writeIndexes first; an append cannot seed an index")
+    }
+    requireArtifact("docShingles")
+    embPredicate.foreach(_ => requireArtifact("embBase"))
     val (batch, batchIds) = trackedCheckpoint(
       Tables.documents(spark, dir).filter(docPredicate)
         .select(col("doc_id"), col("text")))

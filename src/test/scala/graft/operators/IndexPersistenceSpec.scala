@@ -200,6 +200,25 @@ class IndexPersistenceSpec extends SparkSpec {
     SimilarityIvf.clearFitCache()
   }
 
+  test("appendIndexes into a never-written index fails fast instead of seeding a batch-only index") {
+    import org.apache.spark.sql.functions.col
+    val emptyIdx = java.nio.file.Files.createTempDirectory("graft-idx-missing").toString
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendIndexes(spark, dir, emptyIdx, docPredicate = col("doc_id") >= 1L)
+    }
+    assert(e.getMessage.contains("writeIndexes first"))
+    // and the embedding tier guards independently: doc artifacts
+    // present, embedding artifacts absent
+    val docOnlyIdx = java.nio.file.Files.createTempDirectory("graft-idx-doconly").toString
+    Dedup.writeIndexes(spark, dir, docOnlyIdx, withEmbeddings = false)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendIndexes(spark, dir, docOnlyIdx,
+        docPredicate = col("doc_id") >= 1L, embPredicate = Some(col("vec_id") >= 0L))
+    }
+    assert(e2.getMessage.contains("embBase"))
+    Dedup.releaseIndexes(spark)
+  }
+
   test("primeIndexes with missing artifacts is a no-op and builders still run") {
     val emptyDir = java.nio.file.Files.createTempDirectory("graft-idx-empty").toString
     Dedup.primeIndexes(spark, dir, emptyDir)
