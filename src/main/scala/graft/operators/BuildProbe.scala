@@ -77,3 +77,49 @@ object PrimeProbe {
     spark.stop()
   }
 }
+
+/** Diagnostic utility: the per-batch ingest append measured — the
+  * operational complement of PrimeProbe. Against an already-written
+  * index (a copy, since the append mutates it) and a batch-augmented
+  * corpus dir, times (1) `appendIndexes(rebuildPairs = false)` — the
+  * cheap per-batch path an ingest pipeline runs, (2) the deferred
+  * `rebuildPairTable` an async maintenance job runs on its own
+  * schedule, and (3) a primed index-backed query after each step, to
+  * show the updated artifacts serve immediately. Quantifies the
+  * deferral design: the batch append must cost batch-sized work, with
+  * the corpus-global pair rebuild isolated in step 2.
+  *
+  * sbt "runMain graft.operators.AppendProbe /tmp/graft_sf1_aug /tmp/probe_idx_aug 95000000"
+  */
+object AppendProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dir = args(0)
+    val idx = args(1)
+    val lo = args(2).toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[append] $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($n rows)")
+    }
+    SimilarityIvf.clearFitCache()
+    t("primeIndexes(pre)") { Dedup.primeIndexes(spark, dir, idx); 0L }
+    t("appendIndexes(noPairs)") {
+      Dedup.appendIndexes(spark, dir, idx,
+        col("doc_id") >= lo, Some(col("vec_id") >= lo), rebuildPairs = false)
+      0L
+    }
+    t("q_dedup_minhash(post)") { graft.SparkEntry.queries("q_dedup_minhash")(spark, dir).count() }
+    t("q_knn_ivf_fit(post)") { graft.SparkEntry.queries("q_knn_ivf_fit")(spark, dir).count() }
+    t("rebuildPairTable(deferred)") { Dedup.rebuildPairTable(spark, dir, idx); 0L }
+    t("q_dedup_jaccard(post)") { graft.SparkEntry.queries("q_dedup_jaccard")(spark, dir).count() }
+    spark.stop()
+  }
+}
