@@ -233,13 +233,29 @@ object Dedup {
     * signature / pair / ANN-bucket indexes are maintained artifacts
     * alongside the corpus, built once by an index job, not rebuilt by
     * every analysis session. (A corpus without an `embeddings` table
-    * can pass `withEmbeddings = false`.) */
+    * can pass `withEmbeddings = false`.)
+    *
+    * Artifacts are laid out Hive-partitioned by ingest batch — this
+    * build writes each artifact's rows under `batch_id=base`, and
+    * `appendIndexes` with a batch id adds `batch_id=<id>` directories
+    * — so a retried append can overwrite ITS OWN directory instead of
+    * double-appending rows. Each directory is a plain non-partitioned
+    * write (an EMPTY artifact then still carries a schema-bearing
+    * file; `partitionBy` of zero rows would leave a schemaless dir no
+    * reader can open). The inferred `batch_id` partition column is an
+    * internal layout detail: `primeIndexes` drops it, so index
+    * readers see the original artifact schemas. */
   def writeIndexes(spark: SparkSession, dir: String, indexDir: String,
                    withEmbeddings: Boolean = true): Unit =
     indexBuilders
       .filter { case (n, _) => withEmbeddings || !embeddingArtifacts(n) }
       .foreach { case (name, build) =>
-        build(spark, dir).write.mode("overwrite").parquet(s"$indexDir/$name.parquet")
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
+        // a rebuild must not leave a previous generation's batch
+        // directories behind the fresh base
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        build(spark, dir).write.mode("overwrite")
+          .parquet(s"$indexDir/$name.parquet/batch_id=base")
       }
 
   /** Drop (and unpersist) one memo entry — the targeted version of
@@ -273,19 +289,64 @@ object Dedup {
     * session cache serves every artifact from the updated parquet, and
     * previously returned index-backed DataFrames are invalid.
     * IndexPersistenceSpec pins append-then-read equal to a full
-    * rebuild, artifact by artifact. */
+    * rebuild, artifact by artifact.
+    *
+    * Retry semantics are governed by `batchId`. With a batch id (what
+    * an operational ingest pipeline should pass — e.g. Structured
+    * Streaming's foreachBatch micro-batch id, which exists precisely
+    * to key idempotent sinks), the batch's rows land in the artifact's
+    * `batch_id=<id>` directory via mode-overwrite on THAT directory
+    * alone: a retried append — same id — REPLACES its own directory,
+    * so a failure partway (some artifacts appended, some not)
+    * converges to the consistent state on re-run instead of
+    * double-appending rows (duplicate shingle rows would silently
+    * inflate `n_common` in the re-derived pair table). `base` is
+    * reserved for writeIndexes. WITHOUT a batch id the append is a
+    * plain row append (into a shared `batch_id=unbatched` directory)
+    * under a single-successful-run contract: a partial failure or a
+    * retry duplicates the batch's rows — recover by rewriting the
+    * index (writeIndexes) — so bare appends belong in manual
+    * maintenance, not automated pipelines. A batch-id append requires
+    * the batch-directory layout writeIndexes has produced since
+    * round 6; legacy flat artifacts fail fast rather than mixing
+    * layouts (flat data files next to batch directories would break
+    * partition discovery for every reader). */
   def appendIndexes(spark: SparkSession, dir: String, indexDir: String,
                     docPredicate: Column,
                     embPredicate: Option[Column] = None,
-                    rebuildPairs: Boolean = true): Unit = {
-    def append(df: DataFrame, name: String): Unit =
-      df.write.mode("append").parquet(s"$indexDir/$name.parquet")
+                    rebuildPairs: Boolean = true,
+                    batchId: Option[String] = None): Unit = {
+    batchId.foreach(id => require(id.matches("[A-Za-z0-9._-]+") && id != "base",
+      s"appendIndexes: batchId '$id' must be a [A-Za-z0-9._-]+ directory name " +
+        "other than the reserved 'base' (the writeIndexes build)"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def isBatchPartitioned(name: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
+      val fs = p.getFileSystem(hconf)
+      fs.exists(p) && fs.listStatus(p)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    }
+    def append(df: DataFrame, name: String): Unit = {
+      val path = s"$indexDir/$name.parquet"
+      batchId match {
+        case Some(id) =>
+          requireArtifact(name)
+          require(isBatchPartitioned(name),
+            s"appendIndexes: batchId given but $name.parquet has the legacy flat layout — " +
+              "rewrite it with writeIndexes (batch-directory layout) or append without a batchId")
+          df.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+        case None =>
+          if (isBatchPartitioned(name))
+            df.write.mode("append").parquet(s"$path/batch_id=unbatched")
+          else df.write.mode("append").parquet(path)
+      }
+    }
     // Fail fast when the base artifacts were never written: appending
     // into a missing artifact would silently CREATE a batch-only index
     // (old corpus rows absent) that every downstream probe would trust.
     def requireArtifact(name: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
-      require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      require(p.getFileSystem(hconf).exists(p),
         s"appendIndexes: artifact $name.parquet missing under $indexDir — " +
           "run writeIndexes first; an append cannot seed an index")
     }
@@ -350,11 +411,16 @@ object Dedup {
     * re-shingle of the corpus text. */
   def rebuildPairTable(spark: SparkSession, dir: String, indexDir: String): Unit = {
     memoDrop(spark, s"jaccardPairs|$dir")
-    jaccardPairTable(spark, dir).write.mode("overwrite")
-      .parquet(s"$indexDir/jaccardPairs.parquet")
+    // the pair table is corpus-global — wholesale replace, clearing any
+    // previous generation's directories, then one fresh base directory
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/jaccardPairs.parquet")
+    val rebuilt = jaccardPairTable(spark, dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    rebuilt.write.mode("overwrite")
+      .parquet(s"$indexDir/jaccardPairs.parquet/batch_id=base")
     memoDrop(spark, s"jaccardPairs|$dir")
     memoPut(spark, s"jaccardPairs|$dir",
-      spark.read.parquet(s"$indexDir/jaccardPairs.parquet"))
+      spark.read.parquet(s"$indexDir/jaccardPairs.parquet").drop("batch_id"))
   }
 
   /** Load previously written index artifacts into the session cache:
@@ -367,7 +433,10 @@ object Dedup {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
-        memoPut(spark, s"$name|$dir", spark.read.parquet(p.toString))
+        // drop the internal batch-partitioning column so primed readers
+        // see the original artifact schema (no-op on legacy flat files)
+        memoPut(spark, s"$name|$dir",
+          spark.read.parquet(p.toString).drop("batch_id"))
         // the persisted quantizer must win over any model fitted
         // in-session earlier — a stale fitCache entry would put the
         // query-side probes and the primed cell index in different

@@ -149,7 +149,8 @@ object IngestDedup {
     *   novelDocs.write.mode("append").parquet(s"$dir/documents.parquet")
     *   Dedup.appendIndexes(spark, dir, idx,
     *     docPredicate = col("doc_id").isin(novelIds: _*),
-    *     rebuildPairs = false)                    // pair table deferred
+    *     rebuildPairs = false,                    // pair table deferred
+    *     batchId = Some(s"window-$windowId"))     // retried window → no double-append
     *   // the running query keeps serving the pre-append snapshot;
     *   // restart it to probe against the grown index
     * }}} */

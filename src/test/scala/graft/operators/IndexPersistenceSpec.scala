@@ -140,9 +140,11 @@ class IndexPersistenceSpec extends SparkSpec {
     // keeps the original model and assigns the batch under it — so
     // those two artifacts are compared against the ORIGINAL-centroid
     // reference below, not against the rebuild.
+    // batch_id is internal layout (base vs the appended batch's
+    // partition) — content equivalence is over the artifact schema
     artifacts.filterNot(Set("ivfCentroidsFit", "ivfCellsFit")).foreach { a =>
-      val appended = spark.read.parquet(s"$idxA/$a.parquet")
-      val rebuilt = spark.read.parquet(s"$idxB/$a.parquet")
+      val appended = spark.read.parquet(s"$idxA/$a.parquet").drop("batch_id")
+      val rebuilt = spark.read.parquet(s"$idxB/$a.parquet").drop("batch_id")
       assert(appended.columns.toSeq == rebuilt.columns.toSeq, s"$a schema drift")
       val ap = appended.collect().map(_.toSeq).toSet
       val rb = rebuilt.collect().map(_.toSeq).toSet
@@ -153,7 +155,7 @@ class IndexPersistenceSpec extends SparkSpec {
     // new rows, model untouched by the append.
     val origCents = SimilarityIvf.readCentroidArtifact(spark, idxA).get
     val appendedFit = spark.read.parquet(s"$idxA/ivfCellsFit.parquet")
-      .as[(Long, Int)].collect().toSet
+      .drop("batch_id").as[(Long, Int)].collect().toSet
     Dedup.releaseIndexes(spark)
     val referenceFit = SimilarityIvf
       .ivfAssign(Similarity.embBase(spark, dirFull), origCents)
@@ -287,6 +289,81 @@ class IndexPersistenceSpec extends SparkSpec {
     val rebuilt = spark.read.parquet(s"$idxFull/jaccardPairs.parquet")
       .collect().map(_.toSeq).toSet
     assert(refreshed == rebuilt, "deferred-then-rebuild must equal the eager/full path")
+    Dedup.releaseIndexes(spark)
+  }
+
+  test("appendIndexes with a batchId is idempotent: a retried append replaces its own partition") {
+    import org.apache.spark.sql.functions.col
+    // The operational hazard this pins: an ingest job that appended
+    // some artifacts, failed, and was re-run. Without the batch-keyed
+    // dynamic partition overwrite the retry double-appends the batch's
+    // shingle rows and the re-derived pair table silently inflates
+    // n_common; with it the retry must converge to the single-append
+    // state artifact-by-artifact.
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end1"),
+      (2L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"),
+      (5L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end5"))
+      .map { case (id, text) => (id, text, "en", "srcT", text.length.toLong) }
+    val rnd = new scala.util.Random(23)
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat), i % 5))
+    def mkDir(docP: Long => Boolean, embP: Long => Boolean): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-idx-retry").toString
+      docs.filter(r => docP(r._1)).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      emb.filter(r => embP(r._1)).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val dirOld = mkDir(_ <= 2, _ < 30)
+    val dirFull = mkDir(_ => true, _ => true)
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-retry-a").toString
+    Dedup.releaseIndexes(spark)
+    Dedup.writeIndexes(spark, dirOld, idx)
+    Dedup.releaseIndexes(spark)
+    def appendOnce(): Unit = Dedup.appendIndexes(spark, dirFull, idx,
+      docPredicate = col("doc_id") >= 5L,
+      embPredicate = Some(col("vec_id") >= 30L),
+      batchId = Some("ingest-0042"))
+    appendOnce()
+    def snapshot(): Map[String, Set[Seq[Any]]] = artifacts.map { a =>
+      a -> spark.read.parquet(s"$idx/$a.parquet")
+        .collect().map(_.toSeq).toSet
+    }.toMap
+    val first = snapshot()
+    // the near-dup pair (1,5) exists exactly once, scored from exactly
+    // one copy of each doc's shingles
+    val pair1 = spark.read.parquet(s"$idx/jaccardPairs.parquet")
+      .filter(col("id_a") === 1L && col("id_b") === 5L).collect()
+    assert(pair1.length == 1, "appended near-dup pair missing")
+    Dedup.releaseIndexes(spark)
+    appendOnce() // the retry
+    val second = snapshot()
+    artifacts.foreach { a =>
+      assert(second(a) == first(a),
+        s"artifact $a: retried batch append must be a no-op, not a double-append")
+    }
+    Dedup.releaseIndexes(spark)
+  }
+
+  test("appendIndexes batchId onto a legacy flat artifact fails fast instead of mixing layouts") {
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-legacy").toString
+    // a flat (pre-partitioning) artifact, as older writeIndexes laid out
+    Seq((1L, Seq("a b c"))).toDF("doc_id", "sh")
+      .write.mode("overwrite").parquet(s"$idx/docShingles.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendIndexes(spark, dir, idx,
+        docPredicate = col("doc_id") >= 1L, batchId = Some("b1"))
+    }
+    assert(e.getMessage.contains("legacy flat layout"))
+    // 'base' is reserved for the writeIndexes build
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendIndexes(spark, dir, idx,
+        docPredicate = col("doc_id") >= 1L, batchId = Some("base"))
+    }
+    assert(e2.getMessage.contains("reserved"))
     Dedup.releaseIndexes(spark)
   }
 }

@@ -214,7 +214,8 @@ class IngestDedupSpec extends SparkSpec {
     Seq(docRow(101L, recipe)).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("append").parquet(s"$dir/documents.parquet")
     Dedup.appendIndexes(spark, dir, idx,
-      docPredicate = col("doc_id") === 101L, rebuildPairs = false)
+      docPredicate = col("doc_id") === 101L, rebuildPairs = false,
+      batchId = Some("maint-1")) // keyed → a retried window is idempotent
 
     // The running query's pinned listing serves the PRE-append corpus:
     // another article re-crawl still flags, and nothing crashes.
@@ -293,7 +294,8 @@ class IngestDedupSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     Dedup.appendIndexes(spark, dir, idx,
       docPredicate = col("doc_id") < 0L,
-      embPredicate = Some(col("vec_id") === 400L), rebuildPairs = false)
+      embPredicate = Some(col("vec_id") === 400L), rebuildPairs = false,
+      batchId = Some("maint-emb-1"))
     val in2 = MemoryStream[Vec]
     val q2 = IngestDedup.embNearDupIngest(in2.toDF(),
         IngestDedup.corpusEmbBuckets(spark, dir), IngestDedup.corpusEmbBase(spark, dir))
