@@ -80,14 +80,15 @@ object PrimeProbe {
 
 /** Diagnostic utility: the per-batch ingest append measured — the
   * operational complement of PrimeProbe. Against an already-written
-  * index (a copy, since the append mutates it) and a batch-augmented
-  * corpus dir, times (1) `appendIndexes(rebuildPairs = false)` — the
-  * cheap per-batch path an ingest pipeline runs, (2) the deferred
-  * `rebuildPairTable` an async maintenance job runs on its own
-  * schedule, and (3) a primed index-backed query after each step, to
-  * show the updated artifacts serve immediately. Quantifies the
-  * deferral design: the batch append must cost batch-sized work, with
-  * the corpus-global pair rebuild isolated in step 2.
+  * index (a copy, since the probe mutates it) and a batch-augmented
+  * corpus dir, simulates a week of ingest as FIVE keyed batches
+  * (`appendIndexes(rebuildPairs = false, batchId = ...)`), retries one
+  * batch to show the idempotent-overwrite cost, first-touches an
+  * index-backed query over the fragmented artifact, then runs
+  * `compactIndexes` and first-touches again — quantifying both halves
+  * of the maintenance design: cheap batch-sized appends with the
+  * corpus-global pair rebuild deferred to its own schedule, and
+  * periodic compaction to undo the append fragmentation.
   *
   * sbt "runMain graft.operators.AppendProbe /tmp/graft_sf1_aug /tmp/probe_idx_aug 95000000"
   */
@@ -111,13 +112,33 @@ object AppendProbe {
     }
     SimilarityIvf.clearFitCache()
     t("primeIndexes(pre)") { Dedup.primeIndexes(spark, dir, idx); 0L }
-    t("appendIndexes(noPairs)") {
+    // the 5k-doc / 2k-vec augmentation lands as five keyed batches of
+    // 1k docs + 400 vectors — a week of daily ingest, not one bulk load
+    (0 until 5).foreach { i =>
+      val (dLo, dHi) = (lo + i * 1000L, lo + (i + 1) * 1000L)
+      val (eLo, eHi) = (lo + i * 400L, lo + (i + 1) * 400L)
+      t(s"appendIndexes(batch-$i)") {
+        Dedup.appendIndexes(spark, dir, idx,
+          col("doc_id") >= dLo && col("doc_id") < dHi,
+          Some(col("vec_id") >= eLo && col("vec_id") < eHi),
+          rebuildPairs = false, batchId = Some(s"probe-$i"))
+        0L
+      }
+    }
+    t("appendIndexes(retry-4)") { // same key: overwrites its own directory
       Dedup.appendIndexes(spark, dir, idx,
-        col("doc_id") >= lo, Some(col("vec_id") >= lo), rebuildPairs = false)
+        col("doc_id") >= lo + 4000L && col("doc_id") < lo + 5000L,
+        Some(col("vec_id") >= lo + 1600L && col("vec_id") < lo + 2000L),
+        rebuildPairs = false, batchId = Some("probe-4"))
       0L
     }
-    t("q_dedup_minhash(post)") { graft.SparkEntry.queries("q_dedup_minhash")(spark, dir).count() }
-    t("q_knn_ivf_fit(post)") { graft.SparkEntry.queries("q_knn_ivf_fit")(spark, dir).count() }
+    t("q_dedup_minhash(fragmented)") { graft.SparkEntry.queries("q_dedup_minhash")(spark, dir).count() }
+    t("q_knn_ivf_fit(fragmented)") { graft.SparkEntry.queries("q_knn_ivf_fit")(spark, dir).count() }
+    t("compactIndexes") { Dedup.compactIndexes(spark, idx); 0L }
+    SimilarityIvf.clearFitCache()
+    t("primeIndexes(compacted)") { Dedup.primeIndexes(spark, dir, idx); 0L }
+    t("q_dedup_minhash(compacted)") { graft.SparkEntry.queries("q_dedup_minhash")(spark, dir).count() }
+    t("q_knn_ivf_fit(compacted)") { graft.SparkEntry.queries("q_knn_ivf_fit")(spark, dir).count() }
     t("rebuildPairTable(deferred)") { Dedup.rebuildPairTable(spark, dir, idx); 0L }
     t("q_dedup_jaccard(post)") { graft.SparkEntry.queries("q_dedup_jaccard")(spark, dir).count() }
     spark.stop()

@@ -423,6 +423,57 @@ object Dedup {
       spark.read.parquet(s"$indexDir/jaccardPairs.parquet").drop("batch_id"))
   }
 
+  /** Fold every artifact's accumulated `batch_id=*` directories back
+    * into one fresh `base` — the periodic maintenance job that keeps an
+    * append-heavy index readable at speed. Each keyed append adds a
+    * directory of small files; after months of daily ingest an
+    * artifact is hundreds of directories whose listing and per-file
+    * open costs dominate first-touch reads. Compaction rewrites the
+    * artifact content-preserving (a straight read→write, no
+    * re-derivation; Spark's split bin-packing coalesces the small
+    * files into ~`maxPartitionBytes`-sized outputs) and resets the
+    * batch history.
+    *
+    * Crash contract, per artifact: rows are first written next to the
+    * artifact (`.compact-<name>.parquet`), then the old directory is
+    * deleted and the staging directory renamed into place. A crash
+    * before the delete leaves the artifact untouched (stale staging is
+    * cleaned on the next run); a crash between delete and rename is
+    * repaired by the next compactIndexes call, which finds the
+    * completed staging directory with no artifact and finishes the
+    * rename before doing anything else. So the recovery procedure for
+    * ANY interrupted compaction is simply: run it again.
+    *
+    * Like writeIndexes — and unlike keyed appends — compaction deletes
+    * files a running stream's pinned listing may reference: restart
+    * streams around the compaction window. Carries releaseIndexes'
+    * invalidation contract (the session cache is cleared; re-prime to
+    * keep serving from parquet). Artifacts still on the legacy flat
+    * layout, or already a single directory, are left untouched. */
+  def compactIndexes(spark: SparkSession, indexDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    indexBuilders.foreach { case (name, _) =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.compact-$name.parquet")
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p) && fs.exists(tmp)) {
+        // a prior compaction died between delete and rename — finish it
+        fs.rename(tmp, p)
+      } else if (fs.exists(p)) {
+        val batchDirs = fs.listStatus(p)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        if (batchDirs.length > 1) {
+          fs.delete(tmp, true)
+          spark.read.parquet(p.toString).drop("batch_id")
+            .write.mode("overwrite").parquet(s"$tmp/batch_id=base")
+          fs.delete(p, true)
+          fs.rename(tmp, p)
+        } else fs.delete(tmp, true) // already compact; drop stale staging
+      }
+    }
+    releaseIndexes(spark)
+  }
+
   /** Load previously written index artifacts into the session cache:
     * subsequent dedup/similarity queries against `dir` read the
     * parquet indexes (pushdown, column pruning, no block-manager

@@ -347,6 +347,67 @@ class IndexPersistenceSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
   }
 
+  test("compactIndexes folds batch directories into one base, content-preserving") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end1"),
+      (2L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end2"),
+      (5L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"),
+      (6L, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"))
+      .map { case (id, text) => (id, text, "en", "srcT", text.length.toLong) }
+    def mkDir(p: Long => Boolean): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-idx-compact").toString
+      docs.filter(r => p(r._1)).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val dirOld = mkDir(_ <= 2)
+    val dirMid = mkDir(_ <= 5)
+    val dirFull = mkDir(_ => true)
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-compact-a").toString
+    Dedup.releaseIndexes(spark)
+    Dedup.writeIndexes(spark, dirOld, idx, withEmbeddings = false)
+    Dedup.releaseIndexes(spark)
+    Dedup.appendIndexes(spark, dirMid, idx, docPredicate = col("doc_id") === 5L,
+      rebuildPairs = false, batchId = Some("b1"))
+    Dedup.appendIndexes(spark, dirFull, idx, docPredicate = col("doc_id") === 6L,
+      rebuildPairs = false, batchId = Some("b2"))
+    def batchDirs(a: String): Seq[String] =
+      new java.io.File(s"$idx/$a.parquet").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).toSeq.sorted
+    assert(batchDirs("docShingles") == Seq("batch_id=b1", "batch_id=b2", "batch_id=base"))
+    val before = spark.read.parquet(s"$idx/docShingles.parquet").drop("batch_id")
+      .collect().map(_.toSeq).toSet
+
+    Dedup.compactIndexes(spark, idx)
+    assert(batchDirs("docShingles") == Seq("batch_id=base"),
+      "compaction must fold every batch directory into one base")
+    val after = spark.read.parquet(s"$idx/docShingles.parquet").drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compaction must preserve artifact content")
+    // the compacted index still serves: prime and read the pair chain
+    Dedup.primeIndexes(spark, dirFull, idx)
+    val shingles = Dedup.jaccardPairs(spark, dirFull)
+    assert(shingles.inputFiles.exists(_.contains(idx)) ||
+      spark.read.parquet(s"$idx/minhashSigs.parquet").count() == 4)
+    Dedup.releaseIndexes(spark)
+
+    // crash recovery: emulate a compaction that died between delete and
+    // rename — artifact gone, completed staging present — by moving the
+    // artifact aside; the next run must finish the rename first
+    val art = new java.io.File(s"$idx/docShingles.parquet")
+    val staged = new java.io.File(s"$idx/.compact-docShingles.parquet")
+    assert(art.renameTo(staged))
+    Dedup.compactIndexes(spark, idx)
+    assert(art.exists() && !staged.exists(),
+      "rerunning compaction must repair a delete-before-rename crash")
+    val repaired = spark.read.parquet(s"$idx/docShingles.parquet").drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    assert(repaired == before, "repaired artifact must carry the compacted content")
+    Dedup.releaseIndexes(spark)
+  }
+
   test("appendIndexes batchId onto a legacy flat artifact fails fast instead of mixing layouts") {
     import org.apache.spark.sql.functions.col
     val idx = java.nio.file.Files.createTempDirectory("graft-idx-legacy").toString
