@@ -55,6 +55,53 @@ object MediaHeaders {
     Array(w.toInt, h.toInt)
   }
 
+  /** True audio header fields `[sample_rate, channels,
+    * bits_per_sample, n_samples]` of a real RIFF/WAVE payload; null
+    * when the bytes are not a walkable WAV container (the caller
+    * falls back to the deterministic stub). Like the image kernels
+    * this is pure byte arithmetic — WAV is the one mainstream audio
+    * container whose fields need no codec at all. */
+  def wavInfo(b: Array[Byte]): Array[Int] = {
+    if (b == null || b.length < 44) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
+    // RIFF chunk walk (PCM or not): the REQUIRED "fmt " chunk carries
+    // channels at +2, sample rate at +4, block align at +12, bits per
+    // sample at +14 (all LE); the "data" chunk's size over block align
+    // is the per-channel sample count. Chunks are word-aligned: odd
+    // sizes carry a pad byte (RIFF spec) — skipping it keeps the walk
+    // aligned through odd-sized LIST/fact chunks.
+    var i = 12
+    var rate = -1; var ch = -1; var bits = -1; var align = -1
+    var dataLen = -1L
+    while (i + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+      val size = le32(b, i + 4)
+      if (size < 0) return null
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > b.length) return null
+        ch = le16(b, i + 10)
+        rate = le32(b, i + 12).toInt
+        align = le16(b, i + 20)
+        bits = le16(b, i + 22)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataLen = size
+      }
+      if (rate >= 0 && dataLen >= 0) i = b.length // done — no further walk
+      else if (size > 0x7ffffff0L) return null // unwalkable declared size
+      else i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (rate <= 0 || ch <= 0 || bits <= 0 || align <= 0 || dataLen < 0) return null
+    val samples = dataLen / align
+    if (samples > Int.MaxValue) return null
+    Array(rate, ch, bits, samples.toInt)
+  }
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
   /** JPEG: SOI marker, then a marker-segment walk to the first SOFn
     * frame header (C0–CF minus the non-frame C4/C8/CC), which carries
     * lines at +5 and samples-per-line at +7 (both BE u16). Fill bytes
@@ -136,4 +183,53 @@ object ImageDims {
   /** Column-API entry point. */
   def apply(c: Column): Column =
     ColumnBridge.column(ImageDims(ColumnBridge.expression(c)))
+}
+
+/** Native Catalyst expression over MediaHeaders.wavInfo: BINARY →
+  * ARRAY<INT> `[sample_rate, channels, bits_per_sample, n_samples]`,
+  * NULL when the payload is not a real RIFF/WAVE container. Same
+  * single-static-kernel discipline as ImageDims: interpreted eval and
+  * generated code call the one function. */
+case class WavInfo(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wav_info requires BINARY input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_info"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = MediaHeaders.wavInfo(input.asInstanceOf[Array[Byte]])
+    if (d == null) null else UnsafeArrayData.fromPrimitiveArray(d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val info = ctx.freshName("wavinfo")
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          int[] $info = graft.functions.MediaHeaders.wavInfo(${childGen.value});
+          if ($info != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+              .fromPrimitiveArray($info);
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavInfo =
+    copy(child = newChild)
+}
+
+object WavInfo {
+  /** Column-API entry point. */
+  def apply(c: Column): Column =
+    ColumnBridge.column(WavInfo(ColumnBridge.expression(c)))
 }

@@ -13,9 +13,12 @@ import graft.sources.Tables
   * Image DIMENSIONS are decoded for real: PNG IHDR and JPEG SOFn
   * headers are pure byte arithmetic (graft.functions.MediaHeaders), no
   * codec needed, and MultimodalSpec pins true dimensions on real
-  * payload fixtures. Full-frame decode and audio/video remain a
-  * clearly marked STUB (`FakeDecoder`) — a deterministic function of
-  * the bytes — because the container has no codecs. Everything around
+  * payload fixtures. Audio HEADER FIELDS are likewise real: RIFF/WAVE
+  * fmt+data chunk walking (`MediaHeaders.wavInfo`) yields sample rate,
+  * channels, bit depth, and sample count with no codec. Full-frame
+  * decode, compressed-audio, and video remain a clearly marked STUB
+  * (`FakeDecoder`) — a deterministic function of the bytes — because
+  * the container has no codecs. Everything around
   * the kernel is the real engineering surface: schema (binary +
   * struct), partition-level batching, the typed Dataset path, and the
   * column-function twin the oracle checks.
@@ -157,6 +160,42 @@ object Multimodal {
   def featuresColumnar(spark: SparkSession, dir: String): DataFrame =
     featuresColumnarOf(mediaTable(spark, dir).toDF())
 
+  /** Audio feature extraction over the media table's audio rows:
+    * genuine RIFF/WAVE payloads get their TRUE header fields from the
+    * codegen'd WavInfo expression (sample rate, channels, bit depth,
+    * per-channel sample count — pure chunk-walk byte arithmetic, no
+    * codec); anything else falls back to the deterministic
+    * byte-length stub, exactly the image dispatch discipline
+    * (featuresColumnarOf). duration_ms derives from samples over rate
+    * in integer arithmetic so both engines agree bit-for-bit. The
+    * driver corpus's payloads are synthetic text bytes, so the oracle
+    * checks the stub branch; MultimodalSpec's WAV fixture pins the
+    * header branch. */
+  def audioFeaturesOf(media: DataFrame): DataFrame =
+    media
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        graft.functions.WavInfo(col("payload")).as("info"))
+      .select(col("doc_id"), col("byte_len"),
+        coalesce(element_at(col("info"), 1),
+          element_at(typedLit(Seq(8000, 16000, 22050, 44100, 48000)),
+            (col("byte_len") % 5 + 1).cast("int"))).as("sample_rate"),
+        coalesce(element_at(col("info"), 2),
+          (lit(1) + col("byte_len") % 2).cast("int")).as("channels"),
+        coalesce(element_at(col("info"), 3),
+          (lit(8) * (lit(1) + col("byte_len") % 3)).cast("int")).as("bits_per_sample"),
+        coalesce(element_at(col("info"), 4),
+          (lit(1) + (col("byte_len") * 13) % 480000).cast("int")).as("n_samples"))
+      .withColumn("duration_ms",
+        expr("(CAST(n_samples AS BIGINT) * 1000) div sample_rate"))
+      .orderBy("doc_id")
+
+  /** audioFeaturesOf over the corpus media table — the registered
+    * `q_media_audio` query. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame =
+    audioFeaturesOf(mediaTable(spark, dir).toDF())
+
   /** Exact payload dedup for the media column: group by
     * (media_type, sha256 of the raw bytes), keep the lowest doc_id —
     * the byte-identical-asset dedup every multimodal corpus needs
@@ -234,6 +273,7 @@ object MultimodalModule extends QueryModule {
     "q_media_features" -> ((s: SparkSession, d: String) => featuresColumnar(s, d)),
     "q_media_inventory" -> ((s: SparkSession, d: String) => mediaInventory(s, d)),
     "q_media_frames" -> ((s: SparkSession, d: String) => frameSamples(s, d)),
+    "q_media_audio" -> ((s: SparkSession, d: String) => audioFeatures(s, d)),
     "q_media_resize" -> ((s: SparkSession, d: String) => resizePlan(s, d)),
     "q_media_dedup" -> ((s: SparkSession, d: String) => mediaDedup(s, d)))
 
@@ -273,6 +313,20 @@ object MultimodalModule extends QueryModule {
         |  sha256(text || ':' || CAST(i AS VARCHAR)) AS frame_sha
         |FROM v, unnest(generate_series(0, n_frames - 1, 5)) AS u(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_media_audio" ->
+      """WITH m AS (SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |  FROM documents),
+        |a AS (SELECT doc_id, byte_len,
+        |    ([8000,16000,22050,44100,48000])[CAST(byte_len % 5 + 1 AS INT)] AS sample_rate,
+        |    CAST(1 + byte_len % 2 AS INT) AS channels,
+        |    CAST(8 * (1 + byte_len % 3) AS INT) AS bits_per_sample,
+        |    CAST(1 + (byte_len * 13) % 480000 AS INT) AS n_samples
+        |  FROM m WHERE media_type = 'audio')
+        |SELECT doc_id, byte_len, sample_rate, channels, bits_per_sample, n_samples,
+        |  (CAST(n_samples AS BIGINT) * 1000) // sample_rate AS duration_ms
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_media_resize" ->
       """WITH m AS (SELECT doc_id,
         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,

@@ -228,4 +228,42 @@ class PropertiesSpec extends SparkSpec {
       assert(res.passed, s"$name: ${res.status}")
     }
   }
+
+  test("property (differential): MediaHeaders round-trips constructed WAV fields; garbage never parses or throws") {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // nJunk odd-sized junk chunks before fmt exercise the chunk walk
+    // and the RIFF pad-byte rule; data bytes are elided (header-level
+    // parsing trusts the declared size, as on a truncated object read)
+    def wav(rate: Int, ch: Int, bits: Int, n: Int, nJunk: Int, junkLen: Int) = {
+      val align = ch * bits / 8
+      val junk = "LIST".getBytes("US-ASCII") ++ le32(junkLen) ++
+        Array.fill(junkLen + (junkLen & 1))(0x55.toByte)
+      val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(1) ++ le16(ch) ++ le32(rate) ++ le32(rate * align) ++
+        le16(align) ++ le16(bits)
+      val data = "data".getBytes("US-ASCII") ++ le32(n * align)
+      "RIFF".getBytes("US-ASCII") ++ le32(0) ++ "WAVE".getBytes("US-ASCII") ++
+        (0 until nJunk).flatMap(_ => junk).toArray ++ fmt ++ data
+    }
+    val wavProp = Prop.forAll(
+        Gen.oneOf(8000, 16000, 22050, 44100, 48000, 96000),
+        Gen.chooseNum(1, 8), Gen.oneOf(8, 16, 24, 32),
+        Gen.chooseNum(0, 1 << 20),
+        Gen.chooseNum(0, 3), Gen.chooseNum(0, 41)) { (rate, ch, bits, n, nJunk, junkLen) =>
+      functions.MediaHeaders.wavInfo(wav(rate, ch, bits, n, nJunk, junkLen)).toSeq ==
+        Seq(rate, ch, bits, n)
+    }
+    val bytesGen = Gen.chooseNum(0, 64)
+      .flatMap(m => Gen.listOfN(m, Gen.chooseNum(-128, 127).map(_.toByte)))
+    val garbageProp = Prop.forAll(bytesGen) { bs =>
+      functions.MediaHeaders.wavInfo(bs.toArray); true
+    }
+    for ((p, name) <- Seq(wavProp -> "wav", garbageProp -> "wav-garbage")) {
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(500)
+          .withInitialSeed(Seed(12L)), p)
+      assert(res.passed, s"$name: ${res.status}")
+    }
+  }
 }

@@ -97,6 +97,57 @@ class MultimodalSpec extends SparkSpec {
       Array(0xff, 0xd9).map(_.toByte)
   }
 
+  /** A minimal real WAV: RIFF/WAVE header, an extra LIST chunk the
+    * walker must skip (odd-sized, exercising the RIFF pad byte), the
+    * fmt chunk, then a data chunk sized for `nSamples` frames. */
+  private def wavBytes(rate: Int, ch: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val align = ch * bits / 8
+    val dataLen = nSamples * align
+    val list = "LIST".getBytes("US-ASCII") ++ le32(5) ++
+      Array[Byte]('I', 'N', 'F', 'O', 'x', 0) // 5 data bytes + pad
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(ch) ++ le32(rate) ++ le32(rate * align) ++
+      le16(align) ++ le16(bits)
+    val data = "data".getBytes("US-ASCII") ++ le32(dataLen) ++
+      Array.fill[Byte](dataLen)(0)
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + list.length + fmt.length + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++ list ++ fmt ++ data
+  }
+
+  test("real WAV payloads decode true header fields; non-containers keep the stub") {
+    import Multimodal.MediaRow
+    val text = "just some text bytes standing in for audio".getBytes("UTF-8")
+    val truncated = wavBytes(44100, 2, 16, 100).take(20) // dies mid-walk
+    val rows = Seq(
+      MediaRow(1L, "audio", wavBytes(44100, 2, 16, 44100), "en", "s"), // 1 s stereo CD
+      MediaRow(2L, "audio", wavBytes(16000, 1, 8, 8000), "en", "s"),   // 0.5 s phone mono
+      MediaRow(3L, "audio", text, "en", "s"),
+      MediaRow(4L, "audio", truncated, "en", "s"),
+      MediaRow(5L, "image", wavBytes(44100, 2, 16, 10), "en", "s"))    // wrong modality
+    val out = Multimodal.audioFeaturesOf(rows.toDS().toDF())
+      .select("doc_id", "sample_rate", "channels", "bits_per_sample", "n_samples", "duration_ms")
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) == ((44100, 2, 16, 44100, 1000L)),
+      "WAV fmt/data fields must be the true header values")
+    assert(out(2L) == ((16000, 1, 8, 8000, 500L)))
+    def stub(p: Array[Byte]) = {
+      val len = p.length.toLong
+      val rate = Seq(8000, 16000, 22050, 44100, 48000)((len % 5).toInt)
+      val n = (1L + (len * 13) % 480000).toInt
+      (rate, (1 + len % 2).toInt, (8 * (1 + len % 3)).toInt, n, n * 1000L / rate)
+    }
+    assert(out(3L) == stub(text), "text bytes fall through to the stub")
+    assert(out(4L) == stub(truncated), "truncated container falls through")
+    assert(!out.contains(5L), "audio features only cover audio rows")
+    // the kernel itself is modality-blind: the mislabeled row's payload
+    // still parses when asked directly
+    assert(graft.functions.MediaHeaders.wavInfo(wavBytes(44100, 2, 16, 10)).toSeq ==
+      Seq(44100, 2, 16, 10))
+  }
+
   test("real PNG/JPEG payloads decode true header dimensions; non-containers keep the stub") {
     import Multimodal.MediaRow
     val text = "not an image at all, just text bytes".getBytes("UTF-8")
