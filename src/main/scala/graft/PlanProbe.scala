@@ -15,7 +15,8 @@ object PlanProbe {
       "q_decontaminate", "q_hash_split", "q_chunk_docs", "q_profile_orders",
       "q_dedup_canonical", "q_embedding_outliers", "q_token_budget", "q_dup_spans",
       "q_dup_spans_apply", "q_corpus_mix", "q_dedup_incremental", "q_media_dedup",
-      "q_dedup_embedding", "q_dedup_embedding_ann", "q_dedup_embedding_ann_rerank")
+      "q_dedup_embedding", "q_dedup_embedding_ann", "q_dedup_embedding_ann_rerank",
+      "q_media_audio", "q_media_video")
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
       println(s"===== $name =====")

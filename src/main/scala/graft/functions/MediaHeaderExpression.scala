@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, U
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType}
 
 /** Header-level image dimension extraction — REAL container parsing,
   * no codec dependency: PNG dimensions live in the IHDR chunk (fixed
@@ -101,6 +101,89 @@ object MediaHeaders {
   private def le32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** True movie-header fields `[timescale, duration_units]` of a real
+    * ISO BMFF (MP4/MOV) payload; null when the bytes are not a
+    * walkable container. The third of the three real header kernels:
+    * top-level box walk to `moov`, child walk to `mvhd`, whose
+    * version-0/1 layouts put timescale and duration at fixed offsets —
+    * byte arithmetic only, no codec. duration_units / timescale is the
+    * duration in seconds; frame COUNT stays with the stub (it lives in
+    * per-track sample tables a header probe shouldn't chase). */
+  def mp4Info(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 16) return null
+    // a real BMFF file starts with a well-formed box whose type is
+    // printable FourCC; insist the FIRST box is one of the standard
+    // top-level starters so text bytes never accidentally "walk"
+    val first = fourcc(b, 4)
+    if (first != "ftyp" && first != "moov" && first != "mdat" &&
+        first != "free" && first != "wide" && first != "skip") return null
+    val moov = findBox(b, 0, b.length.toLong, "moov")
+    if (moov < 0) return null
+    val moovEnd = boxEnd(b, moov)
+    val mvhd = findBox(b, moov + 8, moovEnd, "mvhd")
+    if (mvhd < 0 || mvhd + 12 > b.length) return null
+    val ver = u8(b, mvhd + 8)
+    // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+    // v1: ver/flags(4) ctime(8) mtime(8) timescale(4) duration(8)
+    if (ver == 0) {
+      if (mvhd + 24 + 4 > b.length) return null
+      val ts = be32(b, mvhd + 20)
+      val dur = be32(b, mvhd + 24)
+      if (ts <= 0) return null
+      Array(ts, dur)
+    } else if (ver == 1) {
+      if (mvhd + 32 + 8 > b.length) return null
+      val ts = be32(b, mvhd + 28)
+      val dur = (be32(b, mvhd + 32) << 32) | be32(b, mvhd + 36)
+      if (ts <= 0 || dur < 0) return null
+      Array(ts, dur)
+    } else null
+  }
+
+  private def fourcc(b: Array[Byte], i: Int): String = {
+    if (i + 4 > b.length) return ""
+    var j = 0
+    while (j < 4) {
+      val c = b(i + j) & 0xff
+      if (c < 0x20 || c > 0x7e) return ""
+      j += 1
+    }
+    new String(b, i, 4, "US-ASCII")
+  }
+
+  /** Offset of the first `typ` box in [from, limit), or -1. Walks
+    * sibling boxes only (callers descend by re-calling inside a
+    * container's bounds). Handles 64-bit largesize (size == 1). */
+  private def findBox(b: Array[Byte], from: Int, limit: Long, typ: String): Int = {
+    var i = from.toLong
+    val max = math.min(limit, b.length.toLong)
+    while (i + 8 <= max) {
+      val sz0 = be32(b, i.toInt)
+      if (fourcc(b, i.toInt + 4) == typ) return i.toInt
+      val adv =
+        if (sz0 == 0) return -1 // box extends to EOF and is not `typ`
+        else if (sz0 == 1) {
+          if (i + 16 > max) return -1
+          (be32(b, i.toInt + 8) << 32) | be32(b, i.toInt + 12)
+        } else sz0
+      if (adv < 8) return -1 // malformed: box cannot cover its own header
+      i += adv
+    }
+    -1
+  }
+
+  /** Exclusive end offset of the box at `at` (clamped to the buffer —
+    * a truncated read still bounds the child walk). */
+  private def boxEnd(b: Array[Byte], at: Int): Long = {
+    val sz0 = be32(b, at)
+    val end =
+      if (sz0 == 0) b.length.toLong
+      else if (sz0 == 1 && at + 16 <= b.length)
+        at + ((be32(b, at + 8) << 32) | be32(b, at + 12))
+      else at + sz0
+    math.min(end, b.length.toLong)
+  }
 
   /** JPEG: SOI marker, then a marker-segment walk to the first SOFn
     * frame header (C0–CF minus the non-frame C4/C8/CC), which carries
@@ -232,4 +315,52 @@ object WavInfo {
   /** Column-API entry point. */
   def apply(c: Column): Column =
     ColumnBridge.column(WavInfo(ColumnBridge.expression(c)))
+}
+
+/** Native Catalyst expression over MediaHeaders.mp4Info: BINARY →
+  * ARRAY<BIGINT> `[timescale, duration_units]`, NULL when the payload
+  * is not a real ISO BMFF container. Same single-static-kernel
+  * discipline as ImageDims/WavInfo. */
+case class Mp4Info(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mp4_info requires BINARY input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_info"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = MediaHeaders.mp4Info(input.asInstanceOf[Array[Byte]])
+    if (d == null) null else UnsafeArrayData.fromPrimitiveArray(d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val info = ctx.freshName("mp4info")
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          long[] $info = graft.functions.MediaHeaders.mp4Info(${childGen.value});
+          if ($info != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+              .fromPrimitiveArray($info);
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4Info =
+    copy(child = newChild)
+}
+
+object Mp4Info {
+  /** Column-API entry point. */
+  def apply(c: Column): Column =
+    ColumnBridge.column(Mp4Info(ColumnBridge.expression(c)))
 }

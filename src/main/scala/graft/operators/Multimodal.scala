@@ -15,10 +15,13 @@ import graft.sources.Tables
   * codec needed, and MultimodalSpec pins true dimensions on real
   * payload fixtures. Audio HEADER FIELDS are likewise real: RIFF/WAVE
   * fmt+data chunk walking (`MediaHeaders.wavInfo`) yields sample rate,
-  * channels, bit depth, and sample count with no codec. Full-frame
-  * decode, compressed-audio, and video remain a clearly marked STUB
-  * (`FakeDecoder`) — a deterministic function of the bytes — because
-  * the container has no codecs. Everything around
+  * channels, bit depth, and sample count with no codec. Video MOVIE
+  * HEADERS too: the ISO BMFF moov/mvhd box walk (`MediaHeaders
+  * .mp4Info`) yields timescale and duration. Full-frame decode,
+  * compressed-audio fields, and per-track frame counts remain a
+  * clearly marked STUB (`FakeDecoder` and the inline byte-length
+  * arithmetic) — deterministic functions of the bytes — because the
+  * container has no codecs. Everything around
   * the kernel is the real engineering surface: schema (binary +
   * struct), partition-level batching, the typed Dataset path, and the
   * column-function twin the oracle checks.
@@ -196,6 +199,36 @@ object Multimodal {
   def audioFeatures(spark: SparkSession, dir: String): DataFrame =
     audioFeaturesOf(mediaTable(spark, dir).toDF())
 
+  /** Video feature extraction over the media table's video rows:
+    * genuine ISO BMFF (MP4/MOV) payloads get their TRUE movie-header
+    * fields from the codegen'd Mp4Info expression (timescale +
+    * duration via the moov/mvhd box walk — byte arithmetic, no
+    * codec); everything else falls back to the deterministic
+    * byte-length stub. n_frames stays the stub in BOTH branches (it
+    * lives in per-track sample tables, not the movie header) and
+    * matches frameSamples' arithmetic exactly. */
+  def videoFeaturesOf(media: DataFrame): DataFrame =
+    media
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        graft.functions.Mp4Info(col("payload")).as("info"))
+      .select(col("doc_id"), col("byte_len"),
+        coalesce(element_at(col("info"), 1),
+          element_at(typedLit(Seq(600L, 1000L, 90000L, 24000L, 30000L)),
+            (col("byte_len") % 5 + 1).cast("int"))).as("timescale"),
+        coalesce(element_at(col("info"), 2),
+          lit(1L) + (col("byte_len") * 17) % 3600000L).as("duration_units"),
+        (lit(1) + col("byte_len") % 250).cast("int").as("n_frames"))
+      .withColumn("duration_ms",
+        expr("(duration_units * 1000) div timescale"))
+      .orderBy("doc_id")
+
+  /** videoFeaturesOf over the corpus media table — the registered
+    * `q_media_video` query. */
+  def videoFeatures(spark: SparkSession, dir: String): DataFrame =
+    videoFeaturesOf(mediaTable(spark, dir).toDF())
+
   /** Exact payload dedup for the media column: group by
     * (media_type, sha256 of the raw bytes), keep the lowest doc_id —
     * the byte-identical-asset dedup every multimodal corpus needs
@@ -274,6 +307,7 @@ object MultimodalModule extends QueryModule {
     "q_media_inventory" -> ((s: SparkSession, d: String) => mediaInventory(s, d)),
     "q_media_frames" -> ((s: SparkSession, d: String) => frameSamples(s, d)),
     "q_media_audio" -> ((s: SparkSession, d: String) => audioFeatures(s, d)),
+    "q_media_video" -> ((s: SparkSession, d: String) => videoFeatures(s, d)),
     "q_media_resize" -> ((s: SparkSession, d: String) => resizePlan(s, d)),
     "q_media_dedup" -> ((s: SparkSession, d: String) => mediaDedup(s, d)))
 
@@ -327,6 +361,20 @@ object MultimodalModule extends QueryModule {
         |SELECT doc_id, byte_len, sample_rate, channels, bits_per_sample, n_samples,
         |  (CAST(n_samples AS BIGINT) * 1000) // sample_rate AS duration_ms
         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_media_video" ->
+      """WITH m AS (SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |  FROM documents),
+        |v AS (SELECT doc_id, byte_len,
+        |    ([600,1000,90000,24000,30000])[CAST(byte_len % 5 + 1 AS INT)] AS timescale,
+        |    1 + (byte_len * 17) % 3600000 AS duration_units,
+        |    CAST(1 + byte_len % 250 AS INT) AS n_frames
+        |  FROM m WHERE media_type = 'video')
+        |SELECT doc_id, byte_len, CAST(timescale AS BIGINT) AS timescale,
+        |  CAST(duration_units AS BIGINT) AS duration_units, n_frames,
+        |  (duration_units * 1000) // timescale AS duration_ms
+        |FROM v ORDER BY doc_id""".stripMargin,
     "q_media_resize" ->
       """WITH m AS (SELECT doc_id,
         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,

@@ -266,4 +266,44 @@ class PropertiesSpec extends SparkSpec {
       assert(res.passed, s"$name: ${res.status}")
     }
   }
+
+  test("property (differential): MediaHeaders round-trips constructed MP4 mvhd fields; garbage never parses or throws") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // nJunk skip-boxes between ftyp and moov exercise the sibling walk
+    def mp4(ts: Int, dur: Int, ver: Int, nJunk: Int, junkLen: Int) = {
+      val ftyp = be32(16) ++ "ftyp".getBytes("US-ASCII") ++
+        "isom".getBytes("US-ASCII") ++ be32(0)
+      val junk = be32(8 + junkLen) ++ "skip".getBytes("US-ASCII") ++
+        Array.fill(junkLen)(0x55.toByte)
+      val mvhd =
+        if (ver == 0)
+          be32(108) ++ "mvhd".getBytes("US-ASCII") ++ be32(0) ++
+            be32(0) ++ be32(0) ++ be32(ts) ++ be32(dur) ++
+            Array.fill[Byte](108 - 32)(0)
+        else // v1: 64-bit times, timescale at +28, duration at +32
+          be32(120) ++ "mvhd".getBytes("US-ASCII") ++ Array[Byte](1, 0, 0, 0) ++
+            be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(ts) ++
+            be32(0) ++ be32(dur) ++ Array.fill[Byte](120 - 40)(0)
+      val moov = be32(8 + mvhd.length) ++ "moov".getBytes("US-ASCII") ++ mvhd
+      ftyp ++ (0 until nJunk).flatMap(_ => junk).toArray ++ moov
+    }
+    val prop = Prop.forAll(
+        Gen.chooseNum(1, 1000000), Gen.chooseNum(0, Int.MaxValue),
+        Gen.oneOf(0, 1), Gen.chooseNum(0, 3), Gen.chooseNum(0, 40)) {
+      (ts, dur, ver, nJunk, junkLen) =>
+        functions.MediaHeaders.mp4Info(mp4(ts, dur, ver, nJunk, junkLen)).toSeq ==
+          Seq(ts.toLong, dur.toLong)
+    }
+    val bytesGen = Gen.chooseNum(0, 64)
+      .flatMap(m => Gen.listOfN(m, Gen.chooseNum(-128, 127).map(_.toByte)))
+    val garbageProp = Prop.forAll(bytesGen) { bs =>
+      functions.MediaHeaders.mp4Info(bs.toArray); true
+    }
+    for ((p, name) <- Seq(prop -> "mp4", garbageProp -> "mp4-garbage")) {
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(500)
+          .withInitialSeed(Seed(13L)), p)
+      assert(res.passed, s"$name: ${res.status}")
+    }
+  }
 }

@@ -116,6 +116,51 @@ class MultimodalSpec extends SparkSpec {
       "WAVE".getBytes("US-ASCII") ++ list ++ fmt ++ data
   }
 
+  /** A minimal real MP4: ftyp, a free box the walker must skip, then
+    * moov containing a version-0 mvhd declaring timescale/duration. */
+  private def mp4Bytes(timescale: Int, duration: Int): Array[Byte] = {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val ftyp = be32(16) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32(0)
+    val free = be32(11) ++ "free".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    val mvhd = be32(108) ++ "mvhd".getBytes("US-ASCII") ++ be32(0) ++ // ver 0 + flags
+      be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+      Array.fill[Byte](108 - 32)(0)
+    val moov = be32(8 + mvhd.length) ++ "moov".getBytes("US-ASCII") ++ mvhd
+    ftyp ++ free ++ moov
+  }
+
+  test("real MP4 payloads decode true movie-header fields; non-containers keep the stub") {
+    import Multimodal.MediaRow
+    val text = "definitely not a movie, just some text".getBytes("UTF-8")
+    val rows = Seq(
+      MediaRow(1L, "video", mp4Bytes(90000, 90000 * 42), "en", "s"), // 42 s broadcast
+      MediaRow(2L, "video", mp4Bytes(1000, 2500), "en", "s"),        // 2.5 s web clip
+      MediaRow(3L, "video", text, "en", "s"),
+      MediaRow(4L, "video", mp4Bytes(90000, 100).take(30), "en", "s")) // truncated
+    val out = Multimodal.videoFeaturesOf(rows.toDS().toDF())
+      .select("doc_id", "timescale", "duration_units", "duration_ms")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((90000L, 90000L * 42, 42000L)),
+      "mvhd timescale/duration must be the true movie-header values")
+    assert(out(2L) == ((1000L, 2500L, 2500L)))
+    def stub(p: Array[Byte]) = {
+      val len = p.length.toLong
+      val ts = Seq(600L, 1000L, 90000L, 24000L, 30000L)((len % 5).toInt)
+      val du = 1L + (len * 17) % 3600000L
+      (ts, du, du * 1000 / ts)
+    }
+    assert(out(3L) == stub(text), "text bytes fall through to the stub")
+    assert(out(4L) == stub(mp4Bytes(90000, 100).take(30)), "truncated box walk falls through")
+    // n_frames stays the stub in both branches, matching frameSamples
+    val frames = Multimodal.videoFeaturesOf(rows.toDS().toDF())
+      .select("doc_id", "n_frames").as[(Long, Int)].collect().toMap
+    rows.foreach { r =>
+      assert(frames(r.doc_id) == 1 + (r.payload.length % 250))
+    }
+  }
+
   test("real WAV payloads decode true header fields; non-containers keep the stub") {
     import Multimodal.MediaRow
     val text = "just some text bytes standing in for audio".getBytes("UTF-8")
@@ -198,17 +243,25 @@ class MultimodalSpec extends SparkSpec {
     java.nio.file.Files.write(dir.resolve("photo.png"), pngBytes(320, 200))
     java.nio.file.Files.write(dir.resolve("scan.jpeg"), jpegBytes(800, 600))
     java.nio.file.Files.write(dir.resolve("notes.txt"), "hello".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("voice.wav"), wavBytes(22050, 1, 16, 22050))
     val media = Multimodal.mediaTableFromFiles(spark, dir.toString)
     val byName = media.collect().map(r => r.source.split('/').last -> r).toMap
     assert(byName("photo.png").media_type == "image")
     assert(byName("scan.jpeg").media_type == "image")
     assert(byName("notes.txt").media_type == "binary")
-    assert(byName.values.map(_.doc_id).toSet.size == 3, "path-hash ids must be distinct")
+    assert(byName("voice.wav").media_type == "audio")
+    assert(byName.values.map(_.doc_id).toSet.size == 4, "path-hash ids must be distinct")
     val feats = Multimodal.featuresColumnarOf(media.toDF())
       .select("doc_id", "width", "height").as[(Long, Int, Int)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(feats(byName("photo.png").doc_id) == ((320, 200)))
     assert(feats(byName("scan.jpeg").doc_id) == ((800, 600)))
+    val audio = Multimodal.audioFeaturesOf(media.toDF())
+      .select("doc_id", "sample_rate", "channels", "bits_per_sample", "duration_ms")
+      .as[(Long, Int, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(audio(byName("voice.wav").doc_id) == ((22050, 1, 16, 1000L)),
+      "raw .wav file must decode true header fields end-to-end")
   }
 
   test("binaryFile source loads raw files as (path, length, content)") {
