@@ -423,6 +423,45 @@ object Dedup {
       spark.read.parquet(s"$indexDir/jaccardPairs.parquet").drop("batch_id"))
   }
 
+  /** One watermark-driven ingest batch — the scheduled daily job,
+    * composed from the engine's own parts: documents (and, optionally,
+    * vectors) with ids in (stored mark, `newMark`] are appended to the
+    * index artifacts keyed by the mark they advance to, and the mark
+    * is persisted only on success (`WatermarkStore.incrementalRun`,
+    * the reference's last-run-config semantics).
+    *
+    * The composition is what makes it exactly-once in EFFECT from two
+    * at-least-once parts: a crash anywhere before the mark write
+    * leaves the old mark, so the retry re-covers the same window —
+    * and because the batch id derives from `newMark`, the re-covered
+    * append OVERWRITES the partial batch's directories instead of
+    * double-appending (the keyed-append idempotence contract). The
+    * pair-table rebuild is deferred by default — schedule
+    * `rebuildPairTable` separately, like any other async refresh.
+    *
+    * The mark must be seeded (to the highest id the writeIndexes
+    * build covered) before the first incremental run: an unseeded run
+    * would re-append the entire already-indexed corpus. */
+  def ingestSinceWatermark(spark: SparkSession, dir: String, indexDir: String,
+                           markPath: String, newMark: Long,
+                           withEmbeddings: Boolean = false,
+                           rebuildPairs: Boolean = false): Unit =
+    graft.sources.WatermarkStore.incrementalRun(markPath, newMark.toString) { since =>
+      val lo = since.getOrElse(throw new IllegalArgumentException(
+        s"ingestSinceWatermark: no mark at $markPath — seed it with the " +
+          "highest id covered by writeIndexes before the first incremental run")).toLong
+      require(newMark >= lo,
+        s"ingestSinceWatermark: newMark $newMark behind the stored mark $lo")
+      if (newMark > lo)
+        appendIndexes(spark, dir, indexDir,
+          docPredicate = col("doc_id") > lo && col("doc_id") <= newMark,
+          embPredicate =
+            if (withEmbeddings) Some(col("vec_id") > lo && col("vec_id") <= newMark)
+            else None,
+          rebuildPairs = rebuildPairs,
+          batchId = Some(s"wm-$newMark"))
+    }
+
   /** Fold every artifact's accumulated `batch_id=*` directories back
     * into one fresh `base` — the periodic maintenance job that keeps an
     * append-heavy index readable at speed. Each keyed append adds a

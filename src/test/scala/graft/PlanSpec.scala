@@ -40,9 +40,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("feature queries never read the media payload column") {
-    val p = plan(q("q_media_features"))
-    assert(!p.contains("payload:binary"),
-      s"payload bytes must be pruned out of feature scans:\n$p")
+    Seq("q_media_features", "q_media_audio", "q_media_video").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("payload:binary"),
+        s"$name: payload bytes must be pruned out of feature scans:\n$p")
+    }
+  }
+
+  test("media header kernels run in the scan stage: one exchange (the output ordering) only") {
+    // wav_info / mp4_info / image_dims must evaluate in the narrow
+    // projection over the scan — a second exchange would mean payload
+    // bytes (or their derivations) moved between stages
+    Seq("q_media_audio", "q_media_video").foreach { name =>
+      val p = q(name).queryExecution.executedPlan.toString
+      val exchanges = "Exchange ".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"$name: expected exactly the ordering exchange, found $exchanges:\n${p.take(2000)}")
+    }
   }
 
   test("windows cost exactly one shuffle each") {

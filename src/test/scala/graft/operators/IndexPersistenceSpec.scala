@@ -408,6 +408,64 @@ class IndexPersistenceSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
   }
 
+  test("ingestSinceWatermark: mark-windowed keyed appends, exactly-once under re-covered windows") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end1"),
+      (2L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"),
+      (5L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end5"),
+      (6L, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"))
+      .map { case (id, text) => (id, text, "en", "srcT", text.length.toLong) }
+    def mkDir(p: Long => Boolean): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-idx-wm").toString
+      docs.filter(r => p(r._1)).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val dirOld = mkDir(_ <= 2)
+    val dirFull = mkDir(_ => true)
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-wm-a").toString
+    val mark = java.nio.file.Files.createTempDirectory("graft-idx-wm-m").toString + "/mark"
+    Dedup.releaseIndexes(spark)
+    Dedup.writeIndexes(spark, dirOld, idx, withEmbeddings = false)
+    Dedup.releaseIndexes(spark)
+
+    // an unseeded first run must refuse rather than re-append the corpus
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ingestSinceWatermark(spark, dirFull, idx, mark, newMark = 5L)
+    }
+    assert(e.getMessage.contains("seed"))
+    graft.sources.WatermarkStore.write(mark, "2") // writeIndexes covered ids <= 2
+
+    Dedup.ingestSinceWatermark(spark, dirFull, idx, mark, newMark = 5L)
+    assert(graft.sources.WatermarkStore.read(mark).contains("5"))
+    def shingleDocs(): Set[Long] =
+      spark.read.parquet(s"$idx/docShingles.parquet").drop("batch_id")
+        .select("doc_id").as[Long].collect().toSet
+    assert(shingleDocs() == Set(1L, 2L, 5L), "window (2,5] appends exactly doc 5")
+
+    // a re-covered window: emulate the crash-before-mark-write retry by
+    // resetting the mark and running the same window again — the keyed
+    // append overwrites its own batch directory, so nothing doubles
+    graft.sources.WatermarkStore.write(mark, "2")
+    Dedup.ingestSinceWatermark(spark, dirFull, idx, mark, newMark = 5L)
+    val counts = spark.read.parquet(s"$idx/docShingles.parquet")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 1L, 2L -> 1L, 5L -> 1L),
+      s"re-covered window must not double-append: $counts")
+
+    // advancing run picks up only the new tail; same-mark rerun no-ops
+    Dedup.ingestSinceWatermark(spark, dirFull, idx, mark, newMark = 6L)
+    Dedup.ingestSinceWatermark(spark, dirFull, idx, mark, newMark = 6L)
+    assert(shingleDocs() == Set(1L, 2L, 5L, 6L))
+    // and a regressing mark fails fast
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.ingestSinceWatermark(spark, dirFull, idx, mark, newMark = 4L)
+    }
+    assert(e2.getMessage.contains("behind"))
+    Dedup.releaseIndexes(spark)
+  }
+
   test("appendIndexes batchId onto a legacy flat artifact fails fast instead of mixing layouts") {
     import org.apache.spark.sql.functions.col
     val idx = java.nio.file.Files.createTempDirectory("graft-idx-legacy").toString
