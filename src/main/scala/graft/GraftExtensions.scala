@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, JsonPretty, ParseIntJs}
+import graft.functions.{ArrayDotProduct, ImageDims, JsonPretty, Mp4Info, ParseIntJs, WavInfo}
 
 /** SparkSessionExtensions entry point: wires graft's custom Catalyst
   * pieces into a session so the SQL surface sees them
@@ -35,7 +35,16 @@ object GraftExtensions {
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
     (new FunctionIdentifier("json_pretty"),
       new ExpressionInfo(classOf[JsonPretty].getName, "json_pretty"),
-      (children: Seq[Expression]) => JsonPretty(children.head)))
+      (children: Seq[Expression]) => JsonPretty(children.head)),
+    (new FunctionIdentifier("image_dims"),
+      new ExpressionInfo(classOf[ImageDims].getName, "image_dims"),
+      (children: Seq[Expression]) => ImageDims(children.head)),
+    (new FunctionIdentifier("wav_info"),
+      new ExpressionInfo(classOf[WavInfo].getName, "wav_info"),
+      (children: Seq[Expression]) => WavInfo(children.head)),
+    (new FunctionIdentifier("mp4_info"),
+      new ExpressionInfo(classOf[Mp4Info].getName, "mp4_info"),
+      (children: Seq[Expression]) => Mp4Info(children.head)))
 
   /** Register into a live session (the extensions path only applies at
     * session construction). */

@@ -488,7 +488,14 @@ object Dedup {
     * streams around the compaction window. Carries releaseIndexes'
     * invalidation contract (the session cache is cleared; re-prime to
     * keep serving from parquet). Artifacts still on the legacy flat
-    * layout, or already a single directory, are left untouched. */
+    * layout, or already a single directory, are left untouched.
+    *
+    * Single-maintainer contract: compaction must not race a concurrent
+    * appender or a second compaction on the same indexDir — a keyed
+    * append landing between the read and the delete would be folded
+    * away or half-kept. Serialize maintenance (compaction and appends
+    * on one schedule), the same discipline writeIndexes already
+    * requires. */
   def compactIndexes(spark: SparkSession, indexDir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     indexBuilders.foreach { case (name, _) =>

@@ -32,6 +32,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 3.0)
   }
 
+  test("media header kernels are callable from SQL: wav_info / mp4_info / image_dims") {
+    GraftExtensions.register(spark)
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(36) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(400)
+    Seq((1, wav), (2, "not media".getBytes("UTF-8")))
+      .toDF("id", "payload").createOrReplaceTempView("graft_media_probe")
+    val out = spark.sql(
+      "SELECT id, wav_info(payload) AS w, mp4_info(payload) AS m, image_dims(payload) AS d " +
+        "FROM graft_media_probe ORDER BY id").collect()
+    assert(out(0).getSeq[Int](1) == Seq(44100, 2, 16, 100))
+    assert(out(0).isNullAt(2) && out(0).isNullAt(3))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
   test("a fresh session built withExtensions sees the function") {
     val fresh = spark.newSession()
     // newSession shares the function registry state only if copied; use
