@@ -151,6 +151,10 @@ object IngestDedup {
     *     docPredicate = col("doc_id").isin(novelIds: _*),
     *     rebuildPairs = false,                    // pair table deferred
     *     batchId = Some(s"window-$windowId"))     // retried window → no double-append
+    *   // (id-ordered corpora can run the whole window as one call:
+    *   //  Dedup.ingestSinceWatermark(spark, dir, idx, markPath, maxId)
+    *   //  — mark advance and batch key derived together, so the
+    *   //  at-least-once retry stays exactly-once in effect)
     *   // the running query keeps serving the pre-append snapshot;
     *   // restart it to probe against the grown index
     * }}} */

@@ -244,13 +244,15 @@ class MultimodalSpec extends SparkSpec {
     java.nio.file.Files.write(dir.resolve("scan.jpeg"), jpegBytes(800, 600))
     java.nio.file.Files.write(dir.resolve("notes.txt"), "hello".getBytes("UTF-8"))
     java.nio.file.Files.write(dir.resolve("voice.wav"), wavBytes(22050, 1, 16, 22050))
+    java.nio.file.Files.write(dir.resolve("clip.mp4"), mp4Bytes(1000, 7250))
     val media = Multimodal.mediaTableFromFiles(spark, dir.toString)
     val byName = media.collect().map(r => r.source.split('/').last -> r).toMap
     assert(byName("photo.png").media_type == "image")
     assert(byName("scan.jpeg").media_type == "image")
     assert(byName("notes.txt").media_type == "binary")
     assert(byName("voice.wav").media_type == "audio")
-    assert(byName.values.map(_.doc_id).toSet.size == 4, "path-hash ids must be distinct")
+    assert(byName("clip.mp4").media_type == "video")
+    assert(byName.values.map(_.doc_id).toSet.size == 5, "path-hash ids must be distinct")
     val feats = Multimodal.featuresColumnarOf(media.toDF())
       .select("doc_id", "width", "height").as[(Long, Int, Int)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
@@ -262,6 +264,12 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(audio(byName("voice.wav").doc_id) == ((22050, 1, 16, 1000L)),
       "raw .wav file must decode true header fields end-to-end")
+    val video = Multimodal.videoFeaturesOf(media.toDF())
+      .select("doc_id", "timescale", "duration_units", "duration_ms")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(video(byName("clip.mp4").doc_id) == ((1000L, 7250L, 7250L)),
+      "raw .mp4 file must decode true movie-header fields end-to-end")
   }
 
   test("binaryFile source loads raw files as (path, length, content)") {
