@@ -71,24 +71,28 @@ object MediaHeaders {
     // is the per-channel sample count. Chunks are word-aligned: odd
     // sizes carry a pad byte (RIFF spec) — skipping it keeps the walk
     // aligned through odd-sized LIST/fact chunks.
-    var i = 12
+    // the walk index is a Long: a declared chunk size is an unsigned
+    // 32-bit value, so Int index arithmetic can wrap NEGATIVE on a
+    // crafted/corrupt size and read a negative array index — with a
+    // Long index the oversized advance simply walks past the buffer
+    // and the loop exits (null, stub fallback), never throws
+    var i = 12L
     var rate = -1; var ch = -1; var bits = -1; var align = -1
     var dataLen = -1L
     while (i + 8 <= b.length && (rate < 0 || dataLen < 0)) {
-      val size = le32(b, i + 4)
-      if (size < 0) return null
-      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+      val at = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue
+      val size = le32(b, at + 4)
+      if (b(at) == 'f' && b(at + 1) == 'm' && b(at + 2) == 't' && b(at + 3) == ' ') {
         if (size < 16 || i + 8 + 16 > b.length) return null
-        ch = le16(b, i + 10)
-        rate = le32(b, i + 12).toInt
-        align = le16(b, i + 20)
-        bits = le16(b, i + 22)
-      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        ch = le16(b, at + 10)
+        rate = le32(b, at + 12).toInt
+        align = le16(b, at + 20)
+        bits = le16(b, at + 22)
+      } else if (b(at) == 'd' && b(at + 1) == 'a' && b(at + 2) == 't' && b(at + 3) == 'a') {
         dataLen = size
       }
       if (rate >= 0 && dataLen >= 0) i = b.length // done — no further walk
-      else if (size > 0x7ffffff0L) return null // unwalkable declared size
-      else i += 8 + size.toInt + (size.toInt & 1)
+      else i += 8L + size + (size & 1L)
     }
     if (rate <= 0 || ch <= 0 || bits <= 0 || align <= 0 || dataLen < 0) return null
     val samples = dataLen / align
@@ -121,7 +125,11 @@ object MediaHeaders {
     val moov = findBox(b, 0, b.length.toLong, "moov")
     if (moov < 0) return null
     val moovEnd = boxEnd(b, moov)
-    val mvhd = findBox(b, moov + 8, moovEnd, "mvhd")
+    // children start after moov's header — 16 bytes when it carries a
+    // 64-bit largesize (size == 1), 8 otherwise; starting the child
+    // walk inside the largesize field would misparse it as a box
+    val childStart = moov + (if (be32(b, moov) == 1L) 16 else 8)
+    val mvhd = findBox(b, childStart, moovEnd, "mvhd")
     if (mvhd < 0 || mvhd + 12 > b.length) return null
     val ver = u8(b, mvhd + 8)
     // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
@@ -136,7 +144,11 @@ object MediaHeaders {
       if (mvhd + 32 + 8 > b.length) return null
       val ts = be32(b, mvhd + 28)
       val dur = (be32(b, mvhd + 32) << 32) | be32(b, mvhd + 36)
-      if (ts <= 0 || dur < 0) return null
+      // reject implausible 64-bit durations: downstream duration math
+      // multiplies by 1000, and a near-Long.Max value from a hostile
+      // header would wrap it. 9e15 units is ~3000 years at 90 kHz —
+      // anything beyond is garbage, not a movie.
+      if (ts <= 0 || dur < 0 || dur > 9000000000000000L) return null
       Array(ts, dur)
     } else null
   }
@@ -198,6 +210,10 @@ object MediaHeaders {
       if (u8(b, i) != 0xff) return null
       var m = u8(b, i + 1)
       while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) }
+      // the fill-byte skip advanced i without the loop-head bounds
+      // check: a truncated payload ending in fill bytes must fall back
+      // to null here, not read a length field past the buffer
+      if (i + 3 >= b.length) return null
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
         i += 2 // standalone marker, no length field
       } else if (m == 0xd9 || m == 0xda) {

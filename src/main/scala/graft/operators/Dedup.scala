@@ -316,9 +316,12 @@ object Dedup {
                     embPredicate: Option[Column] = None,
                     rebuildPairs: Boolean = true,
                     batchId: Option[String] = None): Unit = {
-    batchId.foreach(id => require(id.matches("[A-Za-z0-9._-]+") && id != "base",
+    batchId.foreach(id => require(
+      id.matches("[A-Za-z0-9._-]+") && id != "base" && id != "unbatched",
       s"appendIndexes: batchId '$id' must be a [A-Za-z0-9._-]+ directory name " +
-        "other than the reserved 'base' (the writeIndexes build)"))
+        "other than the reserved 'base' (the writeIndexes build) and " +
+        "'unbatched' (the shared bare-append directory — a keyed overwrite " +
+        "there would wipe every previously bare-appended row)"))
     val hconf = spark.sparkContext.hadoopConfiguration
     def isBatchPartitioned(name: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
@@ -344,12 +347,14 @@ object Dedup {
     // Fail fast when the base artifacts were never written: appending
     // into a missing artifact would silently CREATE a batch-only index
     // (old corpus rows absent) that every downstream probe would trust.
-    def requireArtifact(name: String): Unit = {
+    def artifactExists(name: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
-      require(p.getFileSystem(hconf).exists(p),
+      p.getFileSystem(hconf).exists(p)
+    }
+    def requireArtifact(name: String): Unit =
+      require(artifactExists(name),
         s"appendIndexes: artifact $name.parquet missing under $indexDir — " +
           "run writeIndexes first; an append cannot seed an index")
-    }
     requireArtifact("docShingles")
     embPredicate.foreach(_ => requireArtifact("embBase"))
     val (batch, batchIds) = trackedCheckpoint(
@@ -378,7 +383,13 @@ object Dedup {
       // centroid artifact, never a refit, so old and new rows share one
       // cell geometry. A corpus whose index predates the IVF artifacts
       // simply skips the fitted append.
-      append(SimilarityIvf.ivfAssign(base, SimilarityIvf.centroids), "ivfCells")
+      // skipped — not silently seeded — when the index predates the
+      // IVF artifacts: an append-created batch-only ivfCells would be
+      // memoized by primeIndexes and annIvf would quietly search ONLY
+      // the batch's vectors. A pre-IVF index keeps no cell table until
+      // writeIndexes rebuilds it.
+      if (artifactExists("ivfCells"))
+        append(SimilarityIvf.ivfAssign(base, SimilarityIvf.centroids), "ivfCells")
       SimilarityIvf.readCentroidArtifact(spark, indexDir).foreach { cents =>
         append(SimilarityIvf.ivfAssign(base, cents), "ivfCellsFit")
       }
@@ -432,12 +443,18 @@ object Dedup {
     *
     * The composition is what makes it exactly-once in EFFECT from two
     * at-least-once parts: a crash anywhere before the mark write
-    * leaves the old mark, so the retry re-covers the same window —
-    * and because the batch id derives from `newMark`, the re-covered
-    * append OVERWRITES the partial batch's directories instead of
-    * double-appending (the keyed-append idempotence contract). The
-    * pair-table rebuild is deferred by default — schedule
-    * `rebuildPairTable` separately, like any other async refresh.
+    * leaves the old mark, so the retry re-covers the window — and
+    * because the batch id derives from the window's START (the stored
+    * mark), the re-covered append OVERWRITES the crashed attempt's
+    * partial directories even when the retry runs with a LATER
+    * `newMark` (new data arrived before the rerun): both attempts
+    * open the window at the same stored mark, so they share a batch
+    * key, and the wider retry subsumes the narrower orphan. Keying by
+    * `newMark` instead would leave the orphan in place and
+    * double-append the overlap. Successful runs always advance the
+    * mark, so successive windows get distinct keys. The pair-table
+    * rebuild is deferred by default — schedule `rebuildPairTable`
+    * separately, like any other async refresh.
     *
     * The mark must be seeded (to the highest id the writeIndexes
     * build covered) before the first incremental run: an unseeded run
@@ -459,7 +476,7 @@ object Dedup {
             if (withEmbeddings) Some(col("vec_id") > lo && col("vec_id") <= newMark)
             else None,
           rebuildPairs = rebuildPairs,
-          batchId = Some(s"wm-$newMark"))
+          batchId = Some(s"wm-from-$lo"))
     }
 
   /** Fold every artifact's accumulated `batch_id=*` directories back

@@ -158,6 +158,24 @@ object IngestDedup {
     *   // the running query keeps serving the pre-append snapshot;
     *   // restart it to probe against the grown index
     * }}} */
+  def nearDupIngest(docs: DataFrame, bands: DataFrame, sigs: DataFrame,
+                    watermark: String = "1 hour",
+                    minEstJaccard: Double = 0.5): DataFrame =
+    docs
+      .withColumn("sig", Dedup.minhashOfText(col("text")))
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(Dedup.bandHashes(col("sig"))).as(Seq("band_idx", "band_hash")))
+      .join(bands.select(col("doc_id").as("cand_id"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .dropDuplicatesWithinWatermark("doc_id", "cand_id")
+      .join(sigs.select(col("doc_id").as("cand_id"), col("sig").as("cand_sig")),
+        Seq("cand_id"))
+      .select(col("doc_id"), col("ts"), col("cand_id"),
+        (size(filter(zip_with(col("sig"), col("cand_sig"), (x, y) => x === y),
+          b => b)).cast("double") / Dedup.NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+
   /** Streaming EMBEDDING near-dup ingest — the vector-modality twin of
     * `nearDupIngest`, closing the continuous-maintenance story for the
     * ANN family: a (ts, vec_id, embedding) stream is probed against
@@ -209,21 +227,4 @@ object IngestDedup {
   def corpusEmbBuckets(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshBuckets(spark, dir)
 
-  def nearDupIngest(docs: DataFrame, bands: DataFrame, sigs: DataFrame,
-                    watermark: String = "1 hour",
-                    minEstJaccard: Double = 0.5): DataFrame =
-    docs
-      .withColumn("sig", Dedup.minhashOfText(col("text")))
-      .withWatermark("ts", watermark)
-      .select(col("doc_id"), col("ts"), col("sig"),
-        posexplode(Dedup.bandHashes(col("sig"))).as(Seq("band_idx", "band_hash")))
-      .join(bands.select(col("doc_id").as("cand_id"), col("band_idx"), col("band_hash")),
-        Seq("band_idx", "band_hash"))
-      .dropDuplicatesWithinWatermark("doc_id", "cand_id")
-      .join(sigs.select(col("doc_id").as("cand_id"), col("sig").as("cand_sig")),
-        Seq("cand_id"))
-      .select(col("doc_id"), col("ts"), col("cand_id"),
-        (size(filter(zip_with(col("sig"), col("cand_sig"), (x, y) => x === y),
-          b => b)).cast("double") / Dedup.NumHashes).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEstJaccard)
 }

@@ -445,17 +445,20 @@ class IndexPersistenceSpec extends SparkSpec {
     assert(shingleDocs() == Set(1L, 2L, 5L), "window (2,5] appends exactly doc 5")
 
     // a re-covered window: emulate the crash-before-mark-write retry by
-    // resetting the mark and running the same window again — the keyed
-    // append overwrites its own batch directory, so nothing doubles
+    // resetting the mark — and retry with an ADVANCED newMark (new data
+    // arrived before the rerun), the hazard that makes keying by the
+    // window START load-bearing: both attempts open at stored mark 2,
+    // so the wider retry OVERWRITES the crashed attempt's wm-from-2
+    // directories instead of double-appending the (2,5] overlap
     graft.sources.WatermarkStore.write(mark, "2")
-    Dedup.ingestSinceWatermark(spark, dirFull, idx, mark, newMark = 5L)
+    Dedup.ingestSinceWatermark(spark, dirFull, idx, mark, newMark = 6L)
+    assert(graft.sources.WatermarkStore.read(mark).contains("6"))
     val counts = spark.read.parquet(s"$idx/docShingles.parquet")
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
-    assert(counts == Map(1L -> 1L, 2L -> 1L, 5L -> 1L),
-      s"re-covered window must not double-append: $counts")
+    assert(counts == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L),
+      s"re-covered window with advanced newMark must not double-append: $counts")
 
-    // advancing run picks up only the new tail; same-mark rerun no-ops
-    Dedup.ingestSinceWatermark(spark, dirFull, idx, mark, newMark = 6L)
+    // same-mark rerun no-ops
     Dedup.ingestSinceWatermark(spark, dirFull, idx, mark, newMark = 6L)
     assert(shingleDocs() == Set(1L, 2L, 5L, 6L))
     // and a regressing mark fails fast
@@ -477,12 +480,43 @@ class IndexPersistenceSpec extends SparkSpec {
         docPredicate = col("doc_id") >= 1L, batchId = Some("b1"))
     }
     assert(e.getMessage.contains("legacy flat layout"))
-    // 'base' is reserved for the writeIndexes build
-    val e2 = intercept[IllegalArgumentException] {
-      Dedup.appendIndexes(spark, dir, idx,
-        docPredicate = col("doc_id") >= 1L, batchId = Some("base"))
+    // 'base' is reserved for the writeIndexes build, 'unbatched' for
+    // the shared bare-append directory (a keyed overwrite there would
+    // wipe previously bare-appended rows)
+    Seq("base", "unbatched").foreach { reserved =>
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.appendIndexes(spark, dir, idx,
+          docPredicate = col("doc_id") >= 1L, batchId = Some(reserved))
+      }
+      assert(e2.getMessage.contains("reserved") || e2.getMessage.contains(reserved))
     }
-    assert(e2.getMessage.contains("reserved"))
+    Dedup.releaseIndexes(spark)
+  }
+
+  test("append onto a pre-IVF index skips the cell table instead of seeding a batch-only one") {
+    import org.apache.spark.sql.functions.col
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-idx-preivf").toString
+    Dedup.releaseIndexes(spark)
+    Dedup.writeIndexes(spark, dir, indexDir)
+    // emulate an index written before the IVF artifacts existed
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
+    Seq("ivfCells", "ivfCellsFit", "ivfCentroidsFit").foreach { a =>
+      rmTree(new java.io.File(s"$indexDir/$a.parquet"))
+    }
+    Dedup.releaseIndexes(spark)
+    Dedup.appendIndexes(spark, dir, indexDir,
+      docPredicate = col("doc_id") < 0L,
+      embPredicate = Some(col("vec_id") >= 0L), rebuildPairs = false)
+    assert(!new java.io.File(s"$indexDir/ivfCells.parquet").exists(),
+      "an append must not seed a batch-only cell table — annIvf would " +
+        "silently search only the batch's vectors")
+    assert(!new java.io.File(s"$indexDir/ivfCellsFit.parquet").exists())
+    // the non-IVF embedding artifacts still grew
+    assert(spark.read.parquet(s"$indexDir/embBase.parquet").count() > 30,
+      "embBase must still take the append")
     Dedup.releaseIndexes(spark)
   }
 }

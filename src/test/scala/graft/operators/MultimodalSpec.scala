@@ -161,6 +161,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("hostile headers never throw: crafted sizes, truncated fill bytes, largesize boxes") {
+    import graft.functions.MediaHeaders
+    def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // WAV whose first chunk declares size 0x7ffffff0: an Int walk index
+    // would wrap negative and read b(-...); must return null instead
+    val hugeChunkWav = "RIFF".getBytes("US-ASCII") ++ le32(36) ++
+      "WAVE".getBytes("US-ASCII") ++ "LIST".getBytes("US-ASCII") ++
+      le32(0x7ffffff0L) ++ Array.fill[Byte](24)(0)
+    assert(MediaHeaders.wavInfo(hugeChunkWav) == null)
+    // and the full unsigned range, which is > Int.MaxValue
+    val unsignedWav = hugeChunkWav.patch(16, le32(0xfffffff0L), 4)
+    assert(MediaHeaders.wavInfo(unsignedWav) == null)
+    // truncated JPEG ending in fill bytes before a SOF marker: the
+    // fill-byte skip advances past the loop-head bounds check
+    assert(MediaHeaders.imageDims(
+      Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0).map(_.toByte)) == null)
+    // moov carrying a 64-bit largesize header: children start at +16
+    val mvhd = be32(108) ++ "mvhd".getBytes("US-ASCII") ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(48000) ++ be32(96000) ++
+      Array.fill[Byte](108 - 32)(0)
+    val moovLarge = be32(1) ++ "moov".getBytes("US-ASCII") ++
+      be32(0) ++ be32(16 + mvhd.length) ++ mvhd // largesize in two halves
+    val ftyp = be32(16) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32(0)
+    assert(MediaHeaders.mp4Info(ftyp ++ moovLarge).toSeq == Seq(48000L, 96000L),
+      "largesize moov must parse (children start after the 16-byte header)")
+    // v1 mvhd with a near-Long.MaxValue duration: downstream *1000
+    // would wrap — the kernel must reject it as garbage
+    val mvhdHostile = be32(120) ++ "mvhd".getBytes("US-ASCII") ++
+      Array[Byte](1, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(90000) ++ be32(0x7fffffffL) ++ be32(0xffffffffL) ++
+      Array.fill[Byte](120 - 40)(0)
+    val moovHostile = be32(8 + mvhdHostile.length) ++ "moov".getBytes("US-ASCII") ++ mvhdHostile
+    assert(MediaHeaders.mp4Info(ftyp ++ moovHostile) == null,
+      "implausible 64-bit duration must be rejected, not propagated")
+  }
+
   test("real WAV payloads decode true header fields; non-containers keep the stub") {
     import Multimodal.MediaRow
     val text = "just some text bytes standing in for audio".getBytes("UTF-8")
