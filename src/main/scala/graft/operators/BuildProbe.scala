@@ -144,3 +144,88 @@ object AppendProbe {
     spark.stop()
   }
 }
+
+/** Diagnostic utility: streaming ingest-dedup latency at the probe
+  * tier — the per-micro-batch cost of `nearDupIngest` (stream-side
+  * MinHash + band join against the primed corpus index) and
+  * `embNearDupIngest` (bucket-string probe against the primed LSH
+  * index) when the static sides serve a 10× corpus from parquet
+  * artifacts. Feeds micro-batches of half near-copies / half novel
+  * rows through a memory sink and reports wall time per batch — the
+  * number an operational continuous-dedup pipeline budgets against.
+  *
+  * sbt "runMain graft.operators.StreamProbe /tmp/graft_sf1 /tmp/probe_idx_10x"
+  */
+object StreamProbe {
+  case class Doc(ts: java.sql.Timestamp, doc_id: Long, text: String)
+  case class Vec(ts: java.sql.Timestamp, vec_id: Long, embedding: Seq[Float])
+
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = args(0)
+    val idx = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stream] $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($n rows)")
+    }
+    t("primeIndexes") { Dedup.primeIndexes(spark, dir, idx); 0L }
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+    // text tier: 500-doc micro-batches, half one-token edits of corpus
+    // docs (must flag), half shuffled novel text (must not)
+    val corpus = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").limit(500).collect()
+    val in = MemoryStream[Doc]
+    val q = graft.streaming.IngestDedup.nearDupIngest(in.toDF(),
+        graft.streaming.IngestDedup.corpusBands(spark, dir),
+        graft.streaming.IngestDedup.corpusSignatures(spark, dir))
+      .writeStream.format("memory").queryName("streamprobe")
+      .outputMode("append").start()
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { b =>
+      val docs = (0 until 500).map { i =>
+        val src = corpus(rnd.nextInt(corpus.length))
+        val text =
+          if (i % 2 == 0) src.getString(1) + " probe edit"
+          else rnd.shuffle(src.getString(1).split(" ").toSeq).mkString(" ")
+        Doc(ts, 900000000L + b * 1000 + i, text)
+      }
+      in.addData(docs)
+      t(s"nearDup batch-$b (500 docs)") { q.processAllAvailable(); spark.table("streamprobe").count() }
+    }
+    q.stop()
+
+    // embedding tier: 200-vector micro-batches against the LSH index
+    val base = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").limit(200).collect()
+    val inV = MemoryStream[Vec]
+    val qv = graft.streaming.IngestDedup.embNearDupIngest(inV.toDF(),
+        graft.streaming.IngestDedup.corpusEmbBuckets(spark, dir),
+        graft.streaming.IngestDedup.corpusEmbBase(spark, dir))
+      .writeStream.format("memory").queryName("streamprobe_emb")
+      .outputMode("append").start()
+    (0 until 3).foreach { b =>
+      val vecs = (0 until 200).map { i =>
+        val src = base(rnd.nextInt(base.length)).getSeq[Float](1)
+        val v =
+          if (i % 2 == 0) src.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+          else Seq.fill(src.length)(rnd.nextGaussian().toFloat)
+        Vec(ts, 910000000L + b * 1000 + i, v)
+      }
+      inV.addData(vecs)
+      t(s"embNearDup batch-$b (200 vecs)") { qv.processAllAvailable(); spark.table("streamprobe_emb").count() }
+    }
+    qv.stop()
+    spark.stop()
+  }
+}
