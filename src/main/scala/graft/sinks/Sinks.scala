@@ -113,7 +113,13 @@ object Sinks {
           }
           flush()
         } catch {
-          case e: Throwable => conn.rollback(); throw e
+          case e: Throwable =>
+            // rollback on a dead connection throws its own exception —
+            // keep the ORIGINAL failure (the one carrying the failing
+            // row/constraint detail) and attach the rollback's as
+            // suppressed rather than letting it mask the root cause
+            try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }
+            throw e
         } finally conn.close()
       }
     }

@@ -45,4 +45,15 @@ object Tables {
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Whether an events directory stores `ts` in the raw-long-nanos
+    * layout (true) or as a native parquet timestamp (false) — the same
+    * dispatch `events` makes per-read, exposed so the STREAMING twin
+    * (whose file-stream source must declare its schema up front) can
+    * make it once at stream definition. */
+  def rawEventsTsIsLong(spark: SparkSession, path: String): Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+  }
 }

@@ -48,7 +48,11 @@ object WatermarkStore {
     val conf = new Configuration()
     val fs = new Path(path).getFileSystem(conf)
     val p = fs.makeQualified(new Path(path))
-    val tmp = new Path(p.toString + ".tmp")
+    // per-writer temp name: with a FIXED .tmp, two drivers finishing
+    // concurrently truncate each other's staging file and can publish
+    // a torn mark (or fail the rename after a successful run) — the
+    // shared-mark contract above is exactly the multi-driver case
+    val tmp = new Path(p.toString + ".tmp." + java.util.UUID.randomUUID())
     val out = fs.create(tmp, true)
     try out.write(mark.getBytes(StandardCharsets.UTF_8)) finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)

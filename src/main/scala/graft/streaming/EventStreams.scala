@@ -75,15 +75,25 @@ object EventStreams {
 
 
   /** File-stream source over the testdata events directory: the
-    * streaming twin of Tables.events (same nanos→micros conversion). */
+    * streaming twin of Tables.events. A file-stream source needs its
+    * schema declared up front, so the twin peeks at the directory's
+    * BATCH schema once (driver-side, at stream definition) to pick the
+    * same layout branch Tables.events picks per-read: nanos-as-long
+    * testdata gets the nanos→micros conversion; native-timestamp
+    * parquet (what Spark itself writes) streams through unconverted —
+    * previously the BIGINT layout was hardcoded and a native-timestamp
+    * directory failed its first micro-batch on schema mismatch. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+    val tsIsLong = graft.sources.Tables.rawEventsTsIsLong(spark, dir)
+    val tsDecl = if (tsIsLong) "ts BIGINT" else "ts TIMESTAMP"
+    val schema = s"event_id BIGINT, $tsDecl, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$dir")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
   }
 
   /** Tumbling 1-hour counts with a late-data watermark — the streaming
@@ -197,27 +207,37 @@ object EventStreams {
         state.remove()
         out.iterator
       } else {
+        // Merge the batch's events and the carried-over open session as
+        // INTERVALS under the gap rule, in start order. This is what
+        // makes in-watermark OUT-OF-ORDER arrivals correct: an event
+        // in-gap BEFORE the open session extends its start downward
+        // (a signed `t - lastMs < gap` test alone would merge it while
+        // keeping the later start — membership and session_start would
+        // diverge from the built-in session_window twin), and an event
+        // more than a gap earlier forms its own session instead of
+        // folding into one it doesn't belong to. State keeps only the
+        // LATEST session open (single-open-session model): sessions
+        // that close earlier in the merge emit immediately and cannot
+        // absorb later stragglers — the documented simplification
+        // relative to the built-in twin, which keeps every
+        // within-watermark session mergeable.
         val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        var open = state.getOption
-        val closed = Seq.newBuilder[Session]
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          open match {
-            case Some(s) if t - s.lastMs < gapMs =>
-              open = Some(OpenSession(s.startMs, math.max(s.lastMs, t),
-                s.nEvents + 1, s.sumValue + e.value))
-            case Some(s) =>
-              closed += toSession(uid, s)
-              open = Some(OpenSession(t, t, 1, e.value))
-            case None =>
-              open = Some(OpenSession(t, t, 1, e.value))
+        val items = (state.getOption.toSeq ++
+          sorted.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1, e.value)))
+          .sortBy(s => (s.startMs, s.lastMs))
+        val merged = items.foldLeft(List.empty[OpenSession]) { (acc, s) =>
+          acc match {
+            case cur :: rest if s.startMs - cur.lastMs < gapMs =>
+              OpenSession(cur.startMs, math.max(cur.lastMs, s.lastMs),
+                cur.nEvents + s.nEvents, cur.sumValue + s.sumValue) :: rest
+            case _ => s :: acc
           }
-        }
-        open.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.lastMs + gapMs)
-        }
-        closed.result().iterator
+        }.reverse
+        val closed = merged.init.map(toSession(uid, _))
+        val open = merged.last
+        state.update(open)
+        state.setTimeoutTimestamp(open.lastMs + gapMs)
+        closed.iterator
       }
     }
 

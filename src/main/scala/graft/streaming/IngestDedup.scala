@@ -66,10 +66,17 @@ object IngestDedup {
     * pattern: a plain stream-static join pins its file index at query
     * definition and dies with FILE_NOT_EXIST when the snapshot is
     * overwritten under it (probed; IngestDedupSpec pins both
-    * behaviors). `sink` receives each joined micro-batch. */
+    * behaviors). `sink` receives each joined micro-batch.
+    *
+    * Pass `checkpointDir` in any deployment that must survive a
+    * restart: without it Spark assigns a THROWAWAY temp checkpoint, so
+    * a restarted query re-reads old source offsets and loses the
+    * within-stream dedup state — already-ingested documents replay.
+    * (Tests exercising one process lifetime may omit it.) */
   def dedupIngestForeachBatch(docs: DataFrame, spark: SparkSession, dir: String,
-      watermark: String = "1 hour")(sink: DataFrame => Unit): StreamingQuery =
-    docs.withColumn("fp", md5(Dedup.normText(col("text"))))
+      watermark: String = "1 hour", checkpointDir: Option[String] = None)
+      (sink: DataFrame => Unit): StreamingQuery = {
+    val writer = docs.withColumn("fp", md5(Dedup.normText(col("text"))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .writeStream.outputMode("append")
@@ -79,7 +86,9 @@ object IngestDedup {
           .select(col("doc_id"), col("ts"), col("fp"),
             col("hit").isNotNull.as("in_corpus")))
       }
-      .start()
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
 
   // ---- Near-duplicate tier -------------------------------------------
 
@@ -118,6 +127,16 @@ object IngestDedup {
     * nothing here; route them via `dedupIngest`'s exact tier. Both
     * joins are stream-static (append-safe, stateless); the only state
     * is the watermarked pair dedup.
+    *
+    * Cost note: the stream doc's 32-int signature rides each of its 16
+    * band rows through the probe join and the pair dedup — a ×16
+    * duplication of ~128 B/doc (~2 KB amplification), accepted
+    * deliberately: the signature must reach step 4's scorer, and the
+    * only way to shed it earlier is re-attaching it after the pair
+    * dedup, which would need a stream-STREAM self-join (state-heavy,
+    * watermark-coupled) where everything here is stream-static. The
+    * batch path's ids-only discipline targets corpus-sized tables;
+    * this fan-out is per micro-batch document.
     *
     * Index-refresh note: `Dedup.appendIndexes` only APPENDS files to
     * the signature and band artifacts (it overwrites just the derived
@@ -168,6 +187,11 @@ object IngestDedup {
         posexplode(Dedup.bandHashes(col("sig"))).as(Seq("band_idx", "band_hash")))
       .join(bands.select(col("doc_id").as("cand_id"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
+      // a re-ingested document whose id is already in the index would
+      // otherwise flag as a perfect near-dup OF ITSELF (every band
+      // collides with its own entry); filtered before the pair dedup
+      // so self-pairs never occupy watermark state
+      .filter(col("doc_id") =!= col("cand_id"))
       .dropDuplicatesWithinWatermark("doc_id", "cand_id")
       .join(sigs.select(col("doc_id").as("cand_id"), col("sig").as("cand_sig")),
         Seq("cand_id"))
@@ -212,6 +236,7 @@ object IngestDedup {
           .as(Seq("table_idx", "bucket")))
       .join(buckets.select(col("vec_id").as("cand_id"), col("table_idx"), col("bucket")),
         Seq("table_idx", "bucket"))
+      .filter(col("vec_id") =!= col("cand_id")) // no self-pairs (re-ingested id)
       .dropDuplicatesWithinWatermark("vec_id", "cand_id")
       .join(base.select(col("vec_id").as("cand_id"), col("v").as("v_c"),
         col("nrm").as("nrm_c")), Seq("cand_id"))

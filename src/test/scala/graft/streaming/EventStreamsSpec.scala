@@ -102,6 +102,40 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stateful sessionization: in-watermark out-of-order arrivals merge as intervals") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("sess_ooo").outputMode("append").start()
+    withQuery(q) {
+      input.addData(ev(1, "2024-01-01 12:00:00", 1))
+      q.processAllAvailable() // open session at 12:00; watermark 11:00
+      // two in-watermark stragglers: 11:45 is in-gap BEFORE the open
+      // session (must extend its start downward, not keep 12:00), and
+      // 11:05 is more than a gap earlier (must become its own session,
+      // closed immediately — not fold into the 12:00 session)
+      input.addData(
+        ev(2, "2024-01-01 11:45:00", 1, v = 2.0),
+        ev(3, "2024-01-01 11:05:00", 1, v = 5.0))
+      q.processAllAvailable()
+      val early = spark.table("sess_ooo").as[Session].collect().toSeq
+      assert(early == Seq(
+        Session(1L, ts("2024-01-01 11:05:00"), ts("2024-01-01 11:35:00"), 1, 5.0)),
+        s"gapped-early straggler must close as its own session, got $early")
+      // flush the open session via the event-time timeout
+      input.addData(ev(9, "2024-01-01 15:00:00", 2))
+      q.processAllAvailable()
+      input.addData(ev(10, "2024-01-01 15:01:00", 2))
+      q.processAllAvailable()
+      val flushed = spark.table("sess_ooo").as[Session].collect()
+      assert(flushed.exists(s =>
+        s.user_id == 1L && s.session_start == ts("2024-01-01 11:45:00") &&
+          s.session_end == ts("2024-01-01 12:30:00") &&
+          s.n_events == 2 && s.sum_value == 3.0),
+        s"in-gap straggler must extend the open session's start, got ${flushed.toSeq}")
+    }
+  }
+
   test("streaming parquet sink appends watermark-finalized windows exactly once") {
     implicit val sq = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("graft-stream-pq").toString
