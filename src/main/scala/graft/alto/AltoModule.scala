@@ -20,6 +20,9 @@ object AltoModule extends QueryModule {
 
   private def readResource(name: String): String = {
     val in = getClass.getResourceAsStream(s"/alto/$name")
+    // name the missing resource instead of NPEing on the null stream
+    // (where the finally's close() would mask even that NPE)
+    require(in != null, s"missing classpath resource /alto/$name — fixture not packaged")
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 

@@ -61,11 +61,14 @@ object Curation {
     * near-certain contamination, while 3-grams are common phrases. */
   private[operators] val NgramLen = 8
 
-  /** Distinct word 8-grams of an already-staged token array. */
+  /** Distinct word 8-grams of an already-staged token array. The empty
+    * string is removed: a NULL or empty token array collapses to gram
+    * "" (concat_ws over a null/empty slice), and two contentless docs
+    * must not present that phantom gram as shared-8-gram evidence. */
   private def ngramArray(t: Column): Column =
-    array_distinct(transform(
+    array_remove(array_distinct(transform(
       sequence(lit(1), greatest(size(t) - (NgramLen - 1), lit(1))),
-      i => concat_ws(" ", slice(t, i, lit(NgramLen)))))
+      i => concat_ws(" ", slice(t, i, lit(NgramLen))))), "")
 
   /** The held-out "benchmark" for decontamination: every 20th doc_id.
     * Stands in for an external eval suite (no second corpus in the
@@ -89,6 +92,11 @@ object Curation {
     * gram, boilerplate grams capped by document frequency; output
     * (train_id, n_shared grams, n_eval_docs hit). */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // deliberately NOT checkpoint-staged although both join sides
+    // reference this subtree: ReuseExchange already shares the scan
+    // and the per-gram shuffle between the sides, so only the window
+    // compute runs twice — measured cheaper at sf0.1 (0.9 s vs 1.6 s)
+    // than paying a serialized checkpoint of the full gram table
     val grams = docToks(spark, dir)
       .select(col("doc_id"), explode(ngramArray(col("toks"))).as("gram"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
@@ -191,6 +199,9 @@ object Curation {
         sequence(lit(1), greatest(size(col("toks")) - (NgramLen - 1), lit(1))),
         i => concat_ws(" ", slice(col("toks"), i, lit(NgramLen)))))
         .as(Seq("pos", "gram")))
+      // the phantom "" gram of a NULL/empty token array would make two
+      // contentless docs flag each other as duplicate spans
+      .filter(col("gram") =!= "")
     val flagged =
       if (keepFirst)
         grams.withColumn("rn", row_number().over(

@@ -125,11 +125,28 @@ object Dedup {
     ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
   }
 
+  /** Collision-free per-session cache-key prefix: a UUID assigned on
+    * first use, held weakly so a dropped session's entry can be
+    * collected. identityHashCode (the old key) carries no uniqueness
+    * guarantee, so two concurrently live sessions in one JVM could in
+    * principle serve each other's memoized index tables or fitted
+    * quantizer — wrong-session state with no error. (SparkSession
+    * keeps default identity equals, which is exactly the key
+    * semantics wanted here.) */
+  private val sessionKeys =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private[operators] def sessionKey(spark: SparkSession): String =
+    sessionKeys.synchronized {
+      var k = sessionKeys.get(spark)
+      if (k == null) { k = java.util.UUID.randomUUID().toString; sessionKeys.put(spark, k) }
+      k
+    }
+
   /** Register loose (non-memoized) checkpoint ids — e.g. the final
     * label table of an iterative job — for release with the rest of
     * the session's index state. */
   private[operators] def trackStray(spark: SparkSession, ids: Set[Int]): Unit = {
-    val k = s"${System.identityHashCode(spark)}|stray"
+    val k = s"${sessionKey(spark)}|stray"
     indexCache.synchronized {
       val prev = Option(indexRdds.get(k)).getOrElse(Set.empty)
       indexRdds.put(k, prev ++ ids)
@@ -141,7 +158,7 @@ object Dedup {
     * docShingles), and a nested computeIfAbsent on the same map throws
     * "Recursive update". */
   private[operators] def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = s"${System.identityHashCode(spark)}|$key"
+    val k = s"${sessionKey(spark)}|$key"
     val hit = indexCache.get(k)
     if (hit != null) hit
     else indexCache.synchronized {
@@ -184,7 +201,7 @@ object Dedup {
     * storage is the file, and release only drops the cache entry. */
   def releaseIndexes(spark: SparkSession): Unit = indexCache.synchronized {
     import scala.jdk.CollectionConverters._
-    val prefix = s"${System.identityHashCode(spark)}|"
+    val prefix = s"${sessionKey(spark)}|"
     val keys = (indexCache.keySet.asScala ++ indexRdds.keySet.asScala)
       .filter(_.startsWith(prefix)).toList
     keys.foreach { k =>
@@ -198,14 +215,14 @@ object Dedup {
     * to track, the storage is the file. */
   private def memoPut(spark: SparkSession, key: String, df: DataFrame): Unit =
     indexCache.synchronized {
-      indexCache.put(s"${System.identityHashCode(spark)}|$key", df)
+      indexCache.put(s"${sessionKey(spark)}|$key", df)
     }
 
   /** Peek at a memo entry without building — lets a driver-side model
     * load (SimilarityIvf.fitCentroids) serve from a primed parquet
     * artifact instead of refitting. */
   private[operators] def memoGet(spark: SparkSession, key: String): Option[DataFrame] =
-    Option(indexCache.get(s"${System.identityHashCode(spark)}|$key"))
+    Option(indexCache.get(s"${sessionKey(spark)}|$key"))
 
   /** The engine's materializable index artifacts: name → builder. The
     * name doubles as the memo-key prefix and the parquet directory
@@ -262,7 +279,7 @@ object Dedup {
     * releaseIndexes, for maintenance jobs that invalidate a single
     * derived artifact. */
   private def memoDrop(spark: SparkSession, key: String): Unit = indexCache.synchronized {
-    val k = s"${System.identityHashCode(spark)}|$key"
+    val k = s"${sessionKey(spark)}|$key"
     indexCache.remove(k)
     Option(indexRdds.remove(k)).foreach(unpersistIds(spark, _))
   }
@@ -979,9 +996,11 @@ object Dedup {
   def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
     val t = toks(col("text"))
     val nTok = size(t)
+    // greatest(,1): an empty document must classify, not throw
+    // DIVIDE_BY_ZERO under ANSI mode; mirrored in the oracle
     val punctRatio = round(
       length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
-        length(col("text")), 6)
+        greatest(length(col("text")), lit(1)), 6)
     val distinctRatio = round(size(array_distinct(t)).cast("double") / nTok, 6)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
@@ -1555,7 +1574,7 @@ object DedupModule extends QueryModule {
         |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |qm AS (SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
         |  FROM q),
         |qq AS (SELECT doc_id, n_tokens,

@@ -55,13 +55,12 @@ object Similarity {
     * driver oracle hash-checks it. */
   def knnExact(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     import spark.implicits._
-    // zero-norm vectors have no cosine (0/0 — a DIVIDE_BY_ZERO error
-    // under ANSI mode, the Spark 4 default) and are excluded from
-    // ranking on both sides; SimilaritySpec pins the exclusion
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .filter(col("nrm") > 0d)
+    // the shared (vec_id, v, nrm) base: memoized/primable embBase —
+    // its zero-norm exclusion (no cosine exists, ANSI 0/0) applies to
+    // both sides here, pinned by SimilaritySpec and mirrored in the
+    // oracle's norm predicate; a primed session serves it from the
+    // maintained parquet artifact instead of recomputing norms
+    val e = embBase(spark, dir)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nrm").as("nrm_c"))
@@ -110,10 +109,7 @@ object Similarity {
     * that survives a 100× corpus. Results are identical to knnExact
     * (SimilaritySpec pins it). */
   def knnExactAgg(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .filter(col("nrm") > 0d)
+    val e = embBase(spark, dir) // shared memoized/primable base, as in knnExact
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nrm").as("nrm_c"))
@@ -246,6 +242,16 @@ object Similarity {
     val pairs = broadcast(qProbes).join(cb, Seq("table_idx", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
+    rerankTopK(base, pairs, nQueries, k)
+  }
+
+  /** The exact-cosine top-k tail every ANN family shares: join the
+    * vectors back onto a deduped (query_id, neighbor_id) candidate
+    * table, score, rank per query. One implementation — a fix to the
+    * rerank (norm handling, tie order) applies to LSH and IVF alike
+    * instead of silently diverging between copies. */
+  private[operators] def rerankTopK(base: DataFrame, pairs: DataFrame,
+                                    nQueries: Int, k: Int): DataFrame = {
     val qv = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
     val cv = base.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nrm").as("nrm_c"))
@@ -477,7 +483,7 @@ object SimilarityIvf {
     * silently collapse. */
   private[operators] def invalidateFit(spark: SparkSession, dir: String): Unit = {
     import scala.jdk.CollectionConverters._
-    val prefix = s"${System.identityHashCode(spark)}|$dir|"
+    val prefix = s"${Dedup.sessionKey(spark)}|$dir|"
     fitCache.keySet.asScala.filter(_.startsWith(prefix))
       .foreach(fitCache.remove)
   }
@@ -495,7 +501,7 @@ object SimilarityIvf {
   private[operators] def fitCentroids(spark: SparkSession, dir: String,
                                       k: Int = NumCentroids, sampleN: Int = 512,
                                       iters: Int = 5): Seq[Seq[Double]] = {
-    val key = s"${System.identityHashCode(spark)}|$dir|$k"
+    val key = s"${Dedup.sessionKey(spark)}|$dir|$k"
     val hit = fitCache.get(key)
     if (hit != null) return hit
     // A session primed from parquet serves the persisted quantizer
@@ -579,17 +585,7 @@ object SimilarityIvf {
       .join(cells.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val qv = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
-    val cv = base.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nrm").as("nrm_c"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    pairs.join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .orderBy("query_id", "rn")
+    Similarity.rerankTopK(base, pairs, nQueries, k)
   }
 }
 
@@ -599,8 +595,14 @@ object SimilarityIvf {
 object SimilarityModule extends QueryModule {
   import Similarity._
 
+  // the zero-norm exclusion mirrors the Spark side's `nrm > 0` filter
+  // (no cosine exists for a zero vector) — without it the first zero
+  // embedding in a corpus would break the hash compare on rows only
+  // one engine emits
   private val knnOracleSql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                  CAST(embedding AS DOUBLE[])) > 0),
       |q AS (SELECT * FROM e WHERE vec_id < 10),
       |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |        list_dot_product(q.v, c.v) /
@@ -663,7 +665,8 @@ object SimilarityModule extends QueryModule {
         |    SUM(CAST(ev.val * cent.c AS DECIMAL(27,15))) AS dotc,
         |    SUM(CAST(ev.val * ev.val AS DECIMAL(27,15))) AS nv
         |  FROM ev JOIN cent ON ev.label = cent.label AND ev.pos = cent.pos
-        |  GROUP BY vec_id, ev.label),
+        |  GROUP BY vec_id, ev.label
+        |  HAVING SUM(CAST(ev.val * ev.val AS DECIMAL(27,15))) > 0),
         |sc AS (SELECT a.label, vec_id,
         |    round(CAST(dotc AS DOUBLE) /
         |      (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc.nc AS DOUBLE))), 6) AS cos_centroid

@@ -110,7 +110,9 @@ object TextAnalysis {
     val punct = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
     val stop = countIn(t, enStop)
     val distinctRatio = round(size(array_distinct(t)).cast("double") / nTok, 6)
-    val punctRatio = round(punct.cast("double") / nChars, 6)
+    // greatest(,1): a zero-length document must CLASSIFY (too_short),
+    // not throw DIVIDE_BY_ZERO under ANSI mode; mirrored in the oracle
+    val punctRatio = round(punct.cast("double") / greatest(nChars, lit(1)), 6)
     val stopRatio = round(stop.cast("double") / nTok, 6)
     Tables.documents(spark, dir)
       .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
@@ -219,7 +221,10 @@ object TextAnalysis {
     val top = base.select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("top_count"))
-    fracs.join(top, Seq("doc_id"))
+    // left join: a doc whose token explode yields no rows (NULL text)
+    // must keep its audit row with NULL top_token_frac — the oracle
+    // emits it, and textStats' explode_outer sets the same precedent
+    fracs.join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_bigram_frac"), col("dup_trigram_frac"),
         round(col("top_count").cast("double") / col("n_toks"), 6).as("top_token_frac"))
       .orderBy("doc_id")
@@ -338,7 +343,7 @@ object TextAnalysisModule extends QueryModule {
         |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
         |  round(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
         |  FROM d)
