@@ -71,7 +71,7 @@ object PrimeProbe {
     Dedup.primeIndexes(spark, dir, idx)
     Seq("q_corpus_clean", "q_dedup_jaccard", "q_dedup_canonical",
       "q_dedup_incremental", "q_dedup_minhash", "q_knn_lsh",
-      "q_knn_ivf", "q_knn_ivf_fit").foreach { q =>
+      "q_knn_ivf", "q_knn_ivf_fit", "q_knn_exact").foreach { q =>
       t(q) { graft.SparkEntry.queries(q)(spark, dir).count() }
     }
     spark.stop()
