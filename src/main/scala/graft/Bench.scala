@@ -98,11 +98,19 @@ object Bench {
     // observed in r4).
     val StallSec = 6.0
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     phases.foreach { case (phase, qs, release) =>
       qs.foreach { name =>
+        // a failing query must NOT record its fast failure as a valid
+        // sample — a regression would gate as a speedup with no signal.
+        // Failures log the exception, mark the query, and report -1.
         def once(): Double = {
           val t0 = System.nanoTime()
-          try { all(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+          try { all(name)(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              failed += name
+              System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
           (System.nanoTime() - t0) / 1e9
         }
         def releaseForResample(): Unit =
@@ -114,7 +122,9 @@ object Bench {
         var tries = 2
         System.err.println(
           f"[bench] $phase%-5s $name%-28s samples: ${s1}%.3f / ${s2}%.3f s")
-        while (sec > StallSec && tries < 4) {
+        // samples above StallSec get up to two more (a stall window can
+        // span consecutive samples); the protocol field discloses this
+        while (sec > StallSec && tries < 4 && !failed(name)) {
           releaseForResample()
           val again = once()
           tries += 1
@@ -122,7 +132,7 @@ object Bench {
             f"[bench] $phase%-5s $name%-28s stall-retry $tries: ${sec}%.3f vs ${again}%.3f s")
           sec = math.min(sec, again)
         }
-        results(name) = sec
+        results(name) = if (failed(name)) -1.0 else sec
         System.err.println(
           f"[bench] $phase%-5s $name%-28s ${sec}%8.3f s  heap=${heapMb}%5d MB  gc=${gcMs}%6d ms")
       }
@@ -130,10 +140,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // the total rides BOTH ends of the line: log captures that keep
     // only the tail of a long line still see it
-    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"best-of-2-min","queries":$qs,"sf":"$sfDir","total_sec":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"best-of-2-min-stallretry-gt${StallSec.toInt}s","failed":$failedJson,"queries":$qs,"sf":"$sfDir","total_sec":$total}""")
     spark.stop()
   }
 }

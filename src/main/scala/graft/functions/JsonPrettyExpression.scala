@@ -48,9 +48,16 @@ object JsonPretty {
     if (s == null) return null
     val sb = new java.lang.StringBuilder(s.numBytes * 2)
     val p = mapper.getFactory.createParser(s.toString)
-    try render(p, p.nextToken(), 0, sb)
-    finally p.close()
-    UTF8String.fromString(sb.toString)
+    // malformed input → NULL, like every sibling kernel (MediaHeaders,
+    // JsParseInt): one corrupt row must not kill the whole sink write.
+    // (JS JSON.parse would throw too, but a row-level NULL is the SQL
+    // shape of that error — from_json makes the same call.)
+    try {
+      render(p, p.nextToken(), 0, sb)
+      UTF8String.fromString(sb.toString)
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => null
+    } finally p.close()
   }
 
   private def indent(sb: java.lang.StringBuilder, d: Int): Unit = {

@@ -24,15 +24,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted and the generated code paths.
   */
 object JsParseInt {
+  /** ECMA WhiteSpace (TAB VT FF SP NBSP ZWNBSP + Unicode Zs) and
+    * LineTerminator (LF CR LS PS) — NOT Character.isWhitespace, which
+    * accepts the U+001C-001F separator controls (ECMA does not) and
+    * rejects NBSP/NNBSP/BOM (ECMA skips them). The Zs category covers
+    * figure space U+2007 and friends. */
+  private def jsWhitespace(c: Char): Boolean = c match {
+    case '\t' | '\n' | '\u000B' | '\f' | '\r' => true // (NEL u0085 is NOT ECMA ws)
+    case '\u00A0' | '\uFEFF' | '\u2028' | '\u2029' => true
+    case _ => Character.getType(c) == Character.SPACE_SEPARATOR
+  }
+
+  /** ASCII-only digit value under the radix, or -1. JS parseInt
+    * accepts ONLY [0-9a-fA-F] — Character.digit also maps Unicode
+    * digit blocks (Arabic-Indic, fullwidth, …) that JS rejects. */
+  private def asciiDigit(c: Char, radix: Int): Int = {
+    val d =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    if (d >= 0 && d < radix) d else -1
+  }
+
   def parse(s: UTF8String): java.lang.Integer = {
     if (s == null) return null
     val str = s.toString
     val n = str.length
     var i = 0
-    // ECMA WhiteSpace ∪ LineTerminator: Character.isWhitespace covers
-    // the ASCII + most Unicode cases; add NBSP/BOM which it misses.
-    while (i < n && (Character.isWhitespace(str.charAt(i)) ||
-      str.charAt(i) == ' ' || str.charAt(i) == '﻿')) i += 1
+    while (i < n && jsWhitespace(str.charAt(i))) i += 1
     var neg = false
     if (i < n && (str.charAt(i) == '+' || str.charAt(i) == '-')) {
       neg = str.charAt(i) == '-'
@@ -49,7 +69,7 @@ object JsParseInt {
     var overflow = false
     var done = false
     while (i < n && !done) {
-      val d = Character.digit(str.charAt(i), radix)
+      val d = asciiDigit(str.charAt(i), radix)
       if (d < 0) done = true
       else {
         any = true

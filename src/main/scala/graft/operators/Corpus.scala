@@ -26,17 +26,16 @@ import graft.sources.Tables
   */
 object Corpus {
 
-  private def toksC(c: Column): Column = split(trim(lower(c)), "\\s+")
-  private def normText(c: Column): Column =
-    lower(trim(regexp_replace(c, "\\s+", " ")))
-
   /** doc_ids dropped as exact duplicates (keep-lowest-id policy).
-    * Window-min over the fingerprint, never collect_list: a document
-    * copied n times stays n rows through the window instead of one
-    * n-element array row — the hot-key OOM shape at corpus scale. */
+    * Fingerprints via Dedup.normText — the ONE normalization shared by
+    * batch exact-dedup and the streaming ingest tier, so the cleaner
+    * cannot silently de-synchronize from them. Window-min over the
+    * fingerprint, never collect_list: a document copied n times stays
+    * n rows through the window instead of one n-element array row —
+    * the hot-key OOM shape at corpus scale. */
   private def exactVictims(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+    docs.select(col("doc_id"), md5(Dedup.normText(col("text"))).as("fp"))
       .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") =!= col("keep_id"))
       .select("doc_id")
@@ -50,31 +49,28 @@ object Corpus {
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as("doc_id")).distinct()
 
-  /** Quality-rejected doc_ids (same filters as TextAnalysis.qualityScore). */
-  private def qualityVictims(docs: DataFrame): DataFrame = {
-    val t = toksC(col("text"))
-    val nTok = size(t)
-    val punctRatio = round(
-      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
-        length(col("text")), 6)
-    val distinctRatio = round(size(array_distinct(t)).cast("double") / nTok, 6)
-    docs.filter(nTok < 10 || punctRatio > 0.2 || distinctRatio < 0.2)
+  /** Quality-rejected doc_ids — TextAnalysis.qualityTiers' verdict,
+    * not a re-statement of its thresholds: a tuning change there
+    * cannot de-synchronize the cleaner (and the tiers carry the
+    * zero-length ANSI guard this copy previously lacked). */
+  private def qualityVictims(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityTiers(spark, dir)
+      .filter(col("quality") =!= "ok")
       .select("doc_id")
-  }
 
   /** The cleaned corpus: survivors of exact-dedup, near-dedup (≥0.8),
-    * and quality filtering, with the drop reason for audit. The
-    * survivor table is session-memoized (Dedup's index cache): the
-    * clean and inventory queries share one materialization instead of
-    * re-deriving the three victim scans each. */
+    * and quality filtering. The survivor table is session-memoized
+    * (Dedup's index cache): the clean and inventory queries share one
+    * materialization instead of re-deriving the three victim scans
+    * each. The victim union feeds a left_anti join, which needs
+    * neither dedup nor attribution — per-reason audit counts are the
+    * dedup/quality queries' own outputs. */
   def cleanedCorpus(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"cleanedCorpus|$dir") {
       val docs = Tables.documents(spark, dir)
-      val victims =
-        exactVictims(docs).withColumn("reason", lit("exact_dup"))
-          .unionByName(nearVictims(spark, dir, 0.8).withColumn("reason", lit("near_dup")))
-          .unionByName(qualityVictims(docs).withColumn("reason", lit("quality")))
-          .groupBy("doc_id").agg(min(col("reason")).as("reason"))
+      val victims = exactVictims(docs)
+        .unionByName(nearVictims(spark, dir, 0.8))
+        .unionByName(qualityVictims(spark, dir))
       docs.join(victims, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source")
         .transform(Dedup.checkpointSer)

@@ -250,6 +250,12 @@ object Relational {
       .withColumnsRenamed(Map(
         "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
         "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+      // Spark's pivot yields NULL for a (status, priority) combination
+      // with zero rows (PivotFirst has no input to count), while the
+      // oracle's COUNT FILTER yields 0 — coalesce so a status missing
+      // one priority at some SF can't split the engines
+      .select(col("o_orderstatus") +: Seq("p1", "p2", "p3", "p4", "p5")
+        .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
       .orderBy("o_orderstatus")
 
   /** Unpivot (stack): wide min/max columns back to tall

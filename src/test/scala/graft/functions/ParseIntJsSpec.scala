@@ -35,7 +35,21 @@ class ParseIntJsSpec extends SparkSpec {
     "-2147483648" -> Some(Int.MinValue),
     // documented divergence: JS widens to double beyond int32; we null
     "2147483648" -> None,
-    "99999999999999999999" -> None)
+    "99999999999999999999" -> None,
+    // Unicode parity (each value verified against Node directly):
+    // ECMA whitespace includes NBSP/figure-space/BOM/LS (Zs + literals)
+    " 42" -> Some(42),
+    " 42" -> Some(42),
+    "﻿42" -> Some(42),
+    " 42" -> Some(42),
+    // …but NOT the U+001C-1F separator controls or NEL, which
+    // Character.isWhitespace wrongly accepts
+    "42" -> None,
+    "42" -> None,
+    // and JS digits are ASCII-only: Arabic-Indic and fullwidth digits
+    // (which Character.digit maps) are NaN in JS
+    "٤٢" -> None,
+    "４２" -> None)
 
   test("parseIntJs matches JS parseInt on the pinned case table (codegen path)") {
     val df = cases.map(_._1).toDF("s")
