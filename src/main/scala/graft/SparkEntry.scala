@@ -41,10 +41,22 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
+
+  /** oracleSql plus the oracles that can only be written with the data
+    * in hand — e.g. q_knn_ivf_fit's quantizer is a k-means model FITTED
+    * on the corpus, so its oracle inlines the fitted centroids as
+    * literals at dump time (Verify). The static map stays the no-session
+    * contract; the driver's DuckDB compare reads the resolved dump. */
+  def oracleSqlResolved(spark: SparkSession, dir: String): Map[String, String] =
+    oracleSql ++ modules.flatMap(_.dynamicOracles(spark, dir)).toMap
 }
 
 /** One operator family's contribution to the driver contract. */
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+  /** Oracles whose SQL depends on session-fitted model artifacts
+    * (inlined as literals once the data is readable). Most families
+    * have none. */
+  def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] = Map.empty
 }

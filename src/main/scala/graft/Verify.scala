@@ -42,7 +42,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // resolved = static oracles + the model-fitted ones (q_knn_ivf_fit
+    // inlines the k-means centroids fitted on THIS sfDir) — the dump is
+    // what the driver's DuckDB compare actually runs
+    val json = SparkEntry.oracleSqlResolved(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

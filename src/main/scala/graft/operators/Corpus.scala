@@ -137,7 +137,7 @@ object CorpusModule extends QueryModule {
       |quality_victims AS (
       |  SELECT doc_id FROM norm
       |  WHERE len(toks) < 10
-      |     OR round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6) > 0.2
+      |     OR round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) > 0.2
       |     OR round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) < 0.2),
       |victims AS (
       |  SELECT doc_id FROM exact_victims

@@ -348,9 +348,12 @@ object Dedup {
     }
     def append(df: DataFrame, name: String): Unit = {
       val path = s"$indexDir/$name.parquet"
+      // BOTH layouts guard per artifact: a bare append onto a partial
+      // layout (say simhashTable missing) must fail fast, not silently
+      // create a batch-only artifact the next primed session trusts
+      requireArtifact(name)
       batchId match {
         case Some(id) =>
-          requireArtifact(name)
           require(isBatchPartitioned(name),
             s"appendIndexes: batchId given but $name.parquet has the legacy flat layout — " +
               "rewrite it with writeIndexes (batch-directory layout) or append without a batchId")
@@ -508,14 +511,19 @@ object Dedup {
     * batch history.
     *
     * Crash contract, per artifact: rows are first written next to the
-    * artifact (`.compact-<name>.parquet`), then the old directory is
-    * deleted and the staging directory renamed into place. A crash
-    * before the delete leaves the artifact untouched (stale staging is
-    * cleaned on the next run); a crash between delete and rename is
-    * repaired by the next compactIndexes call, which finds the
-    * completed staging directory with no artifact and finishes the
-    * rename before doing anything else. So the recovery procedure for
-    * ANY interrupted compaction is simply: run it again.
+    * artifact (`.compact-<name>.parquet`), then the swap is TWO RENAMES
+    * — artifact → `.old-<name>.parquet`, staging → artifact — followed
+    * by deleting the `.old` copy. At every instant at least one
+    * COMPLETE copy exists (a delete-then-rename swap would have a
+    * window where a crash mid-delete leaves only a partial artifact,
+    * and a repair keyed on "artifact fully gone" would then destroy
+    * the staging copy — silent row loss). A crash before the first
+    * rename leaves the artifact untouched (stale staging cleaned on
+    * the next run); between the renames, the next call finds
+    * staging-but-no-artifact and finishes the second rename; after
+    * them, the next call just clears the leftover `.old`. So the
+    * recovery procedure for ANY interrupted compaction is simply: run
+    * it again.
     *
     * Like writeIndexes — and unlike keyed appends — compaction deletes
     * files a running stream's pinned listing may reference: restart
@@ -535,20 +543,29 @@ object Dedup {
     indexBuilders.foreach { case (name, _) =>
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
       val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.compact-$name.parquet")
+      val old = new org.apache.hadoop.fs.Path(s"$indexDir/.old-$name.parquet")
       val fs = p.getFileSystem(hconf)
       if (!fs.exists(p) && fs.exists(tmp)) {
-        // a prior compaction died between delete and rename — finish it
-        fs.rename(tmp, p)
+        // a prior compaction died between the two swap renames (the
+        // artifact is parked at `.old`, staging is complete) — finish
+        // the swap from the staging copy, then drop the parked one
+        require(fs.rename(tmp, p), s"compactIndexes: rename $tmp -> $p failed")
+        fs.delete(old, true)
       } else if (fs.exists(p)) {
         val batchDirs = fs.listStatus(p)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
         if (batchDirs.length > 1) {
           fs.delete(tmp, true)
+          fs.delete(old, true) // leftover from a crash after the swap
           spark.read.parquet(p.toString).drop("batch_id")
             .write.mode("overwrite").parquet(s"$tmp/batch_id=base")
-          fs.delete(p, true)
-          fs.rename(tmp, p)
-        } else fs.delete(tmp, true) // already compact; drop stale staging
+          require(fs.rename(p, old), s"compactIndexes: rename $p -> $old failed")
+          require(fs.rename(tmp, p), s"compactIndexes: rename $tmp -> $p failed")
+          fs.delete(old, true)
+        } else {
+          fs.delete(tmp, true) // already compact; drop stale staging
+          fs.delete(old, true)
+        }
       }
     }
     releaseIndexes(spark)
@@ -732,6 +749,14 @@ object Dedup {
     * takes any batch predicate — the testdata has no ingest column. */
   private[operators] val NewBatchModulus = 10
 
+  /** The watermark window the REGISTERED q_dedup_incremental verifies:
+    * doc ids in (lo, hi] are the "new" batch — the exact predicate
+    * shape ingestSinceWatermark appends under (stored mark → newMark),
+    * so the oracle-checked plan is the production plan, not a modulus
+    * demo. The constants exist at every test SF. */
+  private[operators] val DemoWatermarkLo = 400L
+  private[operators] val DemoWatermarkHi = 500L
+
   /** Incremental ingest dedup: near-dup matches of the NEW batch
     * against the EXISTING corpus only — the per-batch question a
     * 100 TB pipeline actually asks (is this new document a copy of
@@ -740,11 +765,15 @@ object Dedup {
     * parquet-persistable, see writeIndexes) pair table: the only new
     * work is orienting the cross-batch pairs and a per-new-doc top-k
     * window. Corpus-corpus and new-new pairs never reach the output —
-    * dedup WITHIN the batch is exactDedup/jaccardPairs' job. */
-  def incrementalNearDups(spark: SparkSession, dir: String,
-                          threshold: Double = 0.5, k: Int = 3): DataFrame = {
-    val isNewA = col("id_a") % NewBatchModulus === (NewBatchModulus - 1)
-    val isNewB = col("id_b") % NewBatchModulus === (NewBatchModulus - 1)
+    * dedup WITHIN the batch is exactDedup/jaccardPairs' job.
+    * `isNew` maps a doc-id column to batch membership; the two public
+    * variants supply the watermark window (production) and the modulus
+    * demo (synthetic). */
+  private def incrementalNearDupsBy(spark: SparkSession, dir: String,
+                                    isNew: Column => Column,
+                                    threshold: Double, k: Int): DataFrame = {
+    val isNewA = isNew(col("id_a"))
+    val isNewB = isNew(col("id_b"))
     val oriented = jaccardPairTable(spark, dir)
       .filter(isNewA =!= isNewB)
       .select(when(isNewA, col("id_a")).otherwise(col("id_b")).as("new_id"),
@@ -757,6 +786,22 @@ object Dedup {
       .filter(col("rn") <= k)
       .orderBy("new_id", "rn")
   }
+
+  /** Modulus-batch variant — a synthetic demo predicate kept for
+    * corpora with no id ordering; the oracle-paired query runs the
+    * watermark variant below. */
+  def incrementalNearDups(spark: SparkSession, dir: String,
+                          threshold: Double = 0.5, k: Int = 3): DataFrame =
+    incrementalNearDupsBy(spark, dir,
+      _ % NewBatchModulus === (NewBatchModulus - 1), threshold, k)
+
+  /** Watermark-window variant: the batch is doc ids in (lo, hi] — the
+    * predicate ingestSinceWatermark's append runs under, so what the
+    * driver oracle verifies is the production incremental plan. */
+  def incrementalNearDupsSince(spark: SparkSession, dir: String,
+                               lo: Long = DemoWatermarkLo, hi: Long = DemoWatermarkHi,
+                               threshold: Double = 0.5, k: Int = 3): DataFrame =
+    incrementalNearDupsBy(spark, dir, id => id > lo && id <= hi, threshold, k)
 
   /** Hard cap on an edit-distance block's membership: a block of n
     * docs emits O(n²) DP comparisons, so one hot block (boilerplate
@@ -1289,15 +1334,17 @@ object Dedup {
     * index's df-cap/star pattern applies if ever needed; embedding
     * buckets at H=8 split 2⁵⁶-ish regions and have not needed it. */
   def embeddingPairsAnn(spark: SparkSession, dir: String,
-                        minCos: Double = -1.0): DataFrame = {
-    // With NO explicit threshold (minCos = -1.0, the audit default)
-    // the result is capped at the top-20 collided pairs whatever
-    // their cosine — the label-blocked twin's contract: a random
-    // corpus has no true near-dups but the audit still shows the
-    // closest collisions. With an explicit threshold (production
-    // dedup, e.g. 0.95) the result is UNCAPPED: every collided pair
-    // at or above the threshold is returned, ordered — a cap there
-    // would silently drop true duplicates past the 20th.
+                        minCos: Option[Double] = None): DataFrame = {
+    // With NO threshold (None, the audit default) the result is capped
+    // at the top-20 collided pairs whatever their cosine — the
+    // label-blocked twin's contract: a random corpus has no true
+    // near-dups but the audit still shows the closest collisions.
+    // With an explicit threshold (production dedup, e.g. Some(0.95))
+    // the result is UNCAPPED: every collided pair at or above the
+    // threshold is returned, ordered — a cap there would silently
+    // drop true duplicates past the 20th. (An Option, not a magic
+    // -1.0 sentinel: a caller spelling out "every collided pair" as
+    // Some(-1.0) gets exactly that, not a silent audit cap.)
     val buckets = Similarity.lshBuckets(spark, dir)
     val bA = buckets.select(col("vec_id").as("id_a"), col("table_idx"), col("bucket"))
     val bB = buckets.select(col("vec_id").as("id_b"), col("table_idx"), col("bucket"))
@@ -1305,9 +1352,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val scored = rerankExact(cands, Similarity.embBase(spark, dir))
-      .filter(col("cos") >= minCos)
+      .filter(col("cos") >= minCos.getOrElse(-1.0))
       .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
-    if (minCos == -1.0) scored.limit(20) else scored
+    minCos.fold(scored.limit(20))(_ => scored)
   }
 
   /** The exact-cosine rerank tail shared by embeddingPairsAnn and its
@@ -1363,7 +1410,9 @@ object DedupModule extends QueryModule {
     "q_dedup_embedding_ann_rerank" -> ((s: SparkSession, d: String) => embeddingRerankFixed(s, d)),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "q_dedup_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(s, d)),
-    "q_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalNearDups(s, d)))
+    // the watermark-window variant: what the oracle verifies is the
+    // predicate shape ingestSinceWatermark runs in production
+    "q_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalNearDupsSince(s, d)))
 
   def oracles = Map(
     "q_dedup_exact" ->
@@ -1444,11 +1493,11 @@ object DedupModule extends QueryModule {
         |  FROM (SELECT * FROM small_scored UNION ALL SELECT * FROM star_scored)
         |  GROUP BY id_a, id_b),
         |orient AS (
-        |  SELECT CASE WHEN id_a % 10 = 9 THEN id_a ELSE id_b END AS new_id,
-        |    CASE WHEN id_a % 10 = 9 THEN id_b ELSE id_a END AS match_id,
+        |  SELECT CASE WHEN id_a > 400 AND id_a <= 500 THEN id_a ELSE id_b END AS new_id,
+        |    CASE WHEN id_a > 400 AND id_a <= 500 THEN id_b ELSE id_a END AS match_id,
         |    n_common,
         |    CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
-        |  FROM p WHERE (id_a % 10 = 9) != (id_b % 10 = 9))
+        |  FROM p WHERE (id_a > 400 AND id_a <= 500) != (id_b > 400 AND id_b <= 500))
         |SELECT new_id, match_id, n_common, jaccard, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (
         |    PARTITION BY new_id ORDER BY jaccard DESC, match_id ASC) AS rn

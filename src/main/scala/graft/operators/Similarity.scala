@@ -128,8 +128,8 @@ object Similarity {
 
   /** T tables × H seeded random hyperplanes (unit-free gaussians) —
     * literals compiled into the plan. */
-  private val NumTables = 8
-  private val NumPlanes = 8
+  private[operators] val NumTables = 8
+  private[operators] val NumPlanes = 8
   private[operators] val Dim = 64
   private[operators] val NumQueriesDefault = 10
   private[operators] val TopKDefault = 5
@@ -374,8 +374,8 @@ object SimilarityIvf {
 
   /** IVF coarse quantizer: K seeded random gaussian centroids
     * (magnitude is irrelevant for the cosine-style argmax). */
-  private val NumCentroids = 16
-  private val NumProbe = 4
+  private[operators] val NumCentroids = 16
+  private[operators] val NumProbe = 4
   private[operators] val centroids: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(11)
     Seq.fill(NumCentroids, Similarity.Dim)(rnd.nextGaussian())
@@ -589,11 +589,118 @@ object SimilarityIvf {
   }
 }
 
-/** Driver-contract registration for the similarity set. LSH/IVF are
-  * rows-only (no oracle): bucket membership is plane/centroid-seed-
-  * specific. */
+/** Driver-contract registration for the similarity set.
+  *
+  * ANN oracle posture (round 7): the LSH hyperplanes and the seeded
+  * IVF centroids are data-INDEPENDENT constants (seeded gaussians
+  * compiled into the plan), so their oracles inline the very same
+  * doubles as DuckDB list literals and replay the whole query —
+  * bucket/cell assignment, candidate join, exact-cosine rerank — not
+  * just the rerank tail. Double.toString round-trips to the identical
+  * IEEE double through DuckDB's literal parser, and both engines sum
+  * dot products left-to-right over the double-widened elements (the
+  * bit-exactness q_knn_exact has hash-proven since round 4), so sign
+  * bits and argmax cells agree bitwise. Only q_knn_ivf_fit's
+  * quantizer is a data-FITTED model; its oracle is resolved by
+  * Verify at dump time (dynamicOracles) with the fitted centroids
+  * inlined — serving under the model is hash-checked, the fit itself
+  * stays pinned by SimilaritySpec (a model fit is an artifact, not a
+  * query). */
 object SimilarityModule extends QueryModule {
   import Similarity._
+
+  private def listLit(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
+
+  /** Shared CTE: the norm-filtered double-cast vector base (embBase's
+    * zero-norm exclusion). */
+  private val eCte =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                             CAST(embedding AS DOUBLE[])) > 0)""".stripMargin
+
+  /** Shared tail: exact-cosine rerank + per-query ranking over a
+    * `cand(query_id, neighbor_id)` CTE — the SQL twin of rerankTopK. */
+  private val rerankTail =
+    """s AS (SELECT query_id, neighbor_id,
+      |        list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      |      FROM cand JOIN e q ON q.vec_id = cand.query_id
+      |                JOIN e c ON c.vec_id = cand.neighbor_id)
+      |SELECT query_id, neighbor_id, cos, rn FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM s)
+      |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  /** The T×H hyperplanes as a VALUES table + the per-(vector, table)
+    * bucket string: sign bit per plane, concatenated in plane order —
+    * the SQL twin of bucketId. */
+  private val lshBucketCtes: String = {
+    val rows = (for {
+      t <- 0 until NumTables; p <- 0 until NumPlanes
+    } yield s"($t, $p, ${listLit(planes(t)(p))}::DOUBLE[])").mkString(",\n    ")
+    s"""planes(table_idx, plane_idx, pl) AS (VALUES
+       |    $rows),
+       |b AS (SELECT vec_id, table_idx,
+       |        string_agg(CASE WHEN list_dot_product(v, pl) >= 0 THEN '1' ELSE '0' END,
+       |                   '' ORDER BY plane_idx) AS bucket
+       |      FROM e CROSS JOIN planes GROUP BY vec_id, table_idx),
+       |qb AS (SELECT vec_id AS query_id, table_idx, bucket FROM b WHERE vec_id < 10)""".stripMargin
+  }
+
+  private val lshOracleSql: String =
+    s"""WITH $eCte,
+       |$lshBucketCtes,
+       |cand AS (SELECT DISTINCT query_id, cb.vec_id AS neighbor_id
+       |         FROM qb JOIN b cb USING (table_idx, bucket)
+       |         WHERE cb.vec_id <> qb.query_id),
+       |$rerankTail""".stripMargin
+
+  // multi-probe: the query side additionally probes, per table, the
+  // NumPlanes buckets at Hamming distance 1 (one sign bit flipped in
+  // the bucket STRING — same derivation as the Spark side's flip())
+  private val lshProbeOracleSql: String =
+    s"""WITH $eCte,
+       |$lshBucketCtes,
+       |probes AS (
+       |  SELECT query_id, table_idx, bucket FROM qb
+       |  UNION
+       |  SELECT query_id, table_idx,
+       |    substr(bucket, 1, i - 1) ||
+       |      (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+       |      substr(bucket, i + 1, $NumPlanes - i) AS bucket
+       |  FROM qb, unnest(generate_series(1, $NumPlanes)) AS u(i)),
+       |cand AS (SELECT DISTINCT query_id, cb.vec_id AS neighbor_id
+       |         FROM probes JOIN b cb USING (table_idx, bucket)
+       |         WHERE cb.vec_id <> probes.query_id),
+       |$rerankTail""".stripMargin
+
+  /** IVF oracle over an arbitrary centroid table: corpus side assigns
+    * each vector to its argmax-dot cell (FIRST max — lowest cell wins
+    * ties, array_position semantics); the query side probes the top
+    * NumProbe cells with the HIGHEST-cell tie order (reverse of an
+    * ascending (dot, cell) sort — probedCells semantics). */
+  private[operators] def ivfOracleSql(cents: Seq[Seq[Double]]): String = {
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${listLit(c)}::DOUBLE[])" }
+      .mkString(",\n    ")
+    s"""WITH $eCte,
+       |cents(cell, cv) AS (VALUES
+       |    $rows),
+       |d AS (SELECT vec_id, cell, list_dot_product(v, cv) AS dt FROM e CROSS JOIN cents),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |qcells AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell DESC) AS rn
+       |    FROM d WHERE vec_id < 10) WHERE rn <= ${SimilarityIvf.NumProbe}),
+       |cand AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+       |         FROM qcells JOIN assign a USING (cell)
+       |         WHERE a.vec_id <> qcells.query_id),
+       |$rerankTail""".stripMargin
+  }
 
   // the zero-norm exclusion mirrors the Spark side's `nrm > 0` filter
   // (no cosine exists for a zero vector) — without it the first zero
@@ -630,6 +737,9 @@ object SimilarityModule extends QueryModule {
   def oracles = Map(
     "q_knn_exact_agg" -> knnOracleSql,
     "q_knn_exact" -> knnOracleSql,
+    "q_knn_lsh" -> lshOracleSql,
+    "q_knn_lsh_probe" -> lshProbeOracleSql,
+    "q_knn_ivf" -> ivfOracleSql(SimilarityIvf.centroids),
     "q_quantize_embeddings" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT vec_id,
@@ -676,4 +786,12 @@ object SimilarityModule extends QueryModule {
         |    PARTITION BY label ORDER BY cos_centroid ASC, vec_id ASC) AS rn
         |  FROM sc)
         |WHERE rn <= 5 ORDER BY label, rn""".stripMargin)
+
+  /** q_knn_ivf_fit's oracle needs the centroids k-means FITTED on this
+    * corpus — resolved when Verify dumps oracle_sql.json. fitCentroids
+    * is deterministic (hash-ordered sample, fixed seeds/iterations)
+    * and cached per (session, dir), so the literals match the cells
+    * the query assigned in the same session bit-for-bit. */
+  override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] =
+    Map("q_knn_ivf_fit" -> ivfOracleSql(SimilarityIvf.fitCentroids(spark, dir)))
 }

@@ -118,6 +118,34 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r._3 >= 0.5 && r._4 == 1))
   }
 
+  test("watermark-window incremental dedup agrees with the modulus variant on a shared batch") {
+    // A corpus where BOTH batch definitions select the same docs: old
+    // corpus ids avoid ≡9 (mod 10) and sit at/below the stored mark
+    // 100; the new batch ids 109/119/129 are ≡9 (mod 10) AND inside
+    // the watermark window (100, 130]. The oracle-paired registered
+    // query runs the watermark variant — this pins that it computes
+    // the same incremental semantics as the long-standing modulus demo
+    // when the batch memberships coincide.
+    val baseA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val baseB = "one two three four five six seven eight nine ten eleven twelve"
+    val dir = docsDir(Seq(
+      (1L, baseB),
+      (2L, baseB.replace("six", "SIX")),
+      (3L, baseA),
+      (109L, "a totally unrelated clean new document with nothing shared"),
+      (119L, baseA.replace("zeta", "ZETA")),
+      (129L, baseA.replace("iota", "IOTA"))))
+    val byModulus = Dedup.incrementalNearDups(spark, dir)
+      .select("new_id", "match_id", "n_common", "jaccard", "rn")
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq.sorted
+    val byWatermark = Dedup.incrementalNearDupsSince(spark, dir, lo = 100L, hi = 130L)
+      .select("new_id", "match_id", "n_common", "jaccard", "rn")
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(byWatermark == byModulus,
+      s"watermark and modulus variants must agree: $byWatermark vs $byModulus")
+    assert(byWatermark.map(r => (r._1, r._2)).toSet == Set((119L, 3L), (129L, 3L)))
+  }
+
   test("edit-distance hot block is capped at MaxEditBlock lowest ids") {
     // 300 docs share (lang, 2-char prefix, length bucket) — uncapped,
     // this block alone is C(300,2) = 44850 quadratic DP pairs and
@@ -371,7 +399,7 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-emb-uncap").toString
     (base ++ copies).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val thresholded = Dedup.embeddingPairsAnn(spark, dir, minCos = 0.95)
+    val thresholded = Dedup.embeddingPairsAnn(spark, dir, minCos = Some(0.95))
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
     val planted = (0 until 25).map(i => (i.toLong, i + 100L)).toSet
     assert(planted.subsetOf(thresholded.map(r => (r._1, r._2)).toSet),
