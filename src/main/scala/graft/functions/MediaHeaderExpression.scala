@@ -106,14 +106,19 @@ object MediaHeaders {
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
-  /** True movie-header fields `[timescale, duration_units]` of a real
-    * ISO BMFF (MP4/MOV) payload; null when the bytes are not a
-    * walkable container. The third of the three real header kernels:
+  /** True movie-header fields `[timescale, duration_units, n_frames]`
+    * of a real ISO BMFF (MP4/MOV) payload; null when the bytes are not
+    * a walkable container. The third of the three real header kernels:
     * top-level box walk to `moov`, child walk to `mvhd`, whose
     * version-0/1 layouts put timescale and duration at fixed offsets —
     * byte arithmetic only, no codec. duration_units / timescale is the
-    * duration in seconds; frame COUNT stays with the stub (it lives in
-    * per-track sample tables a header probe shouldn't chase). */
+    * duration in seconds. n_frames is the FIRST video track's sample
+    * count — the trak → mdia(hdlr = 'vide') → minf → stbl → stts
+    * descent, frame count = Σ stts sample_counts — or -1 when the
+    * movie carries no walkable video sample table (header-only files,
+    * audio-only movies, fragmented streams whose samples live in moof
+    * runs): a header probe reports what the bytes declare, it never
+    * invents a count. */
   def mp4Info(b: Array[Byte]): Array[Long] = {
     if (b == null || b.length < 16) return null
     // a real BMFF file starts with a well-formed box whose type is
@@ -128,10 +133,11 @@ object MediaHeaders {
     // children start after moov's header — 16 bytes when it carries a
     // 64-bit largesize (size == 1), 8 otherwise; starting the child
     // walk inside the largesize field would misparse it as a box
-    val childStart = moov + (if (be32(b, moov) == 1L) 16 else 8)
+    val childStart = moov + headerLen(b, moov)
     val mvhd = findBox(b, childStart, moovEnd, "mvhd")
     if (mvhd < 0 || mvhd + 12 > b.length) return null
     val ver = u8(b, mvhd + 8)
+    val frames = videoFrameCount(b, childStart, moovEnd)
     // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
     // v1: ver/flags(4) ctime(8) mtime(8) timescale(4) duration(8)
     if (ver == 0) {
@@ -139,7 +145,7 @@ object MediaHeaders {
       val ts = be32(b, mvhd + 20)
       val dur = be32(b, mvhd + 24)
       if (ts <= 0) return null
-      Array(ts, dur)
+      Array(ts, dur, frames)
     } else if (ver == 1) {
       if (mvhd + 32 + 8 > b.length) return null
       val ts = be32(b, mvhd + 28)
@@ -149,8 +155,77 @@ object MediaHeaders {
       // header would wrap it. 9e15 units is ~3000 years at 90 kHz —
       // anything beyond is garbage, not a movie.
       if (ts <= 0 || dur < 0 || dur > 9000000000000000L) return null
-      Array(ts, dur)
+      Array(ts, dur, frames)
     } else null
+  }
+
+  /** Header length of the box at `at`: 16 when it carries a 64-bit
+    * largesize (size == 1), 8 otherwise. */
+  private def headerLen(b: Array[Byte], at: Int): Int =
+    if (be32(b, at) == 1L) 16 else 8
+
+  /** Frame count of the first video track among moov's children, or -1
+    * when none is walkable. Same discipline as the WAV chunk walk:
+    * Long walk index (declared sizes are unsigned 32-bit), every
+    * descent bounded by the parent box's own declared end, malformed
+    * anything → -1, never a throw. */
+  private def videoFrameCount(b: Array[Byte], moovChildStart: Int, moovEnd: Long): Long = {
+    var i = moovChildStart.toLong
+    val max = math.min(moovEnd, b.length.toLong)
+    while (i + 8 <= max) {
+      val at = i.toInt
+      if (fourcc(b, at + 4) == "trak") {
+        val n = trakFrameCount(b, at)
+        if (n >= 0) return n
+      }
+      val sz0 = be32(b, at)
+      val adv =
+        if (sz0 == 0) return -1 // last box (extends to end), not a video trak
+        else if (sz0 == 1) {
+          if (i + 16 > max) return -1
+          (be32(b, at + 8) << 32) | be32(b, at + 12)
+        } else sz0
+      if (adv < 8) return -1 // malformed: box cannot cover its own header
+      i += adv
+    }
+    -1
+  }
+
+  /** Sample count of the trak at `at` IF its media handler is 'vide',
+    * else -1: mdia → hdlr (ver/flags 4, pre_defined 4, handler_type 4)
+    * to gate on the handler, then mdia → minf → stbl → stts, whose
+    * payload is ver/flags(4) entry_count(4) then entry_count ×
+    * (sample_count(4), sample_delta(4)). entry_count is bounded by the
+    * stts box's own declared size, so a hostile count can never drive
+    * the sum loop past the buffer. */
+  private def trakFrameCount(b: Array[Byte], trak: Int): Long = {
+    val trakEnd = boxEnd(b, trak)
+    val mdia = findBox(b, trak + headerLen(b, trak), trakEnd, "mdia")
+    if (mdia < 0) return -1
+    val mdiaEnd = boxEnd(b, mdia)
+    val mdiaKids = mdia + headerLen(b, mdia)
+    val hdlr = findBox(b, mdiaKids, mdiaEnd, "hdlr")
+    if (hdlr < 0 || fourcc(b, hdlr + headerLen(b, hdlr) + 8) != "vide") return -1
+    val minf = findBox(b, mdiaKids, mdiaEnd, "minf")
+    if (minf < 0) return -1
+    val stbl = findBox(b, minf + headerLen(b, minf), boxEnd(b, minf), "stbl")
+    if (stbl < 0) return -1
+    val stts = findBox(b, stbl + headerLen(b, stbl), boxEnd(b, stbl), "stts")
+    if (stts < 0) return -1
+    val hl = headerLen(b, stts)
+    val sttsEnd = boxEnd(b, stts) // clamped to the buffer
+    if (stts + hl + 8 > sttsEnd) return -1
+    val n = be32(b, stts + hl + 4) // unsigned 32-bit entry count, as Long
+    if (stts + hl + 8 + n * 8 > sttsEnd) return -1
+    var sum = 0L
+    var k = 0L
+    while (k < n) {
+      sum += be32(b, (stts + hl + 8 + k * 8).toInt)
+      k += 1
+    }
+    // same plausibility bound as the mvhd duration: downstream frame
+    // math must never overflow on a hostile table
+    if (sum > 9000000000000000L) -1 else sum
   }
 
   private def fourcc(b: Array[Byte], i: Int): String = {
@@ -334,9 +409,10 @@ object WavInfo {
 }
 
 /** Native Catalyst expression over MediaHeaders.mp4Info: BINARY →
-  * ARRAY<BIGINT> `[timescale, duration_units]`, NULL when the payload
-  * is not a real ISO BMFF container. Same single-static-kernel
-  * discipline as ImageDims/WavInfo. */
+  * ARRAY<BIGINT> `[timescale, duration_units, n_frames]` (n_frames is
+  * -1 when the movie has no walkable video sample table), NULL when
+  * the payload is not a real ISO BMFF container. Same
+  * single-static-kernel discipline as ImageDims/WavInfo. */
 case class Mp4Info(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -17,11 +17,12 @@ import graft.sources.Tables
   * fmt+data chunk walking (`MediaHeaders.wavInfo`) yields sample rate,
   * channels, bit depth, and sample count with no codec. Video MOVIE
   * HEADERS too: the ISO BMFF moov/mvhd box walk (`MediaHeaders
-  * .mp4Info`) yields timescale and duration. Full-frame decode,
-  * compressed-audio fields, and per-track frame counts remain a
-  * clearly marked STUB (`FakeDecoder` and the inline byte-length
-  * arithmetic) — deterministic functions of the bytes — because the
-  * container has no codecs. Everything around
+  * .mp4Info`) yields timescale and duration, and the
+  * trak/mdia/minf/stbl/stts sample-table walk yields the video
+  * track's true frame count. Full-frame decode and compressed-audio
+  * fields remain a clearly marked STUB (`FakeDecoder` and the inline
+  * byte-length arithmetic) — deterministic functions of the bytes —
+  * because the container has no codecs. Everything around
   * the kernel is the real engineering surface: schema (binary +
   * struct), partition-level batching, the typed Dataset path, and the
   * column-function twin the oracle checks.
@@ -201,12 +202,15 @@ object Multimodal {
 
   /** Video feature extraction over the media table's video rows:
     * genuine ISO BMFF (MP4/MOV) payloads get their TRUE movie-header
-    * fields from the codegen'd Mp4Info expression (timescale +
-    * duration via the moov/mvhd box walk — byte arithmetic, no
-    * codec); everything else falls back to the deterministic
-    * byte-length stub. n_frames stays the stub in BOTH branches (it
-    * lives in per-track sample tables, not the movie header) and
-    * matches frameSamples' arithmetic exactly. */
+    * fields from the codegen'd Mp4Info expression — timescale +
+    * duration via the moov/mvhd box walk, and n_frames via the
+    * trak/mdia/minf/stbl/stts sample-table walk (Σ stts sample
+    * counts of the first 'vide' track) — byte arithmetic, no codec.
+    * Everything else falls back to the deterministic byte-length
+    * stub; so does a real movie with no walkable video sample table
+    * (Mp4Info reports -1 there — audio-only or fragmented movies
+    * don't get an invented count). frameSamples keeps the stub
+    * arithmetic, matching the stub branch here. */
   def videoFeaturesOf(media: DataFrame): DataFrame =
     media
       .filter(col("media_type") === "video")
@@ -219,7 +223,9 @@ object Multimodal {
             (col("byte_len") % 5 + 1).cast("int"))).as("timescale"),
         coalesce(element_at(col("info"), 2),
           lit(1L) + (col("byte_len") * 17) % 3600000L).as("duration_units"),
-        (lit(1) + col("byte_len") % 250).cast("int").as("n_frames"))
+        coalesce(
+          when(element_at(col("info"), 3) >= 0L, element_at(col("info"), 3)),
+          lit(1L) + col("byte_len") % 250).cast("int").as("n_frames"))
       .withColumn("duration_ms",
         expr("(duration_units * 1000) div timescale"))
       .orderBy("doc_id")

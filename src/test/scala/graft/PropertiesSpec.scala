@@ -292,7 +292,7 @@ class PropertiesSpec extends SparkSpec {
         Gen.oneOf(0, 1), Gen.chooseNum(0, 3), Gen.chooseNum(0, 40)) {
       (ts, dur, ver, nJunk, junkLen) =>
         functions.MediaHeaders.mp4Info(mp4(ts, dur, ver, nJunk, junkLen)).toSeq ==
-          Seq(ts.toLong, dur.toLong)
+          Seq(ts.toLong, dur.toLong, -1L) // headers only — no sample table
     }
     val bytesGen = Gen.chooseNum(0, 64)
       .flatMap(m => Gen.listOfN(m, Gen.chooseNum(-128, 127).map(_.toByte)))
@@ -303,6 +303,50 @@ class PropertiesSpec extends SparkSpec {
       val res = SCTest.check(
         SCTest.Parameters.default.withMinSuccessfulTests(500)
           .withInitialSeed(Seed(13L)), p)
+      assert(res.passed, s"$name: ${res.status}")
+    }
+  }
+
+  test("property (differential): MP4 stts walk round-trips constructed sample tables; truncations never throw") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def mp4(ts: Int, dur: Int, counts: List[Int], withAudioFirst: Boolean) = {
+      def trak(handler: String, cs: List[Int]): Array[Byte] = {
+        val hdlr = box("hdlr", be32(0) ++ be32(0) ++
+          handler.getBytes("US-ASCII") ++ Array.fill[Byte](12)(0))
+        val stts = box("stts", be32(0) ++ be32(cs.length) ++
+          cs.toArray.flatMap(c => be32(c) ++ be32(1001)))
+        box("trak", box("mdia", hdlr ++ box("minf", box("stbl", stts))))
+      }
+      val ftyp = be32(16) ++ "ftyp".getBytes("US-ASCII") ++
+        "isom".getBytes("US-ASCII") ++ be32(0)
+      val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+        be32(ts) ++ be32(dur) ++ Array.fill[Byte](108 - 32)(0))
+      val tracks = (if (withAudioFirst) trak("soun", List(7)) else Array.emptyByteArray) ++
+        trak("vide", counts)
+      ftyp ++ box("moov", mvhd ++ tracks)
+    }
+    val countsGen = Gen.chooseNum(0, 12)
+      .flatMap(m => Gen.listOfN(m, Gen.chooseNum(0, 100000)))
+    val prop = Prop.forAll(
+        Gen.chooseNum(1, 1000000), Gen.chooseNum(0, Int.MaxValue),
+        countsGen, Gen.oneOf(true, false)) { (ts, dur, counts, audioFirst) =>
+      functions.MediaHeaders.mp4Info(mp4(ts, dur, counts, audioFirst)).toSeq ==
+        Seq(ts.toLong, dur.toLong, counts.map(_.toLong).sum)
+    }
+    // EVERY prefix truncation of a tracked movie must parse-or-null
+    // without throwing, and a truncation that cuts into the sample
+    // table must never fabricate a count larger than the true sum
+    val full = mp4(90000, 90000, List(10, 20, 30), true)
+    val truncProp = Prop.forAll(Gen.chooseNum(0, full.length)) { n =>
+      val r = functions.MediaHeaders.mp4Info(full.take(n))
+      r == null || r(2) <= 60L
+    }
+    for ((p, name) <- Seq(prop -> "stts", truncProp -> "stts-trunc")) {
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(500)
+          .withInitialSeed(Seed(14L)), p)
       assert(res.passed, s"$name: ${res.status}")
     }
   }

@@ -130,6 +130,66 @@ class MultimodalSpec extends SparkSpec {
     ftyp ++ free ++ moov
   }
 
+  /** A real MP4 with sample tables: ftyp, then moov holding mvhd, an
+    * AUDIO trak first (the walk must skip non-video handlers), and a
+    * video trak whose stts declares `sampleCounts` — frame count =
+    * their sum. */
+  private def mp4BytesWithTracks(timescale: Int, duration: Int,
+                                 sampleCounts: Seq[Int]): Array[Byte] = {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def trak(handler: String, counts: Seq[Int]): Array[Byte] = {
+      val hdlr = box("hdlr", be32(0) ++ be32(0) ++
+        handler.getBytes("US-ASCII") ++ Array.fill[Byte](12)(0))
+      val stts = box("stts", be32(0) ++ be32(counts.length) ++
+        counts.toArray.flatMap(c => be32(c) ++ be32(1000)))
+      box("trak", box("mdia", hdlr ++ box("minf", box("stbl", stts))))
+    }
+    val ftyp = be32(16) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32(0)
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(duration) ++ Array.fill[Byte](108 - 32)(0))
+    ftyp ++ box("moov", mvhd ++ trak("soun", Seq(99)) ++ trak("vide", sampleCounts))
+  }
+
+  test("MP4 stts sample-table walk yields the video track's true frame count") {
+    import graft.functions.MediaHeaders
+    // 3 stts entries (variable frame durations — the common case after
+    // editing): frame count is the entry-count sum, 24+36+12 = 72, and
+    // the audio track's 99 samples must NOT be picked up
+    val real = mp4BytesWithTracks(30000, 30000 * 3, Seq(24, 36, 12))
+    assert(MediaHeaders.mp4Info(real).toSeq == Seq(30000L, 90000L, 72L))
+    // header-only movie (no trak): fields parse, frame count is -1
+    assert(MediaHeaders.mp4Info(mp4Bytes(1000, 2500)).toSeq == Seq(1000L, 2500L, -1L))
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // hostile stts: declared entry count far beyond the box's own size
+    // must be rejected (stub fallback), not drive the sum loop off the
+    // buffer — craft it by patching the real fixture's entry count
+    val sttsAt = {
+      val s = real.indexOfSlice("stts".getBytes("US-ASCII"),
+        real.indexOfSlice("vide".getBytes("US-ASCII")))
+      s - 4 // back to the box's size field
+    }
+    val hostile = real.patch(sttsAt + 8 + 4, be32(0x7fffffff), 4)
+    assert(MediaHeaders.mp4Info(hostile).toSeq == Seq(30000L, 90000L, -1L),
+      "hostile stts entry count must yield -1, not a crash or bogus sum")
+    // truncated mid-sample-table: the clamped box end rejects the count
+    val truncated = real.dropRight(6)
+    assert(MediaHeaders.mp4Info(truncated) == null ||
+      MediaHeaders.mp4Info(truncated)(2) == -1L)
+    // and through the registered query surface: q_media_video reports
+    // the REAL count on the real fixture, the stub on text bytes
+    import Multimodal.MediaRow
+    val text = "not a movie".getBytes("UTF-8")
+    val out = Multimodal.videoFeaturesOf(Seq(
+      MediaRow(1L, "video", real, "en", "s"),
+      MediaRow(2L, "video", text, "en", "s")).toDS().toDF())
+      .select("doc_id", "n_frames").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 72, "true stts frame count must surface in q_media_video")
+    assert(out(2L) == 1 + (text.length % 250), "non-container keeps the stub count")
+  }
+
   test("real MP4 payloads decode true movie-header fields; non-containers keep the stub") {
     import Multimodal.MediaRow
     val text = "definitely not a movie, just some text".getBytes("UTF-8")
@@ -153,7 +213,9 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(out(3L) == stub(text), "text bytes fall through to the stub")
     assert(out(4L) == stub(mp4Bytes(90000, 100).take(30)), "truncated box walk falls through")
-    // n_frames stays the stub in both branches, matching frameSamples
+    // none of these fixtures carries a video sample table, so n_frames
+    // falls back to the stub (matching frameSamples) in every row —
+    // the stts walk's true counts are pinned in their own test above
     val frames = Multimodal.videoFeaturesOf(rows.toDS().toDF())
       .select("doc_id", "n_frames").as[(Long, Int)].collect().toMap
     rows.foreach { r =>
@@ -186,7 +248,7 @@ class MultimodalSpec extends SparkSpec {
       be32(0) ++ be32(16 + mvhd.length) ++ mvhd // largesize in two halves
     val ftyp = be32(16) ++ "ftyp".getBytes("US-ASCII") ++
       "isom".getBytes("US-ASCII") ++ be32(0)
-    assert(MediaHeaders.mp4Info(ftyp ++ moovLarge).toSeq == Seq(48000L, 96000L),
+    assert(MediaHeaders.mp4Info(ftyp ++ moovLarge).toSeq == Seq(48000L, 96000L, -1L),
       "largesize moov must parse (children start after the 16-byte header)")
     // v1 mvhd with a near-Long.MaxValue duration: downstream *1000
     // would wrap — the kernel must reject it as garbage
