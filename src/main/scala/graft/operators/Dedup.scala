@@ -525,19 +525,28 @@ object Dedup {
     * recovery procedure for ANY interrupted compaction is simply: run
     * it again.
     *
-    * Like writeIndexes — and unlike keyed appends — compaction deletes
-    * files a running stream's pinned listing may reference: restart
-    * streams around the compaction window. Carries releaseIndexes'
-    * invalidation contract (the session cache is cleared; re-prime to
-    * keep serving from parquet). Artifacts still on the legacy flat
-    * layout, or already a single directory, are left untouched.
+    * Reader contract: like writeIndexes — and unlike keyed appends —
+    * compaction deletes files other readers' pinned listings may
+    * reference. A running stream pins its file listing at definition
+    * (restart streams around the compaction window), and a BATCH
+    * session primed on this indexDir pins its listing when the primed
+    * DataFrame is created: after compaction its next read fails with
+    * FileNotFoundException — loudly, never silently stale
+    * (IndexPersistenceSpec pins this) — and the recovery is
+    * releaseIndexes + primeIndexes in that session. The compacting
+    * session itself is released on return (re-prime to keep serving
+    * from parquet). Artifacts still on the legacy flat layout, or
+    * already a single directory, are left untouched.
     *
     * Single-maintainer contract: compaction must not race a concurrent
     * appender or a second compaction on the same indexDir — a keyed
-    * append landing between the read and the delete would be folded
+    * append landing between the read and the swap would be folded
     * away or half-kept. Serialize maintenance (compaction and appends
     * on one schedule), the same discipline writeIndexes already
-    * requires. */
+    * requires. CONCURRENT KEYED APPENDS of distinct batches — without
+    * a compaction in flight — are safe with each other: they write
+    * disjoint batch_id directories (IndexPersistenceSpec pins two
+    * barrier-started appenders). */
   def compactIndexes(spark: SparkSession, indexDir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     indexBuilders.foreach { case (name, _) =>

@@ -408,6 +408,119 @@ class IndexPersistenceSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
   }
 
+  test("two concurrent keyed appends of distinct batches both land; pair rebuild sees both") {
+    import org.apache.spark.sql.functions.col
+    // At 100 TB, maintenance overlaps: two ingest jobs appending
+    // DISTINCT batches race on the same indexDir. Batch-keyed appends
+    // write disjoint batch_id directories, so both must land intact —
+    // this pins it with genuinely concurrent appenders (barrier-started
+    // threads), then a single deferred pair rebuild that must see both
+    // batches' near-dup pairs.
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end1"),
+      (2L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"),
+      (5L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end5"),  // batch A: near-dup of 1
+      (6L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 end6"))  // batch B: near-dup of 2
+      .map { case (id, text) => (id, text, "en", "srcT", text.length.toLong) }
+    def mkDir(p: Long => Boolean): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-idx-race").toString
+      docs.filter(r => p(r._1)).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val dirOld = mkDir(_ <= 2)
+    val dirFull = mkDir(_ => true)
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-race-a").toString
+    Dedup.releaseIndexes(spark)
+    Dedup.writeIndexes(spark, dirOld, idx, withEmbeddings = false)
+    Dedup.releaseIndexes(spark)
+
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appender(docId: Long, batch: String): Thread = {
+      val t = new Thread(() => {
+        try {
+          barrier.await()
+          Dedup.appendIndexes(spark, dirFull, idx,
+            docPredicate = col("doc_id") === docId,
+            rebuildPairs = false, batchId = Some(batch))
+        } catch { case e: Throwable => errors.add(e) }
+      })
+      t.start(); t
+    }
+    val ts = Seq(appender(5L, "race-a"), appender(6L, "race-b"))
+    ts.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent appends must not fail: ${errors.peek()}")
+
+    // both batches landed, exactly once each
+    val counts = spark.read.parquet(s"$idx/docShingles.parquet")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L),
+      s"both racing batches must land exactly once: $counts")
+    // the deferred rebuild sees BOTH batches' pairs
+    Dedup.releaseIndexes(spark)
+    Dedup.primeIndexes(spark, dirFull, idx)
+    Dedup.rebuildPairTable(spark, dirFull, idx)
+    val pairs = spark.read.parquet(s"$idx/jaccardPairs.parquet")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L)) && pairs.contains((2L, 6L)),
+      s"pair rebuild must see both racing batches' near-dups: $pairs")
+    Dedup.releaseIndexes(spark)
+  }
+
+  test("compactIndexes invalidates another session's primed listing; re-priming recovers") {
+    import org.apache.spark.sql.functions.col
+    // Maintenance and serving overlap daily at scale: a reader session
+    // primed on the index holds a FILE LISTING pinned at read time
+    // (the stream-static precedent), and compaction rewrites those
+    // files. This pins the failure mode — the pinned reader errors on
+    // its next read, it does not silently serve stale rows — and the
+    // recovery protocol: releaseIndexes + primeIndexes in the reader.
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end1"),
+      (2L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"),
+      (5L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 end5"))
+      .map { case (id, text) => (id, text, "en", "srcT", text.length.toLong) }
+    def mkDir(p: Long => Boolean): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-idx-rdr").toString
+      docs.filter(r => p(r._1)).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val dirOld = mkDir(_ <= 2)
+    val dirFull = mkDir(_ => true)
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-rdr-a").toString
+    Dedup.releaseIndexes(spark)
+    Dedup.writeIndexes(spark, dirOld, idx, withEmbeddings = false)
+    Dedup.releaseIndexes(spark)
+    Dedup.appendIndexes(spark, dirFull, idx, docPredicate = col("doc_id") === 5L,
+      rebuildPairs = false, batchId = Some("b1"))
+    Dedup.releaseIndexes(spark)
+
+    val reader = spark.newSession()
+    Dedup.primeIndexes(reader, dirFull, idx)
+    val pinned = Dedup.docShingles(reader, dirFull)
+    assert(pinned.count() == 3, "primed reader serves the appended index")
+
+    Dedup.compactIndexes(spark, idx) // rewrites every multi-batch artifact
+    val failure = intercept[Throwable] { pinned.count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(failure).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(c.getMessage).contains("FileNotFound") ||
+        String.valueOf(c.getMessage).contains("does not exist")),
+      s"pinned listing must fail loudly after compaction, got $failure")
+
+    // the documented re-prime protocol recovers the reader
+    Dedup.releaseIndexes(reader)
+    Dedup.primeIndexes(reader, dirFull, idx)
+    assert(Dedup.docShingles(reader, dirFull).count() == 3,
+      "re-primed reader must serve the compacted artifact")
+    Dedup.releaseIndexes(reader)
+    Dedup.releaseIndexes(spark)
+  }
+
   test("ingestSinceWatermark: mark-windowed keyed appends, exactly-once under re-covered windows") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
