@@ -1182,17 +1182,52 @@ object Dedup {
         .transform(checkpointSer)
     }
 
+  /** Hard cap on a bucket's ALL-PAIRS membership in the banded
+    * candidate joins (MinHash bands, embedding LSH buckets) — the df
+    * bound MaxShingleDf puts on the shingle inverted index, applied to
+    * the other two inverted indexes: a bucket of n members emits
+    * C(n,2) candidates, so ONE hot bucket capturing 10% of a corpus
+    * (a boilerplate flood of byte-identical documents hashes every
+    * band identically) is quadratic with no bound. Buckets past the
+    * cap degrade to the STAR pattern — every member pairs with the
+    * bucket's minimum id, O(n) pairs — which keeps near-identical
+    * members connected (directly to the min; transitively to each
+    * other through clustering) instead of silently dropping the
+    * bucket. DedupSpec plants an 80-member clique and pins the
+    * C(cap,2) → star bound for both joins. */
+  private[operators] val MaxBandDf = 64
+
+  /** Distinct candidate pairs from an inverted bucket index
+    * (`id` + bucket-key columns, one row per membership) under the
+    * MaxBandDf star degradation: buckets at df ≤ cap emit all pairs;
+    * larger buckets emit star-to-min pairs. One shuffle on the bucket
+    * key for the df/min window, then the same co-located equi-join as
+    * the uncapped shape. */
+  private[operators] def starCappedPairs(buckets: DataFrame, keys: Seq[String],
+                                         cap: Int = MaxBandDf): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val staged = buckets
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("min_id", min(col("id")).over(w))
+    val small = staged.filter(col("df") <= cap)
+    val a = small.select(col("id").as("id_a") +: keys.map(col): _*)
+    val b = small.select(col("id").as("id_b") +: keys.map(col): _*)
+    val allPairs = a.join(b, keys).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val star = staged.filter(col("df") > cap && col("id") =!= col("min_id"))
+      .select(col("min_id").as("id_a"), col("id").as("id_b"))
+    allPairs.unionByName(star).distinct()
+  }
+
   /** Banded LSH candidate generation: hash each band of `bandRows`
     * signature values, join docs sharing a (band index, band hash)
-    * bucket. Output: distinct (id_a < id_b) pairs. */
-  def minhashCandidates(sigs: DataFrame, bandRows: Int): DataFrame = {
-    val bands = sigs.select(col("doc_id"),
-      posexplode(bandHashes(col("sig"), bandRows)).as(Seq("band_idx", "band_hash")))
-    val a = bands.select(col("doc_id").as("id_a"), col("band_idx"), col("band_hash"))
-    val b = bands.select(col("doc_id").as("id_b"), col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+    * bucket — star-capped at MaxBandDf per bucket. Output: distinct
+    * (id_a < id_b) pairs. */
+  def minhashCandidates(sigs: DataFrame, bandRows: Int): DataFrame =
+    starCappedPairs(
+      sigs.select(col("doc_id").as("id"),
+        posexplode(bandHashes(col("sig"), bandRows)).as(Seq("band_idx", "band_hash"))),
+      Seq("band_idx", "band_hash"))
 
   // ---- SimHash ------------------------------------------------------
 
@@ -1338,10 +1373,13 @@ object Dedup {
     * sign bits with high probability; 8 tables drive the miss rate
     * toward zero — DedupSpec plants cross-label near-copies).
     * Rows-only for the driver (plane-seeded buckets). At adversarial
-    * bucket skew (a dense region collapsing into one bucket) the
-    * candidate join degrades like any inverted index — the shingle
-    * index's df-cap/star pattern applies if ever needed; embedding
-    * buckets at H=8 split 2⁵⁶-ish regions and have not needed it. */
+    * bucket skew (a dense region — e.g. a flood of byte-identical
+    * embeddings — collapsing into one bucket) the candidate join
+    * carries the same MaxBandDf star degradation as the MinHash
+    * bands: a hot bucket emits O(n) star-to-min pairs instead of
+    * C(n,2), exact copies of the bucket minimum still surface at
+    * cos 1, and clustering reconnects the rest (DedupSpec plants an
+    * 80-member clique and pins the bound). */
   def embeddingPairsAnn(spark: SparkSession, dir: String,
                         minCos: Option[Double] = None): DataFrame = {
     // With NO threshold (None, the audit default) the result is capped
@@ -1355,11 +1393,9 @@ object Dedup {
     // -1.0 sentinel: a caller spelling out "every collided pair" as
     // Some(-1.0) gets exactly that, not a silent audit cap.)
     val buckets = Similarity.lshBuckets(spark, dir)
-    val bA = buckets.select(col("vec_id").as("id_a"), col("table_idx"), col("bucket"))
-    val bB = buckets.select(col("vec_id").as("id_b"), col("table_idx"), col("bucket"))
-    val cands = bA.join(bB, Seq("table_idx", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cands = starCappedPairs(
+      buckets.select(col("vec_id").as("id"), col("table_idx"), col("bucket")),
+      Seq("table_idx", "bucket"))
     val scored = rerankExact(cands, Similarity.embBase(spark, dir))
       .filter(col("cos") >= minCos.getOrElse(-1.0))
       .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)

@@ -385,6 +385,69 @@ class DedupSpec extends SparkSpec {
       s"within-cap planted copy must rank first, got ${rows.head}")
   }
 
+  test("hot MinHash band bucket degrades to star pairs, bounded and connected") {
+    // 80 byte-identical docs (one boilerplate flood) hash every band
+    // identically: one bucket captures 2/3 of the corpus. Uncapped,
+    // that is C(80,2) = 3160 candidate pairs from a single bucket —
+    // the quadratic blow-up MaxBandDf bounds. The star degradation
+    // must emit exactly the 79 (min, member) pairs for the clique,
+    // keep them connected through the minimum, and leave small-bucket
+    // recall untouched (a planted near-dup pair outside the flood).
+    val base = (1 to 30).map(i => s"t$i").mkString(" ")
+    val flood = (100 until 180).map(i => (i.toLong, base))
+    val pairA = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa2"))
+    val noise = (10 until 40).map(i =>
+      (i.toLong, s"n$i x$i y$i z$i w$i v$i u$i s$i r$i q$i p$i o$i"))
+    val dir = docsDir(flood ++ pairA ++ noise)
+    val cands = Dedup.minhashCandidates(Dedup.minhashSignatures(spark, dir), bandRows = 2)
+      .as[(Long, Long)].collect().toSet
+    val cliqueCands = cands.filter(p => p._1 >= 100L && p._2 >= 100L)
+    assert(cliqueCands == (101L until 180L).map(i => (100L, i)).toSet,
+      s"hot bucket must star to the minimum member: got ${cliqueCands.size} pairs")
+    assert(cands.contains((1L, 2L)),
+      "small-bucket near-dup recall must survive the cap")
+    // the scored surface still ranks the flood's star pairs first
+    val top = Dedup.minhashLsh(spark, dir)
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+    assert(top.take(5).forall(r => r._1 == 100L && r._3 == 1.0),
+      "star pairs of identical docs must rank at est_jaccard 1.0")
+    Dedup.releaseIndexes(spark)
+  }
+
+  test("hot embedding LSH bucket degrades to star pairs, bounded and connected") {
+    // 80 byte-identical embeddings collapse into ONE bucket in every
+    // table; uncapped that is C(80,2) pairs × 8 tables of join work.
+    // With MaxBandDf the clique contributes exactly 79 star pairs (all
+    // at cos 1 — copies of the bucket minimum), and a planted near-dup
+    // pair in a small bucket is still recovered.
+    val rnd = new scala.util.Random(99)
+    def randVec() = Seq.fill(64)((rnd.nextGaussian() * 0.5).toFloat)
+    val hot = randVec()
+    val flood = (100 until 180).map(i => (i.toLong, hot, 0))
+    val src = randVec()
+    val planted = Seq(
+      (1L, src, 1),
+      (2L, src.map(x => x + 0.0005f * rnd.nextGaussian().toFloat), 2))
+    val noise = (10 until 40).map(i => (i.toLong, randVec(), i % 5))
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-skew").toString
+    (flood ++ planted ++ noise).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // Some(-1.0) = every collided pair, uncapped — the full candidate
+    // surface after the star degradation
+    val all = Dedup.embeddingPairsAnn(spark, dir, minCos = Some(-1.0))
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    val clique = all.filter(r => r._1 >= 100L && r._2 >= 100L)
+    assert(clique.map(r => (r._1, r._2)).toSet ==
+      (101L until 180L).map(i => (100L, i)).toSet,
+      s"hot bucket must star to the minimum member: got ${clique.length} pairs")
+    assert(clique.forall(_._3 > 0.999), "identical vectors score cos 1")
+    assert(all.exists(r => (r._1, r._2) == (1L, 2L) && r._3 >= 0.99),
+      "small-bucket planted near-dup must survive the cap")
+    Dedup.releaseIndexes(spark)
+  }
+
   test("embeddingPairsAnn with an explicit threshold is uncapped; audit default stays top-20") {
     // 25 planted near-copies → 25 true pairs above 0.95. The audit
     // default (no threshold) must report exactly 20; a threshold-driven
