@@ -92,11 +92,18 @@ object Curation {
     * gram, boilerplate grams capped by document frequency; output
     * (train_id, n_shared grams, n_eval_docs hit). */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    // deliberately NOT checkpoint-staged although both join sides
-    // reference this subtree: ReuseExchange already shares the scan
-    // and the per-gram shuffle between the sides, so only the window
-    // compute runs twice — measured cheaper at sf0.1 (0.9 s vs 1.6 s)
-    // than paying a serialized checkpoint of the full gram table
+    val (trainSide, evalSide) = decontSides(spark, dir)
+    decontJoin(trainSide, evalSide)
+  }
+
+  /** The shared (train, eval) gram sides of the decontamination join.
+    * Deliberately NOT checkpoint-staged although both sides reference
+    * this subtree: ReuseExchange already shares the scan and the
+    * per-gram shuffle between the sides, so only the window compute
+    * runs twice — measured cheaper at sf0.1 (0.9 s vs 1.6 s) than
+    * paying a serialized checkpoint of the full gram table. */
+  private def decontSides(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val grams = docToks(spark, dir)
       .select(col("doc_id"), explode(ngramArray(col("toks"))).as("gram"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
@@ -106,11 +113,67 @@ object Curation {
       .select(col("doc_id").as("eval_id"), col("gram"))
     val trainSide = grams.filter(col("doc_id") % EvalModulus =!= 0)
       .select(col("doc_id").as("train_id"), col("gram"))
+    (trainSide, evalSide)
+  }
+
+  /** The exact contamination-evidence join + rollup both variants end
+    * in: inner equi-join on the gram, per-train-doc distinct counts. */
+  private def decontJoin(trainSide: DataFrame, evalSide: DataFrame)
+      : DataFrame =
     trainSide.join(evalSide, Seq("gram"))
       .groupBy("train_id")
       .agg(countDistinct(col("gram")).as("n_shared"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
       .orderBy(col("n_shared").desc, col("train_id").asc)
+
+  /** Sizing for the eval-gram Bloom filter. Eval suites are benchmark
+    * collections — 10³–10⁵ docs, ≤10⁷ distinct 8-grams — so 4 M
+    * expected items (≈4.7 MB of bits at the sketch's 3% default FPP)
+    * over-provisions every realistic suite while staying a trivial
+    * broadcast; production would size from the suite's gram count. */
+  private[operators] val BloomExpectedGrams = 4000000L
+
+  /** Decontamination with a broadcast Bloom pre-filter — the 100 TB
+    * formulation of [[decontaminate]], same output bit-for-bit.
+    *
+    * At scale the exact inverted-index join is dominated by SHUFFLING
+    * the train grams: every 8-gram of a 100 TB corpus crosses the
+    * wire to meet an eval side that is a few MB of benchmark suite.
+    * This variant builds a Bloom filter over `xxhash64(gram)` of the
+    * eval side (Spark's own `BloomFilterAggregate` — the sketch its
+    * runtime-filter optimization uses, merged map-side, collected as
+    * one ~MB binary), inlines it as a foldable literal, and filters
+    * the train grams with the codegen `BloomFilterMightContain`
+    * predicate BEFORE the gram shuffle — so only grams that might hit
+    * the suite are exchanged. Bloom filters have no false negatives,
+    * and the exact join downstream removes the ~3% false positives,
+    * so the result is identical to the exact operator and shares its
+    * DuckDB oracle verbatim. (Catalyst's own InjectRuntimeFilter
+    * declines this join — both sides derive from one windowed gram
+    * subtree, not a filtered scan — so the operator states explicitly
+    * what the optimizer cannot infer here.) */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (trainSide, evalSide) = decontSides(spark, dir)
+    def hashed(c: Column): Column =
+      ColumnBridge.column(new XxHash64(Seq(ColumnBridge.expression(c))))
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(hashed(col("gram"))), BloomExpectedGrams)
+        .toAggregateExpression())
+    val row = evalSide.select(bloomAgg.as("bf")).head()
+    if (row.isNullAt(0)) {
+      // empty eval side → no contamination is possible; emit the
+      // empty result with the exact operator's schema
+      decontJoin(trainSide.filter(lit(false)), evalSide)
+    } else {
+      val mightHit = ColumnBridge.column(BloomFilterMightContain(
+        ColumnBridge.expression(lit(row.getAs[Array[Byte]](0))),
+        ColumnBridge.expression(hashed(col("gram")))))
+      decontJoin(trainSide.filter(mightHit), evalSide)
+    }
   }
 
   /** Target language mix for corpus rebalancing, in integer percent
@@ -539,6 +602,7 @@ object CurationModule extends QueryModule {
 
   def queries = Map(
     "q_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
+    "q_decontaminate_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "q_hash_split" -> ((s: SparkSession, d: String) => hashSplit(s, d)),
     "q_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
     "q_chunk_docs" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
@@ -551,25 +615,32 @@ object CurationModule extends QueryModule {
     "q_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
     "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)))
 
+  /** Shared by the exact and Bloom-pre-filtered decontamination
+    * queries: the Bloom variant's output is defined to be identical
+    * (no false negatives + exact confirm join), so it is held to the
+    * very same oracle. */
+  private val DecontOracleSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 7, 1)),
+      |    i -> array_to_string(toks[i:i+7], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |g0 AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+      |g AS (SELECT doc_id, gram FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY gram) AS df FROM g0)
+      |  WHERE df <= 64),
+      |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 20 = 0),
+      |tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 20 <> 0)
+      |SELECT train_id, CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared,
+      |  CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+      |FROM tr JOIN ev ON tr.gram = ev.gram
+      |GROUP BY train_id
+      |ORDER BY n_shared DESC, train_id ASC""".stripMargin
+
   def oracles = Map(
-    "q_decontaminate" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks) - 7, 1)),
-        |    i -> array_to_string(toks[i:i+7], ' '))) AS grams
-        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-        |        FROM documents)),
-        |g0 AS (SELECT doc_id, unnest(grams) AS gram FROM t),
-        |g AS (SELECT doc_id, gram FROM (
-        |    SELECT *, COUNT(*) OVER (PARTITION BY gram) AS df FROM g0)
-        |  WHERE df <= 64),
-        |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 20 = 0),
-        |tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 20 <> 0)
-        |SELECT train_id, CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared,
-        |  CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
-        |FROM tr JOIN ev ON tr.gram = ev.gram
-        |GROUP BY train_id
-        |ORDER BY n_shared DESC, train_id ASC""".stripMargin,
+    "q_decontaminate" -> DecontOracleSql,
+    "q_decontaminate_bloom" -> DecontOracleSql,
     "q_token_budget" ->
       """WITH d AS (SELECT doc_id, text,
         |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

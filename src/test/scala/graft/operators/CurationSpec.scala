@@ -123,6 +123,33 @@ class CurationSpec extends SparkSpec {
       s"unflagged exact dupes: ${dupTrainIds -- flagged}")
   }
 
+  test("Bloom-pre-filtered decontamination: identical output, pre-shuffle might_contain, empty-eval safe") {
+    // No false negatives + exact confirm join ⇒ bit-identical result.
+    val exact = Curation.decontaminate(spark, dir).collect().map(_.toString).sorted.toSeq
+    val bloomed = Curation.decontaminateBloom(spark, dir)
+    assert(bloomed.collect().map(_.toString).sorted.toSeq == exact,
+      "bloom variant must reproduce the exact operator bit-for-bit")
+    // The scale claim is structural: the codegen might_contain
+    // predicate prunes the train grams BEFORE the join (Catalyst's
+    // own InjectRuntimeFilter declines this join — probed: the exact
+    // variant's plan carries no bloom — so the operator must state it).
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "train side must be bloom-pruned in the physical plan")
+    assert(!Curation.decontaminate(spark, dir).queryExecution.executedPlan
+      .toString.contains("might_contain"),
+      "probe invariant: Catalyst does not inject a runtime bloom here")
+    // An eval side with no docs must yield the empty result, not an
+    // NPE off the null aggregate row.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-empty").toString
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % Curation.EvalModulus =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val empty = Curation.decontaminateBloom(spark, tmp)
+    assert(empty.count() == 0, "no eval docs → no contamination")
+    assert(empty.columns.toSeq == Seq("train_id", "n_shared", "n_eval_docs"))
+  }
+
   test("profiler counts agree with direct aggregation") {
     val p = Curation.profileOrders(spark, dir).collect()
       .map(r => r.getString(0) -> r).toMap
