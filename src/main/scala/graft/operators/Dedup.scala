@@ -264,16 +264,18 @@ object Dedup {
     * readers see the original artifact schemas. */
   def writeIndexes(spark: SparkSession, dir: String, indexDir: String,
                    withEmbeddings: Boolean = true): Unit =
-    indexBuilders
-      .filter { case (n, _) => withEmbeddings || !embeddingArtifacts(n) }
-      .foreach { case (name, build) =>
-        val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
-        // a rebuild must not leave a previous generation's batch
-        // directories behind the fresh base
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-        build(spark, dir).write.mode("overwrite")
-          .parquet(s"$indexDir/$name.parquet/batch_id=base")
-      }
+    IndexLease.withExclusive(spark, indexDir, s"writeIndexes:$dir") {
+      indexBuilders
+        .filter { case (n, _) => withEmbeddings || !embeddingArtifacts(n) }
+        .foreach { case (name, build) =>
+          val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
+          // a rebuild must not leave a previous generation's batch
+          // directories behind the fresh base
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          build(spark, dir).write.mode("overwrite")
+            .parquet(s"$indexDir/$name.parquet/batch_id=base")
+        }
+    }
 
   /** Drop (and unpersist) one memo entry — the targeted version of
     * releaseIndexes, for maintenance jobs that invalidate a single
@@ -339,6 +341,17 @@ object Dedup {
         "other than the reserved 'base' (the writeIndexes build) and " +
         "'unbatched' (the shared bare-append directory — a keyed overwrite " +
         "there would wipe every previously bare-appended row)"))
+    IndexLease.withShared(spark, indexDir,
+      s"append-${batchId.getOrElse("unbatched")}") {
+      appendIndexesHoldingMarker(spark, dir, indexDir, docPredicate,
+        embPredicate, rebuildPairs, batchId)
+    }
+  }
+
+  private def appendIndexesHoldingMarker(
+      spark: SparkSession, dir: String, indexDir: String,
+      docPredicate: Column, embPredicate: Option[Column],
+      rebuildPairs: Boolean, batchId: Option[String]): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     def isBatchPartitioned(name: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
@@ -440,19 +453,20 @@ object Dedup {
     * leaves it primed; a fresh maintenance session calls primeIndexes
     * first) so the derivation reads parquet shingle tables, not a
     * re-shingle of the corpus text. */
-  def rebuildPairTable(spark: SparkSession, dir: String, indexDir: String): Unit = {
-    memoDrop(spark, s"jaccardPairs|$dir")
-    // the pair table is corpus-global — wholesale replace, clearing any
-    // previous generation's directories, then one fresh base directory
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/jaccardPairs.parquet")
-    val rebuilt = jaccardPairTable(spark, dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    rebuilt.write.mode("overwrite")
-      .parquet(s"$indexDir/jaccardPairs.parquet/batch_id=base")
-    memoDrop(spark, s"jaccardPairs|$dir")
-    memoPut(spark, s"jaccardPairs|$dir",
-      spark.read.parquet(s"$indexDir/jaccardPairs.parquet").drop("batch_id"))
-  }
+  def rebuildPairTable(spark: SparkSession, dir: String, indexDir: String): Unit =
+    IndexLease.withShared(spark, indexDir, "pair-rebuild") {
+      memoDrop(spark, s"jaccardPairs|$dir")
+      // the pair table is corpus-global — wholesale replace, clearing any
+      // previous generation's directories, then one fresh base directory
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/jaccardPairs.parquet")
+      val rebuilt = jaccardPairTable(spark, dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      rebuilt.write.mode("overwrite")
+        .parquet(s"$indexDir/jaccardPairs.parquet/batch_id=base")
+      memoDrop(spark, s"jaccardPairs|$dir")
+      memoPut(spark, s"jaccardPairs|$dir",
+        spark.read.parquet(s"$indexDir/jaccardPairs.parquet").drop("batch_id"))
+    }
 
   /** One watermark-driven ingest batch — the scheduled daily job,
     * composed from the engine's own parts: documents (and, optionally,
@@ -538,16 +552,19 @@ object Dedup {
     * from parquet). Artifacts still on the legacy flat layout, or
     * already a single directory, are left untouched.
     *
-    * Single-maintainer contract: compaction must not race a concurrent
-    * appender or a second compaction on the same indexDir — a keyed
-    * append landing between the read and the swap would be folded
-    * away or half-kept. Serialize maintenance (compaction and appends
-    * on one schedule), the same discipline writeIndexes already
-    * requires. CONCURRENT KEYED APPENDS of distinct batches — without
-    * a compaction in flight — are safe with each other: they write
-    * disjoint batch_id directories (IndexPersistenceSpec pins two
-    * barrier-started appenders). */
-  def compactIndexes(spark: SparkSession, indexDir: String): Unit = {
+    * Single-maintainer contract — ENFORCED since round 7 by
+    * [[IndexLease]]: compaction must not race a concurrent appender
+    * or a second compaction on the same indexDir — a keyed append
+    * landing between the read and the swap would be folded away or
+    * half-kept. Compaction (like writeIndexes) takes the exclusive
+    * maintenance lease and fails fast if an appender marker is live;
+    * appenders fail fast while the lease is held. CONCURRENT KEYED
+    * APPENDS of distinct batches — without a compaction in flight —
+    * remain safe with each other: they hold independent markers and
+    * write disjoint batch_id directories (IndexPersistenceSpec pins
+    * two barrier-started appenders). */
+  def compactIndexes(spark: SparkSession, indexDir: String): Unit =
+    IndexLease.withExclusive(spark, indexDir, "compactIndexes") {
     val hconf = spark.sparkContext.hadoopConfiguration
     indexBuilders.foreach { case (name, _) =>
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
@@ -578,7 +595,7 @@ object Dedup {
       }
     }
     releaseIndexes(spark)
-  }
+    }
 
   /** Load previously written index artifacts into the session cache:
     * subsequent dedup/similarity queries against `dir` read the

@@ -632,4 +632,67 @@ class IndexPersistenceSpec extends SparkSpec {
       "embBase must still take the append")
     Dedup.releaseIndexes(spark)
   }
+
+  test("maintenance lease: exclusive excludes appends and other exclusives, shared allows shared") {
+    import org.apache.spark.sql.functions.col
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-idx-lease").toString
+    Dedup.releaseIndexes(spark)
+    Dedup.writeIndexes(spark, dir, indexDir)
+    Dedup.releaseIndexes(spark)
+    // the wired-in entry points enforce the contract, not just the
+    // lease primitives: an append under exclusive maintenance and a
+    // compaction under a live appender both fail fast
+    IndexLease.withExclusive(spark, indexDir, "spec-exclusive") {
+      intercept[IllegalStateException] {
+        Dedup.appendIndexes(spark, dir, indexDir,
+          docPredicate = col("doc_id") === 3L,
+          rebuildPairs = false, batchId = Some("blocked"))
+      }
+      intercept[IllegalStateException] {
+        IndexLease.withExclusive(spark, indexDir, "second") { fail("must not run") }
+      }
+    }
+    IndexLease.withShared(spark, indexDir, "spec-appender") {
+      intercept[IllegalStateException] { Dedup.compactIndexes(spark, indexDir) }
+      intercept[IllegalStateException] { Dedup.writeIndexes(spark, dir, indexDir) }
+      // appenders do not block each other — the two-racing-appenders
+      // behavior this spec already pins stays legal under the lease
+      IndexLease.withShared(spark, indexDir, "spec-appender-2") { () }
+    }
+    // every exit above released its file: maintenance now proceeds
+    Dedup.compactIndexes(spark, indexDir)
+    Dedup.releaseIndexes(spark)
+  }
+
+  test("maintenance lease: released on failure, stale leases reaped after the TTL") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-idx-lease2").toString
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/.maintenance.lease")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashing body must not leave the lease behind
+    intercept[RuntimeException] {
+      IndexLease.withExclusive(spark, indexDir, "crasher") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!fs.exists(p), "lease must be released on the failure path")
+    // a lease whose mtime is beyond the TTL belongs to a crashed owner:
+    // reaped by the next claimant instead of deadlocking the directory
+    fs.create(p, false).close()
+    fs.setTimes(p, System.currentTimeMillis() - IndexLease.DefaultTtlMs - 60000, -1)
+    var ran = false
+    IndexLease.withExclusive(spark, indexDir, "taker") { ran = true }
+    assert(ran, "stale lease must be taken over")
+    // ...but a FRESH foreign lease is respected
+    fs.create(p, false).close()
+    intercept[IllegalStateException] {
+      IndexLease.withExclusive(spark, indexDir, "late") { fail("must not run") }
+    }
+    fs.delete(p, false)
+    // stale appender markers likewise reap instead of blocking forever
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/.append-dead-1.lease")
+    fs.create(marker, false).close()
+    fs.setTimes(marker, System.currentTimeMillis() - IndexLease.DefaultTtlMs - 60000, -1)
+    IndexLease.withExclusive(spark, indexDir, "after-dead-appender") { ran = true }
+    assert(!fs.exists(marker), "stale appender marker must be reaped")
+  }
 }
