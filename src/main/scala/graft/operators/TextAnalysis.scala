@@ -193,6 +193,48 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** Corpus-LM cross-entropy quality score — CCNet-style perplexity
+    * filtering re-expressed over the engine's own tables: each
+    * document's average negative log-likelihood under the corpus's
+    * unigram LM (MLE — the model is fit on the full corpus, so every
+    * scored token has mass and no smoothing constant can drift between
+    * engines). Documents far from the corpus distribution — gibberish,
+    * OCR noise, rare-token spam — score HIGH; the classic pipeline
+    * buckets on exactly this signal (head/middle/tail) before
+    * training. `cross_entropy` is in nats; perplexity = exp(ce).
+    *
+    * Plan: (doc, term) tf hash-count — the only corpus-sized shuffle,
+    * full map-side combine — then the unigram model aggregated FROM
+    * the tf table (vocabulary-sized, far smaller), a term-keyed join
+    * back, and the total joined as a 1-row broadcast scalar, same as
+    * tfidf. At 100 TB the vocabulary join shuffles the already
+    * aggregated tf table, never the raw token stream.
+    *
+    * Oracle parity: each term's contribution tf·ln(cnt/N) is computed
+    * on identical IEEE doubles in both engines (ln agreement at the
+    * rounding precision is the tfidf precedent), rounded to 9 dp and
+    * summed EXACTLY as DECIMAL — so partition count and reduction
+    * order cannot move the per-doc sum — and only the final per-doc
+    * division is floating, rounded to 6. */
+  def perplexityScore(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cnts = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("total"))
+    tf.join(cnts, "term").crossJoin(broadcast(tot))
+      .withColumn("contrib", round(
+        col("tf").cast("double") *
+          log(col("cnt").cast("double") / col("total").cast("double")), 9)
+        .cast("decimal(29,9)"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("contrib")).as("ll"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("ll").cast("double") / col("n_tokens"), 6)
+          .as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition signals (Gopher-style quality filters): duplicated
     * bigram/trigram fractions and the most frequent token's share of
     * the document. High values flag boilerplate/spam for removal.
@@ -288,6 +330,7 @@ object TextAnalysisModule extends QueryModule {
     "q_text_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "q_text_bigrams" -> ((s: SparkSession, d: String) => bigrams(s, d)),
     "q_text_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
+    "q_text_perplexity" -> ((s: SparkSession, d: String) => perplexityScore(s, d)),
     "q_text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
     "q_text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "q_text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)))
@@ -311,6 +354,19 @@ object TextAnalysisModule extends QueryModule {
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
         |  FROM scored)
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_text_perplexity" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+        |cnts AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  round(-CAST(SUM(CAST(round(CAST(tf AS DOUBLE) *
+        |      ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 9)
+        |    AS DECIMAL(29,9))) AS DOUBLE) / SUM(tf), 6) AS cross_entropy
+        |FROM tf JOIN cnts ON tf.term = cnts.term CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
         |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
