@@ -229,3 +229,56 @@ object StreamProbe {
     spark.stop()
   }
 }
+
+/** Diagnostic utility: the adversarial band-flood bound measured.
+  * Plants N byte-identical boilerplate documents on top of a probe
+  * corpus — every copy hashes every MinHash band identically, so one
+  * bucket per band captures the whole flood — then times the
+  * star-capped candidate join (MaxBandDf) against the uncapped shape
+  * on the same staged signature table. The uncapped join emits
+  * 16·C(N,2) candidate rows (quadratic in the flood); the cap bounds
+  * it at 16·(N−1) star pairs.
+  *
+  *   sbt "runMain graft.operators.FloodProbe /tmp/graft_sf1 2000"
+  */
+object FloodProbe {
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
+    val floodN = if (args.length > 1) args(1).toInt else 2000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val boiler = "subscribe to our newsletter for updates terms of service " +
+      "all rights reserved contact us privacy policy cookie settings apply"
+    val flood = (0 until floodN).map(i => (980000000L + i, boiler))
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(flood.toDF("doc_id", "text"))
+    val sigs = docs
+      .select(col("doc_id"), Dedup.minhashOfText(col("text")).as("sig"))
+      .localCheckpoint() // stage once so both joins time ONLY the join
+    val buckets = sigs.select(col("doc_id").as("id"),
+      posexplode(Dedup.bandHashes(col("sig"))).as(Seq("band_idx", "band_hash")))
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($n pairs)")
+    }
+    (1 to 2).foreach { rep =>
+      t(s"rep$rep capped (MaxBandDf)") {
+        Dedup.starCappedPairs(buckets, Seq("band_idx", "band_hash")).count()
+      }
+      t(s"rep$rep uncapped") {
+        Dedup.starCappedPairs(buckets, Seq("band_idx", "band_hash"),
+          cap = Int.MaxValue).count()
+      }
+    }
+    spark.stop()
+  }
+}
