@@ -20,7 +20,7 @@ object Bench {
 
   private def isDocFamily(n: String): Boolean =
     (n.startsWith("q_dedup") && !isSimFamily(n)) || n.startsWith("q_corpus") ||
-      n == "q_decontaminate" || n == "q_chunk_docs" ||
+      n.startsWith("q_decontaminate") || n == "q_chunk_docs" ||
       n == "q_pack_chunks" || n == "q_text_bigrams" ||
       n.startsWith("q_dup_spans")
 

@@ -136,44 +136,58 @@ object Curation {
   /** Decontamination with a broadcast Bloom pre-filter — the 100 TB
     * formulation of [[decontaminate]], same output bit-for-bit.
     *
-    * At scale the exact inverted-index join is dominated by SHUFFLING
-    * the train grams: every 8-gram of a 100 TB corpus crosses the
-    * wire to meet an eval side that is a few MB of benchmark suite.
-    * This variant builds a Bloom filter over `xxhash64(gram)` of the
-    * eval side (Spark's own `BloomFilterAggregate` — the sketch its
-    * runtime-filter optimization uses, merged map-side, collected as
-    * one ~MB binary), inlines it as a foldable literal, and filters
-    * the train grams with the codegen `BloomFilterMightContain`
-    * predicate BEFORE the gram shuffle — so only grams that might hit
-    * the suite are exchanged. Bloom filters have no false negatives,
-    * and the exact join downstream removes the ~3% false positives,
-    * so the result is identical to the exact operator and shares its
-    * DuckDB oracle verbatim. (Catalyst's own InjectRuntimeFilter
+    * At scale the exact operator is dominated by SHUFFLING the corpus
+    * grams: the document-frequency window and the join both exchange
+    * every 8-gram of a 100 TB corpus to meet an eval side that is a
+    * few MB of benchmark suite. This variant builds a Bloom filter
+    * over `xxhash64(gram)` of the RAW eval grams (Spark's own
+    * `BloomFilterAggregate` — the sketch its runtime-filter
+    * optimization uses, merged map-side, collected as one ~MB
+    * binary; no df window, so the build job is narrow and touches
+    * only the eval docs), inlines it as a foldable literal, and
+    * prunes the corpus gram stream with the codegen
+    * `BloomFilterMightContain` predicate BEFORE the first shuffle.
+    *
+    * Correctness of pruning UPSTREAM of the df window: the predicate
+    * is a function of the gram VALUE alone, so for any surviving
+    * gram every one of its rows survives — its document frequency
+    * over the pruned stream equals the true corpus df (eval grams
+    * pass by the sketch's no-false-negative guarantee; a pruned gram
+    * can contribute no join row, capped or not). False positives
+    * (~3% of train-only grams) get a correct df too and then die in
+    * the exact join. Result identical to [[decontaminate]]; shares
+    * its DuckDB oracle verbatim. (Catalyst's own InjectRuntimeFilter
     * declines this join — both sides derive from one windowed gram
-    * subtree, not a filtered scan — so the operator states explicitly
-    * what the optimizer cannot infer here.) */
+    * subtree, not a filtered scan — so the operator states
+    * explicitly what the optimizer cannot infer here.) */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val (trainSide, evalSide) = decontSides(spark, dir)
     def hashed(c: Column): Column =
       ColumnBridge.column(new XxHash64(Seq(ColumnBridge.expression(c))))
+    val rawGrams = docToks(spark, dir)
+      .select(col("doc_id"), explode(ngramArray(col("toks"))).as("gram"))
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(hashed(col("gram"))), BloomExpectedGrams)
         .toAggregateExpression())
-    val row = evalSide.select(bloomAgg.as("bf")).head()
-    if (row.isNullAt(0)) {
-      // empty eval side → no contamination is possible; emit the
-      // empty result with the exact operator's schema
-      decontJoin(trainSide.filter(lit(false)), evalSide)
-    } else {
-      val mightHit = ColumnBridge.column(BloomFilterMightContain(
+    val row = rawGrams.filter(col("doc_id") % EvalModulus === 0)
+      .select(bloomAgg.as("bf")).head()
+    val pruned =
+      if (row.isNullAt(0)) rawGrams.filter(lit(false)) // no eval docs at all
+      else rawGrams.filter(ColumnBridge.column(BloomFilterMightContain(
         ColumnBridge.expression(lit(row.getAs[Array[Byte]](0))),
-        ColumnBridge.expression(hashed(col("gram")))))
-      decontJoin(trainSide.filter(mightHit), evalSide)
-    }
+        ColumnBridge.expression(hashed(col("gram"))))))
+    val g = pruned
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("df") <= MaxGramDf)
+      .drop("df")
+    decontJoin(
+      g.filter(col("doc_id") % EvalModulus =!= 0)
+        .select(col("doc_id").as("train_id"), col("gram")),
+      g.filter(col("doc_id") % EvalModulus === 0)
+        .select(col("doc_id").as("eval_id"), col("gram")))
   }
 
   /** Target language mix for corpus rebalancing, in integer percent
