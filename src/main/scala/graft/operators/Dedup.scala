@@ -1453,6 +1453,92 @@ object Dedup {
     rerankExact(cands, Similarity.embBase(spark, dir))
       .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
   }
+
+  /** Semantic-dup threshold for the registered query. The testdata
+    * embeddings are random gaussians (pairwise cosines concentrate
+    * near 0), so a production-grade 0.95 would return nothing at any
+    * SF; 0.3 exercises the full plan with a non-trivial result.
+    * Production SemDeDup runs 0.95+ — the threshold is the knob the
+    * paper tunes per modality. */
+  private[operators] val SemanticMinCos = 0.3
+
+  /** E2/E3 semantic deduplication by k-means blocking — SemDeDup
+    * (Abbas et al. 2023, arXiv:2303.09540), the third blocking scheme
+    * of the embedding-dedup family: [[embeddingPairs]] blocks on a
+    * LABEL, [[embeddingPairsAnn]] on LSH bucket collisions, this on
+    * the corpus's own geometry — the IVF coarse cells. Every vector is
+    * assigned to its argmax-dot cell (the SAME memoized/primable
+    * `ivfCells` artifact the ANN family maintains — at 100 TB the
+    * assignment is the scheduled index job, not per-query work); only
+    * WITHIN a cell are exact pairwise cosines computed, and each
+    * vector that exceeds the threshold against a lower-id cell-mate is
+    * emitted as a drop action against its earliest such duplicate —
+    * the deterministic keep-lowest-id rule the exact-dedup family
+    * uses. Output: (cell, vec_id, dup_of, max_cos) per dropped vector.
+    *
+    * Scale: the paper sizes k so cells stay small (11 k clusters for
+    * LAION); the engine's production path is the same operator under
+    * the FITTED quantizer with k ∝ corpus size. The seeded-quantizer
+    * registration keeps the oracle static (centroid literals inline in
+    * the SQL, the q_knn_ivf discipline) and, like the label blocks,
+    * cells are belt-and-braces capped at MaxLabelBlock lowest vec_ids
+    * (oracle-mirrored) so even a degenerate geometry (all mass in one
+    * cell) stays C(cap,2)-bounded per cell. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    minCos: Double = SemanticMinCos): DataFrame = {
+    val e = Similarity.embBase(spark, dir)
+      .join(SimilarityIvf.ivfCells(spark, dir), Seq("vec_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= MaxLabelBlock)
+      .drop("rn")
+    val a = e.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("cell"), col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"), round(max(col("cos")), 6).as("max_cos"))
+      .orderBy(col("cell"), col("vec_id"))
+  }
+
+  /** Static DuckDB oracle for [[semanticDedup]]: the seeded quantizer
+    * is a data-independent constant, inlined as DOUBLE[] literals —
+    * cell assignment (argmax, first-max tie rule), the cap, the
+    * within-cell cosine join, and the keep-lowest-id action all
+    * hash-check. */
+  private[operators] def semanticDedupOracleSql: String = {
+    def listLit(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
+    val rows = SimilarityIvf.centroids.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${listLit(c)}::DOUBLE[])" }
+      .mkString(",\n    ")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |            WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                   CAST(embedding AS DOUBLE[])) > 0),
+       |cents(cell, cv) AS (VALUES
+       |    $rows),
+       |d AS (SELECT vec_id, cell, list_dot_product(v, cv) AS dt FROM e0 CROSS JOIN cents),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |capped AS (SELECT vec_id, v, cell FROM (
+       |    SELECT e0.vec_id, e0.v, assign.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY cell ORDER BY e0.vec_id) AS rn
+       |    FROM e0 JOIN assign USING (vec_id))
+       |  WHERE rn <= $MaxLabelBlock),
+       |p AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       |        list_dot_product(a.v, b.v) /
+       |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |      FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT cell, id_b AS vec_id, CAST(MIN(id_a) AS BIGINT) AS dup_of,
+       |  round(MAX(cos), 6) AS max_cos
+       |FROM p WHERE cos >= $SemanticMinCos
+       |GROUP BY cell, id_b ORDER BY cell, vec_id""".stripMargin
+  }
 }
 
 /** Driver-contract registration for the dedup set. MinHash/SimHash are
@@ -1470,6 +1556,7 @@ object DedupModule extends QueryModule {
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
     "q_dedup_embedding_ann" -> ((s: SparkSession, d: String) => embeddingPairsAnn(s, d)),
     "q_dedup_embedding_ann_rerank" -> ((s: SparkSession, d: String) => embeddingRerankFixed(s, d)),
+    "q_dedup_semantic" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "q_dedup_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(s, d)),
     // the watermark-window variant: what the oracle verifies is the
@@ -1477,6 +1564,7 @@ object DedupModule extends QueryModule {
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalNearDupsSince(s, d)))
 
   def oracles = Map(
+    "q_dedup_semantic" -> semanticDedupOracleSql,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm

@@ -504,4 +504,33 @@ class DedupSpec extends SparkSpec {
     }
     Dedup.releaseIndexes(spark)
   }
+
+  test("semanticDedup drops planted near-copies against their lowest cell-mate, keeps strangers") {
+    // 30 seeded vectors plus near-copies of id 2 at ids 40 and 41
+    // (cos ≈ 1 ⇒ same argmax cell as their source). Both copies must
+    // be dropped against dup_of = 2 (keep-lowest-id); id 2 itself and
+    // unrelated vectors must survive (random 64-dim gaussians sit far
+    // below the threshold of any planted pair).
+    val rnd = new scala.util.Random(97)
+    def randVec() = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 30).map(i => (i.toLong, randVec(), i % 5))
+    val src = base(2)._2
+    val planted = Seq(40L, 41L).map { id =>
+      (id, src.map(x => x + 0.0005f * rnd.nextGaussian().toFloat), 9)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val actions = Dedup.semanticDedup(spark, dir, minCos = 0.9)
+      .select("vec_id", "dup_of", "max_cos").as[(Long, Long, Double)].collect()
+    val byId = actions.map(a => a._1 -> a).toMap
+    Seq(40L, 41L).foreach { id =>
+      assert(byId.contains(id), s"planted copy $id must be dropped: ${actions.toSeq}")
+      assert(byId(id)._2 == 2L, s"copy $id must dedup against its source, got ${byId(id)}")
+      assert(byId(id)._3 >= 0.99, s"copy $id should score ~1, got ${byId(id)._3}")
+    }
+    assert(!byId.contains(2L), "the kept representative must not be dropped")
+    assert(actions.length == 2, s"strangers must survive: ${actions.toSeq}")
+    Dedup.releaseIndexes(spark)
+  }
 }
