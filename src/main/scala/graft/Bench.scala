@@ -29,7 +29,11 @@ object Bench {
   // the knn queries instead of rebuilding them in the docs phase
   private def isSimFamily(n: String): Boolean =
     n.startsWith("q_knn") || n == "q_embedding_outliers" ||
-      n.startsWith("q_dedup_embedding_ann")
+      n.startsWith("q_dedup_embedding_ann") ||
+      // the semantic/prototype curation ops ride embBase + ivfCells —
+      // grouping them with the knn queries shares one index build
+      n == "q_dedup_semantic" || n == "q_prune_prototypes" ||
+      n == "q_curate_d4"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1510,22 +1510,10 @@ object Dedup {
     * cell assignment (argmax, first-max tie rule), the cap, the
     * within-cell cosine join, and the keep-lowest-id action all
     * hash-check. */
-  private[operators] def semanticDedupOracleSql: String = {
-    def listLit(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
-    val rows = SimilarityIvf.centroids.zipWithIndex
-      .map { case (c, i) => s"(${i + 1}, ${listLit(c)}::DOUBLE[])" }
-      .mkString(",\n    ")
-    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |            WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
-       |                                   CAST(embedding AS DOUBLE[])) > 0),
-       |cents(cell, cv) AS (VALUES
-       |    $rows),
-       |d AS (SELECT vec_id, cell, list_dot_product(v, cv) AS dt FROM e0 CROSS JOIN cents),
-       |assign AS (SELECT vec_id, cell FROM (
-       |    SELECT vec_id, cell,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell ASC) AS rn
-       |    FROM d) WHERE rn = 1),
-       |capped AS (SELECT vec_id, v, cell FROM (
+  /** The capped within-cell pair CTEs over SimilarityIvf.assignCteSql's
+    * tables — shared by the semantic-dedup and D4 oracles. */
+  private def semanticPairCtes: String =
+    s"""capped AS (SELECT vec_id, v, cell FROM (
        |    SELECT e0.vec_id, e0.v, assign.cell,
        |      ROW_NUMBER() OVER (PARTITION BY cell ORDER BY e0.vec_id) AS rn
        |    FROM e0 JOIN assign USING (vec_id))
@@ -1533,12 +1521,76 @@ object Dedup {
        |p AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
        |        list_dot_product(a.v, b.v) /
        |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-       |      FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |      FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id)""".stripMargin
+
+  private[operators] def semanticDedupOracleSql: String =
+    s"""WITH ${SimilarityIvf.assignCteSql},
+       |$semanticPairCtes
        |SELECT cell, id_b AS vec_id, CAST(MIN(id_a) AS BIGINT) AS dup_of,
        |  round(MAX(cos), 6) AS max_cos
        |FROM p WHERE cos >= $SemanticMinCos
        |GROUP BY cell, id_b ORDER BY cell, vec_id""".stripMargin
+
+  /** E2/curation: the D4 pipeline (Tirumala et al. 2023, "D4:
+    * Improving LLM Pretraining via Document De-Duplication and
+    * Diversification", arXiv:2308.12284) — SemDeDup first (drop
+    * near-exact semantic copies), then SSL-prototype pruning over the
+    * SURVIVORS (drop the most prototypical fraction of what remains).
+    * The paper's finding is that the two stages remove different
+    * things: duplicates cluster tightly, prototypes sit near centroids
+    * — composing them beats either alone at fixed token budget.
+    *
+    * Output is the full per-vector audit table (vec_id, cell,
+    * proto_cos, action ∈ drop_semdedup | drop_prototype | keep) rather
+    * than the survivor list — the artifact a curation review reads and
+    * the survivor filter is one predicate away from.
+    *
+    * Physically: both stages ride the memoized embBase + ivfCells
+    * artifacts (one index build serves SemDeDup, the prototype ranks,
+    * and the whole ANN family); the second stage re-ranks only
+    * survivors, one window per cell; the two drop lists come back as
+    * left joins on vec_id (AQE broadcasts the small drop sides). */
+  def curateD4(spark: SparkSession, dir: String,
+               minCos: Double = SemanticMinCos,
+               frac: Double = SimilarityIvf.PrototypeFrac): DataFrame = {
+    val semDrops = semanticDedup(spark, dir, minCos)
+      .select(col("vec_id"), lit(1).as("sem"))
+    val scored = SimilarityIvf.prototypeScores(spark, dir)
+    val w = Window.partitionBy(col("cell"))
+    val protoDrops = scored.join(semDrops, Seq("vec_id"), "left_anti")
+      .withColumn("cell_rank", row_number().over(
+        w.orderBy(col("proto_cos").desc, col("vec_id").asc)))
+      .withColumn("cell_n", count(lit(1)).over(w))
+      .filter(col("cell_rank") <= floor(lit(frac) * col("cell_n")))
+      .select(col("vec_id"), lit(1).as("proto"))
+    scored.join(semDrops, Seq("vec_id"), "left")
+      .join(protoDrops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("proto_cos"),
+        when(col("sem") === 1, "drop_semdedup")
+          .when(col("proto") === 1, "drop_prototype")
+          .otherwise("keep").as("action"))
+      .orderBy("vec_id")
   }
+
+  /** SQL twin of [[curateD4]]: the shared assignment + capped-pair
+    * CTEs, the semantic drop set, prototype scores, the survivor
+    * ranking, and the action CASE. */
+  private[operators] def curateD4OracleSql: String =
+    s"""WITH ${SimilarityIvf.assignCteSql},
+       |$semanticPairCtes,
+       |sem AS (SELECT DISTINCT id_b AS vec_id FROM p WHERE cos >= $SemanticMinCos),
+       |${SimilarityIvf.protoScoreCteSql},
+       |r AS (SELECT cell, vec_id, proto_cos,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY proto_cos DESC, vec_id ASC) AS cell_rank,
+       |    COUNT(*) OVER (PARTITION BY cell) AS cell_n
+       |  FROM sc WHERE vec_id NOT IN (SELECT vec_id FROM sem)),
+       |pd AS (SELECT vec_id FROM r
+       |  WHERE cell_rank <= CAST(floor(${SimilarityIvf.PrototypeFrac} * cell_n) AS BIGINT))
+       |SELECT vec_id, cell, proto_cos,
+       |  CASE WHEN vec_id IN (SELECT vec_id FROM sem) THEN 'drop_semdedup'
+       |       WHEN vec_id IN (SELECT vec_id FROM pd) THEN 'drop_prototype'
+       |       ELSE 'keep' END AS action
+       |FROM sc ORDER BY vec_id""".stripMargin
 }
 
 /** Driver-contract registration for the dedup set. MinHash/SimHash are
@@ -1557,6 +1609,7 @@ object DedupModule extends QueryModule {
     "q_dedup_embedding_ann" -> ((s: SparkSession, d: String) => embeddingPairsAnn(s, d)),
     "q_dedup_embedding_ann_rerank" -> ((s: SparkSession, d: String) => embeddingRerankFixed(s, d)),
     "q_dedup_semantic" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "q_curate_d4" -> ((s: SparkSession, d: String) => curateD4(s, d)),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "q_dedup_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(s, d)),
     // the watermark-window variant: what the oracle verifies is the
@@ -1565,6 +1618,7 @@ object DedupModule extends QueryModule {
 
   def oracles = Map(
     "q_dedup_semantic" -> semanticDedupOracleSql,
+    "q_curate_d4" -> curateD4OracleSql,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm

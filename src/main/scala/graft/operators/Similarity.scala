@@ -587,6 +587,96 @@ object SimilarityIvf {
       .select("query_id", "neighbor_id").distinct()
     Similarity.rerankTopK(base, pairs, nQueries, k)
   }
+
+  /** Fraction of each IVF cell dropped as "too prototypical" by
+    * [[prototypePrune]]. Sorscher et al. keep ~75-80 % on large
+    * datasets; 0.25 keeps the registered query in that regime. */
+  private[operators] val PrototypeFrac = 0.25
+
+  /** Euclidean norms of the seeded centroids, computed once driver-side
+    * and inlined as the SAME double literal into both the Spark plan
+    * and the DuckDB oracle — norm parity by construction instead of by
+    * matching two engines' fold orders. */
+  private[operators] def centroidNorms(cents: Seq[Seq[Double]]): Seq[Double] =
+    cents.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  /** Per-vector prototypicality: cosine to the centroid of the
+    * vector's own IVF cell — the SSL self-supervised prototype metric
+    * of Sorscher et al. 2022 ("Beyond neural scaling laws",
+    * arXiv:2206.14486) with the corpus's maintained coarse quantizer
+    * standing in for the paper's k-means-on-SSL-embeddings. Rides the
+    * memoized embBase + ivfCells artifacts (at 100 TB the assignment
+    * is the scheduled index job); the 16-row centroid table is a
+    * broadcast, so the scan stays shuffle-free until the ranking. */
+  private[operators] def prototypeScores(spark: SparkSession, dir: String,
+      cents: Seq[Seq[Double]] = centroids): DataFrame = {
+    val norms = centroidNorms(cents)
+    val centDf = spark.createDataFrame(
+        cents.zipWithIndex.map { case (c, i) => (i + 1, c, norms(i)) })
+      .toDF("cell", "cv", "cnorm")
+    Similarity.embBase(spark, dir)
+      .join(ivfCells(spark, dir), Seq("vec_id"))
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnorm")), 6)
+          .as("proto_cos"))
+  }
+
+  /** E3/curation: SSL-prototype pruning (Sorscher et al. 2022) — rank
+    * every vector by prototypicality WITHIN its IVF cell and emit the
+    * most prototypical `frac` of each cell as the drop list (on large
+    * corpora the easy, near-centroid examples are the redundant ones;
+    * the paper's scaling-law-beating criterion). Emitting drops rather
+    * than survivors keeps the output the audit artifact a curation
+    * pipeline reviews and subtracts.
+    *
+    * One hash-partitioned window per cell (rank + count in a single
+    * Exchange), ranking on the ROUNDED cosine with vec_id tiebreak so
+    * both engines order identical doubles. */
+  def prototypePrune(spark: SparkSession, dir: String,
+                     frac: Double = PrototypeFrac): DataFrame = {
+    val w = Window.partitionBy(col("cell"))
+    val ranked = prototypeScores(spark, dir)
+      .withColumn("cell_rank", row_number().over(
+        w.orderBy(col("proto_cos").desc, col("vec_id").asc)))
+      .withColumn("cell_n", count(lit(1)).over(w))
+    ranked.filter(col("cell_rank") <= floor(lit(frac) * col("cell_n")))
+      .select(col("cell"), col("vec_id"), col("proto_cos"),
+        col("cell_rank"), col("cell_n"))
+      .orderBy(col("cell"), col("cell_rank"))
+  }
+
+  /** Shared DuckDB CTE text (no leading WITH): norm-filtered
+    * double-cast vectors `e0`, the seeded centroid VALUES (with
+    * driver-computed norms inlined as the same doubles the Spark plan
+    * multiplies by), the dot table `d`, and the argmax cell assignment
+    * `assign` — the SQL twin every IVF-cell-blocked oracle (semantic
+    * dedup, prototype pruning, D4) opens with. */
+  private[operators] def assignCteSql: String = {
+    def listLit(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
+    val norms = centroidNorms(centroids)
+    val rows = centroids.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${listLit(c)}::DOUBLE[], ${norms(i)})" }
+      .mkString(",\n    ")
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                              CAST(embedding AS DOUBLE[])) > 0),
+       |cents(cell, cv, cnorm) AS (VALUES
+       |    $rows),
+       |d AS (SELECT vec_id, cell, list_dot_product(v, cv) AS dt FROM e0 CROSS JOIN cents),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell ASC) AS rn
+       |    FROM d) WHERE rn = 1)""".stripMargin
+  }
+
+  /** The prototypicality-scoring CTE `sc` over [[assignCteSql]]'s
+    * tables — the SQL twin of [[prototypeScores]]. */
+  private[operators] val protoScoreCteSql: String =
+    """sc AS (SELECT cell, e0.vec_id,
+      |    round(list_dot_product(v, cv) /
+      |      (sqrt(list_dot_product(v, v)) * cnorm), 6) AS proto_cos
+      |  FROM e0 JOIN assign USING (vec_id) JOIN cents USING (cell))""".stripMargin
 }
 
 /** Driver-contract registration for the similarity set.
@@ -721,6 +811,21 @@ object SimilarityModule extends QueryModule {
       |  FROM s)
       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** SQL twin of prototypePrune: seeded-centroid literals (with their
+    * driver-computed norms inlined as the same doubles the Spark plan
+    * multiplies by), the semanticDedup assignment CTE, then the
+    * per-cell rank/count window over the rounded cosine. */
+  private val protoOracleSql: String =
+    s"""WITH ${SimilarityIvf.assignCteSql},
+       |${SimilarityIvf.protoScoreCteSql},
+       |r AS (SELECT cell, vec_id, proto_cos,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY proto_cos DESC, vec_id ASC) AS cell_rank,
+       |    COUNT(*) OVER (PARTITION BY cell) AS cell_n
+       |  FROM sc)
+       |SELECT cell, vec_id, proto_cos, cell_rank, cell_n
+       |FROM r WHERE cell_rank <= CAST(floor(${SimilarityIvf.PrototypeFrac} * cell_n) AS BIGINT)
+       |ORDER BY cell, cell_rank""".stripMargin
+
   def queries = Map(
     "q_knn_exact" -> ((s: SparkSession, d: String) => knnExact(s, d)),
     "q_knn_exact_agg" -> ((s: SparkSession, d: String) => knnExactAgg(s, d)),
@@ -730,7 +835,8 @@ object SimilarityModule extends QueryModule {
     "q_knn_ivf_fit" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvfFitted(s, d)),
     "q_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
     "q_embedding_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
-    "q_quantize_embeddings" -> ((s: SparkSession, d: String) => quantizeEmbeddings(s, d)))
+    "q_quantize_embeddings" -> ((s: SparkSession, d: String) => quantizeEmbeddings(s, d)),
+    "q_prune_prototypes" -> ((s: SparkSession, d: String) => SimilarityIvf.prototypePrune(s, d)))
 
   // q_knn_exact_agg shares q_knn_exact's oracle: same semantics, the
   // Aggregator formulation just changes the physical plan.
@@ -740,6 +846,7 @@ object SimilarityModule extends QueryModule {
     "q_knn_lsh" -> lshOracleSql,
     "q_knn_lsh_probe" -> lshProbeOracleSql,
     "q_knn_ivf" -> ivfOracleSql(SimilarityIvf.centroids),
+    "q_prune_prototypes" -> protoOracleSql,
     "q_quantize_embeddings" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT vec_id,

@@ -316,6 +316,93 @@ object TextAnalysis {
         graft.functions.RollingMinHashColumn(col("norm")).as("rolling_fp"))
       .orderBy("doc_id")
   }
+
+  /** Gopher's 8-word stopword list (Rae et al. 2021, §A1.1): a doc
+    * must contain at least [[GopherMinStopHits]] of these to pass the
+    * stop-word rule. Distinct from [[enStop]] (the lang-id list) on
+    * purpose — the rule is defined by the paper's exact words. */
+  private val gopherStop =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private[operators] val GopherMinWords = 50L
+  private[operators] val GopherMaxWords = 100000L
+  private[operators] val GopherMinMeanLen = 3.0
+  private[operators] val GopherMaxMeanLen = 10.0
+  private[operators] val GopherMaxSymbolRatio = 0.1
+  private[operators] val GopherMinAlphaFrac = 0.8
+  private[operators] val GopherMinStopHits = 2L
+
+  /** E4: the Gopher composite quality-rule filter (Rae et al. 2021,
+    * "Scaling Language Models", §A1.1) — the word-level subset that
+    * applies to this corpus's single-line documents (the line-shape
+    * rules — bullet/ellipsis line fractions — need a line structure
+    * these docs don't have and are omitted rather than computed as
+    * vacuous constants):
+    *   1. word count in [50, 100 000]
+    *   2. mean word length in [3, 10]
+    *   3. symbol-to-word ratio ('#' or '...'/'…') ≤ 0.1
+    *   4. ≥ 80 % of words contain ≥ 1 alphabetic character
+    *   5. ≥ 2 hits from Gopher's 8-word stopword list
+    * Output keeps every per-rule flag (as 0/1 audit columns, the
+    * curation-report shape) plus the composite `pass` — a filter
+    * that only emitted survivors couldn't tell a user WHY a doc died.
+    *
+    * Same physical shape as [[textStats]]: explode + one hash
+    * aggregation keyed on the doc (codegen, map-side partials — the
+    * shuffle carries one accumulator row per document, not tokens),
+    * with the doc-level symbol counts riding the group key the way
+    * n_chars_calc does. NULL-text docs keep an all-NULL audit row
+    * (explode_outer + the cnt>0 remap), matching the oracle's NULL
+    * propagation. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    // '#' and '…' by delete-and-measure (translate is a codegen char
+    // map — no regex engine on the full text); ASCII '...' by
+    // non-overlapping replace-and-measure (exact /3, so the double
+    // division is exact)
+    val nSymbols = ((length(col("text")) - length(translate(col("text"), "#", ""))) +
+      ((length(col("text")) - length(replace(col("text"), lit("...")))) / 3)
+        .cast("int") +
+      (length(col("text")) - length(translate(col("text"), "…", "")))).cast("long")
+    val agg = Tables.documents(spark, dir)
+      // n_symbols is projected BELOW the Generate on purpose: an
+      // expression in the same select as explode_outer lands in the
+      // Project ABOVE it and would re-scan the full text once per
+      // TOKEN row, not per document (measured 6.7 s → this shape)
+      .select(col("doc_id"), nSymbols.as("n_symbols"), col("text"))
+      .select(col("doc_id"), col("n_symbols"),
+        explode_outer(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "n_symbols")
+      .agg(count(col("tok")).as("cnt"),
+        sum(length(col("tok")).cast("long")).as("sum_len"),
+        sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L)).as("alpha"),
+        sum(when(col("tok").isInCollection(gopherStop), 1L).otherwise(0L))
+          .as("stop"))
+    val nWords = when(col("cnt") > 0, col("cnt"))
+    val meanLen = when(col("cnt") > 0,
+      round(col("sum_len").cast("double") / col("cnt"), 6))
+    val symRatio = when(col("cnt") > 0,
+      round(col("n_symbols").cast("double") / col("cnt"), 6))
+    val alphaFrac = when(col("cnt") > 0,
+      round(col("alpha").cast("double") / col("cnt"), 6))
+    val nStop = when(col("cnt") > 0, col("stop"))
+    agg.select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+        nStop.as("n_stop"))
+      .withColumn("rule_word_count",
+        col("n_words").between(GopherMinWords, GopherMaxWords).cast("int"))
+      .withColumn("rule_mean_word_len",
+        col("mean_word_len").between(GopherMinMeanLen, GopherMaxMeanLen)
+          .cast("int"))
+      .withColumn("rule_symbol_ratio",
+        (col("symbol_ratio") <= GopherMaxSymbolRatio).cast("int"))
+      .withColumn("rule_alpha",
+        (col("alpha_frac") >= GopherMinAlphaFrac).cast("int"))
+      .withColumn("rule_stopwords", (col("n_stop") >= GopherMinStopHits).cast("int"))
+      .withColumn("pass",
+        (col("rule_word_count") === 1 && col("rule_mean_word_len") === 1 &&
+          col("rule_symbol_ratio") === 1 && col("rule_alpha") === 1 &&
+          col("rule_stopwords") === 1).cast("int"))
+      .orderBy("doc_id")
+  }
 }
 
 /** Driver-contract registration for the text-analysis set. */
@@ -333,7 +420,8 @@ object TextAnalysisModule extends QueryModule {
     "q_text_perplexity" -> ((s: SparkSession, d: String) => perplexityScore(s, d)),
     "q_text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
     "q_text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
-    "q_text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)))
+    "q_text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)),
+    "q_quality_gopher" -> ((s: SparkSession, d: String) => gopherQuality(s, d)))
 
   // DuckDB lambda syntax (list_transform / list_filter) mirrors Spark's
   // higher-order functions one-to-one; counts are BIGINT on both sides.
@@ -472,5 +560,31 @@ object TextAnalysisModule extends QueryModule {
         |        generate_series(1, greatest(length(norm) - 7, 1)),
         |        i -> ((((((((((((((((CAST(0 AS BIGINT) * 131 + CAST(ord(substr(norm, CAST(i+0 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+1 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+2 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+3 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+4 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+5 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+6 AS INT), 1)) AS BIGINT)) % 1000000007) * 131 + CAST(ord(substr(norm, CAST(i+7 AS INT), 1)) AS BIGINT)) % 1000000007)))
         |  END AS rolling_fp
-        |FROM d ORDER BY doc_id""".stripMargin)
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_quality_gopher" ->
+      s"""WITH d AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |    / len(toks), 6) AS mean_word_len,
+        |  round(CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+        |      + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INTEGER)
+        |      + length(regexp_replace(text, '[^…]', '', 'g')) AS DOUBLE)
+        |    / len(toks), 6) AS symbol_ratio,
+        |  round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+        |    / len(toks), 6) AS alpha_frac,
+        |  CAST(len(list_filter(toks,
+        |    t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
+        |  FROM d)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
+        |  CAST(n_words BETWEEN ${TextAnalysis.GopherMinWords} AND ${TextAnalysis.GopherMaxWords} AS INTEGER) AS rule_word_count,
+        |  CAST(mean_word_len BETWEEN ${TextAnalysis.GopherMinMeanLen} AND ${TextAnalysis.GopherMaxMeanLen} AS INTEGER) AS rule_mean_word_len,
+        |  CAST(symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio} AS INTEGER) AS rule_symbol_ratio,
+        |  CAST(alpha_frac >= ${TextAnalysis.GopherMinAlphaFrac} AS INTEGER) AS rule_alpha,
+        |  CAST(n_stop >= ${TextAnalysis.GopherMinStopHits} AS INTEGER) AS rule_stopwords,
+        |  CAST(rule_word_count = 1 AND rule_mean_word_len = 1 AND
+        |    rule_symbol_ratio = 1 AND rule_alpha = 1 AND
+        |    rule_stopwords = 1 AS INTEGER) AS pass
+        |FROM s ORDER BY doc_id""".stripMargin)
 }

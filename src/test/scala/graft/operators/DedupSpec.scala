@@ -533,4 +533,28 @@ class DedupSpec extends SparkSpec {
     assert(actions.length == 2, s"strangers must survive: ${actions.toSeq}")
     Dedup.releaseIndexes(spark)
   }
+
+  test("curateD4 composes SemDeDup then prototype pruning over the survivors") {
+    val dir = sf("sf0.001")
+    val actions = Dedup.curateD4(spark, dir)
+      .select("vec_id", "cell", "action").as[(Long, Int, String)].collect()
+    val all = SimilarityIvf.prototypeScores(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    // totality: one action per scored vector, no extras
+    assert(actions.map(_._1).toSet == all && actions.length == all.size,
+      "the audit table must cover every vector exactly once")
+    // stage 1 drops are exactly semanticDedup's
+    val semExpect = Dedup.semanticDedup(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val sem = actions.filter(_._3 == "drop_semdedup").map(_._1).toSet
+    assert(sem == semExpect, "semantic drops must match the SemDeDup operator")
+    // stage 2 quotas are computed over SURVIVORS, not the full cell
+    val survivors = actions.filter(_._3 != "drop_semdedup")
+    survivors.groupBy(_._2).foreach { case (cell, rows) =>
+      val quota = math.floor(SimilarityIvf.PrototypeFrac * rows.length).toLong
+      val got = rows.count(_._3 == "drop_prototype")
+      assert(got == quota, s"cell $cell: $got prototype drops, expected $quota")
+    }
+    Dedup.releaseIndexes(spark)
+  }
 }

@@ -232,4 +232,30 @@ class SimilaritySpec extends SparkSpec {
     // cosine to own centroid is a true cosine: bounded
     assert(out.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
   }
+
+  test("prototypePrune drops exactly the top floor(frac·n) most prototypical of each cell") {
+    val dir = sf("sf0.001")
+    val scores = SimilarityIvf.prototypeScores(spark, dir)
+      .as[(Int, Long, Double)].collect()
+    val dropped = SimilarityIvf.prototypePrune(spark, dir)
+      .select("cell", "vec_id", "proto_cos", "cell_rank", "cell_n")
+      .as[(Int, Long, Double, Int, Long)].collect()
+    val byCell = scores.groupBy(_._1)
+    dropped.groupBy(_._1).foreach { case (cell, rows) =>
+      val members = byCell(cell)
+      val quota = math.floor(SimilarityIvf.PrototypeFrac * members.length).toLong
+      assert(rows.length == quota, s"cell $cell: ${rows.length} != floor quota $quota")
+      assert(rows.forall(_._5 == members.length), s"cell_n must be the cell size")
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length), "dense ranks")
+      // the drop list IS the top of the (rounded cos desc, vec_id) order
+      val expect = members.sortBy(m => (-m._3, m._2)).take(quota.toInt).map(_._2).toSet
+      assert(rows.map(_._2).toSet == expect, s"cell $cell drop set mismatch")
+    }
+    // every cell with quota ≥ 1 contributes
+    byCell.foreach { case (cell, members) =>
+      val quota = math.floor(SimilarityIvf.PrototypeFrac * members.length).toLong
+      assert(dropped.count(_._1 == cell) == quota, s"cell $cell missing from drops")
+    }
+    graft.operators.Dedup.releaseIndexes(spark)
+  }
 }

@@ -43,4 +43,35 @@ class TextAnalysisSpec extends SparkSpec {
       r2.isNullAt(4) && r2.isNullAt(5),
       s"null-text doc must carry NULL stats, got $r2")
   }
+
+  test("gopherQuality: planted rule violations each trip exactly their rule") {
+    // One doc per rule violation plus one clean doc — each flag must
+    // fire independently and `pass` must be their conjunction.
+    val clean = (("the of and that have with " * 10) +
+      ("alpha beta gamma delta " * 10)).trim             // 100 words, all rules ok
+    val tooShort = "the of and that have with words"     // 7 words < 50
+    val longWords = ("antidisestablishment " * 60).trim + " the of" // mean len > 10
+    val symbols = (("### " * 30) + ("the of and " * 10)).trim // 30 '#'-words / 60 words > 0.1
+    val numeric = (("123 456 " * 40) + "the of and ").trim    // alpha frac < 0.8
+    val noStop = ("alpha beta gamma delta " * 15).trim        // 0 stopword hits
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    Seq((1L, clean), (2L, tooShort), (3L, longWords), (4L, symbols),
+      (5L, numeric), (6L, noStop))
+      .map { case (id, t) => (id, t, "en", "srcG", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.gopherQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def rules(id: Long): Seq[Int] =
+      (6 to 10).map(i => out(id).getInt(i)) // word_count, mean_len, symbol, alpha, stop
+    assert(rules(1L) == Seq(1, 1, 1, 1, 1) && out(1L).getInt(11) == 1,
+      s"clean doc must pass all: ${out(1L)}")
+    assert(rules(2L)(0) == 0, s"short doc must fail word count: ${out(2L)}")
+    assert(rules(3L)(1) == 0, s"long-word doc must fail mean length: ${out(3L)}")
+    assert(rules(4L)(2) == 0, s"symbol doc must fail symbol ratio: ${out(4L)}")
+    assert(rules(5L)(3) == 0, s"numeric doc must fail alpha fraction: ${out(5L)}")
+    assert(rules(6L)(4) == 0, s"stopword-free doc must fail stop rule: ${out(6L)}")
+    Seq(2L, 3L, 4L, 5L, 6L).foreach(id =>
+      assert(out(id).getInt(11) == 0, s"doc $id must fail composite: ${out(id)}"))
+  }
 }
