@@ -607,6 +607,70 @@ object Curation {
       .select(col("r.*"))
       .orderBy("col_name")
   }
+
+  /** DSIR hashed-feature space: 256 buckets keyed by the first two hex
+    * chars of md5(token) — a string key both engines compute
+    * identically, no numeric hash conversion. The paper uses ~10 k
+    * hashed n-gram buckets; the bucket count is the smoothing knob. */
+  private[operators] val DsirBuckets = 256
+  private[operators] val DsirK = 100
+  private[operators] val DsirTargetLang = "en"
+
+  /** Data selection via importance resampling — DSIR (Xie et al.
+    * 2023, arXiv:2302.03169). Fit two bag-of-hashed-ngram unigram
+    * models — target (here: the `lang = en` slice standing in for the
+    * paper's high-quality target corpus) and raw (the whole corpus) —
+    * with Laplace smoothing over the [[DsirBuckets]] feature space;
+    * score every candidate document (the non-target pool) by its log
+    * importance weight Σ_tokens [ln p_target(bucket) − ln
+    * p_raw(bucket)] and keep the top [[DsirK]]. This is the
+    * zero-temperature variant of the paper's Gumbel-noise resampling:
+    * top-k by weight, deterministic on every engine and every run —
+    * the noise temperature is a sampling knob, not part of the scoring
+    * semantics.
+    *
+    * Reduction-order discipline (the perplexityScore pattern): each
+    * (doc, bucket) contribution is rounded to 9 dp and summed as
+    * DECIMAL(29,9), so the per-doc weight is exact and the final
+    * ordering cannot be moved by float reduction order; rows rank by
+    * the EXACT decimal weight with doc_id tiebreak.
+    *
+    * Scale: the two models are 256-row broadcast tables built by one
+    * map-side-combined aggregation over the staged token table; the
+    * per-doc score is explode → (doc, bucket) hash-agg → broadcast
+    * join → per-doc hash-agg (one shuffle row per doc-bucket, then
+    * one per doc); the global top-k plans as TakeOrderedAndProject —
+    * no full sort, no driver collect. At 100 TB the target model is a
+    * published artifact fitted once on the curated target suite. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val db = docToks(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("tok")), 1, 2).as("bucket"))
+      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt"))
+    val rawCnt = db.groupBy("bucket").agg(sum("cnt").as("rc"))
+    val tgtCnt = db.filter(col("lang") === DsirTargetLang)
+      .groupBy("bucket").agg(sum("cnt").as("tc"))
+    val rawTot = rawCnt.agg(sum("rc").as("r_tot"))
+    val tgtTot = tgtCnt.agg(sum("tc").as("t_tot"))
+    val bucketLr = rawCnt.join(tgtCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("bucket"),
+        (log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (col("t_tot") + DsirBuckets).cast("double")) -
+          log((col("rc") + 1).cast("double") /
+            (col("r_tot") + DsirBuckets).cast("double"))).as("lr"))
+    db.filter(col("lang") =!= DsirTargetLang)
+      .join(broadcast(bucketLr), Seq("bucket"))
+      .withColumn("contrib",
+        round(col("cnt").cast("double") * col("lr"), 9).cast("decimal(29,9)"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("cnt").as("n_tokens"), sum("contrib").as("w"))
+      .orderBy(col("w").desc, col("doc_id").asc)
+      .limit(DsirK)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("w").cast("double"), 6).as("dsir_logratio"))
+  }
 }
 
 /** Driver-contract registration: every curation query is DuckDB-
@@ -627,7 +691,8 @@ object CurationModule extends QueryModule {
     "q_dup_spans_apply" -> ((s: SparkSession, d: String) => dupSpansApply(s, d)),
     "q_dup_spans_keep" -> ((s: SparkSession, d: String) => dupSpansKeep(s, d)),
     "q_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
-    "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)))
+    "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)),
+    "q_select_dsir" -> ((s: SparkSession, d: String) => dsirSelect(s, d)))
 
   /** Shared by the exact and Bloom-pre-filtered decontamination
     * queries: the Bloom variant's output is defined to be identical
@@ -832,5 +897,26 @@ object CurationModule extends QueryModule {
            |FROM orders""".stripMargin
       }
       selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-    })
+    },
+    "q_select_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents),
+        |b AS (SELECT doc_id, lang, substr(md5(tok), 1, 2) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tk GROUP BY 1, 2, 3),
+        |rawc AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS rc FROM b GROUP BY 1),
+        |tgtc AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS tc FROM b
+        |  WHERE lang = '$DsirTargetLang' GROUP BY 1),
+        |rt AS (SELECT CAST(SUM(rc) AS BIGINT) AS r_tot FROM rawc),
+        |tt AS (SELECT CAST(SUM(tc) AS BIGINT) AS t_tot FROM tgtc),
+        |lr AS (SELECT bucket,
+        |    ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE) / CAST(t_tot + $DsirBuckets AS DOUBLE)) -
+        |    ln(CAST(rc + 1 AS DOUBLE) / CAST(r_tot + $DsirBuckets AS DOUBLE)) AS lr
+        |  FROM rawc LEFT JOIN tgtc USING (bucket) CROSS JOIN rt CROSS JOIN tt),
+        |sc AS (SELECT doc_id, lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(round(CAST(cnt AS DOUBLE) * lr, 9) AS DECIMAL(29,9))) AS w
+        |  FROM b JOIN lr USING (bucket) WHERE lang <> '$DsirTargetLang'
+        |  GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens, round(CAST(w AS DOUBLE), 6) AS dsir_logratio
+        |FROM sc ORDER BY w DESC, doc_id ASC LIMIT $DsirK""".stripMargin)
 }

@@ -31,6 +31,32 @@ class CurationSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("dsirSelect ranks target-like candidates above dissimilar ones") {
+    import spark.implicits._
+    // Target (en) docs speak vocabulary A; candidate 100 speaks A,
+    // candidate 200 speaks an unseen vocabulary B. The importance
+    // weight is Σ ln(p_target/p_raw) per token — the A-speaker must
+    // outscore the B-speaker, and the target slice itself must never
+    // appear in the candidate output.
+    val vocabA = "alpha beta gamma delta epsilon zeta"
+    val vocabB = "xylophone quark zeppelin mammoth igloo vortex"
+    val docs = (1L to 20L).map(id => (id, vocabA, "en")) ++ Seq(
+      (100L, vocabA, "xx"), (200L, vocabB, "xx"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    docs.map { case (id, t, l) => (id, t, l, "srcD", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.dsirSelect(spark, dir)
+      .select("doc_id", "dsir_logratio").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSet == Set(100L, 200L),
+      s"only non-target docs are candidates: ${out.toSeq}")
+    val byId = out.toMap
+    assert(byId(100L) > byId(200L),
+      s"target-vocabulary doc must outscore the stranger: ${out.toSeq}")
+    assert(out.head._1 == 100L, "output is ordered by weight desc")
+    graft.operators.Dedup.releaseIndexes(spark)
+  }
+
   test("quota sample takes at most the quota per group and is deterministic") {
     val s1 = Curation.quotaSample(spark, dir).collect()
     val s2 = Curation.quotaSample(spark, dir).collect()
