@@ -1485,9 +1485,24 @@ object Dedup {
     * (oracle-mirrored) so even a degenerate geometry (all mass in one
     * cell) stays C(cap,2)-bounded per cell. */
   def semanticDedup(spark: SparkSession, dir: String,
-                    minCos: Double = SemanticMinCos): DataFrame = {
+                    minCos: Double = SemanticMinCos): DataFrame =
+    semanticDedupWith(spark, dir, SimilarityIvf.ivfCells(spark, dir), minCos)
+
+  /** [[semanticDedup]] under the FITTED coarse quantizer — the
+    * production registration (k-means trained once on the corpus, the
+    * q_knn_ivf_fit discipline): rides the same memoized/persisted
+    * `ivfCellsFit` artifact the fitted ANN query serves from, so a
+    * primed session does zero k-means and zero assignment. The oracle
+    * is resolved at Verify dump time with the fitted centroids
+    * inlined (dynamicOracles). */
+  def semanticDedupFitted(spark: SparkSession, dir: String,
+                          minCos: Double = SemanticMinCos): DataFrame =
+    semanticDedupWith(spark, dir, SimilarityIvf.ivfCellsFit(spark, dir), minCos)
+
+  private def semanticDedupWith(spark: SparkSession, dir: String,
+                                cells: DataFrame, minCos: Double): DataFrame = {
     val e = Similarity.embBase(spark, dir)
-      .join(SimilarityIvf.ivfCells(spark, dir), Seq("vec_id"))
+      .join(cells, Seq("vec_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
       .filter(col("rn") <= MaxLabelBlock)
@@ -1524,7 +1539,13 @@ object Dedup {
        |      FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id)""".stripMargin
 
   private[operators] def semanticDedupOracleSql: String =
-    s"""WITH ${SimilarityIvf.assignCteSql},
+    semanticOracleFrom(SimilarityIvf.assignCteSql)
+
+  /** The complete semantic-dedup oracle over a given assignment CTE
+    * block — static for the seeded quantizer, resolved at dump time
+    * for the fitted one. */
+  private[operators] def semanticOracleFrom(assignCtes: String): String =
+    s"""WITH $assignCtes,
        |$semanticPairCtes
        |SELECT cell, id_b AS vec_id, CAST(MIN(id_a) AS BIGINT) AS dup_of,
        |  round(MAX(cos), 6) AS max_cos
@@ -1609,6 +1630,7 @@ object DedupModule extends QueryModule {
     "q_dedup_embedding_ann" -> ((s: SparkSession, d: String) => embeddingPairsAnn(s, d)),
     "q_dedup_embedding_ann_rerank" -> ((s: SparkSession, d: String) => embeddingRerankFixed(s, d)),
     "q_dedup_semantic" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "q_dedup_semantic_fit" -> ((s: SparkSession, d: String) => semanticDedupFitted(s, d)),
     "q_curate_d4" -> ((s: SparkSession, d: String) => curateD4(s, d)),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "q_dedup_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(s, d)),
@@ -1868,4 +1890,12 @@ object DedupModule extends QueryModule {
          |FROM cand c JOIN f a ON a.vec_id = c.id_a JOIN f b ON b.vec_id = c.id_b
          |ORDER BY cos DESC, id_a ASC, id_b ASC""".stripMargin
     })
+
+  /** q_dedup_semantic_fit's quantizer is k-means FITTED on the corpus
+    * (deterministic hash-ordered sample) — its oracle is resolved at
+    * Verify dump time with the fitted centroids inlined, the same
+    * discipline as q_knn_ivf_fit. */
+  override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] =
+    Map("q_dedup_semantic_fit" -> semanticOracleFrom(
+      SimilarityIvf.assignCteSqlWith(SimilarityIvf.fitCentroids(spark, dir))))
 }

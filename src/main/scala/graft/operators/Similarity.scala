@@ -652,10 +652,15 @@ object SimilarityIvf {
     * multiplies by), the dot table `d`, and the argmax cell assignment
     * `assign` — the SQL twin every IVF-cell-blocked oracle (semantic
     * dedup, prototype pruning, D4) opens with. */
-  private[operators] def assignCteSql: String = {
+  private[operators] def assignCteSql: String = assignCteSqlWith(centroids)
+
+  /** [[assignCteSql]] under an arbitrary quantizer — the fitted-model
+    * oracles (q_knn_ivf_fit discipline) inline the FITTED centroids
+    * at Verify dump time. */
+  private[operators] def assignCteSqlWith(cents: Seq[Seq[Double]]): String = {
     def listLit(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
-    val norms = centroidNorms(centroids)
-    val rows = centroids.zipWithIndex
+    val norms = centroidNorms(cents)
+    val rows = cents.zipWithIndex
       .map { case (c, i) => s"(${i + 1}, ${listLit(c)}::DOUBLE[], ${norms(i)})" }
       .mkString(",\n    ")
     s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -668,6 +673,28 @@ object SimilarityIvf {
        |    SELECT vec_id, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell ASC) AS rn
        |    FROM d) WHERE rn = 1)""".stripMargin
+  }
+
+  /** IVF index-health audit: per-cell population, share of corpus,
+    * and skew vs the even-split ideal (skew = n·K/total; 1.0 = evenly
+    * loaded, ≫1 = a fat cell whose rerank candidate lists are growing,
+    * missing cell = empty and its probes are wasted). The operational
+    * check a maintained ANN/semantic index runs after every append and
+    * before re-sizing k; rides the memoized/primable ivfCells
+    * artifact, one hash-agg + a 1-row broadcast total. */
+  def ivfStats(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfCells(spark, dir)
+    val tot = cells.agg(count(lit(1)).as("total"))
+    cells.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("vec_id").as("min_vec_id"), max("vec_id").as("max_vec_id"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("total"), 6).as("share"),
+        round(col("n_vecs").cast("double") * NumCentroids / col("total"), 6)
+          .as("skew"),
+        col("min_vec_id"), col("max_vec_id"))
+      .orderBy("cell")
   }
 
   /** The prototypicality-scoring CTE `sc` over [[assignCteSql]]'s
@@ -836,7 +863,8 @@ object SimilarityModule extends QueryModule {
     "q_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
     "q_embedding_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
     "q_quantize_embeddings" -> ((s: SparkSession, d: String) => quantizeEmbeddings(s, d)),
-    "q_prune_prototypes" -> ((s: SparkSession, d: String) => SimilarityIvf.prototypePrune(s, d)))
+    "q_prune_prototypes" -> ((s: SparkSession, d: String) => SimilarityIvf.prototypePrune(s, d)),
+    "q_ivf_stats" -> ((s: SparkSession, d: String) => SimilarityIvf.ivfStats(s, d)))
 
   // q_knn_exact_agg shares q_knn_exact's oracle: same semantics, the
   // Aggregator formulation just changes the physical plan.
@@ -847,6 +875,18 @@ object SimilarityModule extends QueryModule {
     "q_knn_lsh_probe" -> lshProbeOracleSql,
     "q_knn_ivf" -> ivfOracleSql(SimilarityIvf.centroids),
     "q_prune_prototypes" -> protoOracleSql,
+    "q_ivf_stats" ->
+      s"""WITH ${SimilarityIvf.assignCteSql},
+         |g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+         |    CAST(MAX(vec_id) AS BIGINT) AS max_vec_id
+         |  FROM assign GROUP BY cell),
+         |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM g)
+         |SELECT cell, n_vecs,
+         |  round(CAST(n_vecs AS DOUBLE) / total, 6) AS share,
+         |  round(CAST(n_vecs AS DOUBLE) * ${SimilarityIvf.NumCentroids} / total, 6) AS skew,
+         |  min_vec_id, max_vec_id
+         |FROM g CROSS JOIN t ORDER BY cell""".stripMargin,
     "q_quantize_embeddings" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT vec_id,

@@ -233,6 +233,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
   }
 
+  test("ivfStats accounts for every indexed vector, share sums to 1, skew centers at 1") {
+    val dir = sf("sf0.001")
+    val stats = SimilarityIvf.ivfStats(spark, dir)
+      .select("cell", "n_vecs", "share", "skew", "min_vec_id", "max_vec_id")
+      .as[(Int, Long, Double, Double, Long, Long)].collect()
+    val base = Similarity.embBase(spark, dir).count()
+    assert(stats.map(_._2).sum == base, "every norm-filtered vector is in exactly one cell")
+    assert(math.abs(stats.map(_._3).sum - 1.0) < 1e-3, "shares partition the corpus")
+    stats.foreach { s =>
+      assert(math.abs(s._4 - s._3 * SimilarityIvf.NumCentroids) < 1e-4,
+        s"skew is share x K: $s")
+      assert(s._5 <= s._6, s"min <= max vec_id: $s")
+    }
+    graft.operators.Dedup.releaseIndexes(spark)
+  }
+
   test("prototypePrune drops exactly the top floor(frac·n) most prototypical of each cell") {
     val dir = sf("sf0.001")
     val scores = SimilarityIvf.prototypeScores(spark, dir)
