@@ -400,9 +400,9 @@ object SimilarityIvf {
     * 16×64 dot products twice (CollapseProject inlines single-use
     * aliases); the staging blocks are freed as soon as the id table
     * materializes. */
-  private[operators] def ivfCells(spark: SparkSession, dir: String,
-                                  cents: Seq[Seq[Double]] = centroids,
-                                  memoKey: String = ""): DataFrame = {
+  private[graft] def ivfCells(spark: SparkSession, dir: String,
+                              cents: Seq[Seq[Double]] = centroids,
+                              memoKey: String = ""): DataFrame = {
     val key = if (memoKey.nonEmpty) memoKey else s"ivfCells|$dir"
     Dedup.memo(spark, key) {
       val (staged, stagedIds) = Dedup.trackedCheckpoint(
@@ -415,6 +415,19 @@ object SimilarityIvf {
       Dedup.unpersistIds(spark, stagedIds)
       out
     }
+  }
+
+  /** The argmax-cell assignment of a vector column as ONE expression
+    * tree — shared with the streaming semantic ingest probe (a stream
+    * cannot checkpoint staging projections, and a byte-identical
+    * assignment expression is what makes a stream probe land in the
+    * same cells as the persisted index). The dot array is evaluated
+    * twice after CollapseProject inlining — acceptable for batch-sized
+    * stream inputs, the ivfAssign argument. */
+  private[graft] def cellExpr(v: Column,
+                              cents: Seq[Seq[Double]] = centroids): Column = {
+    val dots = centroidDots(v, cents)
+    array_position(dots, array_max(dots)).cast("int")
   }
 
   /** Row-wise IVF cell assignment over an arbitrary (vec_id, v, …)

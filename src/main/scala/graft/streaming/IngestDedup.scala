@@ -252,4 +252,49 @@ object IngestDedup {
   def corpusEmbBuckets(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshBuckets(spark, dir)
 
+  /** Streaming SEMANTIC (IVF-cell-blocked) ingest — SemDeDup's
+    * maintenance tier, the third blocking scheme in the streaming
+    * family: a (ts, vec_id, embedding) stream vector is assigned to
+    * its coarse cell via `SimilarityIvf.cellExpr` — the SAME argmax
+    * expression tree as the persisted `ivfCells` artifact, so the
+    * probe lands in exactly the corpus index's cell geometry — then
+    * scored by exact cosine against ONLY its cell-mates (stream-static
+    * join on `cell`). Emits (vec_id, ts, dup_of, cos) for mates at or
+    * above `minCos`.
+    *
+    * Cost per stream vector is O(|cell|) — the SemDeDup trade vs the
+    * LSH tier's O(collisions): full within-cell recall, no multi-table
+    * dependence, with per-cell population as the operational knob
+    * `ivfStats` watches (production sizes k ∝ corpus so cells stay
+    * bounded). No within-stream pair dedup is needed: one cell per
+    * vector means each (new, mate) pair arises exactly once. Static
+    * sides (`corpusCells` + `corpusEmbBase`) are primable from the
+    * parquet artifacts and growable under a running stream via
+    * appendIndexes, same safety condition as the other tiers. */
+  def semanticIngest(vecs: DataFrame, cells: DataFrame, base: DataFrame,
+                     watermark: String = "1 hour",
+                     minCos: Double = 0.9): DataFrame = {
+    def dot(a: Column, b: Column): Column = graft.functions.ArrayDotProduct(a, b)
+    val cellMates = cells
+      .join(base.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .select(col("vec_id").as("dup_of"), col("cell"),
+        col("v").as("v_c"), col("nrm").as("nrm_c"))
+    vecs
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0d)
+      .withWatermark("ts", watermark)
+      .withColumn("cell",
+        graft.operators.SimilarityIvf.cellExpr(col("embedding")))
+      .join(cellMates, Seq("cell"))
+      .filter(col("vec_id") =!= col("dup_of")) // no self-pairs (re-ingested id)
+      .select(col("vec_id"), col("ts"), col("dup_of"),
+        (dot(col("embedding"), col("v_c")) / (col("nrm") * col("nrm_c"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Static cell index for the semantic tier — the memoized/primable
+    * `ivfCells` artifact the batch SemDeDup query rides. */
+  def corpusCells(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SimilarityIvf.ivfCells(spark, dir)
+
 }
