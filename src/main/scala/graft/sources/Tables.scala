@@ -27,33 +27,44 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** The driver-generated events table stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark 4's reader rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw long nanos via the legacy
-    * conf, then convert to a micros timestamp — lossless here (the
-    * synthetic data carries no sub-microsecond component) and exact
-    * integer arithmetic (`div`), no double rounding. Fixture-written
-    * tables already carry a native timestamp and pass through. */
+  /** The driver-generated events table has shipped `ts` in two layouts
+    * across rounds: parquet TIMESTAMP(NANOS), which Spark 4's reader
+    * rejects outright (PARQUET_TYPE_ILLEGAL), and TIMESTAMP_MICROS with
+    * isAdjustedToUTC=0 (Spark TIMESTAMP_NTZ). Normalize both to a
+    * session-zone TimestampType so downstream event-time code
+    * (session_window bounds, unix_micros) sees one type:
+    *  - nanos-as-long (via the legacy conf) → exact integer `div 1000`
+    *    to micros, no double rounding;
+    *  - NTZ → cast to TimestampType. The Verify/Bench sessions pin the
+    *    timezone to UTC, so the cast is a lossless relabel reproducing
+    *    the exact LTZ semantics the oracles have matched since round 2.
+    * Fixture-written tables already carry native LTZ and pass through. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 
-  /** Whether an events directory stores `ts` in the raw-long-nanos
-    * layout (true) or as a native parquet timestamp (false) — the same
-    * dispatch `events` makes per-read, exposed so the STREAMING twin
-    * (whose file-stream source must declare its schema up front) can
-    * make it once at stream definition. */
-  def rawEventsTsIsLong(spark: SparkSession, path: String): Boolean = {
+  /** The raw on-disk type of an events directory's `ts` column —
+    * LongType (nanos-as-long), TimestampNTZType, or TimestampType —
+    * i.e. the same dispatch `events` makes per-read, exposed so the
+    * STREAMING twin (whose file-stream source must declare its schema
+    * up front) can make it once at stream definition. */
+  def rawEventsTsType(spark: SparkSession, path: String): org.apache.spark.sql.types.DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+    spark.read.parquet(path).schema("ts").dataType
   }
+
+  /** Back-compat boolean view of [[rawEventsTsType]]. */
+  def rawEventsTsIsLong(spark: SparkSession, path: String): Boolean =
+    rawEventsTsType(spark, path) == org.apache.spark.sql.types.LongType
 }

@@ -84,16 +84,26 @@ object EventStreams {
     * previously the BIGINT layout was hardcoded and a native-timestamp
     * directory failed its first micro-batch on schema mismatch. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsLong = graft.sources.Tables.rawEventsTsIsLong(spark, dir)
-    val tsDecl = if (tsIsLong) "ts BIGINT" else "ts TIMESTAMP"
+    val tsType = graft.sources.Tables.rawEventsTsType(spark, dir)
+    val tsDecl = tsType match {
+      case LongType         => "ts BIGINT"
+      case TimestampNTZType => "ts TIMESTAMP_NTZ"
+      case _                => "ts TIMESTAMP"
+    }
     val schema = s"event_id BIGINT, $tsDecl, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$dir")
-    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // UTC-pinned session (Verify/Bench): lossless relabel to LTZ, same
+      // normalization Tables.events applies on the batch path.
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour counts with a late-data watermark — the streaming
