@@ -455,6 +455,62 @@ object Curation {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Staged per-doc BPE token arrays (graft.functions.Bpe) — the
+    * subword twin of docToks, memoized behind the same checkpoint
+    * barrier so chunking and budgeting share one tokenization pass. */
+  private[operators] def docBpeToks(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(spark, s"curationBpeToks|$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.BpeTokenizeColumn(col("text")).as("toks"))
+        .transform(Dedup.checkpointSer)
+    }
+
+  /** chunkDocs over REAL subword tokens: identical windowing, but the
+    * unit is what a trained tokenizer would emit (graft.functions.Bpe),
+    * so chunk sizes line up with model context windows instead of
+    * word counts. `size > 0` guard: an all-whitespace doc BPE-encodes
+    * to an EMPTY array (not null) and must emit no chunk. */
+  def chunkDocsBpe(spark: SparkSession, dir: String): DataFrame = {
+    val k = ChunkTokens
+    docBpeToks(spark, dir)
+      .filter(col("toks").isNotNull && size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), ((size(col("toks")) - 1) / k).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(k), size(col("toks")) - col("chunk_idx") * k).as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("chunk_idx") * k + 1, lit(k)))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Budget for the BPE-unit token-budget selection: BPE tokens run
+    * ~2.5× the whitespace count on this corpus, so the budget scales
+    * to keep a comparable selection depth. */
+  private[operators] val TokenBudgetBpe = 20000L
+
+  /** tokenBudget in REAL subword units: quality tiers are unchanged
+    * (classification stays on word statistics) but the budget axis
+    * counts BPE tokens — the number that actually bounds a training
+    * run. Same distributed blockCumsum physics; the BPE counts join
+    * in on doc_id (map-side after AQE broadcasts the small side). */
+  def tokenBudgetBpe(spark: SparkSession, dir: String,
+                     budget: Long = TokenBudgetBpe): DataFrame = {
+    val counts = docBpeToks(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val docs = TextAnalysis.qualityTiers(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .join(counts, Seq("doc_id"))
+      .withColumn("tier", when(col("quality") === "ok", 0L).otherwise(1L))
+    val withCum = blockCumsum(docs, expr("tier * 1099511627776 + doc_id DIV 1024"),
+      Seq(col("tier"), col("doc_id")), col("n_tokens"))
+    withCum.filter(col("_cum") <= budget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("_cum").cast("long").as("cum_tokens"))
+      .orderBy("cum_tokens")
+  }
+
   /** Sample size for PPS sampling. */
   private[operators] val PpsSampleN = 100L
 
@@ -684,6 +740,8 @@ object CurationModule extends QueryModule {
     "q_hash_split" -> ((s: SparkSession, d: String) => hashSplit(s, d)),
     "q_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
     "q_chunk_docs" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
+    "q_chunk_docs_bpe" -> ((s: SparkSession, d: String) => chunkDocsBpe(s, d)),
+    "q_token_budget_bpe" -> ((s: SparkSession, d: String) => tokenBudgetBpe(s, d)),
     "q_pps_sample" -> ((s: SparkSession, d: String) => ppsSample(s, d)),
     "q_pack_chunks" -> ((s: SparkSession, d: String) => packChunks(s, d)),
     "q_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
@@ -850,6 +908,38 @@ object CurationModule extends QueryModule {
         |  md5(array_to_string(toks[j*64+1 : j*64+64], ' ')) AS chunk_md5
         |FROM t, unnest(generate_series(0, (len(toks)-1)//64)) AS u(j)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_chunk_docs_bpe" ->
+      s"""WITH RECURSIVE
+         |${graft.functions.Bpe.oracleToksCtes}
+         |SELECT doc_id, j AS chunk_idx,
+         |  least(64, len(toks) - j*64) AS n_tokens,
+         |  md5(array_to_string(toks[j*64+1 : j*64+64], ' ')) AS chunk_md5
+         |FROM bpe_toks, unnest(generate_series(0, (len(toks)-1)//64)) AS u(j)
+         |WHERE len(toks) > 0
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_token_budget_bpe" ->
+      s"""WITH RECURSIVE
+         |${graft.functions.Bpe.oracleToksCtes},
+         |d AS (SELECT doc_id, text,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+         |  FROM d),
+         |q AS (SELECT doc_id,
+         |  CASE WHEN n_tokens < 10 THEN 'too_short'
+         |       WHEN punct_ratio > 0.2 THEN 'too_punct'
+         |       WHEN distinct_ratio < 0.2 THEN 'too_repetitive'
+         |       ELSE 'ok' END AS quality FROM s),
+         |bc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM bpe_toks),
+         |c AS (SELECT q.doc_id, q.quality, bc.n_tokens,
+         |  SUM(bc.n_tokens) OVER (
+         |    ORDER BY CASE WHEN q.quality = 'ok' THEN 0 ELSE 1 END, q.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM q JOIN bc USING (doc_id))
+         |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 20000 ORDER BY cum_tokens""".stripMargin,
     "q_pps_sample" ->
       """WITH d AS (SELECT doc_id, n_chars + 1 AS w FROM documents),
         |c AS (SELECT doc_id, w,

@@ -135,6 +135,33 @@ object TextAnalysis {
           .cast("long").as("bpe_ish_tokens"))
       .orderBy("doc_id")
 
+  /** Real subword accounting: whitespace tokens vs true BPE tokens
+    * (graft.functions.Bpe — fixed merge table, canonical encode) plus
+    * the chars-per-BPE-token compression ratio, the number a training
+    * pipeline actually budgets on. One narrow codegen'd map per row. */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars_calc"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        graft.functions.BpeTokenizeColumn(col("text")).as("toks"))
+      .select(col("doc_id"), col("ws_tokens"),
+        size(col("toks")).cast("long").as("bpe_tokens"),
+        round(col("n_chars_calc").cast("double") /
+          greatest(size(col("toks")), lit(1)), 6).as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Corpus-wide BPE vocabulary usage: top-20 subword tokens by
+    * occurrence (explode + one map-side-combined hash agg) — the
+    * vocab-coverage audit run before committing to a tokenizer. */
+  def bpeVocabStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.BpeTokenizeColumn(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_uses"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_uses").desc, col("token").asc)
+      .limit(20)
+
   /** Most frequent tokens corpus-wide: explode + one hash aggregation,
     * top 20 (count desc, token asc). The generator analog of the
     * reference's 6-level flatten (SURVEY.md §2.8) applied to analytics. */
@@ -414,6 +441,8 @@ object TextAnalysisModule extends QueryModule {
     "q_text_lang_id" -> ((s: SparkSession, d: String) => langId(s, d)),
     "q_text_quality" -> ((s: SparkSession, d: String) => qualityScore(s, d)),
     "q_text_token_count" -> ((s: SparkSession, d: String) => tokenCount(s, d)),
+    "q_text_token_count_bpe" -> ((s: SparkSession, d: String) => bpeTokenCount(s, d)),
+    "q_bpe_vocab_stats" -> ((s: SparkSession, d: String) => bpeVocabStats(s, d)),
     "q_text_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "q_text_bigrams" -> ((s: SparkSession, d: String) => bigrams(s, d)),
     "q_text_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
@@ -502,6 +531,26 @@ object TextAnalysisModule extends QueryModule {
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The BPE oracles replay graft.functions.Bpe's merge table in pure
+    // SQL (recursive replace passes over a 0x1F-delimited token string;
+    // see Bpe.oracleToksCtes) — true cross-engine verification of the
+    // subword semantics, not an echo of the Spark output.
+    "q_text_token_count_bpe" ->
+      s"""WITH RECURSIVE
+         |${graft.functions.Bpe.oracleToksCtes}
+         |SELECT d.doc_id,
+         |  CAST(len(string_split_regex(trim(lower(d.text)), '\\s+')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(b.toks) AS BIGINT) AS bpe_tokens,
+         |  round(CAST(length(d.text) AS DOUBLE) / greatest(len(b.toks), 1), 6) AS chars_per_token
+         |FROM documents d JOIN bpe_toks b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_bpe_vocab_stats" ->
+      s"""WITH RECURSIVE
+         |${graft.functions.Bpe.oracleToksCtes}
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_uses,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM (SELECT doc_id, unnest(toks) AS token FROM bpe_toks)
+         |GROUP BY token ORDER BY n_uses DESC, token ASC LIMIT 20""".stripMargin,
     "q_text_token_histogram" ->
       """SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
