@@ -381,16 +381,41 @@ object SimilarityIvf {
     Seq.fill(NumCentroids, Similarity.Dim)(rnd.nextGaussian())
   }
 
+  /** Corpus-proportional cell count for the FITTED quantizer:
+    * k = clamp(4·⌈√N⌉, 16, 4096) — the FAISS sizing band (4√N–16√N
+    * cells keeps expected cell population ∝ √N, so per-probe rerank
+    * lists and the number of probes both grow as the square root of
+    * the corpus instead of linearly). The 4096 cap marks where the
+    * inline-literal centroid plan stops being sensible; past it the
+    * model ships as a broadcast table (centroidTable already persists
+    * exactly that artifact). One COUNT over the ids-only scan, cached
+    * per (session, dir). */
+  private val kCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[operators] def corpusK(spark: SparkSession, dir: String): Int =
+    kCache.computeIfAbsent(s"${Dedup.sessionKey(spark)}|$dir", _ => {
+      val n = Tables.embeddings(spark, dir).count()
+      math.max(16, math.min(4096,
+        4 * math.ceil(math.sqrt(n.toDouble)).toInt))
+    }).intValue()
+
+  /** Probe count scaled to the cell count (k/8 cells ≈ 12.5 % of the
+    * corpus as candidates, floored at the seeded default) — holding
+    * nprobe constant while k grows would silently trade the larger k
+    * for recall. */
+  private[operators] def probeFor(k: Int): Int = math.max(NumProbe, k / 8)
+
   private def centroidDots(v: Column, cents: Seq[Seq[Double]]): Column =
     array(cents.map(c => dot(v, typedLit(c))): _*)
 
-  /** Query side: probe the `NumProbe` nearest cells (standard IVF
+  /** Query side: probe the `nprobe` nearest cells (standard IVF
     * recall knob — a vector near a cell boundary is found through the
     * neighboring probes). */
-  private def probedCells(v: Column, cents: Seq[Seq[Double]]): Column =
+  private def probedCells(v: Column, cents: Seq[Seq[Double]],
+                          nprobe: Int = NumProbe): Column =
     transform(
       slice(reverse(array_sort(arrays_zip(
-        centroidDots(v, cents), sequence(lit(1), lit(cents.length))))), 1, NumProbe),
+        centroidDots(v, cents), sequence(lit(1), lit(cents.length))))), 1, nprobe),
       s => s.getField("1").cast("int"))
 
   /** Materialized IVF cell index (vec_id, cell) — ids only, built once
@@ -512,33 +537,42 @@ object SimilarityIvf {
     * re-seed from the sample (hash order), so exactly k centroids
     * always come back. */
   private[operators] def fitCentroids(spark: SparkSession, dir: String,
-                                      k: Int = NumCentroids, sampleN: Int = 512,
+                                      k: Int = 0, sampleN: Int = 0,
                                       iters: Int = 5): Seq[Seq[Double]] = {
-    val key = s"${Dedup.sessionKey(spark)}|$dir|$k"
+    // k = 0 (the default request) resolves to the corpus-proportional
+    // cell count; an explicit k pins the geometry (tests, experiments)
+    val kReq = if (k > 0) k else corpusK(spark, dir)
+    val key = s"${Dedup.sessionKey(spark)}|$dir|$kReq"
     val hit = fitCache.get(key)
     if (hit != null) return hit
     // A session primed from parquet serves the persisted quantizer
-    // (16 rows — a negligible collect) instead of refitting: the model
+    // (k rows — a negligible collect) instead of refitting: the model
     // travels with the cell index, so assignments and probes stay in
-    // one cell geometry across sessions and appends.
-    if (k == NumCentroids) {
+    // one cell geometry across sessions and appends. Only default
+    // requests consult the artifact — an explicit k asks for a
+    // specific geometry, which a foreign artifact cannot satisfy.
+    if (k == 0) {
       Dedup.memoGet(spark, s"ivfCentroidsFit|$dir").foreach { df =>
         val cents = df.orderBy("cell").collect()
           .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
         if (cents.nonEmpty) { fitCache.put(key, cents); return cents }
       }
     }
+    // the training sample scales with the requested cells (≥16 points
+    // per centroid, floored at the legacy 512) — fitting 4√N cells on
+    // a fixed 512-row draw would leave most cells with <4 points
+    val sampleEff = if (sampleN > 0) sampleN else math.max(512, 16 * kReq)
     val sample = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-      .limit(sampleN)
+      .limit(sampleEff)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(sample.nonEmpty, s"cannot fit IVF centroids: $dir/embeddings is empty")
     // fewer rows than requested cells → fit what the data supports
     // (indexing over k > n is well-defined with kEff cells, whereas
     // centroids(c) past the sample would throw)
-    val kEff = math.min(k, sample.length)
+    val kEff = math.min(kReq, sample.length)
     var centroids: Array[Array[Double]] = sample.take(kEff).map(_.clone())
     (1 to iters).foreach { _ =>
       val sums = Array.fill(kEff)(new Array[Double](centroids(0).length))
@@ -572,8 +606,11 @@ object SimilarityIvf {
     * Rows-only for the driver; planted recall pinned in
     * SimilaritySpec. */
   def annIvfFitted(spark: SparkSession, dir: String,
-                   nQueries: Int = NumQueriesDefault, k: Int = TopKDefault): DataFrame =
-    annIvfWith(spark, dir, fitCentroids(spark, dir), s"ivfCellsFit|$dir", nQueries, k)
+                   nQueries: Int = NumQueriesDefault, k: Int = TopKDefault): DataFrame = {
+    val cents = fitCentroids(spark, dir)
+    annIvfWith(spark, dir, cents, s"ivfCellsFit|$dir", nQueries, k,
+      probeFor(cents.length))
+  }
 
   /** Approximate top-k via IVF: candidate pairs from the ids-only cell
     * index (equi-join on the cell id), exact cosine rerank via vector
@@ -589,13 +626,77 @@ object SimilarityIvf {
     annIvfWith(spark, dir, centroids, s"ivfCells|$dir", nQueries, k)
 
   private def annIvfWith(spark: SparkSession, dir: String, cents: Seq[Seq[Double]],
-                         memoKey: String, nQueries: Int, k: Int): DataFrame = {
+                         memoKey: String, nQueries: Int, k: Int,
+                         nprobe: Int = NumProbe): DataFrame = {
     val base = Similarity.embBase(spark, dir)
     val cells = ivfCells(spark, dir, cents, memoKey)
     val qcells = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), explode(probedCells(col("v"), cents)).as("cell"))
+      .select(col("vec_id").as("query_id"),
+        explode(probedCells(col("v"), cents, nprobe)).as("cell"))
     val pairs = broadcast(qcells)
       .join(cells.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    Similarity.rerankTopK(base, pairs, nQueries, k)
+  }
+
+  /** Label bound for the registered filtered-ANN query: neighbors are
+    * constrained to `label < 5` (half the 10-label corpus) — a stand-in
+    * for any candidate-stage predicate (tenant id, language, license
+    * class). */
+  private[operators] val FilterLabelMax = 5
+
+  /** Predicate-constrained ANN ("filtered search", the most common
+    * real serving ask): top-k among corpus vectors satisfying the
+    * label predicate, under the FITTED corpus-proportional quantizer.
+    *
+    * The filter applies INSIDE the candidate stage — the ids-only cell
+    * index joins the (vec_id, label) projection and drops excluded
+    * vectors BEFORE the candidate join and rerank (pre-filter
+    * semantics). The alternative, filtering after the top-k, silently
+    * returns < k rows whenever the unfiltered top-k is dominated by
+    * out-of-predicate neighbors; pre-filtering keeps the full k from
+    * the allowed population at the same probe cost. Recall vs the
+    * post-filter exact twin is pinned in SimilaritySpec; the driver
+    * oracle replays the whole plan (fitted centroids inlined at dump
+    * time + the same label join) hash-exact.
+    *
+    * Scale posture: the label projection joins the cell index on
+    * vec_id (both ids-only, co-partitionable artifacts); the probed
+    * candidate join stays an equi-join on cell. Selective predicates
+    * shrink every downstream stage — exactly where a 100 TB filtered
+    * search wants the filter. */
+  /** Probe budget under a predicate: the allowed population per probed
+    * cell shrinks by the predicate's selectivity, so the probe count
+    * grows by its inverse (labelMax of 10 labels ⇒ selectivity
+    * labelMax/10), plus a 1.5× headroom factor measured against the
+    * post-filter exact twin (recall@5 0.82 at sf0.001, pinned ≥ 0.8 in
+    * SimilaritySpec — the corpus is weakly clustered, so boundary
+    * neighbors need the extra probes). Holding nprobe fixed would thin
+    * every candidate list by the filter and recall would fall with
+    * selectivity. Capped at k (probe-everything degenerates to exact
+    * search over the filtered corpus, the correct limit for
+    * ultra-selective predicates). */
+  private[operators] def probeForFiltered(k: Int, labelMax: Int): Int =
+    math.min(k, math.ceil(probeFor(k) * 15.0 / math.max(labelMax, 1)).toInt)
+
+  def annIvfFiltered(spark: SparkSession, dir: String,
+                     nQueries: Int = NumQueriesDefault, k: Int = TopKDefault,
+                     labelMax: Int = FilterLabelMax): DataFrame = {
+    val cents = fitCentroids(spark, dir)
+    val base = Similarity.embBase(spark, dir)
+    val cells = ivfCells(spark, dir, cents, s"ivfCellsFit|$dir")
+    val allowed = Tables.embeddings(spark, dir)
+      .filter(col("label") < labelMax)
+      .select(col("vec_id"))
+    val filteredCells = cells.join(allowed, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val qcells = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(probedCells(col("v"), cents,
+          probeForFiltered(cents.length, labelMax))).as("cell"))
+    val pairs = broadcast(qcells)
+      .join(filteredCells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     Similarity.rerankTopK(base, pairs, nQueries, k)
@@ -810,7 +911,8 @@ object SimilarityModule extends QueryModule {
     * ties, array_position semantics); the query side probes the top
     * NumProbe cells with the HIGHEST-cell tie order (reverse of an
     * ascending (dot, cell) sort — probedCells semantics). */
-  private[operators] def ivfOracleSql(cents: Seq[Seq[Double]]): String = {
+  private[operators] def ivfOracleSql(cents: Seq[Seq[Double]],
+                                      nprobe: Int = SimilarityIvf.NumProbe): String = {
     val rows = cents.zipWithIndex
       .map { case (c, i) => s"(${i + 1}, ${listLit(c)}::DOUBLE[])" }
       .mkString(",\n    ")
@@ -825,9 +927,38 @@ object SimilarityModule extends QueryModule {
        |qcells AS (SELECT vec_id AS query_id, cell FROM (
        |    SELECT vec_id, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell DESC) AS rn
-       |    FROM d WHERE vec_id < 10) WHERE rn <= ${SimilarityIvf.NumProbe}),
+       |    FROM d WHERE vec_id < 10) WHERE rn <= $nprobe),
        |cand AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id
        |         FROM qcells JOIN assign a USING (cell)
+       |         WHERE a.vec_id <> qcells.query_id),
+       |$rerankTail""".stripMargin
+  }
+
+  /** [[ivfOracleSql]] with the candidate-stage label predicate — the
+    * SQL twin of SimilarityIvf.annIvfFiltered (pre-filter semantics:
+    * the label join constrains candidates BEFORE the rerank). */
+  private[operators] def ivfFilteredOracleSql(cents: Seq[Seq[Double]],
+                                              nprobe: Int,
+                                              labelMax: Int): String = {
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${listLit(c)}::DOUBLE[])" }
+      .mkString(",\n    ")
+    s"""WITH $eCte,
+       |cents(cell, cv) AS (VALUES
+       |    $rows),
+       |d AS (SELECT vec_id, cell, list_dot_product(v, cv) AS dt FROM e CROSS JOIN cents),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |qcells AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell DESC) AS rn
+       |    FROM d WHERE vec_id < 10) WHERE rn <= $nprobe),
+       |lab AS (SELECT vec_id FROM embeddings WHERE label < $labelMax),
+       |cand AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+       |         FROM qcells JOIN assign a USING (cell)
+       |                     JOIN lab ON lab.vec_id = a.vec_id
        |         WHERE a.vec_id <> qcells.query_id),
        |$rerankTail""".stripMargin
   }
@@ -873,6 +1004,7 @@ object SimilarityModule extends QueryModule {
     "q_knn_lsh_probe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvf(s, d)),
     "q_knn_ivf_fit" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvfFitted(s, d)),
+    "q_knn_ivf_filtered" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvfFiltered(s, d)),
     "q_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
     "q_embedding_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
     "q_quantize_embeddings" -> ((s: SparkSession, d: String) => quantizeEmbeddings(s, d)),
@@ -952,6 +1084,13 @@ object SimilarityModule extends QueryModule {
     * is deterministic (hash-ordered sample, fixed seeds/iterations)
     * and cached per (session, dir), so the literals match the cells
     * the query assigned in the same session bit-for-bit. */
-  override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] =
-    Map("q_knn_ivf_fit" -> ivfOracleSql(SimilarityIvf.fitCentroids(spark, dir)))
+  override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] = {
+    val cents = SimilarityIvf.fitCentroids(spark, dir)
+    val nprobe = SimilarityIvf.probeFor(cents.length)
+    Map(
+      "q_knn_ivf_fit" -> ivfOracleSql(cents, nprobe),
+      "q_knn_ivf_filtered" -> ivfFilteredOracleSql(cents,
+        SimilarityIvf.probeForFiltered(cents.length, SimilarityIvf.FilterLabelMax),
+        SimilarityIvf.FilterLabelMax))
+  }
 }

@@ -104,7 +104,43 @@ class SimilaritySpec extends SparkSpec {
     val f1 = SimilarityIvf.fitCentroids(spark, sf("sf0.001"))
     val f2 = SimilarityIvf.fitCentroids(spark, sf("sf0.001"))
     assert(f1 == f2, "hash-ordered sample + Lloyd must be reproducible")
-    assert(f1.length == 16 && f1.forall(_.length == 64))
+    // corpus-proportional sizing: k = 4·⌈√N⌉ (N=500 → 92), nprobe k/8
+    val expectedK = SimilarityIvf.corpusK(spark, sf("sf0.001"))
+    assert(expectedK == 4 * math.ceil(math.sqrt(500.0)).toInt)
+    assert(f1.length == expectedK && f1.forall(_.length == 64))
+    assert(SimilarityIvf.probeFor(expectedK) == expectedK / 8)
+  }
+
+  test("filtered ANN: predicate holds on every row, recall vs post-filter exact twin") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val out = SimilarityIvf.annIvfFiltered(spark, dir)
+      .select("query_id", "neighbor_id", "cos", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.nonEmpty)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect()
+    val allowed = emb.filter(_._3 < SimilarityIvf.FilterLabelMax).map(_._1).toSet
+    assert(out.forall(r => allowed(r._2)),
+      "filtered ANN returned an out-of-predicate neighbor")
+    // post-filter exact twin: brute-force cosine top-5 over the allowed
+    // slice (zero-norm vectors excluded, the embBase rule)
+    def nrm(v: Seq[Float]): Double = math.sqrt(v.map(x => x.toDouble * x).sum)
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum / (nrm(a) * nrm(b))
+    val vecs = emb.map(r => r._1 -> r._2).toMap
+    val truth = (0L until 10L).filter(q => vecs.contains(q) && nrm(vecs(q)) > 0)
+      .flatMap { q =>
+        emb.filter(r => allowed(r._1) && r._1 != q && nrm(r._2) > 0)
+          .map(r => (r._1, cos(vecs(q), r._2)))
+          .sortBy { case (id, c) => (-c, id) }
+          .take(5).map { case (id, _) => (q, id) }
+      }.toSet
+    val got = out.map(r => (r._1, r._2)).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(s"filtered-ANN recall@5 vs post-filter exact: $recall")
+    assert(recall >= 0.8, s"filtered ANN recall $recall below 0.8")
   }
 
   test("IVF ranks are dense, scores agree with exact cosine on shared pairs") {
