@@ -163,25 +163,27 @@ object EventStreams {
   /** Streaming → sink integration: every micro-batch of closed
     * sessions lands through the same partition-batched object sink the
     * batch path uses (foreachBatch bridges streaming to any batch
-    * sink; the checkpoint gives exactly-once batch ids and the
-    * overwrite-by-key object layout makes replays idempotent —
-    * SURVEY.md §2.1 S5 + §7.4 at-least-once note). */
+    * sink). Exactly-once effects via the batchId-keyed commit wrapper
+    * (Sinks.exactlyOnceBatch): a replayed completed batch is skipped
+    * outright, a crash mid-batch replays onto overwrite-by-key object
+    * writes — SURVEY.md §2.1 S5 + §7.4 at-least-once note. */
   def writeSessionsAsObjects(sessions: Dataset[Session], outDir: String,
                              checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val landBatch = (batch: Dataset[Session], batchId: Long) => {
-      val df = batch.toDF()
-        .withColumn("obj_key", concat_ws("_",
-          col("user_id"), unix_micros(col("session_start"))))
-        .withColumn("obj_key", concat(col("obj_key"), lit(".json")))
-        .withColumn("payload", to_json(struct(
-          col("user_id"), col("session_start"), col("session_end"),
-          col("n_events"), col("sum_value"))))
-      graft.sinks.Sinks.writeObjectPerRow(df, "obj_key", "payload", outDir)
+    val landBatch = graft.sinks.Sinks.exactlyOnceBatch(s"$outDir/_commits") {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val df = batch
+          .withColumn("obj_key", concat_ws("_",
+            col("user_id"), unix_micros(col("session_start"))))
+          .withColumn("obj_key", concat(col("obj_key"), lit(".json")))
+          .withColumn("payload", to_json(struct(
+            col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), col("sum_value"))))
+        graft.sinks.Sinks.writeObjectPerRow(df, "obj_key", "payload", outDir)
     }
     sessions.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch(landBatch)
+      .foreachBatch((b: Dataset[Session], id: Long) => landBatch(b.toDF(), id))
       .start()
   }
 

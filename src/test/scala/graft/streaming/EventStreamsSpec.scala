@@ -202,10 +202,15 @@ class EventStreamsSpec extends SparkSpec {
         ev(2, "2024-01-01 10:10:00", 1),
         ev(3, "2024-01-01 12:00:00", 1)) // 110-min gap closes the first session
       q.processAllAvailable()
-      val files = new java.io.File(outDir).listFiles().filterNot(_.getName.startsWith("."))
+      // _commits holds the exactly-once batch markers, not objects
+      val files = new java.io.File(outDir).listFiles()
+        .filterNot(f => f.getName.startsWith(".") || f.getName == "_commits")
       assert(files.map(_.getName).toSet == Set("1_1704103200000000.json"))
       val txt = new String(java.nio.file.Files.readAllBytes(files.head.toPath), "UTF-8")
       assert(txt.contains("\"n_events\":2"))
+      assert(new java.io.File(s"$outDir/_commits").listFiles()
+        .exists(_.getName.startsWith("batch-")),
+        "the object sink must publish its batch commit markers")
     }
   }
 

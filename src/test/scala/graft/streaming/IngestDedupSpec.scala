@@ -312,6 +312,80 @@ class IngestDedupSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
   }
 
+  test("exactly-once sink: kill mid-batch, checkpointed replay lands no duplicates and skips committed batches") {
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-eo-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-eo-ckpt").toString
+    // target: one line-file per doc_id, plus an append-only attempt LOG
+    // so duplicate SIDE EFFECTS (not just final state) are observable
+    val attempts = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val writeCalls = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile var failOnce = true
+    def start(input: MemoryStream[Doc]): StreamingQuery = {
+      val land = graft.sinks.Sinks.exactlyOnceBatch(s"$outDir/_commits") {
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          writeCalls.incrementAndGet()
+          val rows = batch.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+          // first row of the batch lands BEFORE the injected crash —
+          // the partial effect a replay must overwrite, not duplicate
+          rows.headOption.foreach { id =>
+            attempts.add((batchId, id))
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$outDir/doc-$id.json"), s"""{"doc_id":$id}""")
+          }
+          if (failOnce) { failOnce = false; sys.error("injected mid-batch crash") }
+          rows.drop(1).foreach { id =>
+            attempts.add((batchId, id))
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$outDir/doc-$id.json"), s"""{"doc_id":$id}""")
+          }
+      }
+      input.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch(land)
+        .start()
+    }
+    val in1 = MemoryStream[Doc]
+    in1.addData(Doc(ts("2024-01-01 10:00:00"), 100L, "alpha"),
+      Doc(ts("2024-01-01 10:00:01"), 101L, "beta"))
+    val q1 = start(in1)
+    val died = try { q1.processAllAvailable(); false }
+      catch { case _: Throwable => true } finally q1.stop()
+    assert(died, "the injected crash must fail the first attempt")
+    assert(!new java.io.File(s"$outDir/_commits/batch-0").exists(),
+      "a crashed batch must not publish its commit marker")
+    // restart from the SAME checkpoint: batch 0 replays with the same id
+    val in2 = MemoryStream[Doc]
+    in2.addData(Doc(ts("2024-01-01 10:00:00"), 100L, "alpha"),
+      Doc(ts("2024-01-01 10:00:01"), 101L, "beta"))
+    val q2 = start(in2)
+    withQuery(q2) { q2.processAllAvailable() }
+    val files = new java.io.File(outDir).listFiles().map(_.getName)
+      .filter(_.startsWith("doc-")).sorted.toSeq
+    assert(files == Seq("doc-100.json", "doc-101.json"),
+      s"replay must land each doc exactly once, got $files")
+    assert(new java.io.File(s"$outDir/_commits/batch-0").exists(),
+      "the completed replay must publish the commit marker")
+    // doc 100 was written twice (partial attempt + replay) but onto the
+    // same key — idempotent overwrite, not duplication
+    import scala.jdk.CollectionConverters._
+    assert(attempts.asScala.count(_._2 == 100L) == 2)
+    assert(attempts.asScala.count(_._2 == 101L) == 1)
+    // a third run over the same checkpoint re-fires foreachBatch for
+    // nothing new; re-delivering an ALREADY-COMMITTED batch id must
+    // skip the sink body entirely
+    val callsBefore = writeCalls.get()
+    val committed = graft.sinks.Sinks.exactlyOnceBatch(s"$outDir/_commits") {
+      (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        writeCalls.incrementAndGet(); ()
+    }
+    committed(spark.range(1).toDF(), 0L)
+    assert(writeCalls.get() == callsBefore,
+      "a committed batchId must cause zero sink I/O on redelivery")
+  }
+
   test("stream-side minhashOfText is byte-identical to the batch signature artifact") {
     import org.apache.spark.sql.functions.col
     val batch = graft.operators.Dedup.minhashSignatures(spark, nearDupDir)
