@@ -55,9 +55,84 @@ object AltoModule extends QueryModule {
       .orderBy("representation_id", "pos")
   }
 
+  /** Bulk-corpus size for the distributed XML-datasource demo. */
+  private val BulkN = 2000
+
+  /** Deterministic bulk ALTO corpus: [[BulkN]] v2 files generated once
+    * into a versioned temp directory (driver-side, ~2 MB total; a
+    * `_SUCCESS` marker makes regeneration a no-op). File i carries
+    * fileName `page_<i>.tif`, page width `1000 + (i%5)*100`, and
+    * `3 + i%7` tokens `tok<i>_<j>` at HPOS `j*10` — closed forms the
+    * SQL oracle reconstructs with generate_series, independent of the
+    * XML path. This is the S2-at-scale posture: thousands of real
+    * files through the StAX datasource scan (schema supplied, so no
+    * inference pass), NOT from_xml over driver literals. */
+  private def bulkDir(): String = synchronized {
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_alto_bulk_${BulkN}_v1")
+    val done = new java.io.File(d, "_SUCCESS")
+    if (!done.exists()) {
+      d.mkdirs()
+      (0 until BulkN).foreach { i =>
+        val n = 3 + i % 7
+        val toks = (0 until n).map(j =>
+          s"""<String CONTENT="tok${i}_$j" HPOS="${j * 10}" VPOS="5" WIDTH="5" HEIGHT="9"/>""")
+          .mkString("\n          ")
+        val xml =
+          s"""<alto xmlns="http://www.loc.gov/standards/alto/ns-v2#">
+             |  <Description>
+             |    <sourceImageInformation><fileName>page_$i.tif</fileName></sourceImageInformation>
+             |  </Description>
+             |  <Layout>
+             |    <Page ID="P1" WIDTH="${1000 + (i % 5) * 100}" HEIGHT="3600">
+             |      <PrintSpace>
+             |        <TextBlock ID="TB1">
+             |          <TextLine>
+             |          $toks
+             |          </TextLine>
+             |        </TextBlock>
+             |      </PrintSpace>
+             |    </Page>
+             |  </Layout>
+             |</alto>""".stripMargin
+        java.nio.file.Files.writeString(
+          new java.io.File(d, f"alto_$i%05d.xml").toPath, xml)
+      }
+      done.createNewFile()
+    }
+    d.getAbsolutePath
+  }
+
+  /** Distributed XML-datasource scan over the bulk corpus: per-file
+    * token accounting through the same simplify path the fixture
+    * queries pin, with the representation id recovered from the
+    * document itself. Narrow per-row work (the token fold runs inside
+    * the row); the only exchange is the presentation sort. */
+  private def bulkQuery(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Alto.readAltoXmlFiles(spark, s"${bulkDir()}/alto_*.xml")
+    // NO checkpoint staging here, deliberately: CollapseProject does
+    // inline the simplify tree into each of the five field reads, but
+    // the whole inlined projection is codegen'd and measured at 0.33 s
+    // warm on the 2000-file corpus — while a checkpointSer staging
+    // barrier costs 4.4 s materializing the deep structs to block
+    // storage. The docToks-style staging rule applies to LAMBDA-sliced
+    // token arrays re-evaluated per element, not to a flat projection.
+    raw.select(Alto.simplify(col("alto")).as("simplified"))
+      .select(
+        regexp_extract(col("simplified")("description")("fileName"),
+          "page_(\\d+)\\.tif", 1).cast("bigint").as("rep_id"),
+        size(col("simplified")("text")).cast("bigint").as("n_tokens"),
+        col("simplified")("description")("width").as("page_width"),
+        aggregate(col("simplified")("text"), lit(0L),
+          (acc, t) => acc + t.getField("x")).as("sum_x"),
+        element_at(col("simplified")("text"), 1).getField("text").as("first_tok"))
+      .orderBy("rep_id")
+  }
+
   def queries = Map(
     "q_alto_simplify" -> ((s: SparkSession, d: String) => simplifyQuery(s, d)),
-    "q_alto_tokens" -> ((s: SparkSession, d: String) => tokensQuery(s, d)))
+    "q_alto_tokens" -> ((s: SparkSession, d: String) => tokensQuery(s, d)),
+    "q_alto_bulk" -> ((s: SparkSession, d: String) => bulkQuery(s, d)))
 
   // Golden values pinned by the reference script run (see AltoSpec).
   // size(null array) => -1 marks the unsupported-namespace record.
@@ -82,5 +157,17 @@ object AltoModule extends QueryModule {
         |  (BIGINT '4', 0, '', 1, 2, 3, 4),
         |  (BIGINT '4', 1, 'v3tok', 10, 20, 30, 40)
         |) AS t(representation_id, pos, text, x, y, width, height)
-        |ORDER BY representation_id, pos""".stripMargin)
+        |ORDER BY representation_id, pos""".stripMargin,
+    // Ground truth by construction: the generator's closed forms
+    // (n = 3 + i%7 tokens at HPOS j*10, width 1000 + (i%5)*100),
+    // reconstructed with generate_series — fully independent of the
+    // XML parse path it verifies. sum_x = Σ 10j = 5·n·(n−1).
+    "q_alto_bulk" ->
+      """SELECT i AS rep_id,
+        |  CAST(3 + i % 7 AS BIGINT) AS n_tokens,
+        |  CAST(1000 + (i % 5) * 100 AS VARCHAR) AS page_width,
+        |  CAST(5 * (3 + i % 7) * (2 + i % 7) AS BIGINT) AS sum_x,
+        |  'tok' || i || '_0' AS first_tok
+        |FROM generate_series(0, 1999) t(i)
+        |ORDER BY rep_id""".stripMargin)
 }
