@@ -425,20 +425,53 @@ object SimilarityIvf {
     * 16×64 dot products twice (CollapseProject inlines single-use
     * aliases); the staging blocks are freed as soon as the id table
     * materializes. */
+  /** Literal-plan cutoff: up to this many cells the centroid dots are
+    * compiled into the plan as literals (zero side input, the oracle-
+    * friendly shape); above it the assignment switches to a broadcast
+    * centroid-table join — codegen of a k-literal dot array grows (and
+    * recompiles) linearly with k, measured ~2 s of per-build overhead
+    * at k=180, while the join plan is k-independent. The join is also
+    * the only shape that survives past the 4096-cell literal cap. */
+  private val LiteralAssignMaxK = 32
+
+  /** Broadcast-join argmax assignment: (vec × cell) dot products from
+    * a broadcast centroid table, then one hash-agg argmax per vector.
+    * Bit-identical to the literal path — same ArrayDotProduct on the
+    * same doubles per (vector, centroid) pair, and the lexicographic
+    * max over (dt, −cell) reproduces array_position's first-max =
+    * smallest-cell tie-break. */
+  private def assignViaJoin(spark: SparkSession, base: DataFrame,
+                            cents: Seq[Seq[Double]]): DataFrame = {
+    val centDf = spark.createDataFrame(
+        cents.zipWithIndex.map { case (c, i) => (i + 1, c) })
+      .toDF("cell", "centroid")
+    base.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"), col("cell"), dot(col("v"), col("centroid")).as("dt"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("dt"), (-col("cell")).as("negcell"))).as("m"))
+      .select(col("vec_id"), (-col("m.negcell")).cast("int").as("cell"))
+  }
+
   private[graft] def ivfCells(spark: SparkSession, dir: String,
                               cents: Seq[Seq[Double]] = centroids,
                               memoKey: String = ""): DataFrame = {
     val key = if (memoKey.nonEmpty) memoKey else s"ivfCells|$dir"
     Dedup.memo(spark, key) {
-      val (staged, stagedIds) = Dedup.trackedCheckpoint(
-        Similarity.embBase(spark, dir)
-          .select(col("vec_id"), centroidDots(col("v"), cents).as("dots")))
-      val out = staged
-        .select(col("vec_id"),
-          array_position(col("dots"), array_max(col("dots"))).cast("int").as("cell"))
-        .transform(Dedup.checkpointSer)
-      Dedup.unpersistIds(spark, stagedIds)
-      out
+      if (cents.length > LiteralAssignMaxK) {
+        assignViaJoin(spark, Similarity.embBase(spark, dir), cents)
+          .transform(Dedup.checkpointSer)
+      } else {
+        val (staged, stagedIds) = Dedup.trackedCheckpoint(
+          Similarity.embBase(spark, dir)
+            .select(col("vec_id"), centroidDots(col("v"), cents).as("dots")))
+        val out = staged
+          .select(col("vec_id"),
+            array_position(col("dots"), array_max(col("dots"))).cast("int").as("cell"))
+          .transform(Dedup.checkpointSer)
+        Dedup.unpersistIds(spark, stagedIds)
+        out
+      }
     }
   }
 
@@ -464,9 +497,12 @@ object SimilarityIvf {
     * above keeps its staged form. Values are bit-identical either
     * way. */
   private[operators] def ivfAssign(base: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
-    base.select(col("vec_id"), centroidDots(col("v"), cents).as("dots"))
-      .select(col("vec_id"),
-        array_position(col("dots"), array_max(col("dots"))).cast("int").as("cell"))
+    if (cents.length > LiteralAssignMaxK)
+      assignViaJoin(base.sparkSession, base, cents)
+    else
+      base.select(col("vec_id"), centroidDots(col("v"), cents).as("dots"))
+        .select(col("vec_id"),
+          array_position(col("dots"), array_max(col("dots"))).cast("int").as("cell"))
 
   /** The fitted coarse quantizer as a persistable table (cell,
     * centroid) — 16 rows of 64 doubles. This is the model artifact a
