@@ -121,7 +121,12 @@ class PlanSpec extends SparkSpec {
     // the test corpus, and pin that the executed plan actually marks
     // the join skew=true — the knob regressing to off would otherwise
     // only surface as a straggler at the 100 TB tier.
-    val confs = Seq(
+    // an ISOLATED session (shared context, own SQLConf): suites run
+    // concurrently against one TestSpark session, and mutating the
+    // shared runtime conf mid-flight (broadcast threshold −1!) makes
+    // unrelated suites' plans flake
+    val s2 = spark.newSession()
+    Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
@@ -130,32 +135,25 @@ class PlanSpec extends SparkSpec {
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) =>
-      k -> scala.util.Try(spark.conf.get(k)).toOption.flatMap(Option(_)) }
-    try {
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      // per-row md5 payload: incompressible, so the hot key's shuffle
-      // partition is measurably fat (a constant pad would lz4 away and
-      // the size-based skew detector would see nothing)
-      val big = spark.range(400000).selectExpr(
-        "if(id < 350000, 0L, id) as k", "md5(cast(id as string)) as pad")
-      val dim = spark.range(2000).selectExpr("id as k", "id * 2 as w")
-      // the aggregate folds into THIS DataFrame's QueryExecution (and
-      // consumes pad, keeping it in the shuffle), so the adaptive plan
-      // inspected below is the one that actually ran
-      val joined = big.join(dim, "k")
-        .groupBy().agg(org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.length(
-            org.apache.spark.sql.functions.col("pad"))).as("s"))
-      // only the hot key matches the dimension (ids ≥ 350000 miss it)
-      assert(joined.collect().head.getLong(0) == 350000L * 32)
-      val p = joined.queryExecution.executedPlan.toString
-      assert(p.contains("skew=true"),
-        s"OptimizeSkewedJoin did not fire on the planted hot key:\n${p.take(3000)}")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+      .foreach { case (k, v) => s2.conf.set(k, v) }
+    // per-row md5 payload: incompressible, so the hot key's shuffle
+    // partition is measurably fat (a constant pad would lz4 away and
+    // the size-based skew detector would see nothing)
+    val big = s2.range(400000).selectExpr(
+      "if(id < 350000, 0L, id) as k", "md5(cast(id as string)) as pad")
+    val dim = s2.range(2000).selectExpr("id as k", "id * 2 as w")
+    // the aggregate folds into THIS DataFrame's QueryExecution (and
+    // consumes pad, keeping it in the shuffle), so the adaptive plan
+    // inspected below is the one that actually ran
+    val joined = big.join(dim, "k")
+      .groupBy().agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("pad"))).as("s"))
+    // only the hot key matches the dimension (ids ≥ 350000 miss it)
+    assert(joined.collect().head.getLong(0) == 350000L * 32)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"OptimizeSkewedJoin did not fire on the planted hot key:\n${p.take(3000)}")
   }
 
   test("span removal is per-document array work: only the gram posexplode generates") {
