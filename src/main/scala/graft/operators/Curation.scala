@@ -596,6 +596,25 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** packChunks in REAL subword units: the BPE chunk stream packed
+    * into PackBudget-token shards — what a training loader actually
+    * consumes (context windows are BPE-token-sized). Same
+    * exclusive-prefix intdiv sharding over the same distributed
+    * blockCumsum; only the unit changes. */
+  def packChunksBpe(spark: SparkSession, dir: String, budget: Long = PackBudget): DataFrame = {
+    val chunks = chunkDocsBpe(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
+    val withCum = blockCumsum(chunks, expr("doc_id DIV 1024"),
+      Seq(col("doc_id"), col("chunk_idx")), col("n_tokens"))
+    withCum
+      .withColumn("shard", expr(s"(_cum - n_tokens) DIV $budget"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("shard")
+  }
+
   /** Token budget for the quality-first selection. */
   private[operators] val TokenBudget = 8000L
 
@@ -742,6 +761,7 @@ object CurationModule extends QueryModule {
     "q_chunk_docs" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "q_chunk_docs_bpe" -> ((s: SparkSession, d: String) => chunkDocsBpe(s, d)),
     "q_token_budget_bpe" -> ((s: SparkSession, d: String) => tokenBudgetBpe(s, d)),
+    "q_pack_chunks_bpe" -> ((s: SparkSession, d: String) => packChunksBpe(s, d)),
     "q_pps_sample" -> ((s: SparkSession, d: String) => ppsSample(s, d)),
     "q_pack_chunks" -> ((s: SparkSession, d: String) => packChunks(s, d)),
     "q_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
@@ -917,6 +937,21 @@ object CurationModule extends QueryModule {
          |FROM bpe_toks, unnest(generate_series(0, (len(toks)-1)//64)) AS u(j)
          |WHERE len(toks) > 0
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pack_chunks_bpe" ->
+      s"""WITH RECURSIVE
+         |${graft.functions.Bpe.oracleToksCtes},
+         |ch AS (SELECT doc_id, j AS chunk_idx, least(64, len(toks) - j*64) AS n_tokens
+         |       FROM bpe_toks, unnest(generate_series(0, (len(toks)-1)//64)) AS u(j)
+         |       WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, chunk_idx, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ch)
+         |SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
     "q_token_budget_bpe" ->
       s"""WITH RECURSIVE
          |${graft.functions.Bpe.oracleToksCtes},
