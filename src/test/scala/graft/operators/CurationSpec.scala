@@ -120,6 +120,21 @@ class CurationSpec extends SparkSpec {
     assert(shards.forall(_._3 <= Curation.PackBudget + maxChunk - 1))
   }
 
+  test("BPE pack chunks: same invariants in subword units, totals match the tokenizer") {
+    val shards = Curation.packChunksBpe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ids = shards.map(_._1)
+    assert(ids.head == 0L && ids.sameElements(ids.min to ids.max))
+    // every BPE token of every non-empty doc lands in exactly one shard
+    val totalBpe = TextAnalysis.bpeTokenCount(spark, dir)
+      .agg(sum(col("bpe_tokens"))).head.getLong(0)
+    assert(shards.map(_._3).sum == totalBpe,
+      "packed totals must equal the tokenizer's corpus count")
+    val maxChunk = Curation.chunkDocsBpe(spark, dir)
+      .agg(max(col("n_tokens"))).head.getInt(0)
+    assert(shards.forall(_._3 <= Curation.PackBudget + maxChunk - 1))
+  }
+
   test("cumulative operators are layout-stable: a 7-file shuffle of the input moves nothing") {
     // PPS sampling and packing ride a global cumulative sum — the
     // ordering-sensitive shape. The block cumsum must make them a pure
