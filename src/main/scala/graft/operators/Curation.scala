@@ -240,6 +240,39 @@ object Curation {
       .orderBy("lang", "rk")
   }
 
+  /** corpusMix in REAL training units: rebalance the language mix by
+    * TOKEN proportions instead of document counts — what a data-mix
+    * spec actually means ("40 % English tokens"), since document
+    * length varies by language and source. Same deterministic
+    * lowest-hash-first selection order; the quota axis is the
+    * per-language cumulative BPE token count (largest total such that
+    * every language can fill its token share; a doc is kept only if
+    * its cumulative count stays within the quota, the tokenBudget
+    * whole-doc rule). Per-language partitioned windows only — no
+    * global sort, no unpartitioned window. */
+  def corpusMixTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = docBpeToks(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("doc_id"))
+      .join(counts, Seq("doc_id"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+    val targets = MixTargets.toDF("lang", "pct")
+    val feas = docs.groupBy("lang").agg(sum(col("n_tokens")).as("t"))
+      .join(broadcast(targets), Seq("lang"))
+    val nStar = feas.select(min(expr("t * 100 DIV pct")).as("n_star"))
+    val quota = feas.crossJoin(broadcast(nStar))
+      .select(col("lang"), expr("n_star * pct DIV 100").as("tok_quota"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("n_tokens")).over(w))
+      .join(broadcast(quota), Seq("lang"))
+      .filter(col("cum") <= col("tok_quota"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("cum").cast("long").as("cum_tokens"))
+      .orderBy("lang", "cum_tokens")
+  }
+
   /** Exact-substring duplication audit — the span-level view of exact
     * dedup (the shape of Lee et al.'s "Deduplicating Training Data
     * Makes Language Models Better": remove REPEATED SUBSTRINGS, not
@@ -769,6 +802,7 @@ object CurationModule extends QueryModule {
     "q_dup_spans_apply" -> ((s: SparkSession, d: String) => dupSpansApply(s, d)),
     "q_dup_spans_keep" -> ((s: SparkSession, d: String) => dupSpansKeep(s, d)),
     "q_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
+    "q_corpus_mix_tokens" -> ((s: SparkSession, d: String) => corpusMixTokens(s, d)),
     "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)),
     "q_select_dsir" -> ((s: SparkSession, d: String) => dsirSelect(s, d)))
 
@@ -937,6 +971,24 @@ object CurationModule extends QueryModule {
          |FROM bpe_toks, unnest(generate_series(0, (len(toks)-1)//64)) AS u(j)
          |WHERE len(toks) > 0
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_corpus_mix_tokens" ->
+      s"""WITH RECURSIVE
+         |${graft.functions.Bpe.oracleToksCtes},
+         |bc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM bpe_toks),
+         |d AS (SELECT lang, d0.doc_id, n_tokens, md5(CAST(d0.doc_id AS VARCHAR)) AS h
+         |      FROM documents d0 JOIN bc ON bc.doc_id = d0.doc_id),
+         |tg AS (SELECT * FROM (VALUES ('en', 40),('zh', 20),('de', 15),('fr', 15),('es', 10)) t(lang, pct)),
+         |f AS (SELECT d.lang, SUM(n_tokens) AS t, any_value(pct) AS pct
+         |      FROM d JOIN tg ON tg.lang = d.lang GROUP BY d.lang),
+         |ns AS (SELECT MIN(t * 100 // pct) AS n_star FROM f),
+         |q AS (SELECT lang, n_star * pct // 100 AS tok_quota FROM f CROSS JOIN ns),
+         |c AS (SELECT lang, doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT c.lang AS lang, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c JOIN q ON q.lang = c.lang WHERE cum <= tok_quota
+         |ORDER BY c.lang, cum_tokens""".stripMargin,
     "q_pack_chunks_bpe" ->
       s"""WITH RECURSIVE
          |${graft.functions.Bpe.oracleToksCtes},
