@@ -40,6 +40,25 @@ class BpeSpec extends SparkSpec {
     t
   }
 
+  test("merge table is well-formed: every input is a char or an EARLIER rule's output") {
+    // The confluence argument (rank-order exhaustive folds == min-rank
+    // loop == the oracle's replace passes) needs: no duplicate rules,
+    // no duplicate outputs, and every multi-char input produced by a
+    // strictly earlier rule — a future merge-table edit that violates
+    // this would silently change semantics between formulations.
+    val rules = Bpe.Merges
+    assert(rules.distinct.length == rules.length, "duplicate merge rules")
+    val outputs = rules.map { case (a, b) => a + b }
+    assert(outputs.distinct.length == outputs.length, "duplicate outputs")
+    rules.zipWithIndex.foreach { case ((a, b), i) =>
+      val earlier = outputs.take(i).toSet
+      Seq(a, b).filter(_.length > 1).foreach { t =>
+        assert(earlier(t),
+          s"rule $i input '$t' is multi-char but not an earlier rule's output")
+      }
+    }
+  }
+
   test("differential: rank-order folds == min-rank loop on corpus-like words") {
     val vocab = Seq("table", "value", "spark", "part", "hash", "scan", "fast",
       "row", "key", "merge", "batch", "sort", "line", "window", "slow", "the",
