@@ -58,21 +58,35 @@ object AltoModule extends QueryModule {
   /** Bulk-corpus size for the distributed XML-datasource demo. */
   private val BulkN = 2000
 
+  /** Generator version — bump whenever the closed forms below (token
+    * count, HPOS spacing, page width, file naming) change, so a stale
+    * corpus from a previous code generation can never satisfy the
+    * published-directory check and silently feed the new oracle. */
+  private val BulkV = "v2"
+
   /** Deterministic bulk ALTO corpus: [[BulkN]] v2 files generated once
-    * into a versioned temp directory (driver-side, ~2 MB total; a
-    * `_SUCCESS` marker makes regeneration a no-op). File i carries
-    * fileName `page_<i>.tif`, page width `1000 + (i%5)*100`, and
-    * `3 + i%7` tokens `tok<i>_<j>` at HPOS `j*10` — closed forms the
-    * SQL oracle reconstructs with generate_series, independent of the
-    * XML path. This is the S2-at-scale posture: thousands of real
+    * into a versioned temp directory (driver-side, ~2 MB total). File i
+    * carries fileName `page_<i>.tif`, page width `1000 + (i%5)*100`,
+    * and `3 + i%7` tokens `tok<i>_<j>` at HPOS `j*10` — closed forms
+    * the SQL oracle reconstructs with generate_series, independent of
+    * the XML path. This is the S2-at-scale posture: thousands of real
     * files through the StAX datasource scan (schema supplied, so no
-    * inference pass), NOT from_xml over driver literals. */
+    * inference pass), NOT from_xml over driver literals. The corpus is
+    * scale-factor-independent by design (a fixed-size ingest fixture),
+    * so it is keyed by (BulkN, BulkV), not by the sf dir.
+    *
+    * Publication is crash/concurrency-safe: files are written into a
+    * process-unique staging directory and the COMPLETE directory is
+    * renamed into place — readers only ever see an absent directory or
+    * a fully written one, never a truncated XML mid-rewrite (two JVMs
+    * racing: one rename wins, the loser discards its staging copy). */
   private def bulkDir(): String = synchronized {
-    val d = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_alto_bulk_${BulkN}_v1")
-    val done = new java.io.File(d, "_SUCCESS")
-    if (!done.exists()) {
-      d.mkdirs()
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val d = new java.io.File(base, s"graft_alto_bulk_${BulkN}_$BulkV")
+    if (!new java.io.File(d, "_SUCCESS").exists()) {
+      val stage = new java.io.File(
+        base, s".graft_alto_bulk_stage_${java.util.UUID.randomUUID()}")
+      stage.mkdirs()
       (0 until BulkN).foreach { i =>
         val n = 3 + i % 7
         val toks = (0 until n).map(j =>
@@ -96,12 +110,25 @@ object AltoModule extends QueryModule {
              |  </Layout>
              |</alto>""".stripMargin
         java.nio.file.Files.writeString(
-          new java.io.File(d, f"alto_$i%05d.xml").toPath, xml)
+          new java.io.File(stage, f"alto_$i%05d.xml").toPath, xml)
       }
-      done.createNewFile()
+      new java.io.File(stage, "_SUCCESS").createNewFile()
+      // atomic publish; if another JVM already published, keep theirs
+      if (!stage.renameTo(d) && !new java.io.File(d, "_SUCCESS").exists())
+        throw new IllegalStateException(
+          s"bulk corpus publish failed: cannot rename $stage to $d")
+      if (stage.exists()) { // lost the race — drop the staging copy
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
     }
     d.getAbsolutePath
   }
+
+  /** Pre-generate the bulk corpus (idempotent) — lets a bench harness
+    * pay the one-time fixture generation outside any timed region, so
+    * `q_alto_bulk` measures the XML-datasource scan, not `Files.write`
+    * of 2,000 fixtures on a cold host. */
+  private[graft] def ensureBulkCorpus(): Unit = { bulkDir(); () }
 
   /** Distributed XML-datasource scan over the bulk corpus: per-file
     * token accounting through the same simplify path the fixture
@@ -109,7 +136,11 @@ object AltoModule extends QueryModule {
     * document itself. Narrow per-row work (the token fold runs inside
     * the row); the only exchange is the presentation sort. */
   private def bulkQuery(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Alto.readAltoXmlFiles(spark, s"${bulkDir()}/alto_*.xml")
+    // read the DIRECTORY, not a glob: Hadoop's globber stats every
+    // matching file sequentially on the driver (measured 4-7 s for the
+    // 2,000-file corpus vs one listStatus call for the directory);
+    // _SUCCESS is skipped automatically as a hidden file
+    val raw = Alto.readAltoXmlFiles(spark, bulkDir())
     // NO checkpoint staging here, deliberately: CollapseProject does
     // inline the simplify tree into each of the five field reads, but
     // the whole inlined projection is codegen'd and measured at 0.33 s

@@ -68,9 +68,12 @@ object Bpe {
     ("i", "n"), ("e", "r"), ("o", "n"), ("r", "e"), ("e", "n"),
     ("e", "s"), ("s", "t"), ("o", "u"), ("a", "r"), ("a", "n"))
 
-  /** BPE-encode one word: chars, then every merge in rank order,
-    * each applied exhaustively left-to-right. */
-  private[functions] def encodeWord(word: String, out: ArrayBuffer[String]): Unit = {
+  /** BPE-encode one word under an arbitrary merge table: chars, then
+    * every merge in rank order, each applied exhaustively
+    * left-to-right. */
+  private[functions] def encodeWordWith(word: String,
+                                        merges: Array[(String, String)],
+                                        out: ArrayBuffer[String]): Unit = {
     var toks = new ArrayBuffer[String](word.length)
     var i = 0
     while (i < word.length) {
@@ -79,8 +82,8 @@ object Bpe {
       i += Character.charCount(cp)
     }
     var m = 0
-    while (m < Merges.length && toks.length > 1) {
-      val (a, b) = Merges(m)
+    while (m < merges.length && toks.length > 1) {
+      val (a, b) = merges(m)
       val nt = new ArrayBuffer[String](toks.length)
       var j = 0
       while (j < toks.length) {
@@ -96,21 +99,100 @@ object Bpe {
     out ++= toks
   }
 
+  private[functions] def encodeWord(word: String, out: ArrayBuffer[String]): Unit =
+    encodeWordWith(word, Merges, out)
+
   /** Whole-document kernel: NULL in → NULL out; whitespace-only text →
     * empty token array (matches the oracle's filtered split). */
-  def compute(s: UTF8String): GenericArrayData = {
+  def compute(s: UTF8String): GenericArrayData = computeWith(s, Merges)
+
+  /** [[compute]] under an arbitrary merge table — the serving kernel
+    * for corpus-LEARNED merges ([[BpeFit]]); byte-identical semantics,
+    * only the table differs. */
+  def computeWith(s: UTF8String, merges: Array[(String, String)]): GenericArrayData = {
     if (s == null) return null
     val text = s.toString.replace("\u001f", "").toLowerCase(Locale.ROOT)
     val out = new ArrayBuffer[String]()
-    text.split("\\s+").foreach { w => if (w.nonEmpty) encodeWord(w, out) }
+    text.split("\\s+").foreach { w => if (w.nonEmpty) encodeWordWith(w, merges, out) }
     new GenericArrayData(out.map(UTF8String.fromString).toArray[Any])
   }
 
-  /** The merge table as a DuckDB VALUES list: `(0,'t','a'),(1,…)`. */
-  private def mergesValuesSql: String =
-    Merges.zipWithIndex
-      .map { case ((a, b), i) => s"($i,'$a','$b')" }
+  /** Learn a merge table from a word-frequency histogram — classic BPE
+    * training (Sennrich et al. 2016): every word starts as its
+    * character sequence; each round counts adjacent symbol pairs
+    * across all word types (weighted by word frequency, occurrences
+    * counted LEFT-TO-RIGHT NON-OVERLAPPING so a pair's count equals
+    * the number of replacements the merge would actually perform —
+    * "aaa" holds one (a,a), not two) and merges the most frequent
+    * pair, ties broken lexicographically on (a, b) — fully
+    * deterministic. Training runs over the word-TYPE histogram, never
+    * the corpus: the distributed side of a fit reduces the corpus to a
+    * bounded top-M word-frequency table in one shuffle, and this
+    * driver-side loop touches only that (the exact shape production
+    * BPE trainers use). Stops early when no pair repeats (frequency
+    * < 2 — a singleton merge buys nothing). */
+  def train(wordFreqs: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] = wordFreqs.map { case (w, f) =>
+      val cs = new ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        cs += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (cs.toArray, f)
+    }.toArray
+    val merges = new ArrayBuffer[(String, String)](numMerges)
+    var continue = true
+    while (merges.length < numMerges && continue) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (toks, f) =>
+        var j = 0
+        while (j < toks.length - 1) {
+          val p = (toks(j), toks(j + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          // non-overlapping within a run of equal symbols: "aaa" is one
+          // (a,a) occurrence, exactly what one replace pass performs
+          j += (if (j + 2 <= toks.length - 1 && toks(j) == toks(j + 1) &&
+                    toks(j + 1) == toks(j + 2)) 2 else 1)
+        }
+      }
+      val repeated = counts.filter(_._2 >= 2L)
+      if (repeated.isEmpty) continue = false
+      else {
+        val (pair, _) = repeated.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += pair
+        words = words.map { case (toks, f) =>
+          if (toks.length < 2) (toks, f)
+          else {
+            val nt = new ArrayBuffer[String](toks.length)
+            var j = 0
+            while (j < toks.length) {
+              if (nt.nonEmpty && nt(nt.length - 1) == pair._1 && toks(j) == pair._2)
+                nt(nt.length - 1) = pair._1 + pair._2
+              else nt += toks(j)
+              j += 1
+            }
+            (nt.toArray, f)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** A merge table as a DuckDB VALUES list: `(0,'t','a'),(1,…)` —
+    * single quotes doubled, so corpus-learned symbols containing
+    * apostrophes cannot break the literal. */
+  private def mergesValuesSqlFor(merges: Seq[(String, String)]): String = {
+    def q(s: String) = s.replace("'", "''")
+    // an empty fit (degenerate corpus) still needs one syntactically
+    // valid row; rank -1 is unreachable (the pass CTE starts at i = 0)
+    if (merges.isEmpty) "(-1,'','')"
+    else merges.zipWithIndex
+      .map { case ((a, b), i) => s"($i,'${q(a)}','${q(b)}')" }
       .mkString(",")
+  }
 
   /** WITH-clause CTE chain (requires `WITH RECURSIVE` at the head of
     * the statement) ending in `bpe_toks(doc_id, toks)` — the per-doc
@@ -125,11 +207,17 @@ object Bpe {
     * can't start mid-token) and each replacement reinstates the
     * boundary halves it consumed. A recursive CTE steps rank i → i+1;
     * the final split-and-filter recovers the token list. */
-  def oracleToksCtes: String =
+  def oracleToksCtes: String = oracleToksCtesFor(Merges.toSeq)
+
+  /** [[oracleToksCtes]] under an arbitrary merge table — the
+    * dynamic-oracle form: Verify inlines the corpus-FITTED merges at
+    * dump time (the q_knn_ivf_fit discipline), so serving under the
+    * learned tokenizer is replayed move-for-move in DuckDB. */
+  def oracleToksCtesFor(merges: Seq[(String, String)]): String =
     s"""bpe_merges AS (
        |  SELECT i, chr(31)||a||chr(31)||chr(31)||b||chr(31) AS pat,
        |         chr(31)||a||b||chr(31) AS rep
-       |  FROM (VALUES $mergesValuesSql) AS m(i,a,b)),
+       |  FROM (VALUES ${mergesValuesSqlFor(merges)}) AS m(i,a,b)),
        |bpe_init AS (
        |  SELECT doc_id,
        |    replace(chr(31)||chr(31) || regexp_replace(
@@ -142,11 +230,11 @@ object Bpe {
        |  UNION ALL
        |  SELECT p.doc_id, p.i + 1, replace(p.s, m.pat, m.rep)
        |  FROM bpe_pass p JOIN bpe_merges m ON m.i = p.i
-       |  WHERE p.i < ${Merges.length}),
+       |  WHERE p.i < ${merges.length}),
        |bpe_toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split(s, chr(31)||chr(31)), x -> x <> '') AS toks
-       |  FROM bpe_pass WHERE i = ${Merges.length})""".stripMargin
+       |  FROM bpe_pass WHERE i = ${merges.length})""".stripMargin
 }
 
 /** Native Catalyst expression: STRING → ARRAY<STRING> of BPE subword
@@ -183,4 +271,47 @@ case class BpeTokenize(child: Expression) extends UnaryExpression {
 object BpeTokenizeColumn {
   def apply(c: Column): Column =
     ColumnBridge.column(BpeTokenize(ColumnBridge.expression(c)))
+}
+
+/** [[BpeTokenize]] under a LEARNED merge table: the fitted merges ride
+  * into generated code as a reference object (the standard Catalyst
+  * treatment of model state — a broadcast-sized constant per task,
+  * never a per-row closure), so the kernel stays inside whole-stage
+  * codegen with zero per-row indirection beyond one array read. */
+case class BpeTokenizeLearned(child: Expression,
+                              merges: Seq[(String, String)]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokenize_learned requires STRING input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bpe_tokenize_learned"
+
+  @transient private lazy val table: Array[(String, String)] = merges.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.computeWith(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tableRef = ctx.addReferenceObj("bpeMerges", table,
+        "scala.Tuple2[]")
+      val r = ctx.freshName("bpeToks")
+      s"""
+        org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+          graft.functions.Bpe.computeWith($c, (scala.Tuple2[]) $tableRef);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenizeLearned =
+    copy(child = newChild)
+}
+
+object BpeTokenizeLearnedColumn {
+  def apply(c: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeTokenizeLearned(ColumnBridge.expression(c), merges))
 }

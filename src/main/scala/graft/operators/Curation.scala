@@ -50,11 +50,16 @@ object Curation {
     * Shared with TextAnalysis.bigrams, which has the same hazard. */
   private[operators] def docToks(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"curationToks|$dir") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          toks(col("text")).as("toks"))
-        .transform(Dedup.checkpointSer)
+      docToksOf(Tables.documents(spark, dir)).transform(Dedup.checkpointSer)
     }
+
+  /** Row-wise tokenization of an arbitrary documents slice — shared by
+    * the memoized corpus build above and the index append path (a
+    * batch decomposes row-wise, so an ingest batch is tokenized at
+    * batch size and appended to the parquet artifact). */
+  private[operators] def docToksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      toks(col("text")).as("toks"))
 
   /** Decontamination n-gram length. Long grams (8 tokens vs the dedup
     * family's 3) make overlap evidence specific: sharing one 8-gram is
@@ -160,6 +165,16 @@ object Curation {
     * declines this join — both sides derive from one windowed gram
     * subtree, not a filtered scan — so the operator states
     * explicitly what the optimizer cannot infer here.) */
+  /** Cached eval-suite Bloom sketches per (session, dir) — the sketch
+    * is a deterministic ~MB model of the (static) eval suite, the same
+    * category as a fitted quantizer: build once per session, not per
+    * query. Some(bytes) = sketch; None = the suite has no docs. */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[Byte]]]()
+
+  /** Test hook (cache-vs-rebuild equivalence). */
+  private[operators] def clearBloomCache(): Unit = bloomCache.clear()
+
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -168,17 +183,22 @@ object Curation {
       ColumnBridge.column(new XxHash64(Seq(ColumnBridge.expression(c))))
     val rawGrams = docToks(spark, dir)
       .select(col("doc_id"), explode(ngramArray(col("toks"))).as("gram"))
-    val bloomAgg = ColumnBridge.column(
-      new BloomFilterAggregate(
-        ColumnBridge.expression(hashed(col("gram"))), BloomExpectedGrams)
-        .toAggregateExpression())
-    val row = rawGrams.filter(col("doc_id") % EvalModulus === 0)
-      .select(bloomAgg.as("bf")).head()
-    val pruned =
-      if (row.isNullAt(0)) rawGrams.filter(lit(false)) // no eval docs at all
-      else rawGrams.filter(ColumnBridge.column(BloomFilterMightContain(
-        ColumnBridge.expression(lit(row.getAs[Array[Byte]](0))),
+    val bloom = bloomCache.computeIfAbsent(
+      s"${Dedup.sessionKey(spark)}|$dir", _ => {
+        val bloomAgg = ColumnBridge.column(
+          new BloomFilterAggregate(
+            ColumnBridge.expression(hashed(col("gram"))), BloomExpectedGrams)
+            .toAggregateExpression())
+        val row = rawGrams.filter(col("doc_id") % EvalModulus === 0)
+          .select(bloomAgg.as("bf")).head()
+        if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+      })
+    val pruned = bloom match {
+      case None => rawGrams.filter(lit(false)) // no eval docs at all
+      case Some(bytes) => rawGrams.filter(ColumnBridge.column(BloomFilterMightContain(
+        ColumnBridge.expression(lit(bytes)),
         ColumnBridge.expression(hashed(col("gram"))))))
+    }
     val g = pruned
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .filter(col("df") <= MaxGramDf)
@@ -493,11 +513,14 @@ object Curation {
     * barrier so chunking and budgeting share one tokenization pass. */
   private[operators] def docBpeToks(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"curationBpeToks|$dir") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          graft.functions.BpeTokenizeColumn(col("text")).as("toks"))
-        .transform(Dedup.checkpointSer)
+      docBpeToksOf(Tables.documents(spark, dir)).transform(Dedup.checkpointSer)
     }
+
+  /** Row-wise BPE tokenization of an arbitrary documents slice — the
+    * append-path twin of [[docToksOf]]. */
+  private[operators] def docBpeToksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.BpeTokenizeColumn(col("text")).as("toks"))
 
   /** chunkDocs over REAL subword tokens: identical windowing, but the
     * unit is what a trained tokenizer would emit (graft.functions.Bpe),
@@ -541,7 +564,10 @@ object Curation {
     withCum.filter(col("_cum") <= budget)
       .select(col("doc_id"), col("quality"), col("n_tokens"),
         col("_cum").cast("long").as("cum_tokens"))
-      .orderBy("cum_tokens")
+      // doc_id tie-break: whitespace-only docs carry 0 tokens, so
+      // cum_tokens alone can tie and the presentation order would be
+      // nondeterministic across runs (mirrored in the oracle)
+      .orderBy("cum_tokens", "doc_id")
   }
 
   /** Sample size for PPS sampling. */
@@ -673,7 +699,10 @@ object Curation {
     withCum.filter(col("_cum") <= budget)
       .select(col("doc_id"), col("quality"), col("n_tokens"),
         col("_cum").cast("long").as("cum_tokens"))
-      .orderBy("cum_tokens")
+      // doc_id tie-break: whitespace-only docs carry 0 tokens, so
+      // cum_tokens alone can tie and the presentation order would be
+      // nondeterministic across runs (mirrored in the oracle)
+      .orderBy("cum_tokens", "doc_id")
   }
 
   private val ProfileCols = Seq(
@@ -837,7 +866,7 @@ object CurationModule extends QueryModule {
         |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
         |  FROM d),
         |q AS (SELECT doc_id, n_tokens,
@@ -851,7 +880,7 @@ object CurationModule extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         |  FROM q)
         |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
-        |FROM c WHERE cum_tokens <= 8000 ORDER BY cum_tokens""".stripMargin,
+        |FROM c WHERE cum_tokens <= 8000 ORDER BY cum_tokens, doc_id""".stripMargin,
     "q_dup_spans" ->
       """WITH d AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
@@ -1011,7 +1040,7 @@ object CurationModule extends QueryModule {
          |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
          |s AS (SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+         |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
          |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
          |  FROM d),
          |q AS (SELECT doc_id,
@@ -1026,7 +1055,7 @@ object CurationModule extends QueryModule {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
          |  FROM q JOIN bc USING (doc_id))
          |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
-         |FROM c WHERE cum_tokens <= 20000 ORDER BY cum_tokens""".stripMargin,
+         |FROM c WHERE cum_tokens <= 20000 ORDER BY cum_tokens, doc_id""".stripMargin,
     "q_pps_sample" ->
       """WITH d AS (SELECT doc_id, n_chars + 1 AS w FROM documents),
         |c AS (SELECT doc_id, w,

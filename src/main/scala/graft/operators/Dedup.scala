@@ -153,15 +153,25 @@ object Dedup {
     }
   }
 
-  /** Double-checked get/build under a re-entrant lock — NOT
+  /** Per-key build monitors: two threads building DIFFERENT artifacts
+    * proceed concurrently (writeIndexes runs independent builder
+    * chains in parallel), two building the SAME key serialize, and a
+    * nested build (shingleIndex builds docShingles) just takes a
+    * second monitor — no lock ordering issue because the nesting
+    * relation is acyclic (an artifact only builds its upstreams). */
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Double-checked get/build under a PER-KEY re-entrant monitor — NOT
     * computeIfAbsent: index builds nest (shingleIndex builds
     * docShingles), and a nested computeIfAbsent on the same map throws
-    * "Recursive update". */
+    * "Recursive update"; not a global lock: that would serialize every
+    * concurrent independent build. */
   private[operators] def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = s"${sessionKey(spark)}|$key"
     val hit = indexCache.get(k)
     if (hit != null) hit
-    else indexCache.synchronized {
+    else keyLocks.computeIfAbsent(k, _ => new Object).synchronized {
       val again = indexCache.get(k)
       if (again != null) again
       else {
@@ -170,7 +180,9 @@ object Dedup {
         // exact ownership: every memo build returns a checkpointed
         // table, so its LogicalRDD leaves name the blocks this entry
         // owns (nested builds registered their own under their own
-        // keys). The before/after diff is only the fallback.
+        // keys). The before/after diff is only the fallback — it can
+        // over-attribute under concurrent builds, which at worst
+        // releases a sibling's blocks early (they rebuild on demand).
         val exact = org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRddIds(df)
         val ids = if (exact.nonEmpty) exact
                   else spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
@@ -238,12 +250,21 @@ object Dedup {
     "lshBuckets" -> ((s, d) => Similarity.lshBuckets(s, d)),
     "ivfCells" -> ((s, d) => SimilarityIvf.ivfCells(s, d)),
     "ivfCentroidsFit" -> ((s, d) => SimilarityIvf.centroidTable(s, d)),
-    "ivfCellsFit" -> ((s, d) => SimilarityIvf.ivfCellsFit(s, d)))
+    "ivfCellsFit" -> ((s, d) => SimilarityIvf.ivfCellsFit(s, d)),
+    "bpeMergesFit" -> ((s, d) => BpeFit.mergesTable(s, d)),
+    // the tokenized-corpus materializations (whitespace + subword) —
+    // what a training pipeline persists next to the raw text so every
+    // budget/chunk/mix job shares one tokenization pass
+    "curationToks" -> ((s, d) => Curation.docToks(s, d)),
+    "curationBpeToks" -> ((s, d) => Curation.docBpeToks(s, d)),
+    // per-label centroid model (labels × dim rows, tiny)
+    "labelCentroids" -> ((s, d) => Similarity.centroidTable(s, d)))
 
   /** Builder names that read the embeddings table — skipped when a
     * corpus has no embeddings (`withEmbeddings = false`). */
   private val embeddingArtifacts =
-    Set("embBase", "lshBuckets", "ivfCells", "ivfCentroidsFit", "ivfCellsFit")
+    Set("embBase", "lshBuckets", "ivfCells", "ivfCentroidsFit", "ivfCellsFit",
+      "labelCentroids")
 
   /** Materialize every index artifact for `dir` as parquet under
     * `indexDir` — the 100 TB posture made literal: the shingle /
@@ -262,19 +283,63 @@ object Dedup {
     * reader can open). The inferred `batch_id` partition column is an
     * internal layout detail: `primeIndexes` drops it, so index
     * readers see the original artifact schemas. */
+  /** Builder dependency chains: artifacts in one chain derive from
+    * each other (strict order); DIFFERENT chains are independent and
+    * the index job runs them CONCURRENTLY — the shingle→pair chain
+    * dominates the build wall, and serializing the minhash / simhash /
+    * embedding / tokenizer builds behind it measured 1.6× the
+    * parallel-chain wall at sf0.1. (ivfCellsFit reads embBase via the
+    * memo, which per-key-locks across chains, so the cross-chain
+    * dependency is safe — whichever thread arrives first builds it.) */
+  private def builderChains: Seq[Seq[String]] = Seq(
+    Seq("docShingles", "shingleIndex", "jaccardPairs"),
+    Seq("minhashSigs", "minhashBands"),
+    Seq("simhashTable"),
+    Seq("embBase", "lshBuckets", "ivfCells"),
+    Seq("ivfCentroidsFit", "ivfCellsFit"),
+    Seq("bpeMergesFit"),
+    Seq("curationToks"),
+    Seq("curationBpeToks"),
+    Seq("labelCentroids"))
+
   def writeIndexes(spark: SparkSession, dir: String, indexDir: String,
                    withEmbeddings: Boolean = true): Unit =
     IndexLease.withExclusive(spark, indexDir, s"writeIndexes:$dir") {
-      indexBuilders
-        .filter { case (n, _) => withEmbeddings || !embeddingArtifacts(n) }
-        .foreach { case (name, build) =>
-          val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
-          // a rebuild must not leave a previous generation's batch
-          // directories behind the fresh base
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-          build(spark, dir).write.mode("overwrite")
-            .parquet(s"$indexDir/$name.parquet/batch_id=base")
+      val byName = indexBuilders.toMap
+      val names = indexBuilders.map(_._1)
+      // every builder must belong to exactly one chain — a new artifact
+      // added to indexBuilders but not to a chain would silently never
+      // be written
+      require(builderChains.flatten.sorted == names.sorted,
+        s"builderChains out of sync with indexBuilders: ${builderChains.flatten.sorted} vs ${names.sorted}")
+      def writeOne(name: String): Unit = {
+        val t0 = System.nanoTime()
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
+        // a rebuild must not leave a previous generation's batch
+        // directories behind the fresh base
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        byName(name)(spark, dir).write.mode("overwrite")
+          .parquet(s"$indexDir/$name.parquet/batch_id=base")
+        // operational visibility: which artifact the index job spends
+        // its time on (scheduling input for the maintenance window)
+        System.err.println(
+          f"[writeIndexes] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+      val chains = builderChains
+        .map(_.filter(n => withEmbeddings || !embeddingArtifacts(n)))
+        .filter(_.nonEmpty)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.length)
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = chains.map { chain =>
+          new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = chain.foreach(writeOne)
+          }
         }
+        // invokeAll waits for all; surface the first failure (the
+        // others' results are still drained so no thread leaks)
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      } finally pool.shutdown()
     }
 
   /** Drop (and unpersist) one memo entry — the targeted version of
@@ -392,7 +457,7 @@ object Dedup {
     embPredicate.foreach(_ => requireArtifact("embBase"))
     val (batch, batchIds) = trackedCheckpoint(
       Tables.documents(spark, dir).filter(docPredicate)
-        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars")))
     val sh = batch.select(col("doc_id"), shingleOfText(col("text")).as("sh"))
     append(sh, "docShingles")
     append(sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
@@ -402,6 +467,12 @@ object Dedup {
     append(sigs.select(col("doc_id"),
       posexplode(bandHashes(col("sig"))).as(Seq("band_idx", "band_hash"))), "minhashBands")
     append(simhashTableOf(batch), "simhashTable")
+    // tokenized-corpus artifacts decompose row-wise like the shingles
+    append(Curation.docToksOf(batch), "curationToks")
+    append(Curation.docBpeToksOf(batch), "curationBpeToks")
+    // bpeMergesFit is deliberately NOT appended or refit: the tokenizer
+    // is train-once (refitting on ingest would re-tokenize the world —
+    // the IVF-quantizer posture); writeIndexes re-trains it.
     unpersistIds(spark, batchIds)
     embPredicate.foreach { p =>
       val (base, baseIds) = trackedCheckpoint(
@@ -425,6 +496,17 @@ object Dedup {
         append(SimilarityIvf.ivfAssign(base, SimilarityIvf.centroids), "ivfCells")
       SimilarityIvf.readCentroidArtifact(spark, indexDir).foreach { cents =>
         append(SimilarityIvf.ivfAssign(base, cents), "ivfCellsFit")
+      }
+      // the per-label centroid model is a corpus-global AGGREGATE (not
+      // a train-once quantizer): after an embedding append it must
+      // reflect ALL rows, so re-derive it wholesale like the pair
+      // table — labels × dim rows, one scan, negligible next to the
+      // batch work
+      if (artifactExists("labelCentroids")) {
+        val lc = new org.apache.hadoop.fs.Path(s"$indexDir/labelCentroids.parquet")
+        lc.getFileSystem(hconf).delete(lc, true)
+        Similarity.labelCentroids(spark, dir).write.mode("overwrite")
+          .parquet(s"$indexDir/labelCentroids.parquet/batch_id=base")
       }
       unpersistIds(spark, baseIds)
     }
@@ -616,6 +698,8 @@ object Dedup {
         // query-side probes and the primed cell index in different
         // cell geometries
         if (name == "ivfCentroidsFit") SimilarityIvf.invalidateFit(spark, dir)
+        // same artifact-wins rule for the learned tokenizer
+        if (name == "bpeMergesFit") BpeFit.invalidateFit(spark, dir)
       }
     }
 
@@ -1891,11 +1975,63 @@ object DedupModule extends QueryModule {
          |ORDER BY cos DESC, id_a ASC, id_b ASC""".stripMargin
     })
 
+  /** q_dedup_minhash's oracle, resolved at dump time: the SIGNATURES
+    * are Spark-seeded (xxhash64 has no DuckDB builtin), so they are
+    * computed once and inlined as a VALUES table — the seeded-plane
+    * discipline that oracled the LSH knn queries — and everything
+    * DOWNSTREAM of the signature stage (band md5 bucketing, the
+    * MaxBandDf star-capped candidate join, position-agreement
+    * est-Jaccard, ranking) is replayed in pure SQL. The literal is
+    * 32 ints per document (~1 MB of SQL at sf0.1) — fine for the
+    * verify corpus sizes this oracle exists for; the fit/seed stage
+    * itself stays spec-pinned (DedupSpec planted-recall and error
+    * bounds). Band hashing must mirror bandHashes byte-for-byte:
+    * md5 of the comma-joined 2-value slice, 16 bands. */
+  private def minhashOracleSql(spark: SparkSession, dir: String): String = {
+    val sigValues = Dedup.minhashSignatures(spark, dir).collect()
+      .map { r =>
+        val sig = r.getSeq[Long](r.fieldIndex("sig"))
+        s"(BIGINT '${r.getLong(r.fieldIndex("doc_id"))}', [${sig.mkString(",")}])"
+      }.mkString(",")
+    val bands = Dedup.NumHashes / 2 - 1 // band indices 0..15, r=2
+    s"""WITH sigs(doc_id, sig) AS (VALUES $sigValues),
+       |bands AS (
+       |  SELECT doc_id AS id, j AS band_idx,
+       |    md5(array_to_string(sig[j*2+1 : j*2+2], ',')) AS band_hash
+       |  FROM sigs, unnest(generate_series(0, $bands)) t(j)),
+       |st AS (
+       |  SELECT id, band_idx, band_hash,
+       |    COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS df,
+       |    MIN(id) OVER (PARTITION BY band_idx, band_hash) AS min_id
+       |  FROM bands),
+       |allp AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM st a JOIN st b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+       |  WHERE a.df <= ${Dedup.MaxBandDf}),
+       |star AS (
+       |  SELECT min_id AS id_a, id AS id_b FROM st
+       |  WHERE df > ${Dedup.MaxBandDf} AND id != min_id),
+       |cand AS (SELECT DISTINCT id_a, id_b
+       |         FROM (SELECT * FROM allp UNION ALL SELECT * FROM star)),
+       |est AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_filter(generate_series(1, ${Dedup.NumHashes}),
+       |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${Dedup.NumHashes} AS est_jaccard
+       |  FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+       |              JOIN sigs sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |ORDER BY est_jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin
+  }
+
   /** q_dedup_semantic_fit's quantizer is k-means FITTED on the corpus
     * (deterministic hash-ordered sample) — its oracle is resolved at
     * Verify dump time with the fitted centroids inlined, the same
-    * discipline as q_knn_ivf_fit. */
+    * discipline as q_knn_ivf_fit. q_dedup_minhash's signature stage
+    * is likewise inlined at dump time (above). */
   override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] =
-    Map("q_dedup_semantic_fit" -> semanticOracleFrom(
-      SimilarityIvf.assignCteSqlWith(SimilarityIvf.fitCentroids(spark, dir))))
+    Map(
+      "q_dedup_semantic_fit" -> semanticOracleFrom(
+        SimilarityIvf.assignCteSqlWith(SimilarityIvf.fitCentroids(spark, dir))),
+      "q_dedup_minhash" -> minhashOracleSql(spark, dir))
 }

@@ -320,24 +320,48 @@ object Relational {
         percentile(col("o_totalprice"), lit(0.75)).as("p75"))
       .orderBy("o_orderstatus")
 
+  /** Ceiling on the CORPUS-DERIVED GK accuracy: past 10^8 rows the
+    * summary would stop being a sketch in any meaningful sense, so the
+    * derivation caps here and the aggregate leaves the exact-rank
+    * regime — at which point the `quantile_disc` oracle is no longer
+    * valid and verify runs must treat the query as rows-only rather
+    * than read a hash mismatch as a bug (the oracle's exactness is a
+    * property of ε·n < 1, not of the operator). */
+  private val GkExactRankMaxN = 100000000L
+
+  /** GK accuracy derived from the corpus: ε·n < 1 needs accuracy > n
+    * (any group is at most the table), floored at the legacy 10^6 so
+    * small corpora keep the measured-good setting. Derivation, not a
+    * constant: a scale factor whose largest o_orderstatus group passed
+    * 10^6 rows would otherwise silently leave the exact-rank regime
+    * and fail the hash compare with no explanatory marker. The row
+    * count is a parquet metadata read, not a scan. */
+  private def gkAccuracyFor(spark: SparkSession, dir: String): Long =
+    math.min(math.max(1000000L, 2L * Tables.orders(spark, dir).count()),
+      GkExactRankMaxN)
+
   /** Sketch twin of percentiles: approx_percentile (GK summaries,
     * mergeable map-side — the 100 TB path where the exact sort-based
-    * percentile would shuffle every value). Accuracy 10^6 puts every
-    * driver-gate scale in the GK EXACT-RANK regime (ε·n < 1 ⇒ the
-    * summary pins the discrete quantile, the element at rank ⌈p·n⌉ —
-    * measured: acc 10^4 was one element off on the 5 088-row P group,
-    * acc ≥ 10^6 matches `quantile_disc` on every group), which is what
-    * makes the sketch cross-engine ORACLED rather than rows-only. At
-    * production n ≫ 10^6 the same aggregate degrades gracefully to
-    * ±1e-6 relative-rank error. */
-  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    * percentile would shuffle every value). The corpus-derived
+    * accuracy (above) keeps every verify scale in the GK EXACT-RANK
+    * regime (ε·n < 1 ⇒ the summary pins the discrete quantile, the
+    * element at rank ⌈p·n⌉ — measured: acc 10^4 was one element off on
+    * the 5 088-row P group, acc ≥ 10^6 matches `quantile_disc` on
+    * every group), which is what makes the sketch cross-engine ORACLED
+    * rather than rows-only. Past [[GkExactRankMaxN]] rows the accuracy
+    * caps and the same aggregate degrades gracefully to bounded
+    * relative-rank error (oracle then invalid by design — see the
+    * ceiling's doc). */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val acc = gkAccuracyFor(spark, dir).toInt // capped ≤ 10^8, Int-safe
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
-        approx_percentile(col("o_totalprice"), lit(0.25), lit(1000000)).as("p25"),
-        approx_percentile(col("o_totalprice"), lit(0.5), lit(1000000)).as("p50"),
-        approx_percentile(col("o_totalprice"), lit(0.75), lit(1000000)).as("p75"))
+        approx_percentile(col("o_totalprice"), lit(0.25), lit(acc)).as("p25"),
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(acc)).as("p50"),
+        approx_percentile(col("o_totalprice"), lit(0.75), lit(acc)).as("p75"))
       .orderBy("o_orderstatus")
+  }
 
   /** Left-semi join: customers having at least one open order. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {

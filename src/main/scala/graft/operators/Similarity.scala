@@ -702,19 +702,51 @@ object SimilarityIvf {
     * candidate join stays an equi-join on cell. Selective predicates
     * shrink every downstream stage — exactly where a 100 TB filtered
     * search wants the filter. */
+  /** Headroom multiplier on the selectivity-scaled probe budget,
+    * measured against the post-filter exact twin (recall@5 ≥ 0.8
+    * pinned in SimilaritySpec across planted selectivities — the
+    * corpus is weakly clustered, so boundary neighbors need extra
+    * probes beyond the pure population argument). */
+  private[operators] val FilteredProbeHeadroom = 1.5
+
+  /** Cached per-(session, dir) label histograms — a labels-row model
+    * read (like the centroid fits), NOT a per-query corpus scan. */
+  private val labelHistCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+
+  /** Label histogram of the embeddings table: the (tiny) statistics
+    * artifact selectivity decisions read. One narrow groupBy per
+    * (session, dir); at 100 TB this is table statistics maintained by
+    * the index job, not query work. */
+  private[operators] def labelHistogram(spark: SparkSession, dir: String): Map[Int, Long] =
+    labelHistCache.computeIfAbsent(s"${Dedup.sessionKey(spark)}|$dir", _ =>
+      Tables.embeddings(spark, dir)
+        .groupBy("label").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+
   /** Probe budget under a predicate: the allowed population per probed
     * cell shrinks by the predicate's selectivity, so the probe count
-    * grows by its inverse (labelMax of 10 labels ⇒ selectivity
-    * labelMax/10), plus a 1.5× headroom factor measured against the
-    * post-filter exact twin (recall@5 0.82 at sf0.001, pinned ≥ 0.8 in
-    * SimilaritySpec — the corpus is weakly clustered, so boundary
-    * neighbors need the extra probes). Holding nprobe fixed would thin
-    * every candidate list by the filter and recall would fall with
-    * selectivity. Capped at k (probe-everything degenerates to exact
-    * search over the filtered corpus, the correct limit for
-    * ultra-selective predicates). */
-  private[operators] def probeForFiltered(k: Int, labelMax: Int): Int =
-    math.min(k, math.ceil(probeFor(k) * 15.0 / math.max(labelMax, 1)).toInt)
+    * grows by its inverse — with the selectivity DERIVED from the
+    * observed label histogram (sum of allowed-label counts over the
+    * total), not from any assumed label arity. A fixed nprobe would
+    * thin every candidate list by the filter and recall would fall
+    * with selectivity; a hard-coded arity would silently mis-budget
+    * any corpus whose labels aren't the fixture's. Capped at k
+    * (probe-everything degenerates to exact search over the filtered
+    * corpus — the correct limit for ultra-selective predicates, and
+    * the safe answer when the predicate matches nothing). */
+  private[operators] def probeForFiltered(spark: SparkSession, dir: String,
+                                          k: Int, labelMax: Int): Int = {
+    val hist = labelHistogram(spark, dir)
+    val total = hist.values.sum
+    val allowed = hist.collect { case (l, n) if l < labelMax => n }.sum
+    if (total == 0L || allowed == 0L) k
+    else {
+      val selectivity = allowed.toDouble / total
+      math.min(k,
+        math.ceil(probeFor(k) * FilteredProbeHeadroom / selectivity).toInt)
+    }
+  }
 
   def annIvfFiltered(spark: SparkSession, dir: String,
                      nQueries: Int = NumQueriesDefault, k: Int = TopKDefault,
@@ -730,7 +762,7 @@ object SimilarityIvf {
     val qcells = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         explode(probedCells(col("v"), cents,
-          probeForFiltered(cents.length, labelMax))).as("cell"))
+          probeForFiltered(spark, dir, cents.length, labelMax))).as("cell"))
     val pairs = broadcast(qcells)
       .join(filteredCells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -1126,7 +1158,8 @@ object SimilarityModule extends QueryModule {
     Map(
       "q_knn_ivf_fit" -> ivfOracleSql(cents, nprobe),
       "q_knn_ivf_filtered" -> ivfFilteredOracleSql(cents,
-        SimilarityIvf.probeForFiltered(cents.length, SimilarityIvf.FilterLabelMax),
+        SimilarityIvf.probeForFiltered(spark, dir, cents.length,
+          SimilarityIvf.FilterLabelMax),
         SimilarityIvf.FilterLabelMax))
   }
 }

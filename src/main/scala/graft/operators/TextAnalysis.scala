@@ -442,6 +442,7 @@ object TextAnalysisModule extends QueryModule {
     "q_text_quality" -> ((s: SparkSession, d: String) => qualityScore(s, d)),
     "q_text_token_count" -> ((s: SparkSession, d: String) => tokenCount(s, d)),
     "q_text_token_count_bpe" -> ((s: SparkSession, d: String) => bpeTokenCount(s, d)),
+    "q_text_token_count_bpe_fit" -> ((s: SparkSession, d: String) => BpeFit.bpeTokenCountFit(s, d)),
     "q_bpe_vocab_stats" -> ((s: SparkSession, d: String) => bpeVocabStats(s, d)),
     "q_text_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "q_text_bigrams" -> ((s: SparkSession, d: String) => bigrams(s, d)),
@@ -636,4 +637,12 @@ object TextAnalysisModule extends QueryModule {
         |    rule_symbol_ratio = 1 AND rule_alpha = 1 AND
         |    rule_stopwords = 1 AS INTEGER) AS pass
         |FROM s ORDER BY doc_id""".stripMargin)
+
+  /** q_text_token_count_bpe_fit's oracle replays the merge table
+    * LEARNED on this corpus — resolved when Verify dumps
+    * oracle_sql.json (the q_knn_ivf_fit discipline: fitMerges is
+    * deterministic and session-cached, so the inlined literals match
+    * the table the query served in the same session). */
+  override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] =
+    Map("q_text_token_count_bpe_fit" -> BpeFit.tokenCountFitOracle(spark, dir))
 }

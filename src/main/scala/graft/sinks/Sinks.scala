@@ -148,8 +148,20 @@ object Sinks {
     *    overwrite by key, ON CONFLICT upsert — which both sinks here
     *    are), and the pair composes to exactly-once EFFECTS.
     *
-    * `markerDir` lives next to the sink target (any Hadoop scheme), so
-    * the marker and the data share a consistency domain. */
+    * `markerDir` lives next to the sink target so the marker and the
+    * data share a consistency domain. The marker itself is EMPTY, so
+    * its create is already atomic (a reader sees the file or not —
+    * there is no partially-written content to observe); the
+    * create-temp + rename below is kept only to also tolerate a
+    * non-empty marker payload in the future. NOTE the filesystem
+    * caveat: rename is atomic on HDFS and local file:// but a
+    * COPY+DELETE on object stores (s3a), so on such stores the
+    * skip-if-marker-exists read is still correct (empty file: present
+    * or absent, never partial) but two CONCURRENT publishers of the
+    * same batchId could both pass the exists-check and both run
+    * `write` — acceptable under this contract because `write` is
+    * required idempotent, and Structured Streaming never runs one
+    * batchId concurrently with itself anyway. */
   def exactlyOnceBatch(markerDir: String)(write: (DataFrame, Long) => Unit)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     val base = new Path(markerDir)

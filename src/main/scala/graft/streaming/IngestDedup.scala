@@ -104,6 +104,35 @@ object IngestDedup {
   def corpusBands(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashBandTable(spark, dir)
 
+  /** Streaming token accounting over a (ts, doc_id, text) stream: the
+    * per-document subword budget numbers a training-data ingest tracks
+    * as documents arrive, through the SAME BPE kernel as the batch
+    * artifacts — `graft.functions.BpeTokenize` is one stateless
+    * codegen expression, so the stream-side count is byte-identical to
+    * `TextAnalysis.bpeTokenCount` and to the persisted
+    * `curationBpeToks` artifact by construction (a stream that counted
+    * whitespace words while the batch side budgeted BPE subwords would
+    * silently drift every ingest-time quota). Pass the corpus-LEARNED
+    * merge table to account under the fitted tokenizer
+    * (`BpeFit.fitMerges`) — same discipline, different constant.
+    * Stateless projection: append-safe at any watermark, no state
+    * store. IngestDedupSpec pins stream ≡ batch row-for-row. */
+  def tokenAccounting(docs: DataFrame,
+                      learnedMerges: Option[Seq[(String, String)]] = None): DataFrame = {
+    val toks = learnedMerges match {
+      case Some(m) => graft.functions.BpeTokenizeLearnedColumn(col("text"), m)
+      case None => graft.functions.BpeTokenizeColumn(col("text"))
+    }
+    docs
+      .select(col("doc_id"), col("ts"), length(col("text")).as("n_chars_calc"),
+        split(trim(lower(col("text"))), "\\s+").as("ws"), toks.as("toks"))
+      .select(col("doc_id"), col("ts"),
+        size(col("ws")).cast("long").as("ws_tokens"),
+        size(col("toks")).cast("long").as("bpe_tokens"),
+        round(col("n_chars_calc").cast("double") /
+          greatest(size(col("toks")), lit(1)), 6).as("chars_per_token"))
+  }
+
   /** Streaming NEAR-dup ingest over a (ts, doc_id, text) stream — the
     * tier the exact-fingerprint path cannot cover: a re-crawled
     * document with one changed sentence has a new md5 but ~0.7+ Jaccard

@@ -115,4 +115,68 @@ class BpeSpec extends SparkSpec {
       .filter(col("n") =!= col("n2"))
     assert(joined.count() == 0)
   }
+
+  test("train: planted histogram learns the expected merge cascade, deterministically") {
+    // "the" dominates: (t,h) and (h,e) tie at 60, the lexicographic
+    // tie-break picks (h,e), then (t,he) completes the cascade — and
+    // "the" must encode to ONE token under the learned table
+    val hist = Seq(("the", 50L), ("then", 10L), ("tx", 3L), ("zq", 1L))
+    val merges = Bpe.train(hist, 4)
+    assert(merges.take(2) == Seq(("h", "e"), ("t", "he")),
+      s"expected the he-cascade first, got $merges")
+    val enc = Bpe.computeWith(UTF8String.fromString("the"), merges.toArray)
+      .array.toSeq.map(_.asInstanceOf[UTF8String].toString)
+    assert(enc == Seq("the"), s"'the' must collapse to one token, got $enc")
+    // byte-for-byte determinism across invocations
+    assert(Bpe.train(hist, 4) == merges)
+    // and a permuted histogram learns the identical table (training is
+    // a function of the multiset, not the row order)
+    assert(Bpe.train(hist.reverse, 4) == merges)
+  }
+
+  test("train: pair counts are weighted and non-overlapping; singleton pairs stop training") {
+    // "aaa"×3 holds ONE (a,a) per word (non-overlapping) = 3 total;
+    // "bc"×2 holds (b,c) = 2. (a,a) wins 3 > 2.
+    val merges = Bpe.train(Seq(("aaa", 3L), ("bc", 2L)), 10)
+    assert(merges.head == ("a", "a"), s"got $merges")
+    // after (a,a): "aaa" → [aa, a]; (aa,a) freq 3 beats (b,c) 2
+    assert(merges.take(3) == Seq(("a", "a"), ("aa", "a"), ("b", "c")), s"got $merges")
+    // no pair repeats after that → training stops early at 3 merges
+    assert(merges.length == 3, s"expected early stop, got $merges")
+  }
+
+  test("train + encodeWith round-trip: learned table collapses the planted vocabulary") {
+    val merges = Bpe.train(Seq(("table", 20L), ("tab", 5L)), 8).toArray
+    val out = Bpe.computeWith(UTF8String.fromString("table tab"), merges)
+    val toksOut = out.array.toSeq.map(_.asInstanceOf[UTF8String].toString)
+    // "table" fully collapses (it dominates the histogram); "tab" is a
+    // prefix of the cascade so it collapses too
+    assert(toksOut.contains("table") && toksOut.length <= 3, s"got $toksOut")
+  }
+
+  test("fitMerges is deterministic per corpus and the fit query serves it") {
+    val dir = sf("sf0.001")
+    val m1 = graft.operators.BpeFit.fitMerges(spark, dir)
+    val m2 = graft.operators.BpeFit.fitMerges(spark, dir)
+    assert(m1.nonEmpty && m1 == m2)
+    // learned cascades must be buildable (same well-formedness invariant
+    // as the fixed table): every rule's inputs are single chars or an
+    // EARLIER rule's output
+    val known = scala.collection.mutable.Set.empty[String]
+    m1.foreach { case (a, b) =>
+      assert(a.length == 1 || known.contains(a), s"orphan left input $a")
+      assert(b.length == 1 || known.contains(b), s"orphan right input $b")
+      known += (a + b)
+    }
+    val fitCounts = graft.operators.BpeFit.bpeTokenCountFit(spark, dir)
+    assert(fitCounts.count() > 0)
+    // the learned tokenizer compresses at least as well as characters
+    // and no better than whole words on every doc
+    import spark.implicits._
+    val bad = fitCounts.join(
+        spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"),
+          length(col("text")).as("n_chars_x")), "doc_id")
+      .filter(col("bpe_tokens_fit") > col("n_chars_x"))
+    assert(bad.count() == 0)
+  }
 }

@@ -31,7 +31,8 @@ class IndexPersistenceSpec extends SparkSpec {
 
   private val artifacts = Seq("docShingles", "shingleIndex", "jaccardPairs",
     "minhashSigs", "minhashBands", "simhashTable", "embBase", "lshBuckets",
-    "ivfCells", "ivfCentroidsFit", "ivfCellsFit")
+    "ivfCells", "ivfCentroidsFit", "ivfCellsFit", "bpeMergesFit",
+    "curationToks", "curationBpeToks", "labelCentroids")
 
   test("writeIndexes → releaseIndexes → primeIndexes serves identical results from parquet") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-idx").toString
@@ -142,7 +143,12 @@ class IndexPersistenceSpec extends SparkSpec {
     // reference below, not against the rebuild.
     // batch_id is internal layout (base vs the appended batch's
     // partition) — content equivalence is over the artifact schema
-    artifacts.filterNot(Set("ivfCentroidsFit", "ivfCellsFit")).foreach { a =>
+    // bpeMergesFit is train-once: the appended index keeps the OLD
+    // corpus's tokenizer (by design), the rebuild trains on the full
+    // corpus — so like the quantizer artifacts it is excluded from the
+    // content-equality sweep
+    artifacts.filterNot(Set("ivfCentroidsFit", "ivfCellsFit", "bpeMergesFit"))
+      .foreach { a =>
       val appended = spark.read.parquet(s"$idxA/$a.parquet").drop("batch_id")
       val rebuilt = spark.read.parquet(s"$idxB/$a.parquet").drop("batch_id")
       assert(appended.columns.toSeq == rebuilt.columns.toSeq, s"$a schema drift")
@@ -234,7 +240,8 @@ class IndexPersistenceSpec extends SparkSpec {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-idx-noemb").toString
     Dedup.writeIndexes(spark, dir, indexDir, withEmbeddings = false)
     assert(new java.io.File(s"$indexDir/docShingles.parquet").exists())
-    Seq("embBase", "lshBuckets", "ivfCells", "ivfCentroidsFit", "ivfCellsFit")
+    Seq("embBase", "lshBuckets", "ivfCells", "ivfCentroidsFit", "ivfCellsFit",
+      "labelCentroids")
       .foreach { a =>
         assert(!new java.io.File(s"$indexDir/$a.parquet").exists(),
           s"embedding artifact $a written despite withEmbeddings=false")

@@ -421,4 +421,56 @@ class IngestDedupSpec extends SparkSpec {
     assert(batch.size == 50 && expr == batch)
     graft.operators.Dedup.releaseIndexes(spark)
   }
+
+  test("streaming token accounting matches the batch BPE counts row-for-row") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[Doc]
+    val q = IngestDedup.tokenAccounting(input.toDF())
+      .writeStream.format("memory").queryName("tokacct").outputMode("append").start()
+    val docs = Seq(
+      Doc(ts("2024-01-01 10:00:00"), 1L, "the quick brown fox jumps over the lazy dog"),
+      Doc(ts("2024-01-01 10:00:01"), 2L, "Spark  TABLE value\nmerge batch sort"),
+      Doc(ts("2024-01-01 10:00:02"), 3L, "   "), // whitespace-only → 0 BPE tokens
+      Doc(ts("2024-01-01 10:00:03"), 4L, "xyzzy"))
+    withQuery(q) {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tokacct")
+        .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_token")
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (id, ws, bpe, cpt) => id -> ((ws, bpe, cpt)) }.toMap
+      // batch twin over the identical documents (TextAnalysis.bpeTokenCount
+      // shape, minus the stream's ts column)
+      val dir = java.nio.file.Files.createTempDirectory("graft-tokacct").toString
+      docs.map(d => (d.doc_id, d.text, "en", "srcT", d.text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val batch = graft.operators.TextAnalysis.bpeTokenCount(spark, dir)
+        .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_token")
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (id, ws, bpe, cpt) => id -> ((ws, bpe, cpt)) }.toMap
+      assert(streamed == batch,
+        s"stream token accounting diverged from batch: $streamed vs $batch")
+    }
+  }
+
+  test("streaming token accounting under a LEARNED merge table matches the learned batch kernel") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // a tiny learned table: merges 'th' then 'the' — enough to prove the
+    // learned constant rides the stream expression, not the fixed table
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val input = MemoryStream[Doc]
+    val q = IngestDedup.tokenAccounting(input.toDF(), Some(merges))
+      .writeStream.format("memory").queryName("tokacctfit").outputMode("append").start()
+    withQuery(q) {
+      input.addData(Doc(ts("2024-01-01 10:00:00"), 1L, "the thee tx"))
+      q.processAllAvailable()
+      val got = spark.table("tokacctfit")
+        .select("doc_id", "bpe_tokens").as[(Long, Long)].collect().toMap
+      // "the"→[the]=1, "thee"→[the,e]=2, "tx"→[t,x]=2 ⇒ 5 subwords
+      assert(got == Map(1L -> 5L), s"learned-table stream count wrong: $got")
+    }
+  }
 }
