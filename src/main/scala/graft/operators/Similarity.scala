@@ -706,8 +706,10 @@ object SimilarityIvf {
     * measured against the post-filter exact twin (recall@5 ≥ 0.8
     * pinned in SimilaritySpec across planted selectivities — the
     * corpus is weakly clustered, so boundary neighbors need extra
-    * probes beyond the pure population argument). */
-  private[operators] val FilteredProbeHeadroom = 1.5
+    * probes beyond the pure population argument; 1.5 held 0.8 only at
+    * the fixture's selectivity and dropped to 0.74 at selectivity 1,
+    * where the filtered search degenerates to plain IVF). */
+  private[operators] val FilteredProbeHeadroom = 2.5
 
   /** Cached per-(session, dir) label histograms — a labels-row model
     * read (like the centroid fits), NOT a per-query corpus scan. */

@@ -143,6 +143,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"filtered ANN recall $recall below 0.8")
   }
 
+  test("filtered ANN holds recall >= 0.8 across planted selectivities; probe budget scales with the histogram") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect()
+    def nrm(v: Seq[Float]): Double = math.sqrt(v.map(x => x.toDouble * x).sum)
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum / (nrm(a) * nrm(b))
+    val vecs = emb.map(r => r._1 -> r._2).toMap
+    val k = SimilarityIvf.corpusK(spark, dir)
+    // selectivities from ultra-selective (1 label) to everything: the
+    // budget must come from the OBSERVED histogram, and recall must
+    // hold at each point — the property the old fixture-arity constant
+    // could only promise at one point
+    val labelArity = emb.map(_._3).distinct.length
+    var prevProbes = Int.MaxValue
+    Seq(1, 3, 5, labelArity).foreach { labelMax =>
+      val probes = SimilarityIvf.probeForFiltered(spark, dir, k, labelMax)
+      // monotone: a more selective predicate never probes fewer cells
+      assert(probes <= prevProbes,
+        s"probe budget must not grow with selectivity: labelMax=$labelMax probes=$probes prev=$prevProbes")
+      prevProbes = probes
+      val out = SimilarityIvf.annIvfFiltered(spark, dir, labelMax = labelMax)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val allowed = emb.filter(_._3 < labelMax).map(_._1).toSet
+      assert(out.forall(p => allowed(p._2)), s"out-of-predicate neighbor at labelMax=$labelMax")
+      val truth = (0L until 10L).filter(q => vecs.contains(q) && nrm(vecs(q)) > 0)
+        .flatMap { q =>
+          emb.filter(r => allowed(r._1) && r._1 != q && nrm(r._2) > 0)
+            .map(r => (r._1, cos(vecs(q), r._2)))
+            .sortBy { case (id, c) => (-c, id) }
+            .take(5).map { case (id, _) => (q, id) }
+        }.toSet
+      val recall = out.intersect(truth).size.toDouble / math.max(truth.size, 1)
+      info(s"labelMax=$labelMax probes=$probes recall=$recall")
+      assert(recall >= 0.8, s"recall $recall < 0.8 at labelMax=$labelMax (probes=$probes)")
+    }
+    graft.operators.Dedup.releaseIndexes(spark)
+  }
+
   test("IVF ranks are dense, scores agree with exact cosine on shared pairs") {
     val ivf = SimilarityIvf.annIvf(spark, sf("sf0.001"))
       .select("query_id", "neighbor_id", "cos", "rn")
