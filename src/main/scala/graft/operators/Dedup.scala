@@ -1962,6 +1962,11 @@ object DedupModule extends QueryModule {
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    // round 11: the ANN variant is fully oracled — the hyperplanes are
+    // compile-time constants (the round-7 knn-lsh discipline), so
+    // bucketing + star-capped candidates + rerank replay statically
+    "q_dedup_embedding_ann" ->
+      SimilarityModule.embeddingAnnOracleSql(Dedup.MaxBandDf),
     "q_dedup_embedding_ann_rerank" -> {
       val values = Dedup.rerankProbePairs
         .map { case (a, b) => s"($a, $b)" }.mkString(", ")
@@ -2024,14 +2029,46 @@ object DedupModule extends QueryModule {
        |ORDER BY est_jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin
   }
 
+  /** q_dedup_simhash's oracle, resolved at dump time: the 64-bit
+    * fingerprints are xxhash64-derived (Spark-seeded), so the
+    * fingerprint BITSTRINGS are inlined as a VALUES table — the
+    * q_dedup_minhash discipline — and the chunk-pigeonhole candidate
+    * join plus the exact Hamming ranking replay in pure SQL. 64 chars
+    * per document; the fingerprint semantics themselves stay pinned by
+    * DedupSpec's cross-formulation differential. */
+  private def simhashOracleSql(spark: SparkSession, dir: String): String = {
+    val fpValues = Dedup.simhashDocs(spark, dir)
+      .select(col("doc_id"), col("bitstr")).collect()
+      .map(r => s"(BIGINT '${r.getLong(0)}', '${r.getString(1)}')")
+      .mkString(",")
+    s"""WITH fp(doc_id, bitstr) AS (VALUES $fpValues),
+       |chunks AS (
+       |  SELECT doc_id, j AS chunk_idx, substr(bitstr, j*16 + 1, 16) AS chunk
+       |  FROM fp, unnest(generate_series(0, 3)) t(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+       |h AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_filter(generate_series(1, 64),
+       |      i -> substr(fa.bitstr, i, 1) <> substr(fb.bitstr, i, 1))) AS INTEGER) AS hamming
+       |  FROM cand JOIN fp fa ON fa.doc_id = cand.id_a
+       |            JOIN fp fb ON fb.doc_id = cand.id_b)
+       |SELECT id_a, id_b, hamming FROM h
+       |ORDER BY hamming ASC, id_a ASC, id_b ASC LIMIT 20""".stripMargin
+  }
+
   /** q_dedup_semantic_fit's quantizer is k-means FITTED on the corpus
     * (deterministic hash-ordered sample) — its oracle is resolved at
     * Verify dump time with the fitted centroids inlined, the same
     * discipline as q_knn_ivf_fit. q_dedup_minhash's signature stage
-    * is likewise inlined at dump time (above). */
+    * and q_dedup_simhash's fingerprint stage are likewise inlined at
+    * dump time (above). */
   override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] =
     Map(
       "q_dedup_semantic_fit" -> semanticOracleFrom(
         SimilarityIvf.assignCteSqlWith(SimilarityIvf.fitCentroids(spark, dir))),
-      "q_dedup_minhash" -> minhashOracleSql(spark, dir))
+      "q_dedup_minhash" -> minhashOracleSql(spark, dir),
+      "q_dedup_simhash" -> simhashOracleSql(spark, dir))
 }

@@ -957,6 +957,42 @@ object SimilarityModule extends QueryModule {
        |         WHERE cb.vec_id <> qb.query_id),
        |$rerankTail""".stripMargin
 
+  /** Static oracle for q_dedup_embedding_ann (Dedup.embeddingPairsAnn,
+    * audit default: no threshold, top-20): the hyperplanes are
+    * compile-time constants, so the WHOLE pipeline — sign-bit
+    * bucketing, the MaxBandDf star-capped candidate join, exact-cosine
+    * rerank, ranking — replays in SQL with no dump-time state at all
+    * (the same plane literals that oracled the knn queries in round 7;
+    * the star-cap replay follows the round-11 q_dedup_minhash shape).
+    * Lives here because the plane/bucket CTEs are this module's;
+    * DedupModule's oracle map references it. */
+  private[operators] def embeddingAnnOracleSql(cap: Int): String =
+    s"""WITH $eCte,
+       |$lshBucketCtes,
+       |st AS (
+       |  SELECT vec_id AS id, table_idx, bucket,
+       |    COUNT(*) OVER (PARTITION BY table_idx, bucket) AS df,
+       |    MIN(vec_id) OVER (PARTITION BY table_idx, bucket) AS min_id
+       |  FROM b),
+       |allp AS (
+       |  SELECT a.id AS id_a, c.id AS id_b
+       |  FROM st a JOIN st c
+       |    ON a.table_idx = c.table_idx AND a.bucket = c.bucket AND a.id < c.id
+       |  WHERE a.df <= $cap),
+       |star AS (
+       |  SELECT min_id AS id_a, id AS id_b FROM st
+       |  WHERE df > $cap AND id != min_id),
+       |cand AS (SELECT DISTINCT id_a, id_b
+       |         FROM (SELECT * FROM allp UNION ALL SELECT * FROM star)),
+       |sc AS (
+       |  SELECT id_a, id_b,
+       |    list_dot_product(va.v, vb.v) /
+       |      (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) AS cos
+       |  FROM cand JOIN e va ON va.vec_id = cand.id_a
+       |            JOIN e vb ON vb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, cos FROM sc
+       |ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin
+
   // multi-probe: the query side additionally probes, per table, the
   // NumPlanes buckets at Hamming distance 1 (one sign bit flipped in
   // the bucket STRING — same derivation as the Spark side's flip())
