@@ -1391,16 +1391,21 @@ object Dedup {
     // Candidate pairs are deduped BEFORE the per-pair Hamming
     // computation — a pair can collide on up to 4 chunks and word-soup
     // corpora cluster heavily, so scoring pre-dedup would redo the
-    // 64-bit compare per collision.
+    // 64-bit compare per collision. The chunk join carries the same
+    // MaxBandDf star degradation as the MinHash bands and the
+    // embedding buckets (round 11 — it was the ONE inverted index
+    // still uncapped): a flood of identical documents shares all four
+    // 16-bit chunks, and without the cap that one chunk bucket emits
+    // C(n,2) candidates. Star pairs keep the flood connected (every
+    // member pairs the chunk minimum at Hamming 0) while bounding the
+    // join at O(n) rows per hot chunk.
     val docs = simhashDocs(spark, dir)
     val chunks = docs.select(col("doc_id"),
       posexplode(array((0 until 4).map(j =>
         substring(col("bitstr"), j * 16 + 1, 16)): _*)).as(Seq("chunk_idx", "chunk")))
-    val a = chunks.select(col("doc_id").as("id_a"), col("chunk_idx"), col("chunk"))
-    val b = chunks.select(col("doc_id").as("id_b"), col("chunk_idx"), col("chunk"))
-    val pairs = a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val pairs = starCappedPairs(
+      chunks.select(col("doc_id").as("id"), col("chunk_idx"), col("chunk")),
+      Seq("chunk_idx", "chunk"))
     val bitsA = docs.select(col("doc_id").as("id_a"), col("bits").as("bits_a"))
     val bitsB = docs.select(col("doc_id").as("id_b"), col("bits").as("bits_b"))
     // Unhinted join-back (same reasoning as minhashLsh): the bits
@@ -2045,10 +2050,21 @@ object DedupModule extends QueryModule {
        |chunks AS (
        |  SELECT doc_id, j AS chunk_idx, substr(bitstr, j*16 + 1, 16) AS chunk
        |  FROM fp, unnest(generate_series(0, 3)) t(j)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM chunks a JOIN chunks b
-       |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+       |st AS (
+       |  SELECT doc_id AS id, chunk_idx, chunk,
+       |    COUNT(*) OVER (PARTITION BY chunk_idx, chunk) AS df,
+       |    MIN(doc_id) OVER (PARTITION BY chunk_idx, chunk) AS min_id
+       |  FROM chunks),
+       |allp AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM st a JOIN st b
+       |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.id < b.id
+       |  WHERE a.df <= ${Dedup.MaxBandDf}),
+       |star AS (
+       |  SELECT min_id AS id_a, id AS id_b FROM st
+       |  WHERE df > ${Dedup.MaxBandDf} AND id != min_id),
+       |cand AS (SELECT DISTINCT id_a, id_b
+       |         FROM (SELECT * FROM allp UNION ALL SELECT * FROM star)),
        |h AS (
        |  SELECT id_a, id_b,
        |    CAST(len(list_filter(generate_series(1, 64),

@@ -416,6 +416,52 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
   }
 
+  test("hot SimHash chunk bucket degrades to star pairs, bounded and connected") {
+    // 80 byte-identical docs share the identical 64-bit fingerprint, so
+    // ONE 16-bit chunk bucket (×4) captures the whole flood; uncapped
+    // that is C(80,2) candidate pairs per chunk. With the MaxBandDf
+    // star degradation (round 11 — the last inverted index to get it)
+    // the clique contributes exactly the 79 (min, member) pairs, all at
+    // Hamming 0, and a planted near-identical pair outside the flood is
+    // still recovered through its small chunk buckets.
+    val base = (1 to 30).map(i => s"t$i").mkString(" ")
+    val flood = (100 until 180).map(i => (i.toLong, base))
+    // near-identical pair OUTSIDE the flood: 60 shared tokens, one
+    // differing — few fingerprint bits flip, so the pigeonhole
+    // guarantees a shared 16-bit chunk (Hamming well under 4×1)
+    val longBase = (1 to 60).map(i => s"w$i").mkString(" ")
+    val pairA = Seq(
+      (1L, s"$longBase tailone"),
+      (2L, s"$longBase tailtwo"))
+    val noise = (10 until 40).map(i =>
+      (i.toLong, s"n$i x$i y$i z$i w$i v$i u$i s$i r$i q$i p$i o$i"))
+    val dir = docsDir(flood ++ pairA ++ noise)
+    val top = Dedup.simhashPairs(spark, dir)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val clique = top.filter(r => r._1 >= 100L && r._2 >= 100L)
+    assert(clique.nonEmpty && clique.forall(r => r._1 == 100L && r._3 == 0),
+      s"flood pairs must be stars to the minimum at Hamming 0: ${clique.take(3).mkString(",")}")
+    // the full candidate surface is bounded: count via the capped join
+    // shape itself — the flood contributes exactly 79 distinct pairs
+    import org.apache.spark.sql.functions.{array, col, posexplode, substring}
+    val docs = Dedup.simhashDocs(spark, dir)
+    val chunks = docs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(j =>
+        substring(col("bitstr"), j * 16 + 1, 16)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val cands = Dedup.starCappedPairs(
+      chunks.select(col("doc_id").as("id"), col("chunk_idx"), col("chunk")),
+      Seq("chunk_idx", "chunk")).as[(Long, Long)].collect().toSet
+    val cliqueCands = cands.filter(p => p._1 >= 100L && p._2 >= 100L)
+    assert(cliqueCands == (101L until 180L).map(i => (100L, i)).toSet,
+      s"hot chunk must star to the minimum member: got ${cliqueCands.size} pairs")
+    // the planted small-bucket pair survives the cap (they share at
+    // least one 16-bit chunk — near-identical token multisets)
+    assert(cands.contains((1L, 2L)),
+      "small-bucket near-dup recall must survive the cap")
+    Dedup.releaseIndexes(spark)
+  }
+
   test("hot embedding LSH bucket degrades to star pairs, bounded and connected") {
     // 80 byte-identical embeddings collapse into ONE bucket in every
     // table; uncapped that is C(80,2) pairs × 8 tables of join work.
