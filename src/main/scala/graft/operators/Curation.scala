@@ -131,13 +131,6 @@ object Curation {
         countDistinct(col("eval_id")).as("n_eval_docs"))
       .orderBy(col("n_shared").desc, col("train_id").asc)
 
-  /** Sizing for the eval-gram Bloom filter. Eval suites are benchmark
-    * collections — 10³–10⁵ docs, ≤10⁷ distinct 8-grams — so 4 M
-    * expected items (≈4.7 MB of bits at the sketch's 3% default FPP)
-    * over-provisions every realistic suite while staying a trivial
-    * broadcast; production would size from the suite's gram count. */
-  private[operators] val BloomExpectedGrams = 4000000L
-
   /** Decontamination with a broadcast Bloom pre-filter — the 100 TB
     * formulation of [[decontaminate]], same output bit-for-bit.
     *
@@ -185,12 +178,24 @@ object Curation {
       .select(col("doc_id"), explode(ngramArray(col("toks"))).as("gram"))
     val bloom = bloomCache.computeIfAbsent(
       s"${Dedup.sessionKey(spark)}|$dir", _ => {
+        val evalGrams = rawGrams.filter(col("doc_id") % EvalModulus === 0)
+        // Size the sketch from the OBSERVED eval gram count (×2
+        // growth headroom, floored at 64k), not the 4M worst-case:
+        // the bloom literal rides into EVERY task binary of every
+        // stage that evaluates the predicate, and the fixed 4M
+        // sizing made that a ~4.7 MB plan constant — measured ~1.4 s
+        // of the query's steady-state wall was task serialization of
+        // the oversized literal (the filter's false-positive rate is
+        // what the sizing controls; the exact join kills fps either
+        // way). The count is one narrow scan, paid once per session
+        // alongside the build itself.
+        val n = evalGrams.count()
+        val expected = math.max(65536L, 2L * n)
         val bloomAgg = ColumnBridge.column(
           new BloomFilterAggregate(
-            ColumnBridge.expression(hashed(col("gram"))), BloomExpectedGrams)
+            ColumnBridge.expression(hashed(col("gram"))), expected)
             .toAggregateExpression())
-        val row = rawGrams.filter(col("doc_id") % EvalModulus === 0)
-          .select(bloomAgg.as("bf")).head()
+        val row = evalGrams.select(bloomAgg.as("bf")).head()
         if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
       })
     val pruned = bloom match {
