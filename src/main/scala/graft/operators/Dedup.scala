@@ -258,7 +258,11 @@ object Dedup {
     "curationToks" -> ((s, d) => Curation.docToks(s, d)),
     "curationBpeToks" -> ((s, d) => Curation.docBpeToks(s, d)),
     // per-label centroid model (labels × dim rows, tiny)
-    "labelCentroids" -> ((s, d) => Similarity.centroidTable(s, d)))
+    "labelCentroids" -> ((s, d) => Similarity.centroidTable(s, d)),
+    // converged dup-cluster labels — the cluster-RESOLUTION artifact
+    // (docs incident to a dup edge only, tiny next to the corpus);
+    // derived from the pair table, so rebuildPairTable re-derives it
+    "clusterLabels" -> ((s, d) => clusterLabels(s, d)))
 
   /** Builder names that read the embeddings table — skipped when a
     * corpus has no embeddings (`withEmbeddings = false`). */
@@ -292,7 +296,7 @@ object Dedup {
     * memo, which per-key-locks across chains, so the cross-chain
     * dependency is safe — whichever thread arrives first builds it.) */
   private def builderChains: Seq[Seq[String]] = Seq(
-    Seq("docShingles", "shingleIndex", "jaccardPairs"),
+    Seq("docShingles", "shingleIndex", "jaccardPairs", "clusterLabels"),
     Seq("minhashSigs", "minhashBands"),
     Seq("simhashTable"),
     Seq("embBase", "lshBuckets", "ivfCells"),
@@ -548,6 +552,21 @@ object Dedup {
       memoDrop(spark, s"jaccardPairs|$dir")
       memoPut(spark, s"jaccardPairs|$dir",
         spark.read.parquet(s"$indexDir/jaccardPairs.parquet").drop("batch_id"))
+      // the cluster-label artifact derives from the pair table, so it
+      // shares the pair table's staleness contract exactly: re-derived
+      // here (under the fresh pair table just primed above), stale
+      // until this call when the rebuild was deferred
+      val lp = new org.apache.hadoop.fs.Path(s"$indexDir/clusterLabels.parquet")
+      if (lp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lp)) {
+        memoDrop(spark, s"clusterLabels|$dir")
+        val labels = clusterLabels(spark, dir)
+        lp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lp, true)
+        labels.write.mode("overwrite")
+          .parquet(s"$indexDir/clusterLabels.parquet/batch_id=base")
+        memoDrop(spark, s"clusterLabels|$dir")
+        memoPut(spark, s"clusterLabels|$dir",
+          spark.read.parquet(s"$indexDir/clusterLabels.parquet").drop("batch_id"))
+      }
     }
 
   /** One watermark-driven ingest batch — the scheduled daily job,
@@ -1110,7 +1129,11 @@ object Dedup {
       def lblSum(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
       var prevSum = lblSum(labels)
-      var converged = false
+      // a corpus with NO dup edges has an empty label table (sum NULL):
+      // nothing to propagate — the converged result is the empty set
+      // (previously unreachable: only dup-bearing corpora built labels;
+      // as an index ARTIFACT the builder must handle any corpus)
+      var converged = prevSum == null
       while (!converged) {
         val nbrMin = edges.join(labels, edges("id_b") === labels("id"))
           .groupBy(edges("id_a").as("id")).agg(min(col("lbl")).as("nbr_lbl"))

@@ -32,7 +32,7 @@ class IndexPersistenceSpec extends SparkSpec {
   private val artifacts = Seq("docShingles", "shingleIndex", "jaccardPairs",
     "minhashSigs", "minhashBands", "simhashTable", "embBase", "lshBuckets",
     "ivfCells", "ivfCentroidsFit", "ivfCellsFit", "bpeMergesFit",
-    "curationToks", "curationBpeToks", "labelCentroids")
+    "curationToks", "curationBpeToks", "labelCentroids", "clusterLabels")
 
   test("writeIndexes → releaseIndexes → primeIndexes serves identical results from parquet") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-idx").toString
