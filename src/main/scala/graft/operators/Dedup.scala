@@ -730,17 +730,16 @@ object Dedup {
     * bound attribute. */
   private[operators] def docShingles(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"docShingles|$dir") {
-      val (staged, stagedIds) = trackedCheckpoint(
-        Tables.documents(spark, dir)
-          .select(col("doc_id"), toks(col("text")).as("toks")))
-      val out = staged
+      // Ride the shared tokenized-corpus artifact (curationToks): ONE
+      // text-column scan + ONE whitespace split now serves shingles,
+      // simhash, and the curation token family — before round 11 the
+      // index job paid that scan three times over. The staged table is
+      // itself the checkpoint barrier this build needs (see above), and
+      // its residency is owned by the curationToks memo entry
+      // (releaseIndexes frees it with everything else).
+      Curation.docToks(spark, dir)
         .select(col("doc_id"), shingleArray(col("toks")).as("sh"))
         .transform(checkpointSer)
-      // the token staging is only a lambda barrier for the shingle
-      // build; once the shingle table is materialized its blocks are
-      // dead weight — free them instead of holding both tables
-      unpersistIds(spark, stagedIds)
-      out
     }
 
   /** Materialized inverted shingle index (doc_id, n_sh, shingle) —
@@ -1387,14 +1386,19 @@ object Dedup {
     simhashTableOf(Tables.documents(spark, dir))
 
   /** simhashTable over an arbitrary documents slice (doc_id, text …) —
-    * the core writeIndexes/appendIndexes share. */
-  private def simhashTableOf(docs: DataFrame): DataFrame = {
+    * the appendIndexes path (a batch tokenizes at batch size). */
+  private def simhashTableOf(docs: DataFrame): DataFrame =
+    simhashFromToks(docs.select(col("doc_id"), toks(col("text")).as("toks")))
+
+  /** simhash core over an already-tokenized slice (doc_id, toks) — lets
+    * the full-corpus build share the curationToks text scan. */
+  private def simhashFromToks(tokTable: DataFrame): DataFrame = {
     // bit position i (0-based, MSB first — matches simhashBits'
     // bin()/lpad layout; DedupSpec's differential test pins the parity)
     def contrib(i: Int) =
       sum(when(shiftright(col("h"), 63 - i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    val sums = docs
-      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val sums = tokTable
+      .select(col("doc_id"), explode(col("toks")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
       .groupBy("doc_id")
       .agg(contrib(0), (1 until 64).map(contrib): _*)
@@ -1407,7 +1411,9 @@ object Dedup {
     * simhashTable). */
   private[operators] def simhashDocs(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"simhashTable|$dir") {
-      simhashTable(spark, dir).transform(checkpointSer)
+      // full-corpus path rides the shared tokenized staging — see
+      // docShingles: one text scan serves all three token families
+      simhashFromToks(Curation.docToks(spark, dir)).transform(checkpointSer)
     }
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
