@@ -93,6 +93,89 @@ object Events {
         sum(col("pv")).cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  /** Ordered conversion funnel view → click → purchase: a user reaches
+    * step i+1 only with an event of that type STRICTLY AFTER their
+    * step-i time (first-touch semantics — each step's timestamp is the
+    * earliest qualifying event). The classic product-analytics ask
+    * ("of those who viewed, how many then clicked, then bought?") that
+    * a plain per-type count can't answer because it ignores order.
+    *
+    * Plan: each stage is min-ts per user filtered by the previous
+    * stage's time. Stage 1 is the only event-table-sized shuffle; the
+    * stage-2/3 inputs join the (much smaller) per-user stage table and
+    * arrive already hash-partitioned on user_id, so the follow-up
+    * groupBy reuses the join's exchange rather than reshuffling. At
+    * 100 TB the per-stage tables are |users| rows — broadcastable; the
+    * event scan is read once per step with the type filter pushed to
+    * parquet. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir))
+
+  private[operators] def funnelOf(ev: DataFrame): DataFrame = {
+    def typed(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"))
+    val s1 = typed("view").groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = typed("click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = typed("purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    def cnt(df: DataFrame, step: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("step_name"), col("n_users"))
+    cnt(s1, 1, "view").unionAll(cnt(s2, 2, "click"))
+      .unionAll(cnt(s3, 3, "purchase"))
+      .orderBy("step")
+  }
+
+  /** Daily retention cohorts: users grouped by first-seen calendar day,
+    * then counted as active on each later day they produced any event
+    * (offsets 0..7). The training-pipeline twin of funnel — "does the
+    * corpus keep producing events from the same sources over time".
+    *
+    * Plan: the (user, day) activity grid is a distinct over the event
+    * scan (one shuffle, map-side combined); the cohort day is a min
+    * over the same grid partitioned identically, so the self-join on
+    * user_id co-locates without a new exchange; the final (cohort,
+    * offset) count is a bounded-cardinality hash agg (≤ days²). */
+  def retentionCohorts(spark: SparkSession, dir: String, maxOffset: Int = 7): DataFrame =
+    retentionCohortsOf(Tables.events(spark, dir), maxOffset)
+
+  private[operators] def retentionCohortsOf(ev: DataFrame, maxOffset: Int = 7): DataFrame = {
+    val days = ev
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Event-type transition matrix: counts of consecutive (type → next
+    * type) pairs per user in time order — the first-order Markov view
+    * of behavior sequences (and of a crawl/ingest pipeline's state
+    * flow). One window pass partitioned by user (a single shuffle,
+    * state bounded by the partition's row group), then a 25-row hash
+    * agg; ties on ts are broken by event_id so the sequence — and
+    * therefore the counts — are replay-stable in both engines. */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame =
+    typeTransitionsOf(Tables.events(spark, dir))
+
+  private[operators] def typeTransitionsOf(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** JSON property extraction (reference F6 `json.loads`,
     * `flows/main_flow.py:68`): parse the props JSON string column with
     * an explicit schema, aggregate the extracted field. */
@@ -116,7 +199,10 @@ object EventsModule extends QueryModule {
     "q_events_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
     "q_events_top_sessions" -> ((s: SparkSession, d: String) => topSessions(s, d)),
     "q_events_props_json" -> ((s: SparkSession, d: String) => propsJson(s, d)),
-    "q_events_salted_agg" -> ((s: SparkSession, d: String) => saltedTypeTotals(s, d)))
+    "q_events_salted_agg" -> ((s: SparkSession, d: String) => saltedTypeTotals(s, d)),
+    "q_events_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
+    "q_events_retention" -> ((s: SparkSession, d: String) => retentionCohorts(s, d)),
+    "q_events_transitions" -> ((s: SparkSession, d: String) => typeTransitions(s, d)))
 
   // DuckDB time_bucket's default origin (2000-01-03 for multi-day, else
   // 2000-01-01) sits on the same 30-min grid as Spark's epoch-aligned
@@ -168,6 +254,36 @@ object EventsModule extends QueryModule {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        |SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', COUNT(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', COUNT(*) FROM s3
+        |ORDER BY step""".stripMargin,
+    "q_events_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+        |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+        |  COUNT(*) AS n_active
+        |FROM days JOIN cohort ON cohort.user_id = days.user_id
+        |WHERE date_diff('day', cohort_day, day) <= 7
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_events_transitions" ->
+      """WITH x AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        |FROM x WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     "q_events_props_json" ->
       """SELECT event_type,
         |  COUNT(CAST(props->>'k' AS INT)) AS n_with_k,

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Planted-sequence pins for the behavioral-analytics operators
+  * (funnel / retention / transitions). The sf-scale numbers are
+  * oracle-checked by the driver gate; these cases pin the SEMANTICS on
+  * sequences small enough to verify by hand — strict-order funnel
+  * progression, first-seen cohort assignment, and tie-broken
+  * transition order. */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long, String)*): DataFrame =
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+        "event_type", "CAST(1.0 AS DOUBLE) value", "'{}' props")
+
+  test("funnel requires strictly increasing step times per user") {
+    // u1 completes all three in order; u2 clicks BEFORE viewing (click
+    // must not count); u3 views only; u4 has click+purchase but no view
+    val rows = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "click"),
+      (3L, "2024-01-01 10:10:00", 1L, "purchase"),
+      (4L, "2024-01-01 09:00:00", 2L, "click"),
+      (5L, "2024-01-01 09:30:00", 2L, "view"),
+      (6L, "2024-01-01 11:00:00", 3L, "view"),
+      (7L, "2024-01-01 08:00:00", 4L, "click"),
+      (8L, "2024-01-01 08:05:00", 4L, "purchase"))
+    val out = Events.funnelOf(rows).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
+  test("funnel step counts are monotonically non-increasing on real data") {
+    val steps = Events.funnel(spark, sf("sf0.001")).collect().map(_.getLong(2))
+    assert(steps.length === 3)
+    assert(steps(0) >= steps(1) && steps(1) >= steps(2))
+    assert(steps(0) > 0)
+  }
+
+  test("retention assigns each user to its first-seen day and counts later activity") {
+    val rows = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),   // u1 cohort 01-01
+      (2L, "2024-01-02 10:00:00", 1L, "click"),  // active offset 1
+      (3L, "2024-01-02 18:00:00", 1L, "view"),   // same day — one active row
+      (4L, "2024-01-02 09:00:00", 2L, "view"),   // u2 cohort 01-02
+      (5L, "2024-01-20 09:00:00", 2L, "view"))   // offset 18 > 7 — dropped
+    val out = Events.retentionCohortsOf(rows).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L), ("2024-01-02", 0, 1L)))
+  }
+
+  test("retention day-0 actives per cohort sum to the distinct user count") {
+    val events = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val users = events.select("user_id").distinct().count()
+    val day0 = Events.retentionCohorts(spark, sf("sf0.001"))
+      .filter("day_offset = 0").agg(org.apache.spark.sql.functions.sum("n_active"))
+      .collect()(0).getLong(0)
+    assert(day0 === users)
+  }
+
+  test("transitions follow ts order with event_id tie-break") {
+    val rows = ev(
+      // u1: view -> click -> view; the tie at 10:05 orders by event_id
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "click"),
+      (3L, "2024-01-01 10:05:00", 1L, "view"))
+    val out = Events.typeTransitionsOf(rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("click", "view", 1L), ("view", "click", 1L)))
+  }
+
+  test("transition total equals events minus one per active user") {
+    val events = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val n = events.count()
+    val users = events.select("user_id").distinct().count()
+    val total = Events.typeTransitions(spark, sf("sf0.001"))
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(total === n - users)
+  }
+}
