@@ -220,6 +220,60 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** BM25 parameters — the Robertson/Lucene defaults. Written as
+    * decimal literals on BOTH engine sides (never k1+1 arithmetic) so
+    * each engine parses the identical double. */
+  private[operators] val Bm25QueryTerms = 3
+  private[operators] val Bm25MinTermLen = 6
+
+  /** BM25 ranked retrieval (Robertson et al.; the Lucene `1 +` idf
+    * variant, which keeps idf positive even for df > N/2): score(d) =
+    * Σ_t ln(1 + (N - df + 0.5)/(df + 0.5)) · tf·(k1+1) /
+    * (tf + k1·(1 - b + b·dl/avgdl)), k1 = 1.2, b = 0.75. The query is
+    * itself derived deterministically from the corpus — the 3 highest-
+    * df terms of length ≥ 6 (df desc, term asc) — so the operator is
+    * self-contained at every SF and the oracle replays the same
+    * selection.
+    *
+    * Plan: one corpus-sized (doc, term) hash count feeds tf, dl, and
+    * df — Spark schedules the explode scan once per consumer with the
+    * projection pruned to two columns; the query-term table is a
+    * 3-row broadcast, so scoring touches only matching postings; the
+    * final ranking is TakeOrderedAndProject. At 100 TB nothing beyond
+    * the tf aggregation shuffles corpus-sized data.
+    *
+    * Oracle parity: per-(doc, term) weights are rounded to 9 dp and
+    * summed as DECIMAL (reduction-order-proof, the perplexity
+    * discipline); ranking uses the 6-dp ROUNDED score with doc_id
+    * tiebreak. */
+  def bm25Search(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+    val qterms = dft.filter(length(col("term")) >= Bm25MinTermLen)
+      .orderBy(col("df").desc, col("term").asc).limit(Bm25QueryTerms)
+    tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sdl").cast("double") / col("nd").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("nd").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("w", round(
+        col("idf") * col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))), 9)
+        .cast("decimal(29,9)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("w")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Corpus-LM cross-entropy quality score — CCNet-style perplexity
     * filtering re-expressed over the engine's own tables: each
     * document's average negative log-likelihood under the corpus's
@@ -447,6 +501,7 @@ object TextAnalysisModule extends QueryModule {
     "q_text_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "q_text_bigrams" -> ((s: SparkSession, d: String) => bigrams(s, d)),
     "q_text_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
+    "q_text_bm25" -> ((s: SparkSession, d: String) => bm25Search(s, d)),
     "q_text_perplexity" -> ((s: SparkSession, d: String) => perplexityScore(s, d)),
     "q_text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
     "q_text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
@@ -472,6 +527,28 @@ object TextAnalysisModule extends QueryModule {
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
         |  FROM scored)
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_text_bm25" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+        |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS sdl FROM dl),
+        |qt AS (SELECT term, df FROM dft WHERE length(term) >= 6
+        |       ORDER BY df DESC, term ASC LIMIT 3),
+        |w AS (SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |        * CAST(tf AS DOUBLE) * 2.2 /
+        |        (CAST(tf AS DOUBLE) + 1.2 *
+        |          (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE)))), 9)
+        |      AS DECIMAL(29,9)) AS w
+        |  FROM tf JOIN qt ON qt.term = tf.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  round(CAST(SUM(w) AS DOUBLE), 6) AS score
+        |FROM w GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_text_perplexity" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
         |            FROM documents),

@@ -74,4 +74,35 @@ class TextAnalysisSpec extends SparkSpec {
     Seq(2L, 3L, 4L, 5L, 6L).foreach(id =>
       assert(out(id).getInt(11) == 0, s"doc $id must fail composite: ${out(id)}"))
   }
+
+  test("bm25: hand-computed scores on a planted corpus, rare-term match outranks") {
+    // Four docs of equal length dl = 4 = avgdl, so the length norm is
+    // exactly 1 and score = Σ idf(df)·tf·2.2/(tf + 1.2). The length≥6
+    // query terms are albatross (df 3), barnacle (df 3), castle6 (df 1)
+    // — castle6's rarity gives d4 the top rank despite fewer matches.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    Seq(
+      (1L, "albatross albatross barnacle x"),
+      (2L, "albatross barnacle y z"),
+      (3L, "albatross q r s"),
+      (4L, "barnacle castle6 t u"))
+      .map { case (id, t) => (id, t, "en", "srcB", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def idf(df: Int): Double = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def w(tf: Int, df: Int): Double = idf(df) * tf * 2.2 / (tf + 1.2)
+    val expect = Map(
+      1L -> (2L, w(2, 3) + w(1, 3)),
+      2L -> (2L, w(1, 3) + w(1, 3)),
+      3L -> (1L, w(1, 3)),
+      4L -> (2L, w(1, 3) + w(1, 1)))
+    val out = TextAnalysis.bm25Search(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(4L, 1L, 2L, 3L),
+      "rank order must follow the hand-computed scores")
+    out.foreach { r =>
+      val (n, s) = expect(r.getLong(0))
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(2) - s) < 1e-5, s"score mismatch: $r vs $s")
+    }
+  }
 }
