@@ -20,6 +20,7 @@ object SparkEntry {
     graft.operators.TextAnalysisModule,
     graft.operators.DedupModule,
     graft.operators.SimilarityModule,
+    graft.operators.PqModule,
     graft.operators.EventsModule,
     graft.operators.MultimodalModule,
     graft.operators.CorpusModule,

@@ -251,6 +251,10 @@ object Dedup {
     "ivfCells" -> ((s, d) => SimilarityIvf.ivfCells(s, d)),
     "ivfCentroidsFit" -> ((s, d) => SimilarityIvf.centroidTable(s, d)),
     "ivfCellsFit" -> ((s, d) => SimilarityIvf.ivfCellsFit(s, d)),
+    // PQ model (train-once, M·K rows) + per-vector code table — the
+    // compressed-domain ANN pair (codes are 64× smaller than vectors)
+    "pqCodebooksFit" -> ((s, d) => SimilarityPq.codebookTable(s, d)),
+    "pqCodes" -> ((s, d) => SimilarityPq.pqCodes(s, d)),
     "bpeMergesFit" -> ((s, d) => BpeFit.mergesTable(s, d)),
     // the tokenized-corpus materializations (whitespace + subword) —
     // what a training pipeline persists next to the raw text so every
@@ -268,7 +272,7 @@ object Dedup {
     * corpus has no embeddings (`withEmbeddings = false`). */
   private val embeddingArtifacts =
     Set("embBase", "lshBuckets", "ivfCells", "ivfCentroidsFit", "ivfCellsFit",
-      "labelCentroids")
+      "pqCodebooksFit", "pqCodes", "labelCentroids")
 
   /** Materialize every index artifact for `dir` as parquet under
     * `indexDir` — the 100 TB posture made literal: the shingle /
@@ -301,6 +305,7 @@ object Dedup {
     Seq("simhashTable"),
     Seq("embBase", "lshBuckets", "ivfCells"),
     Seq("ivfCentroidsFit", "ivfCellsFit"),
+    Seq("pqCodebooksFit", "pqCodes"),
     Seq("bpeMergesFit"),
     Seq("curationToks"),
     Seq("curationBpeToks"),
@@ -500,6 +505,11 @@ object Dedup {
         append(SimilarityIvf.ivfAssign(base, SimilarityIvf.centroids), "ivfCells")
       SimilarityIvf.readCentroidArtifact(spark, indexDir).foreach { cents =>
         append(SimilarityIvf.ivfAssign(base, cents), "ivfCellsFit")
+      }
+      // PQ codes for the batch under the PERSISTED codebooks — the
+      // same train-once posture as the fitted IVF quantizer
+      SimilarityPq.readCodebookArtifact(spark, indexDir).foreach { cbs =>
+        append(SimilarityPq.pqAssign(base, cbs), "pqCodes")
       }
       // the per-label centroid model is a corpus-global AGGREGATE (not
       // a train-once quantizer): after an embedding append it must
@@ -717,8 +727,9 @@ object Dedup {
         // query-side probes and the primed cell index in different
         // cell geometries
         if (name == "ivfCentroidsFit") SimilarityIvf.invalidateFit(spark, dir)
-        // same artifact-wins rule for the learned tokenizer
+        // same artifact-wins rule for the learned tokenizer + PQ model
         if (name == "bpeMergesFit") BpeFit.invalidateFit(spark, dir)
+        if (name == "pqCodebooksFit") SimilarityPq.invalidateFit(spark, dir)
       }
     }
 

@@ -913,15 +913,16 @@ object SimilarityModule extends QueryModule {
   private def listLit(xs: Seq[Double]): String = xs.mkString("[", ", ", "]")
 
   /** Shared CTE: the norm-filtered double-cast vector base (embBase's
-    * zero-norm exclusion). */
-  private val eCte =
+    * zero-norm exclusion). Shared with PqModule's oracles. */
+  private[operators] val eCte =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
       |                             CAST(embedding AS DOUBLE[])) > 0)""".stripMargin
 
   /** Shared tail: exact-cosine rerank + per-query ranking over a
-    * `cand(query_id, neighbor_id)` CTE — the SQL twin of rerankTopK. */
-  private val rerankTail =
+    * `cand(query_id, neighbor_id)` CTE — the SQL twin of rerankTopK.
+    * Shared with PqModule's oracles. */
+  private[operators] val rerankTail =
     """s AS (SELECT query_id, neighbor_id,
       |        list_dot_product(q.v, c.v) /
       |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos

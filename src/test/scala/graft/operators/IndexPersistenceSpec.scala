@@ -31,8 +31,9 @@ class IndexPersistenceSpec extends SparkSpec {
 
   private val artifacts = Seq("docShingles", "shingleIndex", "jaccardPairs",
     "minhashSigs", "minhashBands", "simhashTable", "embBase", "lshBuckets",
-    "ivfCells", "ivfCentroidsFit", "ivfCellsFit", "bpeMergesFit",
-    "curationToks", "curationBpeToks", "labelCentroids", "clusterLabels")
+    "ivfCells", "ivfCentroidsFit", "ivfCellsFit", "pqCodebooksFit", "pqCodes",
+    "bpeMergesFit", "curationToks", "curationBpeToks", "labelCentroids",
+    "clusterLabels")
 
   test("writeIndexes → releaseIndexes → primeIndexes serves identical results from parquet") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-idx").toString
@@ -50,10 +51,14 @@ class IndexPersistenceSpec extends SparkSpec {
     val builtIvfFit = SimilarityIvf.annIvfFitted(spark, dir)
       .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect().toSet
     val builtCents = SimilarityIvf.fitCentroids(spark, dir)
+    val builtPq = SimilarityPq.knnPq(spark, dir)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val builtCbs = SimilarityPq.fitCodebooks(spark, dir)
     assert(builtPairs.nonEmpty && builtIvf.nonEmpty)
 
     Dedup.releaseIndexes(spark)
     SimilarityIvf.clearFitCache()
+    SimilarityPq.clearFitCache()
     Dedup.primeIndexes(spark, dir, indexDir)
 
     // The primed pair table must be the parquet artifact, not a rebuild.
@@ -71,6 +76,14 @@ class IndexPersistenceSpec extends SparkSpec {
     // (fit cache cleared above, so a refit would be the only other way).
     assert(SimilarityIvf.fitCentroids(spark, dir) == builtCents,
       "primed centroids differ from the fitted model that was persisted")
+    // the PQ pair follows: code table served from parquet, model loaded
+    // from the artifact (PQ fit cache cleared above)
+    val primedCodes = SimilarityPq.pqCodes(spark, dir)
+    assert(primedCodes.inputFiles.nonEmpty &&
+      primedCodes.inputFiles.forall(_.contains(indexDir)),
+      "primed PQ code table not served from parquet")
+    assert(SimilarityPq.fitCodebooks(spark, dir) == builtCbs,
+      "primed PQ codebooks differ from the fitted model that was persisted")
 
     val primedPairs = Dedup.jaccardPairs(spark, dir)
       .select("id_a", "id_b", "n_common").as[(Long, Long, Long)].collect().toSet
@@ -84,6 +97,9 @@ class IndexPersistenceSpec extends SparkSpec {
     assert(primedLsh == builtLsh)
     assert(primedIvf == builtIvf)
     assert(primedIvfFit == builtIvfFit)
+    val primedPq = SimilarityPq.knnPq(spark, dir)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(primedPq == builtPq)
     Dedup.releaseIndexes(spark)
   }
 
@@ -147,7 +163,12 @@ class IndexPersistenceSpec extends SparkSpec {
     // corpus's tokenizer (by design), the rebuild trains on the full
     // corpus — so like the quantizer artifacts it is excluded from the
     // content-equality sweep
-    artifacts.filterNot(Set("ivfCentroidsFit", "ivfCellsFit", "bpeMergesFit"))
+    // the PQ pair follows the same train-once posture: the append keeps
+    // the original codebooks (and encodes the batch under them), the
+    // rebuild refits — compared against the original-model reference
+    // below instead
+    artifacts.filterNot(Set("ivfCentroidsFit", "ivfCellsFit", "bpeMergesFit",
+        "pqCodebooksFit", "pqCodes"))
       .foreach { a =>
       val appended = spark.read.parquet(s"$idxA/$a.parquet").drop("batch_id")
       val rebuilt = spark.read.parquet(s"$idxB/$a.parquet").drop("batch_id")
@@ -168,6 +189,19 @@ class IndexPersistenceSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet
     assert(appendedFit == referenceFit,
       "fitted cell append must equal full-corpus assignment under the original quantizer")
+    // Same invariant for the PQ code table: appended codes ≡ encoding
+    // the full corpus under the ORIGINAL codebooks.
+    val origCbs = SimilarityPq.readCodebookArtifact(spark, idxA).get
+    val appendedCodes = spark.read.parquet(s"$idxA/pqCodes.parquet")
+      .drop("batch_id").as[(Long, Seq[Int])].collect()
+      .map { case (id, cs) => (id, cs.toList) }.toSet
+    Dedup.releaseIndexes(spark)
+    val referenceCodes = SimilarityPq
+      .pqAssign(Similarity.embBase(spark, dirFull), origCbs)
+      .as[(Long, Seq[Int])].collect()
+      .map { case (id, cs) => (id, cs.toList) }.toSet
+    assert(appendedCodes == referenceCodes,
+      "PQ code append must equal full-corpus encoding under the original codebooks")
     Dedup.releaseIndexes(spark)
   }
 

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Product-quantization pins: model determinism, code-table shape, and
+  * the recall of the compressed-domain shortlist against the exact
+  * scan — the quality bound the 64× storage compression buys. */
+class PqSpec extends SparkSpec {
+
+  test("codebook fit is deterministic and M x K x SubDim shaped") {
+    val a = SimilarityPq.fitCodebooks(spark, sf("sf0.001"))
+    SimilarityPq.clearFitCache()
+    val b = SimilarityPq.fitCodebooks(spark, sf("sf0.001"))
+    assert(a == b, "two fits on the same corpus must be identical")
+    assert(a.length == SimilarityPq.NumSub)
+    assert(a.forall(_.length == SimilarityPq.NumCodes))
+    assert(a.forall(_.forall(_.length == SimilarityPq.SubDim)))
+  }
+
+  test("code table carries one small code per subspace for every vector") {
+    val codes = SimilarityPq.pqCodes(spark, sf("sf0.001")).collect()
+    val nVecs = Similarity.embBase(spark, sf("sf0.001")).count()
+    assert(codes.length.toLong == nVecs, "every vector must be encoded")
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == SimilarityPq.NumSub)
+      assert(cs.forall(c => c >= 1 && c <= SimilarityPq.NumCodes),
+        s"code out of range: $cs")
+    }
+  }
+
+  test("ADC shortlist + exact rerank recalls the exact top-k") {
+    // Recall@5 of the reranked PQ pipeline vs the brute-force scan.
+    // 8 subspaces x 16 codes on 64-dim gaussian embeddings is a coarse
+    // 4-bit-per-subspace model; the 32-candidate rerank recovers most
+    // of the exact neighbors. The bound is a conservative floor well
+    // above chance (5/60000) — a regression to random or a broken
+    // LUT/encode join lands far below it.
+    val exact = Similarity.knnExact(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilarityPq.knnPqRerank(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    info(f"PQ rerank recall@5 vs exact: $recall%.3f")
+    assert(recall >= 0.5, f"recall collapsed: $recall%.3f")
+  }
+}
