@@ -914,6 +914,13 @@ object Dedup {
     val isNewA = isNew(col("id_a"))
     val isNewB = isNew(col("id_b"))
     val oriented = jaccardPairTable(spark, dir)
+      // exactly-one-side-new implies at-least-one-side-new; stating the
+      // implied disjunction separately gives the parquet reader a
+      // min/max-prunable predicate per column — on a pair artifact
+      // sorted or clustered by id (the compacted layout) the scan skips
+      // every row group outside the batch window instead of reading the
+      // corpus-global table to evaluate the non-pushable XOR
+      .filter(isNewA || isNewB)
       .filter(isNewA =!= isNewB)
       .select(when(isNewA, col("id_a")).otherwise(col("id_b")).as("new_id"),
         when(isNewA, col("id_b")).otherwise(col("id_a")).as("match_id"),

@@ -203,26 +203,46 @@ object SimilarityPq {
     }
   }
 
-  /** ADC scores of every (query, candidate) pair: the query side
-    * carries its M×K LUT (each entry a 9-dp-rounded DECIMAL) as a
-    * nested array on a 10-row broadcast; each candidate's score is M
-    * lookups into it, summed exactly. */
-  private def adcScores(spark: SparkSession, dir: String,
-                        cbs: Seq[Seq[Seq[Double]]], nQueries: Int): DataFrame = {
-    val q = Similarity.embBase(spark, dir)
+  /** Per-query M×K ADC lookup table (each entry a 9-dp-rounded
+    * DECIMAL) as a nested array on a query-count-row frame — always
+    * broadcast by the consumers. */
+  private def queryLut(spark: SparkSession, dir: String,
+                       cbs: Seq[Seq[Seq[Double]]], nQueries: Int): DataFrame =
+    Similarity.embBase(spark, dir)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         array((0 until NumSub).map(m =>
           array(cbs(m).map(c =>
             round(dot(subCol(col("v"), m), typedLit(c)), 9)
               .cast("decimal(29,9)")): _*)): _*).as("lut"))
-    pqCodes(spark, dir).crossJoin(broadcast(q))
+
+  /** The ADC sum: M lookups into the bound `lut` by the bound `codes`,
+    * added exactly (DECIMAL chain — order-free). */
+  private def adcExpr: Column =
+    (0 until NumSub).map(m =>
+      element_at(element_at(col("lut"), m + 1),
+        element_at(col("codes"), m + 1))).reduce(_ + _)
+
+  /** ADC scores of every (query, candidate) pair — the exhaustive
+    * compressed-domain scan. */
+  private def adcScores(spark: SparkSession, dir: String,
+                        cbs: Seq[Seq[Seq[Double]]], nQueries: Int): DataFrame =
+    pqCodes(spark, dir).crossJoin(broadcast(queryLut(spark, dir, cbs, nQueries)))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (0 until NumSub).map(m =>
-          element_at(element_at(col("lut"), m + 1),
-            element_at(col("codes"), m + 1))).reduce(_ + _).as("adc"))
-  }
+        adcExpr.as("adc"))
+
+  /** ADC scores over a pre-pruned (query_id, neighbor_id) candidate
+    * table — the IVF+PQ serving core: only survivors' codes are
+    * scored. */
+  private def adcScoreOf(spark: SparkSession, dir: String,
+                         cbs: Seq[Seq[Seq[Double]]], pairs: DataFrame,
+                         nQueries: Int): DataFrame =
+    pairs
+      .join(pqCodes(spark, dir).select(col("vec_id").as("neighbor_id"),
+        col("codes")), Seq("neighbor_id"))
+      .join(broadcast(queryLut(spark, dir, cbs, nQueries)), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adcExpr.as("adc"))
 
   /** PQ-ADC top-k: approximate inner-product ranking straight off the
     * code table. */
@@ -252,6 +272,34 @@ object SimilarityPq {
     Similarity.rerankTopK(Similarity.embBase(spark, dir), cands, nQueries, k)
   }
 
+  /** IVF + PQ — the FAISS IVFADC architecture: the fitted coarse
+    * quantizer prunes candidates to the probed cells' populations and
+    * ADC scores ONLY the survivors' codes. At 100 TB this is the
+    * serving shape that makes billion-vector search tractable: the
+    * probe touches nprobe/k of the corpus and each touched vector
+    * costs M byte-lookups, so the scan reads neither the raw floats
+    * nor the full code table. */
+  def knnIvfPq(spark: SparkSession, dir: String,
+               nQueries: Int = NumQueriesDefault, k: Int = TopKDefault): DataFrame = {
+    val cbs = fitCodebooks(spark, dir)
+    val cents = SimilarityIvf.fitCentroids(spark, dir)
+    val nprobe = SimilarityIvf.probeFor(cents.length)
+    val cands = broadcast(
+        SimilarityIvf.queryProbes(spark, dir, cents, nprobe, nQueries))
+      .join(SimilarityIvf.ivfCellsFit(spark, dir)
+        .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    adcScoreOf(spark, dir, cbs, cands, nQueries)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc").cast("double"), 6).as("adc_score"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Code-usage histogram per subspace — the index-health audit
     * (a subspace whose vectors collapse into few codes has lost
     * resolution and its codebook should be refit; the ivfStats
@@ -273,6 +321,7 @@ object PqModule extends QueryModule {
   def queries = Map(
     "q_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
     "q_knn_pq_rerank" -> ((s: SparkSession, d: String) => knnPqRerank(s, d)),
+    "q_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
     "q_pq_stats" -> ((s: SparkSession, d: String) => pqStats(s, d)))
 
   def oracles = Map.empty[String, String]
@@ -295,16 +344,65 @@ object PqModule extends QueryModule {
        |    FROM sub) WHERE rn = 1)""".stripMargin
   }
 
-  /** LUT + exact DECIMAL ADC sum — the SQL twin of adcScores. */
+  /** Per-query LUT — the SQL twin of queryLut. */
+  private val lutCte: String =
+    """lut AS (SELECT vec_id AS query_id, m, code,
+      |        round(list_dot_product(list_slice(v, m * 8 + 1, m * 8 + 8), cv), 9) AS w
+      |        FROM e CROSS JOIN cb WHERE vec_id < 10)""".stripMargin
+
+  /** LUT + exhaustive exact-DECIMAL ADC sum — the SQL twin of
+    * adcScores. */
   private def adcCtes(cbs: Seq[Seq[Seq[Double]]]): String =
     s"""${cbCtes(cbs)},
-       |lut AS (SELECT vec_id AS query_id, m, code,
-       |        round(list_dot_product(list_slice(v, m * 8 + 1, m * 8 + 8), cv), 9) AS w
-       |        FROM e CROSS JOIN cb WHERE vec_id < 10),
+       |$lutCte,
        |sc AS (SELECT query_id, c.vec_id AS neighbor_id,
        |         SUM(CAST(w AS DECIMAL(29,9))) AS adc
        |       FROM codes c JOIN lut ON lut.m = c.m AND lut.code = c.code
        |       WHERE c.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
+
+  /** Fitted-IVF cell assignment + query probes + candidate join — the
+    * SQL twin of the ivfCellsFit / queryProbes composition (same
+    * literal-centroid discipline and tie-breaks as q_knn_ivf_fit's
+    * oracle). */
+  private def ivfCtes(cents: Seq[Seq[Double]], nprobe: Int): String = {
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${listLit(c)}::DOUBLE[])" }
+      .mkString(",\n    ")
+    s"""cents(cell, cv) AS (VALUES
+       |    $rows),
+       |d AS (SELECT vec_id, cell, list_dot_product(v, cv) AS dt FROM e CROSS JOIN cents),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |qcells AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell DESC) AS rn
+       |    FROM d WHERE vec_id < 10) WHERE rn <= $nprobe),
+       |cand AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+       |         FROM qcells JOIN assign a USING (cell)
+       |         WHERE a.vec_id <> qcells.query_id)""".stripMargin
+  }
+
+  private def pqIvfOracleSql(cbs: Seq[Seq[Seq[Double]]],
+                             cents: Seq[Seq[Double]], nprobe: Int): String =
+    s"""WITH ${SimilarityModule.eCte},
+       |${ivfCtes(cents, nprobe)},
+       |${cbCtes(cbs)},
+       |$lutCte,
+       |sc AS (SELECT cand.query_id, cand.neighbor_id,
+       |         SUM(CAST(w AS DECIMAL(29,9))) AS adc
+       |       FROM cand
+       |       JOIN codes cd ON cd.vec_id = cand.neighbor_id
+       |       JOIN lut ON lut.query_id = cand.query_id
+       |              AND lut.m = cd.m AND lut.code = cd.code
+       |       GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 6) AS adc_score, rn
+       |FROM (SELECT query_id, neighbor_id, adc,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |                           ORDER BY adc DESC, neighbor_id ASC) AS rn
+       |      FROM sc)
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
   private def pqOracleSql(cbs: Seq[Seq[Seq[Double]]]): String =
     s"""WITH ${SimilarityModule.eCte},
@@ -334,9 +432,11 @@ object PqModule extends QueryModule {
 
   override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] = {
     val cbs = fitCodebooks(spark, dir)
+    val cents = SimilarityIvf.fitCentroids(spark, dir)
     Map(
       "q_knn_pq" -> pqOracleSql(cbs),
       "q_knn_pq_rerank" -> pqRerankOracleSql(cbs),
+      "q_knn_ivfpq" -> pqIvfOracleSql(cbs, cents, SimilarityIvf.probeFor(cents.length)),
       "q_pq_stats" -> pqStatsOracleSql(cbs))
   }
 }

@@ -453,6 +453,16 @@ object SimilarityIvf {
       .select(col("vec_id"), (-col("m.negcell")).cast("int").as("cell"))
   }
 
+  /** Query-side probed cells as a (query_id, cell) table — the
+    * candidate-pruning head annIvfWith and the IVF+PQ composition in
+    * Pq.scala share. */
+  private[operators] def queryProbes(spark: SparkSession, dir: String,
+                                     cents: Seq[Seq[Double]], nprobe: Int,
+                                     nQueries: Int): DataFrame =
+    Similarity.embBase(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(probedCells(col("v"), cents, nprobe)).as("cell"))
+
   private[graft] def ivfCells(spark: SparkSession, dir: String,
                               cents: Seq[Seq[Double]] = centroids,
                               memoKey: String = ""): DataFrame = {

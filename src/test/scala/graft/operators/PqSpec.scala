@@ -44,4 +44,22 @@ class PqSpec extends SparkSpec {
     info(f"PQ rerank recall@5 vs exact: $recall%.3f")
     assert(recall >= 0.5, f"recall collapsed: $recall%.3f")
   }
+
+  test("IVFADC scores agree with the exhaustive ADC scan on shared pairs") {
+    // IVF pruning changes WHICH pairs are scored, never their score:
+    // every (query, neighbor) the IVFADC path returns must carry the
+    // same rounded ADC score the exhaustive compressed-domain scan
+    // assigns the pair. A divergence means the candidate join read a
+    // different code or LUT row.
+    val full = SimilarityPq.knnPq(spark, sf("sf0.001"), k = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = SimilarityPq.knnIvfPq(spark, sf("sf0.001")).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full.contains(key), s"IVFADC returned a pair absent from the corpus scan: $key")
+      assert(full(key) == r.getDouble(2),
+        s"ADC score diverged for $key: ${full(key)} vs ${r.getDouble(2)}")
+    }
+  }
 }
