@@ -33,7 +33,9 @@ object Bench {
       // the semantic/prototype curation ops ride embBase + ivfCells —
       // grouping them with the knn queries shares one index build
       n == "q_dedup_semantic" || n == "q_dedup_semantic_fit" ||
-      n == "q_prune_prototypes" || n == "q_curate_d4" || n == "q_ivf_stats"
+      n == "q_prune_prototypes" || n == "q_curate_d4" || n == "q_ivf_stats" ||
+      // the PQ family rides embBase + the pqCodes/pqCodebooksFit artifacts
+      n == "q_pq_stats"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

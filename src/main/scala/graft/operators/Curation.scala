@@ -813,6 +813,32 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         round(col("w").cast("double"), 6).as("dsir_logratio"))
   }
+
+  /** Tokenizer fertility report: per language, whitespace-word vs BPE
+    * subword counts and the two ratios tokenizer evaluations gate on —
+    * fertility (subwords per word; high fertility on a language means
+    * the vocabulary under-serves it and its effective context window
+    * shrinks) and chars per subword (compression). Rides the two
+    * memoized/primable tokenized-corpus artifacts — zero new
+    * tokenization passes — and aggregates to |langs| rows; the ratios
+    * divide exact BIGINT sums, so cross-engine parity is one IEEE
+    * division per row. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    docToks(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("toks")).cast("long").as("nws"))
+      .join(docBpeToks(spark, dir)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("nbpe")), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("nws")).as("ws_tokens"),
+        sum(col("nbpe")).as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        col("ws_tokens"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6).as("fertility"),
+        round(col("n_chars").cast("double") / col("bpe_tokens"), 6).as("chars_per_token"))
+      .orderBy("lang")
 }
 
 /** Driver-contract registration: every curation query is DuckDB-
@@ -838,7 +864,8 @@ object CurationModule extends QueryModule {
     "q_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
     "q_corpus_mix_tokens" -> ((s: SparkSession, d: String) => corpusMixTokens(s, d)),
     "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)),
-    "q_select_dsir" -> ((s: SparkSession, d: String) => dsirSelect(s, d)))
+    "q_select_dsir" -> ((s: SparkSession, d: String) => dsirSelect(s, d)),
+    "q_bpe_fertility" -> ((s: SparkSession, d: String) => bpeFertility(s, d)))
 
   /** Shared by the exact and Bloom-pre-filtered decontamination
     * queries: the Bloom variant's output is defined to be identical
@@ -1005,6 +1032,21 @@ object CurationModule extends QueryModule {
          |FROM bpe_toks, unnest(generate_series(0, (len(toks)-1)//64)) AS u(j)
          |WHERE len(toks) > 0
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_bpe_fertility" ->
+      s"""WITH RECURSIVE
+         |${graft.functions.Bpe.oracleToksCtes},
+         |ws AS (SELECT doc_id, lang, n_chars,
+         |         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS nws
+         |       FROM documents),
+         |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nbpe FROM bpe_toks)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(nws) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(nbpe) AS BIGINT) AS bpe_tokens,
+         |  round(CAST(SUM(nbpe) AS DOUBLE) / CAST(SUM(nws) AS BIGINT), 6) AS fertility,
+         |  round(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(nbpe) AS BIGINT), 6) AS chars_per_token
+         |FROM ws JOIN b ON b.doc_id = ws.doc_id
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_corpus_mix_tokens" ->
       s"""WITH RECURSIVE
          |${graft.functions.Bpe.oracleToksCtes},

@@ -949,6 +949,36 @@ object Dedup {
                                threshold: Double = 0.5, k: Int = 3): DataFrame =
     incrementalNearDupsBy(spark, dir, id => id > lo && id <= hi, threshold, k)
 
+  /** Threshold for the cross-source overlap report. */
+  private[operators] val SourceOverlapThreshold = 0.5
+
+  /** Cross-source near-duplication report: for every unordered pair of
+    * ingest sources, how many high-similarity document pairs cross it
+    * and how similar they are — the multi-source governance question
+    * ("is feed B largely a mirror of feed A?") a pipeline answers
+    * BEFORE paying to dedup, license, or re-crawl a source. Rides the
+    * memoized/persisted pair table (zero new pair generation); the
+    * source join is against a (doc_id, source) projection and the
+    * output is at most C(|sources|+1, 2) rows. Mean/max are computed
+    * on 9-dp-rounded DECIMAL jaccards so reduction order cannot move
+    * them. */
+  def sourceOverlap(spark: SparkSession, dir: String,
+                    threshold: Double = SourceOverlapThreshold): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    jaccardPairTable(spark, dir)
+      .filter(col("jaccard") >= threshold)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        round(col("jaccard"), 9).cast("decimal(29,9)").as("j"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("j")).cast("double") / count(lit(1)), 6).as("mean_jaccard"),
+        round(max(col("j")).cast("double"), 6).as("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Hard cap on an edit-distance block's membership: a block of n
     * docs emits O(n²) DP comparisons, so one hot block (boilerplate
     * corpora where half the documents open with "th…") would be
@@ -1772,11 +1802,65 @@ object DedupModule extends QueryModule {
     "q_dedup_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(s, d)),
     // the watermark-window variant: what the oracle verifies is the
     // predicate shape ingestSinceWatermark runs in production
-    "q_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalNearDupsSince(s, d)))
+    "q_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalNearDupsSince(s, d)),
+    "q_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)))
+
+  /** The shingle→pair-table CTE chain (identical text to the
+    * q_dedup_jaccard / q_dedup_incremental oracles' heads) ending in
+    * `pj(id_a, id_b, n_common, jaccard)` — shared by the oracles that
+    * AGGREGATE the pair table rather than rank it. */
+  private val PairTableCteSql: String =
+    """t AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 2, 1)),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t),
+      |e AS (SELECT doc_id, n_sh, shingle,
+      |    COUNT(*) OVER (PARTITION BY shingle) AS df,
+      |    MIN(doc_id) OVER (PARTITION BY shingle) AS min_id
+      |  FROM e0),
+      |small_scored AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(a.n_sh AS BIGINT) AS n_a, CAST(b.n_sh AS BIGINT) AS n_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  WHERE a.df <= 64
+      |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh),
+      |star_cand AS (
+      |  SELECT DISTINCT min_id AS id_a, doc_id AS id_b FROM e
+      |  WHERE df > 64 AND doc_id != min_id),
+      |star_scored AS (
+      |  SELECT id_a, id_b, CAST(len(sa.sh) AS BIGINT) AS n_a,
+      |    CAST(len(sb.sh) AS BIGINT) AS n_b,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common
+      |  FROM star_cand JOIN t sa ON sa.doc_id = star_cand.id_a
+      |                 JOIN t sb ON sb.doc_id = star_cand.id_b),
+      |p AS (
+      |  SELECT id_a, id_b, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+      |    MAX(n_common) AS n_common
+      |  FROM (SELECT * FROM small_scored UNION ALL SELECT * FROM star_scored)
+      |  GROUP BY id_a, id_b),
+      |pj AS (SELECT id_a, id_b, n_common,
+      |         CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+      |       FROM p)""".stripMargin
 
   def oracles = Map(
     "q_dedup_semantic" -> semanticDedupOracleSql,
     "q_curate_d4" -> curateD4OracleSql,
+    "q_source_overlap" ->
+      s"""WITH $PairTableCteSql,
+         |f AS (SELECT least(sa.source, sb.source) AS source_a,
+         |        greatest(sa.source, sb.source) AS source_b,
+         |        CAST(round(jaccard, 9) AS DECIMAL(29,9)) AS j
+         |      FROM pj JOIN documents sa ON sa.doc_id = pj.id_a
+         |              JOIN documents sb ON sb.doc_id = pj.id_b
+         |      WHERE jaccard >= ${Dedup.SourceOverlapThreshold})
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+         |  round(CAST(SUM(j) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard,
+         |  round(CAST(MAX(j) AS DOUBLE), 6) AS max_jaccard
+         |FROM f GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm

@@ -304,4 +304,26 @@ class CurationSpec extends SparkSpec {
         "selection must be maximal for the budget")
     }
   }
+  test("bpe fertility: sums tie out against the per-doc token tables") {
+    // The report must be an exact aggregate of the two tokenized-corpus
+    // artifacts: cross-check one language's sums independently.
+    val dir = sf("sf0.001")
+    val rep = Curation.bpeFertility(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rep.keySet == langs, "one report row per language")
+    rep.values.foreach { r =>
+      assert(r.getDouble(5) > 0 && r.getDouble(6) > 0,
+        s"ratios must be positive: $r")
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0)
+    }
+    // independent recomputation for 'en': whitespace tokens via SQL
+    import org.apache.spark.sql.functions._
+    val en = docs.filter(col("lang") === "en")
+      .select(size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(rep("en").getLong(3) == en, "ws_tokens must equal the direct count")
+  }
 }

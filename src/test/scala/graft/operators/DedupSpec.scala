@@ -603,4 +603,30 @@ class DedupSpec extends SparkSpec {
     }
     Dedup.releaseIndexes(spark)
   }
+  test("source overlap: planted cross-source mirror dominates, within-source pair excluded by orientation") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // srcA doc 1 ~ srcB doc 2 (near-identical, cross-source);
+    // srcA docs 3 ~ 4 (near-identical, SAME source);
+    // doc 5 unrelated.
+    val dir = java.nio.file.Files.createTempDirectory("graft-srcov").toString
+    val base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    Seq(
+      (1L, s"$base endA", "srcA"), (2L, s"$base endB", "srcB"),
+      (3L, s"q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 end1", "srcA"),
+      (4L, s"q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 end2", "srcA"),
+      (5L, "lone text with no relatives at all here", "srcB"))
+      .map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.contains(("srcA", "srcB")), s"cross-source pair missing: $out")
+    assert(out(("srcA", "srcB"))._1 == 1L)
+    assert(out(("srcA", "srcB"))._2 > 0.5)
+    assert(out.contains(("srcA", "srcA")) && out(("srcA", "srcA"))._1 == 1L,
+      "within-source near-dup pair must report under (srcA, srcA)")
+    assert(!out.contains(("srcB", "srcB")), "no high-jaccard pair within srcB")
+    Dedup.releaseIndexes(spark)
+  }
 }
