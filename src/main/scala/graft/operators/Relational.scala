@@ -307,6 +307,35 @@ object Relational {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** Slowly-changing-dimension (type 2) versioning: collapse each
+    * customer's order-status stream into contiguous [valid_from,
+    * valid_to) version rows — the CDC-feed → versioned-dimension merge
+    * every warehouse runs, expressed as two window passes (change-point
+    * detection by lag over the full stream, then version numbering +
+    * validity intervals by lead over the change points). Both passes
+    * share the (custkey, date, orderkey) sort within one partitioning,
+    * so the whole history build is a single shuffle; ties on the date
+    * break by order key, making the version chain replay-stable in
+    * both engines. The open version carries a NULL valid_to and
+    * is_current = true. */
+  def scd2StatusHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"))
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
   /** Exact percentiles (continuous interpolation — same definition as
     * DuckDB's quantile_cont: lower + frac·(upper−lower) over the
     * sorted values). Exact sort-based aggregate; approx_percentile is
@@ -465,6 +494,7 @@ object RelationalModule extends QueryModule {
     "q_scalar_subquery" -> ((s: SparkSession, d: String) => scalarSubquery(s, d)),
     "q_correlated_subquery" -> ((s: SparkSession, d: String) => correlatedSubquery(s, d)),
     "q_window_range" -> ((s: SparkSession, d: String) => rollingSpend(s, d)),
+    "q_scd2_status" -> ((s: SparkSession, d: String) => scd2StatusHistory(s, d)),
     "q_set_union" -> ((s: SparkSession, d: String) => setUnion(s, d)),
     "q_set_intersect" -> ((s: SparkSession, d: String) => setIntersect(s, d)),
     "q_set_except" -> ((s: SparkSession, d: String) => setExcept(s, d)),
@@ -579,6 +609,18 @@ object RelationalModule extends QueryModule {
         |WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "q_scd2_status" ->
+      """WITH x AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |c AS (SELECT * FROM x WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, ROW_NUMBER() OVER w AS version,
+        |  o_orderstatus AS status, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER

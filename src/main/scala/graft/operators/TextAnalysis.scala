@@ -124,6 +124,31 @@ object TextAnalysis {
           .otherwise("ok").as("quality"))
   }
 
+  /** Per-source quality dashboard: the governance roll-up a
+    * multi-feed pipeline reviews before admitting or re-weighting a
+    * source — doc counts, ok-tier share, token volume, and mean
+    * punct/distinct ratios per ingest source. One aggregation over the
+    * per-doc quality tiers (the join key is the scan's own doc_id, so
+    * the source join is a projection-only second read of the same
+    * parquet); means sum the 6-dp-rounded per-doc ratios as DECIMAL so
+    * reduction order cannot move them. */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityTiers(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("punct_ratio").cast("decimal(19,6)")).as("sp"),
+        sum(col("distinct_ratio").cast("decimal(19,6)")).as("sd"))
+      .select(col("source"), col("n_docs"), col("n_ok"),
+        round(col("n_ok").cast("double") / col("n_docs"), 6).as("share_ok"),
+        col("n_tokens"),
+        round(col("sp").cast("double") / col("n_docs"), 6).as("mean_punct_ratio"),
+        round(col("sd").cast("double") / col("n_docs"), 6).as("mean_distinct_ratio"))
+      .orderBy("source")
+
   /** Tokenizer-style counting: whitespace tokens vs a BPE-ish regex
     * lexer ([a-z]+ | digit runs | single non-alnum) — the usual cheap
     * proxy for "how many tokens will the model see". */
@@ -494,6 +519,7 @@ object TextAnalysisModule extends QueryModule {
     "q_text_stats" -> ((s: SparkSession, d: String) => textStats(s, d)),
     "q_text_lang_id" -> ((s: SparkSession, d: String) => langId(s, d)),
     "q_text_quality" -> ((s: SparkSession, d: String) => qualityScore(s, d)),
+    "q_source_quality" -> ((s: SparkSession, d: String) => sourceQuality(s, d)),
     "q_text_token_count" -> ((s: SparkSession, d: String) => tokenCount(s, d)),
     "q_text_token_count_bpe" -> ((s: SparkSession, d: String) => bpeTokenCount(s, d)),
     "q_text_token_count_bpe_fit" -> ((s: SparkSession, d: String) => BpeFit.bpeTokenCountFit(s, d)),
@@ -604,6 +630,27 @@ object TextAnalysisModule extends QueryModule {
         |       WHEN distinct_ratio < 0.2 THEN 'too_repetitive'
         |       ELSE 'ok' END AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_source_quality" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, source,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+        |  FROM d),
+        |q AS (SELECT *,
+        |  CASE WHEN n_tokens < 10 THEN 'too_short'
+        |       WHEN punct_ratio > 0.2 THEN 'too_punct'
+        |       WHEN distinct_ratio < 0.2 THEN 'too_repetitive'
+        |       ELSE 'ok' END AS quality
+        |  FROM s)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN quality = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  round(CAST(SUM(CASE WHEN quality = 'ok' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS share_ok,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(CAST(punct_ratio AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*), 6) AS mean_punct_ratio,
+        |  round(CAST(SUM(CAST(distinct_ratio AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*), 6) AS mean_distinct_ratio
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "q_text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,

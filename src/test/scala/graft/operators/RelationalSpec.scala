@@ -50,4 +50,24 @@ class RelationalSpec extends SparkSpec {
       (4L, Some(ts("2024-01-01 10:05:00"))),
       (6L, Some(ts("2024-01-01 10:30:00")))))
   }
+  test("scd2: consecutive same-status orders collapse; reverts open new versions") {
+    import spark.implicits._
+    // customer 1: O, O, F, O  -> versions O, F, O (revert = NEW version)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    Seq(
+      (1L, 7L, "O", "1995-01-01"), (2L, 7L, "O", "1995-02-01"),
+      (3L, 7L, "F", "1995-03-01"), (4L, 7L, "O", "1995-04-01"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+      .selectExpr("o_orderkey", "o_custkey", "'1-URGENT' o_orderpriority",
+        "o_orderstatus", "CAST(o_orderdate AS DATE) o_orderdate",
+        "CAST(100.0 AS DOUBLE) o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Relational.scd2StatusHistory(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getDate(3).toString,
+        Option(r.getDate(4)).map(_.toString), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1, "O", "1995-01-01", Some("1995-03-01"), false),
+      (2, "F", "1995-03-01", Some("1995-04-01"), false),
+      (3, "O", "1995-04-01", None, true)))
+  }
 }

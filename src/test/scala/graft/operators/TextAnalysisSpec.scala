@@ -105,4 +105,19 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - s) < 1e-5, s"score mismatch: $r vs $s")
     }
   }
+  test("source quality: a short-doc feed reports its lowered ok share") {
+    // srcGood: two ok docs; srcBad: one ok + one too_short.
+    val dir = java.nio.file.Files.createTempDirectory("graft-srcq").toString
+    val ok = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (1L, ok, "srcGood"), (2L, ok + " more words here", "srcGood"),
+      (3L, ok, "srcBad"), (4L, "too short", "srcBad"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.sourceQuality(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("srcGood") === ((2L, 2L, 1.0)))
+    assert(out("srcBad") === ((2L, 1L, 0.5)))
+  }
 }
