@@ -20,9 +20,13 @@ object Bench {
 
   private def isDocFamily(n: String): Boolean =
     (n.startsWith("q_dedup") && !isSimFamily(n)) || n.startsWith("q_corpus") ||
-      n.startsWith("q_decontaminate") || n == "q_chunk_docs" ||
-      n == "q_pack_chunks" || n == "q_text_bigrams" ||
-      n.startsWith("q_dup_spans")
+      n.startsWith("q_decontaminate") || n.startsWith("q_chunk_docs") ||
+      n.startsWith("q_pack_chunks") || n == "q_text_bigrams" ||
+      n.startsWith("q_dup_spans") ||
+      // riders of the tokenized-corpus / pair-table artifacts: their
+      // session state belongs to the docs family's release boundaries
+      n.startsWith("q_token_budget") || n == "q_bpe_vocab_stats" ||
+      n == "q_bpe_fertility" || n == "q_source_overlap"
 
   // q_dedup_embedding_ann rides the embedding bucket index, not the
   // shingle family — grouping it here shares embBase/lshBuckets with

@@ -65,13 +65,16 @@ object PrimeProbe {
     if (!(args.length > 2 && args(2) == "skipBuild"))
       t("writeIndexes(job)") { Dedup.writeIndexes(spark, dir, idx); 0L }
     Dedup.releaseIndexes(spark)
-    // drop the in-process fitted-quantizer cache too, so the primed
-    // IVF timings below include the artifact load, not a cache hit
+    // drop the in-process fitted-model caches too, so the primed
+    // IVF/PQ timings below include the artifact load, not a cache hit
     SimilarityIvf.clearFitCache()
+    SimilarityPq.clearFitCache()
     Dedup.primeIndexes(spark, dir, idx)
     Seq("q_corpus_clean", "q_dedup_jaccard", "q_dedup_canonical",
       "q_dedup_incremental", "q_dedup_minhash", "q_knn_lsh",
-      "q_knn_ivf", "q_knn_ivf_fit", "q_knn_exact").foreach { q =>
+      "q_knn_ivf", "q_knn_ivf_fit", "q_knn_exact",
+      "q_knn_pq", "q_knn_pq_rerank", "q_knn_ivfpq", "q_pq_stats",
+      "q_bpe_fertility", "q_source_overlap").foreach { q =>
       t(q) { graft.SparkEntry.queries(q)(spark, dir).count() }
     }
     spark.stop()
