@@ -170,3 +170,85 @@ object DetHll {
        |FROM e ORDER BY o_orderpriority""".stripMargin
   }
 }
+
+/** Deterministic Count-Min sketch (Cormode & Muthukrishnan 2005) as
+  * pure relational algebra — the frequency-estimation sibling of
+  * [[DetHll]]: d = 4 hash rows × w = 1024 counters, built with the
+  * same engine-portable 62-bit integer hash so BOTH gate engines
+  * compute identical counter tables and identical estimates, making a
+  * frequency sketch hash-checkable end to end.
+  *
+  * The registered query estimates per-customer order counts for the
+  * top-10 heaviest customers and reports them NEXT TO the exact
+  * counts, with the overestimate column exposing the sketch's
+  * one-sided error (CM never underestimates: est = min over rows of a
+  * counter that includes every true occurrence).
+  *
+  * Scale posture (100 TB): the sketch build is one groupBy over
+  * (row, bucket) — map-side combined to ≤ d·w = 4096 accumulator rows
+  * per partition regardless of input size, and the counter table is
+  * mergeable additive state (SUM — associative/commutative), i.e. the
+  * standard distributed heavy-hitter shape. The probe side joins a
+  * 40-row broadcast (10 keys × 4 rows) against the 4096-row counter
+  * table. The exact twin here is itself a full groupBy; at production
+  * scale the sketch REPLACES that full aggregation — the exact side
+  * exists for the gate's comparison.
+  */
+object DetCms {
+  val D = 4
+  val W = 1024
+  /** Per-row key derivation: hash_i(k) = h62(k·D + i) — row-disjoint
+    * inputs into the shared avalanche, all < 2^33 after the fold. */
+  private def bucketExpr(key: String, i: Int, o: DetHll.Ops): String =
+    s"(${DetHll.h62(s"(($key) * $D + $i)", o)} % $W)"
+
+  private def stackRows(key: String, o: DetHll.Ops): String =
+    (0 until D).map(i => s"($i, ${bucketExpr(key, i, o)})")
+      .mkString(s"stack($D, ", ", ", ")")
+
+  /** Top-10 heavy hitters with exact vs CM-estimated counts. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val o = DetHll.sparkOps
+    val orders = Tables.orders(spark, dir)
+    val counters = orders
+      .selectExpr(s"inline(array(${(0 until D).map(i =>
+        s"struct($i AS row_idx, ${bucketExpr("CAST(o_custkey AS BIGINT)", i, o)} AS bucket)").mkString(", ")}))")
+      .groupBy("row_idx", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val exact = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("o_custkey").asc)
+      .limit(k)
+    val probes = exact
+      .selectExpr("o_custkey", "n_exact", s"inline(array(${(0 until D).map(i =>
+        s"struct($i AS row_idx, ${bucketExpr("CAST(o_custkey AS BIGINT)", i, o)} AS bucket)").mkString(", ")}))")
+    broadcast(probes).join(counters, Seq("row_idx", "bucket"))
+      .groupBy("o_custkey", "n_exact")
+      .agg(min(col("c")).as("n_est"))
+      .select(col("o_custkey"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overestimate"))
+      .orderBy(col("n_exact").desc, col("o_custkey").asc)
+  }
+
+  /** DuckDB oracle — same pipeline, [[DetHll.duckOps]] spellings. */
+  def oracle: String = {
+    val o = DetHll.duckOps
+    def rowsFor(src: String, keyCol: String): String =
+      (0 until D).map(i =>
+        s"SELECT $keyCol, $i AS row_idx, ${bucketExpr(s"CAST($keyCol AS BIGINT)", i, o)} AS bucket FROM $src")
+        .mkString(" UNION ALL ")
+    s"""WITH hashed AS (${rowsFor("orders", "o_custkey")}),
+       |counters AS (SELECT row_idx, bucket, COUNT(*) AS c
+       |             FROM hashed GROUP BY row_idx, bucket),
+       |exact AS (SELECT o_custkey, COUNT(*) AS n_exact FROM orders
+       |          GROUP BY o_custkey ORDER BY n_exact DESC, o_custkey ASC LIMIT 10),
+       |ph AS (${(0 until D).map(i =>
+      s"SELECT o_custkey, n_exact, $i AS row_idx, ${bucketExpr("CAST(o_custkey AS BIGINT)", i, o)} AS bucket FROM exact")
+      .mkString(" UNION ALL ")}),
+       |est AS (SELECT o_custkey, n_exact, MIN(c) AS n_est
+       |        FROM ph JOIN counters USING (row_idx, bucket)
+       |        GROUP BY o_custkey, n_exact)
+       |SELECT o_custkey, n_exact, CAST(n_est AS BIGINT) AS n_est,
+       |  CAST(n_est - n_exact AS BIGINT) AS overestimate
+       |FROM est ORDER BY n_exact DESC, o_custkey ASC""".stripMargin
+  }
+}

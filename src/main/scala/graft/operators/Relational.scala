@@ -475,6 +475,7 @@ object RelationalModule extends QueryModule {
     "q_distinct_priority" -> ((s: SparkSession, d: String) => distinctByPriority(s, d)),
     "q_hll_priority" -> ((s: SparkSession, d: String) => hllByPriority(s, d)),
     "q_hll_deterministic" -> ((s: SparkSession, d: String) => DetHll.hllDeterministic(s, d)),
+    "q_cms_heavyhitters" -> ((s: SparkSession, d: String) => DetCms.cmsHeavyHitters(s, d)),
     "q_zorder_layout" -> ((s: SparkSession, d: String) => ZOrder.zorderLayout(s, d)),
     "q_rollup_acctbal" -> ((s: SparkSession, d: String) => rollupAcctbal(s, d)),
     "q_cube_orders" -> ((s: SparkSession, d: String) => cubeOrders(s, d)),
@@ -521,6 +522,7 @@ object RelationalModule extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_hll_deterministic" -> DetHll.oracle,
+    "q_cms_heavyhitters" -> DetCms.oracle,
     "q_zorder_layout" -> ZOrder.oracle,
     "q_rollup_acctbal" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,

@@ -82,4 +82,33 @@ class DetHllSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(math.abs(out("BIG") - 2000.0) / 2000.0 < 0.05)
   }
+  test("count-min: never underestimates, and is near-exact on real data") {
+    val out = DetCms.cmsHeavyHitters(spark, sf("sf0.001")).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CM must never underestimate: $r")
+      assert(over == est - exact)
+      // w = 1024 counters against a sf0.001 key space: collisions add
+      // at most a few spurious counts for the heavy keys
+      assert(over <= exact, s"estimate error implausibly large: $r")
+    }
+  }
+
+  test("count-min: planted heavy key surfaces with an exact-or-over estimate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    // key 42 occurs 50 times; keys 1..20 once each
+    val rows = Seq.fill(50)(42L) ++ (1L to 20L)
+    rows.zipWithIndex.map { case (ck, i) =>
+      (i.toLong, ck, "O", "1-URGENT", f"1995-01-${i % 28 + 1}%02d", 100.0)
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate", "o_totalprice")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "CAST(o_orderdate AS DATE) o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val top = DetCms.cmsHeavyHitters(spark, dir).collect()
+    assert(top.head.getLong(0) == 42L && top.head.getLong(1) == 50L)
+    assert(top.head.getLong(2) >= 50L)
+  }
 }
