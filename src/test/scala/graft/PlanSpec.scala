@@ -169,4 +169,34 @@ class PlanSpec extends SparkSpec {
         s"$name: expected only the gram posexplode Generate, got ${gens.size}")
     }
   }
+  test("PQ ADC scoring broadcasts the query LUT; BM25 broadcasts its 3-term query") {
+    // The compressed-domain scan must join the per-query lookup table
+    // as a broadcast (one narrow projection over the code table, no
+    // shuffle until the per-query top-k), and BM25's postings join must
+    // broadcast the 3-row query-term table - a shuffled join on either
+    // would move corpus-sized data for a handful of rows.
+    val pq = plan(graft.operators.SimilarityPq.knnPq(spark, dir))
+    assert(pq.contains("BroadcastNestedLoopJoin") || pq.contains("BroadcastExchange"),
+      s"query LUT must broadcast:\n$pq")
+    val bm = plan(graft.operators.TextAnalysis.bm25Search(spark, dir))
+    assert(bm.contains("BroadcastExchange"), s"query terms must broadcast:\n$bm")
+    graft.operators.Dedup.releaseIndexes(spark)
+  }
+
+  test("funnel stage joins reuse the user_id hash partitioning (no re-exchange before the stage agg)") {
+    // Stage 2/3: join on user_id then groupBy user_id - the aggregation
+    // must reuse the join's exchange. Count exchanges: one per event-scan
+    // leg entering a join/agg, none BETWEEN a join and its follow-up agg.
+    val p = plan(graft.operators.Events.funnel(spark, dir))
+    // 3 stage scans + stage-1 agg exchanges are expected; a plan that
+    // re-exchanges after each join would add 2 more. Pin the ceiling.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 6, s"funnel must not re-shuffle between stage join and agg ($exchanges):\n$p")
+  }
+
+  test("SCD2 history is one shuffle: both window passes share a partitioning") {
+    val p = plan(graft.operators.Relational.scd2StatusHistory(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"SCD2 must sort once per partitioning ($exchanges):\n$p")
+  }
 }
