@@ -111,7 +111,7 @@ object Events {
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(Tables.events(spark, dir))
 
-  private[operators] def funnelOf(ev: DataFrame): DataFrame = {
+  private[graft] def funnelOf(ev: DataFrame): DataFrame = {
     def typed(t: String) = ev.filter(col("event_type") === t)
       .select(col("user_id"), col("ts"))
     val s1 = typed("view").groupBy("user_id").agg(min(col("ts")).as("t1"))

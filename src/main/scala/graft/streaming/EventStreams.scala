@@ -16,6 +16,15 @@ case class OpenSession(startMs: Long, lastMs: Long, nEvents: Long, sumValue: Dou
 /** Running per-user totals emitted by the transformWithState demo. */
 case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 
+/** Per-user funnel state: first-touch times of the three steps
+  * (fixed-size state — see funnelStateful). */
+case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+/** Funnel progression row: the user's currently-reached step and the
+  * first-touch timestamps behind it. */
+case class FunnelProgress(user_id: Long, step: Int, t1: Timestamp,
+                          t2: Timestamp, t3: Timestamp)
+
 /** Arbitrary-state v2 (`transformWithState` StatefulProcessor,
   * Spark 4): one ValueState cell per user holding (count, sum),
   * emitting the updated totals once per micro-batch. Requires the
@@ -257,5 +266,54 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Incremental conversion funnel: the streaming twin of
+    * [[graft.operators.Events.funnel]] — per-user state machine
+    * (first view → first later click → first later purchase) advanced
+    * as events arrive, emitting the user's progression row whenever
+    * the reached step changes. State is three optional timestamps per
+    * user (fixed size — the 100 TB posture: funnel state never grows
+    * with event volume, unlike a buffered-events formulation).
+    *
+    * Within a batch, events apply in (ts, event_id) order — the same
+    * total order every batch oracle uses. Cross-batch, the state
+    * machine is monotone: a step once reached keeps its first-touch
+    * time. That matches the batch query exactly under in-order
+    * delivery (parity pinned in EventStreamsSpec); an out-of-order
+    * straggler that would RETROACTIVELY lower an earlier step's time
+    * is ignored for that step — the documented simplification, same
+    * family as the single-open-session model above (the batch twin
+    * stays the ground truth for reprocessing). */
+  def funnelStateful(events: Dataset[Event]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+
+    def advance(st: FunnelState, e: Event): FunnelState = e.event_type match {
+      case "view" if st.t1.isEmpty => st.copy(t1 = Some(e.ts.getTime))
+      case "click" if st.t2.isEmpty &&
+        st.t1.exists(e.ts.getTime > _) => st.copy(t2 = Some(e.ts.getTime))
+      case "purchase" if st.t3.isEmpty &&
+        st.t2.exists(e.ts.getTime > _) => st.copy(t3 = Some(e.ts.getTime))
+      case _ => st
+    }
+
+    def update(uid: Long, it: Iterator[Event],
+               state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
+      val st0 = state.getOption.getOrElse(FunnelState(None, None, None))
+      val st = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .foldLeft(st0)(advance)
+      if (st != st0) {
+        state.update(st)
+        Iterator.single(FunnelProgress(uid,
+          Seq(st.t1, st.t2, st.t3).count(_.isDefined),
+          st.t1.map(new Timestamp(_)).orNull,
+          st.t2.map(new Timestamp(_)).orNull,
+          st.t3.map(new Timestamp(_)).orNull))
+      } else Iterator.empty
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 }

@@ -256,4 +256,41 @@ class EventStreamsSpec extends SparkSpec {
         (2L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:35:00"), 1L)))
     }
   }
+  test("stateful funnel: progression emits on step changes; final state matches the batch funnel") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    // u1 completes the funnel across two batches; u2 clicks before
+    // viewing (the click must not count); u3 only views.
+    val batch1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view"),
+      ev(2, "2024-01-01 10:05:00", 1, "click"),
+      ev(3, "2024-01-01 09:00:00", 2, "click"),
+      ev(4, "2024-01-01 09:30:00", 2, "view"),
+      ev(5, "2024-01-01 11:00:00", 3, "view"))
+    val batch2 = Seq(
+      ev(6, "2024-01-01 10:10:00", 1, "purchase"),
+      ev(7, "2024-01-01 09:45:00", 2, "click")) // click AFTER u2's view: advances
+    val q = funnelStateful(input.toDS())
+      .writeStream.format("memory").queryName("funnelst").outputMode("update").start()
+    withQuery(q) {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // last emitted row per user = final state
+      val finalSteps = spark.table("funnelst")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("step").as("step"))
+        .as[(Long, Int)].collect().toMap
+      assert(finalSteps === Map(1L -> 3, 2L -> 2, 3L -> 1))
+      // batch twin on the union of both batches agrees on the step counts
+      import spark.implicits._
+      val batchDf = (batch1 ++ batch2).toDF()
+      val counts = graft.operators.Events.funnelOf(batchDf).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val streamCounts = (1 to 3).map(st =>
+        st -> finalSteps.values.count(_ >= st).toLong).toMap
+      assert(counts === streamCounts,
+        s"stream final states must reproduce the batch funnel: $counts vs $streamCounts")
+    }
+  }
 }
