@@ -336,6 +336,35 @@ object Relational {
       .orderBy("o_custkey", "version")
   }
 
+  /** Point-in-time (as-of-version) join against the SCD2 history: each
+    * order is paired with the dimension version VALID AT its order
+    * date — the feature-store operation that keeps training features
+    * leakage-free (an attribute from a later version must never reach
+    * an earlier fact row). The version intervals partition each
+    * customer's timeline, so every fact matches exactly one version;
+    * the join stays keyed on custkey (one shuffle, band residual on
+    * the interval — never a cross product), and at 100 TB the version
+    * table is dimension-sized and broadcastable. Output sampled to the
+    * 20 highest-version customers' facts for a bounded gate result. */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2StatusHistory(spark, dir)
+      .select(col("o_custkey").as("custkey"), col("version"),
+        col("status"), col("valid_from"), col("valid_to"))
+    val busiest = hist.groupBy("custkey")
+      .agg(max(col("version")).as("n_versions"))
+      .orderBy(col("n_versions").desc, col("custkey").asc)
+      .limit(20)
+      .select(col("custkey").as("b_custkey"))
+    Tables.orders(spark, dir)
+      .join(broadcast(busiest), col("o_custkey") === col("b_custkey"))
+      .join(hist, col("o_custkey") === col("custkey") &&
+        col("valid_from") <= col("o_orderdate") &&
+        (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("version"), col("status").as("status_at_order"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   /** Exact percentiles (continuous interpolation — same definition as
     * DuckDB's quantile_cont: lower + frac·(upper−lower) over the
     * sorted values). Exact sort-based aggregate; approx_percentile is
@@ -496,6 +525,7 @@ object RelationalModule extends QueryModule {
     "q_correlated_subquery" -> ((s: SparkSession, d: String) => correlatedSubquery(s, d)),
     "q_window_range" -> ((s: SparkSession, d: String) => rollingSpend(s, d)),
     "q_scd2_status" -> ((s: SparkSession, d: String) => scd2StatusHistory(s, d)),
+    "q_pit_join" -> ((s: SparkSession, d: String) => pitJoin(s, d)),
     "q_set_union" -> ((s: SparkSession, d: String) => setUnion(s, d)),
     "q_set_intersect" -> ((s: SparkSession, d: String) => setIntersect(s, d)),
     "q_set_except" -> ((s: SparkSession, d: String) => setExcept(s, d)),
@@ -611,6 +641,27 @@ object RelationalModule extends QueryModule {
         |WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "q_pit_join" ->
+      """WITH x AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |c AS (SELECT * FROM x WHERE prev IS NULL OR prev <> o_orderstatus),
+        |hist AS (SELECT o_custkey AS custkey, ROW_NUMBER() OVER w AS version,
+        |    o_orderstatus AS status, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER w AS valid_to
+        |  FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |busiest AS (SELECT custkey FROM (
+        |    SELECT custkey, MAX(version) AS n_versions FROM hist GROUP BY custkey)
+        |  ORDER BY n_versions DESC, custkey ASC LIMIT 20)
+        |SELECT o_orderkey, o_custkey, o_orderdate, version,
+        |  status AS status_at_order
+        |FROM orders
+        |JOIN busiest ON busiest.custkey = o_custkey
+        |JOIN hist ON hist.custkey = o_custkey
+        |         AND valid_from <= o_orderdate
+        |         AND (valid_to IS NULL OR o_orderdate < valid_to)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_scd2_status" ->
       """WITH x AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
         |    lag(o_orderstatus) OVER (PARTITION BY o_custkey

@@ -70,4 +70,21 @@ class RelationalSpec extends SparkSpec {
       (2, "F", "1995-03-01", Some("1995-04-01"), false),
       (3, "O", "1995-04-01", None, true)))
   }
+  test("point-in-time join maps each fact to exactly one valid version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pit").toString
+    Seq(
+      (1L, 7L, "O", "1995-01-01"), (2L, 7L, "O", "1995-02-01"),
+      (3L, 7L, "F", "1995-03-01"), (4L, 7L, "O", "1995-04-01"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+      .selectExpr("o_orderkey", "o_custkey", "'1-URGENT' o_orderpriority",
+        "o_orderstatus", "CAST(o_orderdate AS DATE) o_orderdate",
+        "CAST(100.0 AS DOUBLE) o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Relational.pitJoin(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getString(4)))
+    assert(out.length == 4, "each fact must match exactly one version interval")
+    assert(out.toMap === Map(
+      1L -> (1, "O"), 2L -> (1, "O"), 3L -> (2, "F"), 4L -> (3, "O")))
+  }
 }
