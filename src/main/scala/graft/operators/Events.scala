@@ -176,6 +176,35 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Per-user value-anomaly audit: events whose value sits more than
+    * 3σ from their user's mean — the monitoring query a pipeline runs
+    * over billing/telemetry feeds. Two-pass shape sharing one user_id
+    * partitioning: exact per-user moments (9-dp-rounded DECIMAL sums —
+    * reduction-order-proof), then a co-partitioned join back to flag
+    * rows; top-20 by rounded |z| with event_id tie-break. Population
+    * variance, guarded against σ = 0 single-value users. */
+  def valueAnomalies(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val stats = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value"), 9).cast("decimal(29,9)")).as("s"),
+        sum(round(col("value") * col("value"), 9).cast("decimal(29,9)")).as("sq"))
+      .filter(col("n") >= lit(2))
+      .select(col("user_id"), col("n"),
+        (col("s").cast("double") / col("n")).as("mean"),
+        sqrt(col("sq").cast("double") / col("n") -
+          (col("s").cast("double") / col("n")) *
+            (col("s").cast("double") / col("n"))).as("sd"))
+      .filter(col("sd") > 0d)
+    ev.join(stats, Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        round((col("value") - col("mean")) / col("sd"), 6).as("z"))
+      .filter(abs(col("z")) > 3d)
+      .orderBy(abs(col("z")).desc, col("event_id").asc)
+      .limit(k)
+  }
+
   /** JSON property extraction (reference F6 `json.loads`,
     * `flows/main_flow.py:68`): parse the props JSON string column with
     * an explicit schema, aggregate the extracted field. */
@@ -202,7 +231,8 @@ object EventsModule extends QueryModule {
     "q_events_salted_agg" -> ((s: SparkSession, d: String) => saltedTypeTotals(s, d)),
     "q_events_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q_events_retention" -> ((s: SparkSession, d: String) => retentionCohorts(s, d)),
-    "q_events_transitions" -> ((s: SparkSession, d: String) => typeTransitions(s, d)))
+    "q_events_transitions" -> ((s: SparkSession, d: String) => typeTransitions(s, d)),
+    "q_events_anomaly" -> ((s: SparkSession, d: String) => valueAnomalies(s, d)))
 
   // DuckDB time_bucket's default origin (2000-01-03 for multi-day, else
   // 2000-01-01) sits on the same 30-min grid as Spark's epoch-aligned
@@ -254,6 +284,21 @@ object EventsModule extends QueryModule {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_anomaly" ->
+      """WITH st AS (SELECT user_id, COUNT(*) AS n,
+        |    SUM(CAST(round(value, 9) AS DECIMAL(29,9))) AS s,
+        |    SUM(CAST(round(value * value, 9) AS DECIMAL(29,9))) AS sq
+        |  FROM events GROUP BY user_id HAVING COUNT(*) >= 2),
+        |m AS (SELECT user_id, n, CAST(s AS DOUBLE) / n AS mean,
+        |    sqrt(CAST(sq AS DOUBLE) / n -
+        |         (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+        |  FROM st),
+        |z AS (SELECT e.user_id, event_id, value,
+        |    round((value - mean) / sd, 6) AS z
+        |  FROM events e JOIN m ON m.user_id = e.user_id WHERE sd > 0)
+        |SELECT user_id, event_id, value, z FROM z
+        |WHERE abs(z) > 3
+        |ORDER BY abs(z) DESC, event_id ASC LIMIT 20""".stripMargin,
     "q_events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY user_id),

@@ -82,4 +82,22 @@ class EventsSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
     assert(total === n - users)
   }
+  test("anomaly: a planted outlier event is flagged with the hand-computed z") {
+    // A single outlier among n points scores z = sqrt(n-1) exactly
+    // (independent of its magnitude - the deviation and the sd both
+    // scale with it). n = 15 puts the outlier at sqrt(14) > 3 and
+    // every base point at 1/sqrt(14) < 3: exactly one flag.
+    val base = (1 to 14).map(i =>
+      (i.toLong, f"2024-01-01 10:$i%02d:00", 1L, "click", 1.0))
+    val rows = (base :+ (15L, "2024-01-01 11:00:00", 1L, "click", 101.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+        "event_type", "value", "'{}' props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.valueAnomalies(spark, dir).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 15L, out.mkString(";"))
+    assert(math.abs(out(0).getDouble(3) - math.sqrt(14.0)) < 1e-5,
+      s"z mismatch: ${out(0)}")
+  }
 }
