@@ -1809,7 +1809,7 @@ object DedupModule extends QueryModule {
     * q_dedup_jaccard / q_dedup_incremental oracles' heads) ending in
     * `pj(id_a, id_b, n_common, jaccard)` — shared by the oracles that
     * AGGREGATE the pair table rather than rank it. */
-  private val PairTableCteSql: String =
+  private[operators] val PairTableCteSql: String =
     """t AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len(toks) - 2, 1)),

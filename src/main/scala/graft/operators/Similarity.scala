@@ -364,6 +364,60 @@ object Similarity {
       .filter(col("rn") <= k)
       .orderBy("label", "rn")
   }
+
+  /** RRF fusion constant (Cormack et al. 2009's k = 60). */
+  private[operators] val RrfK = 60
+
+  /** Hybrid lexical + dense retrieval with reciprocal-rank fusion:
+    * for each query document, the shared-shingle Jaccard ranking (the
+    * persisted pair table — the lexical leg) and the exact-cosine
+    * embedding ranking (the dense leg) fuse as
+    * Σ 1/(60 + rank) — the standard RRF combination modern retrieval
+    * stacks run over BM25 + vector legs. The corpus's 1:1
+    * doc_id ↔ vec_id alignment is what makes the fusion well-defined.
+    *
+    * Scale: the lexical leg reads the maintained pair artifact (no
+    * new pair generation); the dense leg here is the exact scan for a
+    * deterministic gate — production swaps in any of the oracled ANN
+    * shortlists (LSH / IVF / PQ), which changes recall, not the
+    * fusion. RRF scores are exact rationals evaluated identically in
+    * both engines (two coalesced 1/(60+r) terms, one addition),
+    * rounded at 6 dp with neighbor tie-break. */
+  def hybridRrf(spark: SparkSession, dir: String,
+                nQueries: Int = NumQueriesDefault, k: Int = TopKDefault): DataFrame = {
+    val pj = Dedup.jaccardPairTable(spark, dir)
+    val lex = pj.filter(col("id_a") < nQueries)
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("jaccard"))
+      .unionAll(pj.filter(col("id_b") < nQueries)
+        .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("jaccard")))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("jaccard").desc, col("neighbor_id").asc)
+    val lexR = lex.withColumn("r_lex", row_number().over(wl))
+      .select("query_id", "neighbor_id", "r_lex")
+    val base = embBase(spark, dir)
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val denseR = base
+      .select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nrm").as("nrm_c"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
+      .withColumn("r_dense", row_number().over(wd))
+      .select("query_id", "neighbor_id", "r_dense")
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    lexR.join(denseR, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)), 6).as("rrf"))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
 }
 
 object SimilarityIvf {
@@ -1126,11 +1180,50 @@ object SimilarityModule extends QueryModule {
     "q_embedding_outliers" -> ((s: SparkSession, d: String) => embeddingOutliers(s, d)),
     "q_quantize_embeddings" -> ((s: SparkSession, d: String) => quantizeEmbeddings(s, d)),
     "q_prune_prototypes" -> ((s: SparkSession, d: String) => SimilarityIvf.prototypePrune(s, d)),
-    "q_ivf_stats" -> ((s: SparkSession, d: String) => SimilarityIvf.ivfStats(s, d)))
+    "q_ivf_stats" -> ((s: SparkSession, d: String) => SimilarityIvf.ivfStats(s, d)),
+    "q_hybrid_search" -> ((s: SparkSession, d: String) => hybridRrf(s, d)))
 
   // q_knn_exact_agg shares q_knn_exact's oracle: same semantics, the
   // Aggregator formulation just changes the physical plan.
+  /** RRF hybrid oracle: the shared pair-table CTE chain (lexical leg)
+    * + the exact-cosine ranking (dense leg, vector CTE renamed `ev` to
+    * avoid the pair chain's `e`), fused with the same two coalesced
+    * 1/(60+r) terms. */
+  private val hybridOracleSql: String =
+    s"""WITH ${DedupModule.PairTableCteSql},
+       |lex AS (SELECT id_a AS query_id, id_b AS neighbor_id, jaccard FROM pj WHERE id_a < 10
+       |        UNION ALL
+       |        SELECT id_b, id_a, jaccard FROM pj WHERE id_b < 10),
+       |lexr AS (SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY jaccard DESC, neighbor_id ASC) AS r_lex
+       |         FROM lex),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                              CAST(embedding AS DOUBLE[])) > 0),
+       |dns AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |          list_dot_product(q.v, c.v) /
+       |            (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |        FROM ev q JOIN ev c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+       |dnsr AS (SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id ASC) AS r_dense
+       |         FROM dns),
+       |f AS (SELECT COALESCE(lexr.query_id, dnsr.query_id) AS query_id,
+       |        COALESCE(lexr.neighbor_id, dnsr.neighbor_id) AS neighbor_id,
+       |        round(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0) +
+       |              COALESCE(CAST(1 AS DOUBLE) / (60 + r_dense), 0), 6) AS rrf
+       |      FROM lexr FULL OUTER JOIN dnsr
+       |        ON lexr.query_id = dnsr.query_id AND lexr.neighbor_id = dnsr.neighbor_id)
+       |SELECT query_id, neighbor_id, rrf, rn FROM (
+       |  SELECT query_id, neighbor_id, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf DESC, neighbor_id ASC) AS rn
+       |  FROM f)
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   def oracles = Map(
+    "q_hybrid_search" -> hybridOracleSql,
     "q_knn_exact_agg" -> knnOracleSql,
     "q_knn_exact" -> knnOracleSql,
     "q_knn_lsh" -> lshOracleSql,

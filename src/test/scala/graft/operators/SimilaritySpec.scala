@@ -351,4 +351,21 @@ class SimilaritySpec extends SparkSpec {
     }
     graft.operators.Dedup.releaseIndexes(spark)
   }
+  test("hybrid RRF: bounded scores, per-query monotone ranking, both legs contribute") {
+    val out = Similarity.hybridRrf(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.map(_._1).distinct.length == 10, "all 10 queries must return rows")
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+        s"rrf must be non-increasing in rank: ${sorted.mkString(";")}")
+    }
+    // max possible fusion = top-1 in both legs = 2/61; min > 0
+    assert(out.forall(r => r._3 > 0 && r._3 <= math.ceil(2.0 / 61 * 1e6) / 1e6))
+    // the dense leg alone caps at 1/61 < the observed top scores only if
+    // some neighbor scores in BOTH legs - assert fusion actually fuses
+    assert(out.exists(_._3 > 1.0 / 61 + 1e-9),
+      "no neighbor scored in both legs - fusion degenerated to one leg")
+    graft.operators.Dedup.releaseIndexes(spark)
+  }
 }
