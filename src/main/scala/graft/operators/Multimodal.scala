@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.sources.Tables
@@ -294,6 +295,69 @@ object Multimodal {
           .otherwise(expr(s"(height * $box) div greatest(width, height)")).as("out_h"))
       .orderBy("doc_id")
 
+  /** dHash grid: 8 rows × 9 columns of fake pixels → 64 gradient
+    * bits. */
+  private[operators] val DhashRows = 8
+  private[operators] val DhashCols = 8
+  private[operators] val DhashBands = 4
+  private[operators] val DhashBandLen = 16
+  /** Band-bucket membership cap — same flood guard as the text
+    * SimHash chunk join. */
+  private[operators] val DhashMaxBandDf = 64
+
+  /** 64-bit perceptual difference hash (dHash) of a payload: bit(r,c)
+    * = pixel(r,c+1) > pixel(r,c) over an 8×9 grid. The pixel decode is
+    * the repo's documented STUB (no codecs in this environment): a
+    * deterministic fake pixel per (payload, r, c) — md5 of the keyed
+    * payload, with the > comparison done directly on the hex strings
+    * so neither engine parses hex. The HASH ALGEBRA — gradient bits,
+    * banding, capped candidate join, Hamming rerank — is the real
+    * thing a codec-backed decode would feed. */
+  private def dhashBits(payloadText: Column): Column =
+    concat((for { r <- 0 until DhashRows; c <- 0 until DhashCols } yield
+      when(md5(concat(payloadText, lit(s":$r:${c + 1}"))) >
+           md5(concat(payloadText, lit(s":$r:$c"))), "1").otherwise("0")): _*)
+
+  /** Perceptual near-dup pairs: dHash banding (4 × 16-bit bands — the
+    * pigeonhole guarantees any pair within Hamming distance 3 shares a
+    * band) with the per-bucket flood cap, then exact Hamming rerank on
+    * candidates only. Identity is scoped per media type. Top-20 most
+    * similar pairs (Hamming asc, ids asc). The text-SimHash shape
+    * (chunked pigeonhole + cap + rerank) applied to the media
+    * tier — content-level near-dup above mediaDedup's byte-identical
+    * digests. */
+  def mediaPhashPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val ph = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        dhashBits(col("text")).as("bits"))
+    val bands = ph.select(col("doc_id"), col("media_type"), col("bits"),
+        explode(sequence(lit(0), lit(DhashBands - 1))).as("band_idx"))
+      .withColumn("band",
+        substring(col("bits"), col("band_idx") * DhashBandLen + 1, lit(DhashBandLen)))
+    val capped = bands.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("media_type", "band_idx", "band")))
+      .filter(col("df") <= DhashMaxBandDf)
+    val a = capped.select(col("media_type"), col("band_idx"), col("band"),
+      col("doc_id").as("id_a"), col("bits").as("bits_a"))
+    val b = capped.select(col("media_type"), col("band_idx"), col("band"),
+      col("doc_id").as("id_b"), col("bits").as("bits_b"))
+    val ham = (1 to DhashRows * DhashCols).map(i =>
+      when(substring(col("bits_a"), i, 1) === substring(col("bits_b"), i, 1), 0)
+        .otherwise(1)).reduce(_ + _)
+    a.join(b, Seq("media_type", "band_idx", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("media_type"), col("id_a"), col("id_b"),
+        col("bits_a"), col("bits_b"))
+      .distinct()
+      .select(col("media_type"), col("id_a"), col("id_b"),
+        ham.cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col("media_type").asc,
+        col("id_a").asc, col("id_b").asc)
+      .limit(k)
+  }
+
   /** Per-media-type rollup over the features — the "what's in this
     * 100 TB bucket" inventory query. */
   def mediaInventory(spark: SparkSession, dir: String): DataFrame =
@@ -315,7 +379,8 @@ object MultimodalModule extends QueryModule {
     "q_media_audio" -> ((s: SparkSession, d: String) => audioFeatures(s, d)),
     "q_media_video" -> ((s: SparkSession, d: String) => videoFeatures(s, d)),
     "q_media_resize" -> ((s: SparkSession, d: String) => resizePlan(s, d)),
-    "q_media_dedup" -> ((s: SparkSession, d: String) => mediaDedup(s, d)))
+    "q_media_dedup" -> ((s: SparkSession, d: String) => mediaDedup(s, d)),
+    "q_media_phash" -> ((s: SparkSession, d: String) => mediaPhashPairs(s, d)))
 
   // DuckDB's sha256 hashes the VARCHAR's UTF-8 bytes — identical input
   // bytes to Spark's sha2(encode(text,'UTF-8'), 256).
@@ -342,6 +407,27 @@ object MultimodalModule extends QueryModule {
         |  CAST(MAX(byte_len) AS BIGINT) AS byte_len
         |FROM m GROUP BY media_type, sha256_hex
         |ORDER BY media_type, keep_id""".stripMargin,
+    "q_media_phash" ->
+      """WITH ph AS (SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |    (CASE WHEN md5(text || ':0:1') > md5(text || ':0:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:2') > md5(text || ':0:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:3') > md5(text || ':0:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:4') > md5(text || ':0:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:5') > md5(text || ':0:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:6') > md5(text || ':0:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:7') > md5(text || ':0:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:8') > md5(text || ':0:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:1') > md5(text || ':1:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:2') > md5(text || ':1:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:3') > md5(text || ':1:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:4') > md5(text || ':1:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:5') > md5(text || ':1:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:6') > md5(text || ':1:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:7') > md5(text || ':1:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:8') > md5(text || ':1:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:1') > md5(text || ':2:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:2') > md5(text || ':2:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:3') > md5(text || ':2:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:4') > md5(text || ':2:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:5') > md5(text || ':2:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:6') > md5(text || ':2:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:7') > md5(text || ':2:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:8') > md5(text || ':2:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:1') > md5(text || ':3:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:2') > md5(text || ':3:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:3') > md5(text || ':3:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:4') > md5(text || ':3:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:5') > md5(text || ':3:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:6') > md5(text || ':3:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:7') > md5(text || ':3:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:8') > md5(text || ':3:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:1') > md5(text || ':4:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:2') > md5(text || ':4:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:3') > md5(text || ':4:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:4') > md5(text || ':4:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:5') > md5(text || ':4:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:6') > md5(text || ':4:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:7') > md5(text || ':4:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:8') > md5(text || ':4:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:1') > md5(text || ':5:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:2') > md5(text || ':5:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:3') > md5(text || ':5:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:4') > md5(text || ':5:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:5') > md5(text || ':5:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:6') > md5(text || ':5:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:7') > md5(text || ':5:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:8') > md5(text || ':5:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:1') > md5(text || ':6:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:2') > md5(text || ':6:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:3') > md5(text || ':6:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:4') > md5(text || ':6:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:5') > md5(text || ':6:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:6') > md5(text || ':6:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:7') > md5(text || ':6:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:8') > md5(text || ':6:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:1') > md5(text || ':7:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:2') > md5(text || ':7:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:3') > md5(text || ':7:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:4') > md5(text || ':7:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:5') > md5(text || ':7:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:6') > md5(text || ':7:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:7') > md5(text || ':7:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:8') > md5(text || ':7:7') THEN '1' ELSE '0' END) AS bits
+        |  FROM documents),
+        |bands AS (SELECT doc_id, media_type, bits, band_idx,
+        |    substr(bits, band_idx * 16 + 1, 16) AS band
+        |  FROM ph, unnest(generate_series(0, 3)) AS u(band_idx)),
+        |capped AS (SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY media_type, band_idx, band) AS df
+        |    FROM bands) WHERE df <= 64),
+        |cand AS (SELECT DISTINCT a.media_type, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.bits AS bits_a, b.bits AS bits_b
+        |  FROM capped a JOIN capped b
+        |    ON a.media_type = b.media_type AND a.band_idx = b.band_idx
+        |   AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT media_type, id_a, id_b,
+        |  CAST(list_sum(list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN bits_a[i:i] = bits_b[i:i] THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+        |FROM cand
+        |ORDER BY hamming ASC, media_type ASC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
     "q_media_frames" ->
       """WITH m AS (SELECT doc_id, text,
         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,

@@ -336,6 +336,25 @@ object Relational {
       .orderBy("o_custkey", "version")
   }
 
+  /** Distribution-rank windows: decile bucket (ntile), percent_rank,
+    * and cume_dist per order within its status — the ranking trio the
+    * earlier window queries don't cover. All three are exact rank
+    * arithmetic ((rank−1)/(n−1), ≤-count/n, balanced buckets), so the
+    * only float is the final 6-dp rounding of exact rationals —
+    * cross-engine identical. One window partitioning, one shuffle;
+    * output sampled to deciles 1 and 10 to bound the gate result. */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .filter(col("decile") === 1 || col("decile") === 10)
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   /** Point-in-time (as-of-version) join against the SCD2 history: each
     * order is paired with the dimension version VALID AT its order
     * date — the feature-store operation that keeps training features
@@ -526,6 +545,7 @@ object RelationalModule extends QueryModule {
     "q_window_range" -> ((s: SparkSession, d: String) => rollingSpend(s, d)),
     "q_scd2_status" -> ((s: SparkSession, d: String) => scd2StatusHistory(s, d)),
     "q_pit_join" -> ((s: SparkSession, d: String) => pitJoin(s, d)),
+    "q_window_ntile" -> ((s: SparkSession, d: String) => windowNtile(s, d)),
     "q_set_union" -> ((s: SparkSession, d: String) => setUnion(s, d)),
     "q_set_intersect" -> ((s: SparkSession, d: String) => setIntersect(s, d)),
     "q_set_except" -> ((s: SparkSession, d: String) => setExcept(s, d)),
@@ -641,6 +661,17 @@ object RelationalModule extends QueryModule {
         |WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, decile, pct_rank, cume
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |        ntile(10) OVER w AS decile,
+        |        round(percent_rank() OVER w, 6) AS pct_rank,
+        |        round(cume_dist() OVER w, 6) AS cume
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_orderstatus
+        |                   ORDER BY o_totalprice ASC, o_orderkey ASC))
+        |WHERE decile IN (1, 10)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "q_pit_join" ->
       """WITH x AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
         |    lag(o_orderstatus) OVER (PARTITION BY o_custkey

@@ -387,4 +387,28 @@ class MultimodalSpec extends SparkSpec {
       assert(rows(name) == ((bytes.length.toLong, bytes.toSeq)))
     }
   }
+  test("perceptual dHash: identical payloads pair at Hamming 0, rank first") {
+    import spark.implicits._
+    // docs 3 and 9 (both doc_id % 3 == 0 -> image) share identical
+    // payload text; everything else is distinct. The fake-pixel decode
+    // is hash-based (no perceptual locality), so identity is the
+    // planted near-dup; the REAL content here is the banding + cap +
+    // Hamming algebra, which any codec-backed decode would feed.
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    Seq(
+      (3L, "the same exact payload text"),
+      (9L, "the same exact payload text"),
+      (6L, "completely different content here"),
+      (12L, "yet another unrelated document"))
+      .map { case (id, t) => (id, t, "en", "srcP", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.mediaPhashPairs(spark, dir).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getLong(1) == 3L && top.getLong(2) == 9L && top.getLong(3) == 0L,
+      s"identical payloads must rank first at Hamming 0: ${out.mkString(";")}")
+    assert(out.tail.forall(_.getLong(3) > 0L),
+      "no other pair may score Hamming 0")
+  }
 }
