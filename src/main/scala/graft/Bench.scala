@@ -39,7 +39,9 @@ object Bench {
       n == "q_dedup_semantic" || n == "q_dedup_semantic_fit" ||
       n == "q_prune_prototypes" || n == "q_curate_d4" || n == "q_ivf_stats" ||
       // the PQ family rides embBase + the pqCodes/pqCodebooksFit artifacts
-      n == "q_pq_stats"
+      n == "q_pq_stats" ||
+      // RRF fusion rides embBase (dense leg) + the primed pair table
+      n == "q_hybrid_search"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
