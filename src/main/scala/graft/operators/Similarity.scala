@@ -365,6 +365,46 @@ object Similarity {
       .orderBy("label", "rn")
   }
 
+  /** Int8-serving ANN: exact-cosine ranking in the QUANTIZED domain —
+    * the 4×-smaller representation quantizeEmbeddings audits, actually
+    * served. Each vector becomes 64 small integers (symmetric scalar
+    * quantization, exactly-rounded IEEE ops only), and every score is
+    * a dot product of exact small integers (≤ 64·127² ≪ 2^53, so the
+    * double accumulation is EXACT in both engines) finished by one
+    * deterministic sqrt/divide — no rounding discipline needed
+    * anywhere before the final 6-dp presentation round. At 100 TB this
+    * is the memory-bound serving win: the scan reads int8 codes, not
+    * floats, and SIMD int8 dot products are the production kernel this
+    * plan shape stands in for. */
+  def knnSq8(spark: SparkSession, dir: String,
+             nQueries: Int = NumQueriesDefault, k: Int = TopKDefault): DataFrame = {
+    val qt = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("scale"),
+        col("embedding"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          when(col("scale") === 0d, lit(0.0))
+            .otherwise(floor(x.cast("double") * lit(127.0) / col("scale") + lit(0.5))))
+          .as("qd"))
+      .withColumn("nrm2", dot(col("qd"), col("qd")))
+      .filter(col("nrm2") > 0d)
+    val q = qt.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qd").as("qd_q"), col("nrm2").as("n2_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    qt.select(col("vec_id").as("neighbor_id"), col("qd").as("qd_c"), col("nrm2").as("n2_c"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qd_q"), col("qd_c")) / (sqrt(col("n2_q")) * sqrt(col("n2_c")))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_q"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** RRF fusion constant (Cormack et al. 2009's k = 60). */
   private[operators] val RrfK = 60
 
@@ -1181,7 +1221,8 @@ object SimilarityModule extends QueryModule {
     "q_quantize_embeddings" -> ((s: SparkSession, d: String) => quantizeEmbeddings(s, d)),
     "q_prune_prototypes" -> ((s: SparkSession, d: String) => SimilarityIvf.prototypePrune(s, d)),
     "q_ivf_stats" -> ((s: SparkSession, d: String) => SimilarityIvf.ivfStats(s, d)),
-    "q_hybrid_search" -> ((s: SparkSession, d: String) => hybridRrf(s, d)))
+    "q_hybrid_search" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
+    "q_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)))
 
   // q_knn_exact_agg shares q_knn_exact's oracle: same semantics, the
   // Aggregator formulation just changes the physical plan.
@@ -1222,8 +1263,28 @@ object SimilarityModule extends QueryModule {
        |  FROM f)
        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  private val sq8OracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, list_max(list_transform(v, y -> abs(y))) AS scale, v FROM e),
+      |qt AS (SELECT vec_id, list_transform(v, y ->
+      |         CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+      |              ELSE floor(y * 127 / scale + 0.5) END) AS qd
+      |       FROM s),
+      |n AS (SELECT vec_id, qd, list_dot_product(qd, qd) AS nrm2 FROM qt
+      |      WHERE list_dot_product(qd, qd) > 0),
+      |d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        list_dot_product(q.qd, c.qd) / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cos
+      |      FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cos_q, rn FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM d)
+      |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   def oracles = Map(
     "q_hybrid_search" -> hybridOracleSql,
+    "q_knn_sq8" -> sq8OracleSql,
     "q_knn_exact_agg" -> knnOracleSql,
     "q_knn_exact" -> knnOracleSql,
     "q_knn_lsh" -> lshOracleSql,

@@ -368,4 +368,20 @@ class SimilaritySpec extends SparkSpec {
       "no neighbor scored in both legs - fusion degenerated to one leg")
     graft.operators.Dedup.releaseIndexes(spark)
   }
+  test("int8-domain ANN agrees closely with the full-precision exact scan") {
+    // Quantized-cosine ranking must recall most exact top-5 neighbors,
+    // and every reported quantized cosine must sit near the true one
+    // (127-level symmetric quantization of 64-dim gaussians).
+    val exact = Similarity.knnExact(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sq8 = Similarity.knnSq8(spark, sf("sf0.001")).collect()
+    val hits = sq8.count(r => exact.contains((r.getLong(0), r.getLong(1))))
+    assert(hits >= 40, s"recall collapsed: $hits/50")
+    sq8.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(1))).foreach { trueCos =>
+        assert(math.abs(r.getDouble(2) - trueCos) < 0.02,
+          s"quantized cosine drifted: $r vs $trueCos")
+      }
+    }
+  }
 }
