@@ -26,7 +26,8 @@ object Bench {
       // riders of the tokenized-corpus / pair-table artifacts: their
       // session state belongs to the docs family's release boundaries
       n.startsWith("q_token_budget") || n == "q_bpe_vocab_stats" ||
-      n == "q_bpe_fertility" || n == "q_source_overlap"
+      n == "q_bpe_fertility" || n == "q_source_overlap" ||
+      n == "q_text_pmi" // rides the tokenized-corpus artifact
 
   // q_dedup_embedding_ann rides the embedding bucket index, not the
   // shingle family — grouping it here shares embBase/lshBuckets with

@@ -22,6 +22,7 @@ object SparkEntry {
     graft.operators.SimilarityModule,
     graft.operators.PqModule,
     graft.operators.EventsModule,
+    graft.operators.LinkageModule,
     graft.operators.MultimodalModule,
     graft.operators.CorpusModule,
     graft.operators.CurationModule

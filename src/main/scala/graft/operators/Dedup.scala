@@ -883,6 +883,35 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
       .limit(20)
 
+  /** Asymmetric containment near-dup: a document whose shingle set is
+    * largely CONTAINED in another's is a subset/quote duplicate even
+    * when symmetric Jaccard is low (a paragraph pasted into a 10×
+    * longer page — the case the symmetric family structurally
+    * under-scores, because the union in Jaccard's denominator is
+    * dominated by the larger doc). Containment = n_common /
+    * min(n_a, n_b): the smaller side's coverage. Ranked by the
+    * asymmetry gap (containment − jaccard) rather than a fixed
+    * threshold, so the query surfaces the most subset-like pairs on
+    * any corpus instead of encoding a fixture-tuned cutoff.
+    *
+    * Rides the shared candidate-pair artifact (blocked inverted index,
+    * star-capped — see [[jaccardPairTable]]); this stage itself is a
+    * projection + TakeOrderedAndProject, so its 100 TB posture is the
+    * pair table's. Both scores divide the same integers in both
+    * engines, so the rank keys are bit-identical doubles. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairTable(spark, dir)
+      .withColumn("cont",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("cont"), 6).as("containment"),
+        round(col("jaccard"), 6).as("jaccard"),
+        round(col("cont") - col("jaccard"), 6).as("asym_gap"),
+        (col("cont") - col("jaccard")).as("_gap"))
+      .orderBy(col("_gap").desc, col("id_a").asc, col("id_b").asc)
+      .limit(20)
+      .drop("_gap")
+
   /** Stand-in ingest batch: every doc_id ≡ 9 (mod 10) is "newly
     * arrived"; the rest are the existing corpus. The operator itself
     * takes any batch predicate — the testdata has no ingest column. */
@@ -1803,6 +1832,7 @@ object DedupModule extends QueryModule {
     // the watermark-window variant: what the oracle verifies is the
     // predicate shape ingestSinceWatermark runs in production
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => incrementalNearDupsSince(s, d)),
+    "q_dedup_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "q_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)))
 
   /** The shingle→pair-table CTE chain (identical text to the
@@ -1861,6 +1891,17 @@ object DedupModule extends QueryModule {
          |  round(CAST(SUM(j) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard,
          |  round(CAST(MAX(j) AS DOUBLE), 6) AS max_jaccard
          |FROM f GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH $PairTableCteSql,
+         |c AS (SELECT id_a, id_b, n_a, n_b, n_common,
+         |        CAST(n_common AS DOUBLE) / least(n_a, n_b) AS cont,
+         |        CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jac
+         |      FROM p)
+         |SELECT id_a, id_b, n_a, n_b, n_common,
+         |  round(cont, 6) AS containment, round(jac, 6) AS jaccard,
+         |  round(cont - jac, 6) AS asym_gap
+         |FROM c ORDER BY (cont - jac) DESC, id_a ASC, id_b ASC
+         |LIMIT 20""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm

@@ -205,6 +205,87 @@ object Events {
       .limit(k)
   }
 
+  /** Daily resample + gap-fill with LOCF (last-observation-carried-
+    * forward): regularize the irregular event stream onto a per-user
+    * daily grid — the feature-engineering step before any window model
+    * or trend fit. Days with no events appear with n_events = 0,
+    * is_gap = true, and the last observed daily sum carried forward
+    * (null before a user's first event).
+    *
+    * Scale shape: the only corpus-sized stage is the daily aggregate
+    * (one shuffle on (user, day), full map-side combine — at 100 TB
+    * of events this collapses ~10⁶× before anything else runs). The
+    * grid is |users| × |days| — generated by exploding a sequence
+    * against the distinct-user table with the 1-row global span
+    * broadcast, never by scanning events again — and the LOCF window
+    * re-uses the user partitioning. Sums go through DECIMAL so
+    * reduction order can't perturb the fill values. */
+  def gapfillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+    val span = ev.agg(date_trunc("DAY", min(col("ts"))).as("d0"),
+      date_trunc("DAY", max(col("ts"))).as("d1"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_value").isNull.as("is_gap"),
+        round(last(col("sum_value"), ignoreNulls = true).over(w), 6)
+          .as("sum_value_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  /** EWMA half-life constants: round(0.9^j, 12) for j = 0..19, newest
+    * first — inlined as literals (not `pow`) so both engines weight
+    * with the IDENTICAL doubles; a libm pow divergence can't exist
+    * where pow is never called. */
+  private[operators] val EwmaWeights: Seq[Double] = Seq(
+    1.0, 0.9, 0.81, 0.729, 0.6561, 0.59049, 0.531441, 0.4782969,
+    0.43046721, 0.387420489, 0.3486784401, 0.31381059609,
+    0.282429536481, 0.254186582833, 0.22876792455, 0.205891132095,
+    0.185302018885, 0.166771816997, 0.150094635297, 0.135085171767)
+
+  /** Trailing exponentially-weighted moving average of each user's
+    * value at their LATEST event (decay 0.9 over the last 20 events) —
+    * the standard smoothed-activity feature. Formulated without
+    * arrays: one ranking window per user (newest = rank 1), keep the
+    * trailing 20, broadcast-join the 20-row weight table, one hash
+    * aggregation. At 100 TB: a single shuffle on user_id; the rank
+    * filter discards the corpus tail BEFORE the join and final agg see
+    * it. Weighted terms go through DECIMAL(28,12) so the ≤20-term
+    * reduction is order-proof; the weight table is literal in both
+    * engines (see [[EwmaWeights]]). */
+  def ewmaLatest(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark
+    import s2.implicits._
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val weights = EwmaWeights.zipWithIndex
+      .map { case (wt, j) => (j + 1, wt) }.toDF("j", "wt")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= EwmaWeights.size)
+      .join(broadcast(weights), col("rk") === col("j"))
+      .groupBy("user_id")
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_window"),
+        sum((col("value") * col("wt")).cast("decimal(28,12)")).as("num"),
+        sum(col("wt").cast("decimal(28,12)")).as("den"))
+      .select(col("user_id"), col("last_ts"), col("n_window"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("ewma"))
+      .orderBy("user_id")
+  }
+
   /** JSON property extraction (reference F6 `json.loads`,
     * `flows/main_flow.py:68`): parse the props JSON string column with
     * an explicit schema, aggregate the extracted field. */
@@ -232,12 +313,49 @@ object EventsModule extends QueryModule {
     "q_events_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q_events_retention" -> ((s: SparkSession, d: String) => retentionCohorts(s, d)),
     "q_events_transitions" -> ((s: SparkSession, d: String) => typeTransitions(s, d)),
-    "q_events_anomaly" -> ((s: SparkSession, d: String) => valueAnomalies(s, d)))
+    "q_events_anomaly" -> ((s: SparkSession, d: String) => valueAnomalies(s, d)),
+    "q_events_gapfill" -> ((s: SparkSession, d: String) => gapfillDaily(s, d)),
+    "q_events_ewma" -> ((s: SparkSession, d: String) => ewmaLatest(s, d)))
+
+  /** The EWMA weight table as a VALUES list — same literals the Spark
+    * side broadcasts. */
+  private def ewmaWeightValues: String =
+    Events.EwmaWeights.zipWithIndex
+      .map { case (wt, j) => s"(${j + 1}, $wt)" }.mkString(", ")
 
   // DuckDB time_bucket's default origin (2000-01-03 for multi-day, else
   // 2000-01-01) sits on the same 30-min grid as Spark's epoch-aligned
   // windows, so bucket starts agree.
   def oracles = Map(
+    "q_events_gapfill" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT date_trunc('day', min(ts)) AS d0,
+        |    date_trunc('day', max(ts)) AS d1 FROM events),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM u, span)
+        |SELECT g.user_id, g.day, coalesce(d.n_events, 0) AS n_events,
+        |  d.sum_value IS NULL AS is_gap,
+        |  round(last_value(d.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS sum_value_filled
+        |FROM grid g LEFT JOIN d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+    "q_events_ewma" ->
+      s"""WITH w AS (SELECT * FROM (VALUES $ewmaWeightValues) AS w(j, wt)),
+         |x AS (SELECT user_id, ts, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rk
+         |  FROM events)
+         |SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_window,
+         |  round(CAST(SUM(CAST(value * wt AS DECIMAL(28,12))) AS DOUBLE)
+         |      / CAST(SUM(CAST(wt AS DECIMAL(28,12))) AS DOUBLE), 6) AS ewma
+         |FROM x JOIN w ON w.j = x.rk WHERE rk <= ${Events.EwmaWeights.size}
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

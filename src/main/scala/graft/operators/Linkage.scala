@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.functions.JaroWinklerSimilarity
+import graft.sources.Tables
+
+/** Entity resolution / record linkage: match a "dirty" registry of
+  * names back to the master table with blocked fuzzy scoring — the
+  * structured-data sibling of the document near-dup family (the
+  * reference's pipeline keys everything on exact ids; linkage is what
+  * a real ingest does when the key is a name typed by a human).
+  *
+  * The dirty registry is DERIVED deterministically from the master
+  * (digit-reversal of the name's numeric tail — a transposition-heavy
+  * corruption, the classic typo model), so the oracle can rebuild the
+  * identical registry in SQL; the operator itself takes any two
+  * DataFrames.
+  *
+  * Scale posture — the canonical blocked-ER shape:
+  *  - NEVER all-pairs: candidates come from an equi-join on the block
+  *    key (nation, segment), so the shuffle is hash-partitioned on the
+  *    block and pair count is Σ|block|² bounded by the blocking
+  *    choice, not |corpus|².
+  *  - Scoring is the codegen [[graft.functions.JaroWinklerSimilarity]]
+  *    kernel inside the join's whole-stage span — no boxing, no UDF.
+  *  - Best-match selection is one ranking window partitioned by the
+  *    dirty key, re-using the block partitioning's shuffle output.
+  *  - The per-nation report is a bounded hash agg (≤ 25 rows).
+  * Ties rank on the 6-dp-ROUNDED score with custkey tie-break, so a
+  * sub-ulp libm divergence can't flip match choice between engines
+  * (there is none today — both sides run IEEE ops on identical bytes —
+  * but the rank key shouldn't depend on that proof). */
+object Linkage {
+
+  /** Corruption rule: reverse the digit tail after the 'Customer#0'
+    * prefix. Shared text with the oracle's SQL formulation. */
+  private def dirtyName(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(substring(c, 1, 10), reverse(c.substr(lit(11), length(c))))
+
+  /** Blocked fuzzy match of the derived dirty registry against the
+    * customer master; per-nation accuracy + mean best-match score. */
+  def nameMatch(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val master = cust.select(col("c_custkey").as("m_key"),
+      col("c_name").as("m_name"), col("c_nationkey").as("nationkey"),
+      col("c_mktsegment").as("segment"))
+    val dirty = cust.select(col("c_custkey").as("d_key"),
+      dirtyName(col("c_name")).as("d_name"),
+      col("c_nationkey").as("nationkey"), col("c_mktsegment").as("segment"))
+    val w = Window.partitionBy(col("d_key"))
+      .orderBy(col("jw").desc, col("m_key").asc)
+    val best = dirty.join(master, Seq("nationkey", "segment"))
+      .withColumn("jw", round(JaroWinklerSimilarity(col("d_name"), col("m_name")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    best.groupBy("nationkey")
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("m_key") === col("d_key"), 1L).otherwise(0L)).as("n_correct"),
+        // exact decimal sum, then ONE double division — avg() would
+        // divide in engine-specific decimal/double internals
+        round(sum(col("jw").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_score"))
+      .orderBy("nationkey")
+  }
+}
+
+/** Driver-contract registration for the linkage set. */
+object LinkageModule extends QueryModule {
+
+  def queries = Map(
+    "q_name_match" -> ((s: SparkSession, d: String) => Linkage.nameMatch(s, d)))
+
+  def oracles = Map(
+    "q_name_match" ->
+      """WITH dirty AS (SELECT c_custkey AS d_key,
+        |    substring(c_name, 1, 10) || reverse(substring(c_name, 11)) AS d_name,
+        |    c_nationkey AS nationkey, c_mktsegment AS segment
+        |  FROM customer),
+        |master AS (SELECT c_custkey AS m_key, c_name AS m_name,
+        |    c_nationkey AS nationkey, c_mktsegment AS segment
+        |  FROM customer),
+        |scored AS (SELECT d_key, m_key, d.nationkey,
+        |    round(jaro_winkler_similarity(d_name, m_name), 6) AS jw
+        |  FROM dirty d JOIN master m USING (nationkey, segment)),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY d_key
+        |    ORDER BY jw DESC, m_key ASC) AS rn FROM scored)
+        |SELECT nationkey, COUNT(*) AS n_records,
+        |  CAST(SUM(CASE WHEN m_key = d_key THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(CAST(SUM(CAST(jw AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_score
+        |FROM best WHERE rn = 1
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin)
+}

@@ -214,6 +214,54 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
 
+  /** PMI collocation mining: word pairs that co-occur as bigrams far
+    * more often than their unigram frequencies predict —
+    * pmi = ln(p(ab) / (p(a)·p(b))) with p(ab) over the bigram total
+    * and p(a), p(b) over the token total. The standard
+    * phrase/multi-word-expression detector run before tokenizer or
+    * vocabulary decisions. Minimum pair count 5 (PMI is unstable on
+    * rare pairs); top 25 by PMI, (term_a, term_b) tie-break.
+    *
+    * Scale shape: two corpus-sized hash aggregations (unigram and
+    * bigram counts — both fully map-side combined; the bigram explode
+    * is width-2 slices of the bound token attribute, see [[bigrams]]
+    * for the CollapseProject hazard), then a join against the
+    * unigram vocabulary — tiny next to the corpus — and a 1-row
+    * broadcast of the totals. Ranking uses the RAW probability ratio
+    * (identical integer-derived doubles in both engines — monotone
+    * with ln, so no libm call decides the order); ln only prints the
+    * reported score. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Int = 5, k: Int = 25): DataFrame = {
+    val toksDf = Curation.docToks(spark, dir)
+    val uni = toksDf.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_term"))
+    // bigram totals are over ALL bigrams — the min-count filter trims
+    // the reported pairs, not the probability denominator
+    val bigAll = toksDf.filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("term_a"),
+          element_at(col("toks"), i + 1).as("term_b")))).as("bg"))
+      .select(col("bg.term_a"), col("bg.term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_pair"))
+    val tot = uni.agg(sum(col("n_term")).as("n_uni_total"))
+      .crossJoin(bigAll.agg(sum(col("n_pair")).as("n_big_total")))
+    val big = bigAll.filter(col("n_pair") >= minCount)
+    val ua = uni.select(col("term").as("term_a"), col("n_term").as("n_a"))
+    val ub = uni.select(col("term").as("term_b"), col("n_term").as("n_b"))
+    big.join(ua, "term_a").join(ub, "term_b")
+      .crossJoin(broadcast(tot))
+      .withColumn("ratio",
+        col("n_pair").cast("double") * col("n_uni_total") * col("n_uni_total") /
+          (col("n_big_total").cast("double") * col("n_a") * col("n_b")))
+      .select(col("term_a"), col("term_b"), col("n_pair"), col("n_a"),
+        col("n_b"), round(log(col("ratio")), 6).as("pmi"), col("ratio"))
+      .orderBy(col("ratio").desc, col("term_a").asc, col("term_b").asc)
+      .limit(k)
+      .drop("ratio")
+  }
+
   /** TF-IDF top-3 terms per document — the classic relevance/keyword
     * signal, formulated as three hash aggregations and one vocabulary
     * join: tf = (doc, term) counts, df = docs-per-term over the tf
@@ -527,6 +575,7 @@ object TextAnalysisModule extends QueryModule {
     "q_text_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "q_text_bigrams" -> ((s: SparkSession, d: String) => bigrams(s, d)),
     "q_text_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
+    "q_text_pmi" -> ((s: SparkSession, d: String) => pmiCollocations(s, d)),
     "q_text_bm25" -> ((s: SparkSession, d: String) => bm25Search(s, d)),
     "q_text_perplexity" -> ((s: SparkSession, d: String) => perplexityScore(s, d)),
     "q_text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
@@ -537,6 +586,27 @@ object TextAnalysisModule extends QueryModule {
   // DuckDB lambda syntax (list_transform / list_filter) mirrors Spark's
   // higher-order functions one-to-one; counts are BIGINT on both sides.
   def oracles = Map(
+    "q_text_pmi" ->
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |u AS (SELECT unnest(toks) AS term FROM t),
+        |uc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY term),
+        |bg AS (SELECT toks[i] AS term_a, toks[i + 1] AS term_b
+        |       FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |       WHERE len(toks) >= 2),
+        |bc AS (SELECT term_a, term_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+        |       FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT SUM(n) FROM uc) AS nu,
+        |               (SELECT SUM(n_pair) FROM bc) AS nb)
+        |SELECT term_a, term_b, n_pair, a.n AS n_a, b.n AS n_b,
+        |  round(ln(CAST(n_pair AS DOUBLE) * nu * nu
+        |    / (CAST(nb AS DOUBLE) * a.n * b.n)), 6) AS pmi
+        |FROM bc JOIN uc a ON a.term = bc.term_a
+        |        JOIN uc b ON b.term = bc.term_b, tot
+        |WHERE n_pair >= 5
+        |ORDER BY CAST(n_pair AS DOUBLE) * nu * nu
+        |    / (CAST(nb AS DOUBLE) * a.n * b.n) DESC, term_a, term_b
+        |LIMIT 25""".stripMargin,
     "q_text_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
         |            FROM documents),
