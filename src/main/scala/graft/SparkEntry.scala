@@ -23,6 +23,7 @@ object SparkEntry {
     graft.operators.PqModule,
     graft.operators.EventsModule,
     graft.operators.LinkageModule,
+    graft.operators.GraphModule,
     graft.operators.MultimodalModule,
     graft.operators.CorpusModule,
     graft.operators.CurationModule

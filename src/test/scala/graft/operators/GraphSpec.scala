@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the iterative graph family. Value parity with the
+  * unrolled DuckDB supersteps is the per-round CORRECTNESS gate. */
+class GraphSpec extends SparkSpec {
+
+  test("pagerank mass is conserved: ranks sum to 1 (up to rounding)") {
+    val full = Graph.pagerankFull(spark, sf("sf0.001"))
+    val total = full.agg(sum(col("r"))).collect()(0).getDouble(0)
+    val n = full.count()
+    // per-contribution 9-dp rounds can drift mass by at most ~n·5e-10
+    // per superstep; the observed drift must stay well inside that
+    assert(math.abs(total - 1.0) < n * Graph.PrIters * 5e-10 + 1e-9,
+      s"mass $total over $n nodes")
+    assert(full.filter(col("r") <= 0.0).count() === 0, "non-positive rank")
+  }
+
+  test("symmetric toy graph ranks equal; heavier-degree node ranks higher") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-graph").toString
+    val s2 = spark
+    import s2.implicits._
+    // customers 1,2 both buy from supplier 7; customer 3 buys from 7
+    // and 8 — supplier 7 has 3 distinct buyers, 8 has one.
+    Seq((10L, 1L), (20L, 2L), (30L, 3L), (31L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 7L), (20L, 7L), (30L, 7L), (31L, 8L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Graph.pagerankFull(spark, dir).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("c1") - r("c2")) < 1e-12, "symmetric customers differ")
+    assert(r("s7") > r("s8"), "hub supplier must outrank the leaf")
+    assert(r("s7") > r("c1"), "supplier with 3 buyers outranks a 1-edge customer")
+  }
+
+  test("degree histogram ties out against the edge table") {
+    val hist = Graph.degreeHistogram(spark, sf("sf0.001")).collect()
+    val nodes = hist.map(_.getLong(2)).sum
+    val full = Graph.pagerankFull(spark, sf("sf0.001")).count()
+    assert(nodes === full, "histogram node total != distinct nodes")
+    // both sides present
+    assert(hist.map(_.getString(0)).toSet === Set("c", "s"))
+  }
+}
