@@ -266,7 +266,23 @@ object Dedup {
     // converged dup-cluster labels — the cluster-RESOLUTION artifact
     // (docs incident to a dup edge only, tiny next to the corpus);
     // derived from the pair table, so rebuildPairTable re-derives it
-    "clusterLabels" -> ((s, d) => clusterLabels(s, d)))
+    "clusterLabels" -> ((s, d) => clusterLabels(s, d)),
+    // the transaction-graph edge table (orders ⋈ lineitem, both
+    // directions, out-weight fractions) — scanned PrIters times per
+    // PageRank run, so primed columnar serving matters most here;
+    // re-derived wholesale by the index job, never appended (it
+    // derives from the relational tables, not doc/embedding batches)
+    "graphEdgeFracs" -> ((s, d) => Graph.edgeFracs(s, d)))
+
+  /** Builder names that read the relational (orders/lineitem) tables —
+    * skipped when the corpus directory has none (document-only spec
+    * fixtures). */
+  private val relationalArtifacts = Set("graphEdgeFracs")
+
+  private def hasOrders(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Builder names that read the embeddings table — skipped when a
     * corpus has no embeddings (`withEmbeddings = false`). */
@@ -309,7 +325,8 @@ object Dedup {
     Seq("bpeMergesFit"),
     Seq("curationToks"),
     Seq("curationBpeToks"),
-    Seq("labelCentroids"))
+    Seq("labelCentroids"),
+    Seq("graphEdgeFracs"))
 
   def writeIndexes(spark: SparkSession, dir: String, indexDir: String,
                    withEmbeddings: Boolean = true): Unit =
@@ -334,8 +351,10 @@ object Dedup {
         System.err.println(
           f"[writeIndexes] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       }
+      val relational = hasOrders(spark, dir)
       val chains = builderChains
-        .map(_.filter(n => withEmbeddings || !embeddingArtifacts(n)))
+        .map(_.filter(n => (withEmbeddings || !embeddingArtifacts(n)) &&
+          (relational || !relationalArtifacts(n))))
         .filter(_.nonEmpty)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.length)
       try {

@@ -17,21 +17,39 @@ import graft.sources.Tables
   * uniform 1/N init, weighted out-edges):
   *   r'(v) = 0.15/N + 0.85 · Σ_{u→v} r(u) · w(u,v)/outw(u)
   *
-  * Determinism discipline (the perplexityScore pattern): each edge
-  * contribution r(u)·frac(u,v) is a product of identical doubles in
-  * both engines, ROUNDED to 9 dp, summed as DECIMAL(29,9) — so the
-  * per-node reduction is order-proof and the final ranks hash-match
-  * against DuckDB replaying the same 10 unrolled supersteps. No libm
-  * is involved anywhere.
+  * Determinism discipline (the perplexityScore pattern, in fixed
+  * point): each edge contribution r(u)·frac(u,v) is a product of
+  * identical doubles in both engines, rounded to an integer count of
+  * 1e-9 units (round(x·1e9) → BIGINT — both engines round halves away
+  * from zero), and summed as an exact long — order-proof like the
+  * DECIMAL formulation but pure primitive codegen arithmetic (the
+  * DECIMAL cast allocated a BigDecimal per edge row per superstep —
+  * measured ~2× the whole superstep's cost). Total mass is ~1e9
+  * units, so the sum cannot overflow. The final ranks hash-match
+  * DuckDB replaying the same 10 unrolled supersteps; no libm is
+  * involved anywhere.
   *
-  * Scale posture: one superstep = one shuffle (contributions hash-
-  * partitioned on dst) + a broadcast-sized rank table join. Edges are
-  * built ONCE, checkpointed, and re-joined per iteration — never
-  * re-derived; the rank table (|nodes| rows — millions at 100 TB,
-  * still tiny next to the edge table) co-partitions with the edge
-  * src. Per-iteration checkpoints truncate the lineage so superstep
-  * k's plan doesn't embed supersteps 1..k−1 (the classic iterative-
-  * DataFrame plan explosion). */
+  * Scale posture, learned the measured way (sf0.1, warm):
+  *  - Node ids are LONGS for the whole iteration (even = 2·custkey,
+  *    odd = 2·suppkey+1); the display label exists only in the final
+  *    20-row projection. The first cut kept "c123"-style string keys
+  *    and paid string deserialization + hashing on every 1.17M-row
+  *    superstep scan — 7.0 s; longs + the fixes below run the same
+  *    ten supersteps in ~2 s.
+  *  - The rank table (|nodes| rows) is ALWAYS the broadcast side of
+  *    the superstep join: the edge table never shuffles; the one real
+  *    exchange per superstep is the dst-keyed contribution aggregation
+  *    (fully map-side combined to ≤|nodes| rows before the wire).
+  *    Unhinted, Catalyst shuffle-joined the edge table every superstep
+  *    — 10.8 s.
+  *  - Edges are built once per (session, dir) (memoized artifact, the
+  *    pair-table discipline) and re-scanned per superstep; per-
+  *    iteration localCheckpoints truncate lineage so superstep k's
+  *    plan doesn't embed supersteps 1..k−1 (pure lineage re-executes
+  *    every broadcast subplan per level — measured strictly worse).
+  *  - At a scale where ranks outgrow broadcast, the superstep flips to
+  *    a co-partitioned join with both sides bucketed by node id; the
+  *    superstep count doesn't change the posture. */
 object Graph {
 
   private[operators] val PrIters = 10
@@ -43,50 +61,88 @@ object Graph {
     * term must come from the same parse on both sides. */
   private[operators] val Teleport = 0.15
 
-  /** (src, dst, frac) directed both ways + node table. */
-  private def edgeFracs(spark: SparkSession, dir: String): DataFrame = {
-    val eb = Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
-      .agg(count(lit(1)).as("w"))
-    val e = eb.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionByName(eb.select(col("b").as("src"), col("a").as("dst"), col("w")))
-    val ow = e.groupBy("src").agg(sum(col("w")).as("ow"))
-    e.join(ow, "src")
-      .select(col("src"), col("dst"),
-        (col("w").cast("double") / col("ow").cast("double")).as("frac"))
-  }
+  /** The graph index artifact: (src, dst, w, frac) directed both
+    * ways, long node ids, out-weight-normalized fractions. Built once
+    * per (session, dir) via the memo, materialized as parquet by
+    * `Dedup.writeIndexes` ("graphEdgeFracs") and served vectorized
+    * when primed — the superstep loop scans this table [[PrIters]]
+    * times, so a columnar parquet read beats re-deserializing a
+    * SER-cached checkpoint every pass (re-derived wholesale by the
+    * index job, never appended: edges derive from orders ⋈ lineitem,
+    * not from document/embedding ingest batches). */
+  private[operators] def edgeFracs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(spark, s"graphEdgeFracs|$dir") {
+      val eb = Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .agg(count(lit(1)).as("w"))
+      val e = eb.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(eb.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val ow = e.groupBy("src").agg(sum(col("w")).as("ow"))
+      Dedup.checkpointSer(
+        e.join(ow, "src")
+          .select(col("src"), col("dst"), col("w"),
+            (col("w").cast("double") / col("ow").cast("double")).as("frac")))
+    }
+
+  /** Parity-encoded id → display label ('c<key>' / 's<key>'). */
+  private def label(node: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(node % 2 === 0, concat(lit("c"), (node / 2).cast("long")))
+      .otherwise(concat(lit("s"), ((node - 1) / 2).cast("long")))
 
   /** Weighted PageRank, top-20 nodes. */
   def pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerankFull(spark, dir)
-      .select(col("node"), round(col("r"), 6).as("rank"), col("r"))
-      .orderBy(col("r").desc, col("node").asc)
+      .select(label(col("node")).as("node"), round(col("r"), 6).as("rank"),
+        col("r"), col("node").as("_id"))
+      .orderBy(col("r").desc, col("_id").asc)
       .limit(20)
-      .drop("r")
+      .drop("r", "_id")
 
   /** Full rank table (node, r) after [[PrIters]] supersteps. */
   private[operators] def pagerankFull(spark: SparkSession, dir: String): DataFrame = {
-    val en = Dedup.checkpointSer(edgeFracs(spark, dir))
-    val nodes = Dedup.checkpointSer(en.select(col("src").as("node")).distinct())
+    val en = edgeFracs(spark, dir)
+    // intermediate checkpoints are query-local scratch, not memoized
+    // artifacts: track them and free each superstep's predecessor so a
+    // pagerank run leaves ONE persisted rank table behind, not
+    // PrIters + 1 (leaked block-manager state drags every later query
+    // in the session — the round-5 GC lesson)
+    val (nodes, nodeIds) = Dedup.trackedCheckpoint(
+      en.select(col("src").as("node")).distinct())
     val cnt = nodes.agg(count(lit(1)).as("n"))
+    var prevIds: Set[Int] = Set.empty
     var rank = nodes.crossJoin(broadcast(cnt))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
     for (_ <- 1 to PrIters) {
-      val contrib = en.join(rank, col("node") === col("src"))
+      // contributions in FIXED-POINT (units of 1e-9): round(x·1e9) as
+      // a long keeps the order-proof exact reduction but stays inside
+      // whole-stage codegen as primitive arithmetic — the
+      // round(x, 9) → DECIMAL(29,9) formulation allocates a BigDecimal
+      // per edge row per superstep (measured ~2× the whole superstep).
+      // Total mass is 1e9·Σr ≈ 1e9, so the long sum cannot overflow.
+      val contrib = en.join(broadcast(rank), col("node") === col("src"))
         .select(col("dst"),
-          round(col("r") * col("frac"), 9).cast("decimal(29,9)").as("c"))
+          round(col("r") * col("frac") * lit(1e9)).cast("long").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
-      rank = Dedup.checkpointSer(
+      // checkpointing RANK (not contrib) is the faster cut: the
+      // superstep then runs as one contrib job inside the checkpoint,
+      // and the next broadcast(rank) reads materialized rows instead
+      // of chaining broadcast-inside-broadcast builds on the driver
+      // (measured 5.0 s vs 3.3 s for the contrib-checkpoint variant)
+      val (next, ids) = Dedup.trackedCheckpoint(
         nodes.crossJoin(broadcast(cnt))
-          .join(contrib, col("node") === col("dst"), "left")
+          .join(broadcast(contrib), col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(Teleport) / col("n") + lit(Damping) *
-              coalesce(col("sc"), lit(0).cast("decimal(38,9)")).cast("double"))
+              (coalesce(col("sc"), lit(0L)).cast("double") / lit(1e9)))
               .as("r")))
+      Dedup.unpersistIds(spark, prevIds)
+      prevIds = ids
+      rank = next
     }
+    Dedup.unpersistIds(spark, nodeIds)
     rank
   }
 
@@ -96,7 +152,8 @@ object Graph {
     * bounded histogram. */
   def degreeHistogram(spark: SparkSession, dir: String): DataFrame =
     edgeFracs(spark, dir)
-      .groupBy(col("src").substr(1, 1).as("side"), col("src"))
+      .groupBy(when(col("src") % 2 === 0, lit("c")).otherwise(lit("s")).as("side"),
+        col("src"))
       .agg(count(lit(1)).as("degree"))
       .groupBy("side", "degree").agg(count(lit(1)).as("n_nodes"))
       .orderBy("side", "degree")
@@ -109,9 +166,9 @@ object GraphModule extends QueryModule {
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "q_graph_degree" -> ((s: SparkSession, d: String) => Graph.degreeHistogram(s, d)))
 
-  /** The shared edge/node CTE head. */
+  /** The shared edge/node CTE head — same parity-encoded long ids. */
   private val GraphCte: String =
-    """eb AS (SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
+    """eb AS (SELECT 2 * o_custkey AS a, 2 * l_suppkey + 1 AS b,
       |    CAST(COUNT(*) AS BIGINT) AS w
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
       |e AS (SELECT a AS src, b AS dst, w FROM eb
@@ -129,27 +186,30 @@ object GraphModule extends QueryModule {
     val steps = (1 to Graph.PrIters).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
       s"""c$i AS (SELECT en.dst AS node,
-         |    CAST(round($prev.r * en.frac, 9) AS DECIMAL(29,9)) AS c
+         |    CAST(round($prev.r * en.frac * 1000000000.0) AS BIGINT) AS c
          |  FROM en JOIN $prev ON $prev.node = en.src),
-         |s$i AS (SELECT node, SUM(c) AS sc FROM c$i GROUP BY node),
+         |s$i AS (SELECT node, CAST(SUM(c) AS BIGINT) AS sc FROM c$i GROUP BY node),
          |r$i AS (SELECT n.node,
          |    CAST(0.15 AS DOUBLE) / cnt.n + CAST(0.85 AS DOUBLE) *
-         |      CAST(coalesce(s$i.sc, 0) AS DOUBLE) AS r
+         |      (CAST(coalesce(s$i.sc, 0) AS DOUBLE) / 1000000000.0) AS r
          |  FROM n CROSS JOIN cnt LEFT JOIN s$i ON s$i.node = n.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH $GraphCte,
        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / cnt.n AS r FROM n CROSS JOIN cnt),
        |$steps
-       |SELECT node, round(r, 6) AS rank FROM r${Graph.PrIters}
-       |ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
+       |SELECT CASE WHEN id % 2 = 0 THEN 'c' || CAST(id // 2 AS BIGINT)
+       |            ELSE 's' || CAST((id - 1) // 2 AS BIGINT) END AS node,
+       |  round(r, 6) AS rank
+       |FROM (SELECT node AS id, r FROM r${Graph.PrIters}) t
+       |ORDER BY r DESC, id ASC LIMIT 20""".stripMargin
   }
 
   def oracles = Map(
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_degree" ->
       s"""WITH $GraphCte,
-         |d AS (SELECT substring(src, 1, 1) AS side, src,
-         |    CAST(COUNT(*) AS BIGINT) AS degree
+         |d AS (SELECT CASE WHEN src % 2 = 0 THEN 'c' ELSE 's' END AS side,
+         |    src, CAST(COUNT(*) AS BIGINT) AS degree
          |  FROM e GROUP BY 1, 2)
          |SELECT side, degree, COUNT(*) AS n_nodes
          |FROM d GROUP BY side, degree ORDER BY side, degree""".stripMargin)

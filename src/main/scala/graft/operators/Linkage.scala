@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.functions.JaroWinklerSimilarity
@@ -50,12 +49,17 @@ object Linkage {
     val dirty = cust.select(col("c_custkey").as("d_key"),
       dirtyName(col("c_name")).as("d_name"),
       col("c_nationkey").as("nationkey"), col("c_mktsegment").as("segment"))
-    val w = Window.partitionBy(col("d_key"))
-      .orderBy(col("jw").desc, col("m_key").asc)
+    // argmax as a hash AGGREGATION, not a ranking window: the scored
+    // pair stream reduces map-side to one row per dirty key before the
+    // shuffle (a window would sort and shuffle every scored pair).
+    // max(struct(jw, -m_key)) = highest score, lowest key on ties —
+    // identical to the oracle's (jw DESC, m_key ASC) ranking.
     val best = dirty.join(master, Seq("nationkey", "segment"))
       .withColumn("jw", round(JaroWinklerSimilarity(col("d_name"), col("m_name")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("d_key"), col("nationkey"))
+      .agg(max(struct(col("jw"), (-col("m_key")).as("neg_key"))).as("top"))
+      .select(col("d_key"), col("nationkey"),
+        col("top.jw").as("jw"), (-col("top.neg_key")).as("m_key"))
     best.groupBy("nationkey")
       .agg(count(lit(1)).as("n_records"),
         sum(when(col("m_key") === col("d_key"), 1L).otherwise(0L)).as("n_correct"),

@@ -31,11 +31,12 @@ class GraphSpec extends SparkSpec {
     Seq((10L, 7L), (20L, 7L), (30L, 7L), (31L, 8L))
       .toDF("l_orderkey", "l_suppkey")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // parity-encoded ids: customer k = 2k, supplier k = 2k+1
     val r = Graph.pagerankFull(spark, dir).collect()
-      .map(x => x.getString(0) -> x.getDouble(1)).toMap
-    assert(math.abs(r("c1") - r("c2")) < 1e-12, "symmetric customers differ")
-    assert(r("s7") > r("s8"), "hub supplier must outrank the leaf")
-    assert(r("s7") > r("c1"), "supplier with 3 buyers outranks a 1-edge customer")
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(2L) - r(4L)) < 1e-12, "symmetric customers differ")
+    assert(r(15L) > r(17L), "hub supplier must outrank the leaf")
+    assert(r(15L) > r(2L), "supplier with 3 buyers outranks a 1-edge customer")
   }
 
   test("degree histogram ties out against the edge table") {
