@@ -248,7 +248,7 @@ object Events {
     * first — inlined as literals (not `pow`) so both engines weight
     * with the IDENTICAL doubles; a libm pow divergence can't exist
     * where pow is never called. */
-  private[operators] val EwmaWeights: Seq[Double] = Seq(
+  private[graft] val EwmaWeights: Seq[Double] = Seq(
     1.0, 0.9, 0.81, 0.729, 0.6561, 0.59049, 0.531441, 0.4782969,
     0.43046721, 0.387420489, 0.3486784401, 0.31381059609,
     0.282429536481, 0.254186582833, 0.22876792455, 0.205891132095,
@@ -264,15 +264,17 @@ object Events {
     * it. Weighted terms go through DECIMAL(28,12) so the ≤20-term
     * reduction is order-proof; the weight table is literal in both
     * engines (see [[EwmaWeights]]). */
-  def ewmaLatest(spark: SparkSession, dir: String): DataFrame = {
-    val s2 = spark
+  def ewmaLatest(spark: SparkSession, dir: String): DataFrame =
+    ewmaLatestOf(Tables.events(spark, dir))
+
+  private[graft] def ewmaLatestOf(ev: DataFrame): DataFrame = {
+    val s2 = ev.sparkSession
     import s2.implicits._
     val rk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
     val weights = EwmaWeights.zipWithIndex
       .map { case (wt, j) => (j + 1, wt) }.toDF("j", "wt")
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= EwmaWeights.size)
       .join(broadcast(weights), col("rk") === col("j"))

@@ -512,6 +512,48 @@ object Relational {
         .cast("double").as("revenue"))
       .orderBy("r_name")
   }
+
+  /** Snapshot diff (dataset versioning / CDC derivation): classify
+    * every key of two table versions as added / removed / changed /
+    * unchanged — the audit a pipeline runs between corpus releases
+    * before re-training on "the same" data. v2 is DERIVED
+    * deterministically from the customer master so the oracle rebuilds
+    * it in SQL (drop every key ≡ 3 mod 13; +100.00 on the balance of
+    * keys ≡ 0 mod 7; re-key every key ≡ 5 mod 101 to key + 1,000,000 —
+    * an "added" record); the operator itself is the join shape, not
+    * the mutation rule.
+    *
+    * Scale shape: ONE full-outer equi-join on the key — at 100 TB both
+    * snapshots hash-partition on the key (or co-locate for free if
+    * bucketed by it, the Sinks.writeBucketed layout) — and the
+    * change taxonomy is a projection over the joined row; the summary
+    * is a 4-row hash agg. Doubles compare exactly: both versions'
+    * values come from the same parquet bytes or the same +100.0
+    * arithmetic. */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.customer(spark, dir)
+    val base = v1.filter(col("c_custkey") % 13 =!= 3)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+    val added = v1.filter(col("c_custkey") % 101 === 5)
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+    val v2 = base.unionByName(added)
+    def side(df: DataFrame, p: String): DataFrame =
+      df.select(col("c_custkey").as("key"),
+        struct(col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment")).as(s"${p}_row"))
+    val joined = side(v1, "a").join(side(v2, "b"), Seq("key"), "full_outer")
+    joined.select(col("key"),
+      when(col("a_row").isNull, lit("added"))
+        .when(col("b_row").isNull, lit("removed"))
+        .when(col("a_row") =!= col("b_row"), lit("changed"))
+        .otherwise(lit("unchanged")).as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      .orderBy("change_type")
+  }
 }
 
 /** Driver-contract registration for the relational flagship set. */
@@ -525,6 +567,7 @@ object RelationalModule extends QueryModule {
     "q_hll_deterministic" -> ((s: SparkSession, d: String) => DetHll.hllDeterministic(s, d)),
     "q_cms_heavyhitters" -> ((s: SparkSession, d: String) => DetCms.cmsHeavyHitters(s, d)),
     "q_zorder_layout" -> ((s: SparkSession, d: String) => ZOrder.zorderLayout(s, d)),
+    "q_table_diff" -> ((s: SparkSession, d: String) => tableDiff(s, d)),
     "q_rollup_acctbal" -> ((s: SparkSession, d: String) => rollupAcctbal(s, d)),
     "q_cube_orders" -> ((s: SparkSession, d: String) => cubeOrders(s, d)),
     "q_window_rank" -> ((s: SparkSession, d: String) => topCustomersPerNation(s, d)),
@@ -556,6 +599,28 @@ object RelationalModule extends QueryModule {
     "q_revenue_by_region" -> ((s: SparkSession, d: String) => revenueByRegion(s, d)))
 
   def oracles = Map(
+    "q_table_diff" ->
+      """WITH v1 AS (SELECT * FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal, c_mktsegment
+        |  FROM v1 WHERE c_custkey % 13 != 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment
+        |  FROM v1 WHERE c_custkey % 101 = 5),
+        |j AS (SELECT coalesce(a.c_custkey, b.c_custkey) AS key,
+        |    CASE WHEN a.c_custkey IS NULL THEN 'added'
+        |         WHEN b.c_custkey IS NULL THEN 'removed'
+        |         WHEN a.c_name != b.c_name OR a.c_nationkey != b.c_nationkey
+        |           OR a.c_acctbal != b.c_acctbal
+        |           OR a.c_mktsegment != b.c_mktsegment THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey)
+        |SELECT change_type, COUNT(*) AS n_rows,
+        |  min(key) AS min_key, max(key) AS max_key
+        |FROM j GROUP BY change_type ORDER BY change_type""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -20,6 +20,16 @@ case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
   * (fixed-size state — see funnelStateful). */
 case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
 
+/** Trailing-window EWMA state: the last ≤20 values OLDEST-FIRST plus
+  * the latest event's (ts, id) — fixed-size per user regardless of
+  * stream length (see ewmaStateful). */
+case class EwmaState(vals: Seq[Double], lastTsMs: Long, lastId: Long)
+
+/** Smoothed-activity feature row: the user's EWMA at their latest
+  * event — the streaming twin of Events.ewmaLatest's output. */
+case class UserEwma(user_id: Long, last_ts: Timestamp, n_window: Int,
+                    ewma: Double)
+
 /** Funnel progression row: the user's currently-reached step and the
   * first-touch timestamps behind it. */
 case class FunnelProgress(user_id: Long, step: Int, t1: Timestamp,
@@ -314,6 +324,64 @@ object EventStreams {
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming twin of `Events.ewmaLatest`: the trailing decay-0.9
+    * EWMA of each user's last 20 values, updated incrementally — the
+    * smoothed-activity feature served fresh instead of recomputed per
+    * batch. State is FIXED-SIZE (≤20 doubles + the latest key) no
+    * matter how long the stream runs.
+    *
+    * Numeric parity with the batch query is exact, not approximate:
+    * products are rounded into DECIMAL(scale 12) half-up — precisely
+    * what Spark's `cast(v*w as decimal(28,12))` does — summed exactly
+    * (decimal addition is order-proof), divided once as doubles, and
+    * half-up rounded at 6 dp like Spark's `round`. The weight table is
+    * the same [[graft.operators.Events.EwmaWeights]] literal list.
+    * In-order delivery per user is assumed, as documented for
+    * [[funnelStateful]]; within a micro-batch rows sort by
+    * (ts, event_id). */
+  def ewmaStateful(events: Dataset[Event]): Dataset[UserEwma] = {
+    import events.sparkSession.implicits._
+    val weights = graft.operators.Events.EwmaWeights
+    val cap = weights.size
+
+    def ewmaOf(st: EwmaState): UserEwma = {
+      // vals are oldest-first; weight index j = 1-based rank from the
+      // NEWEST — identical to the batch query's row_number desc rank
+      val n = st.vals.size
+      val half = java.math.RoundingMode.HALF_UP
+      var num = java.math.BigDecimal.ZERO
+      var den = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < n) {
+        val w = weights(n - 1 - i)
+        num = num.add(java.math.BigDecimal.valueOf(st.vals(i) * w)
+          .setScale(12, half))
+        den = den.add(java.math.BigDecimal.valueOf(w).setScale(12, half))
+        i += 1
+      }
+      val q = num.doubleValue() / den.doubleValue()
+      UserEwma(0L, new Timestamp(st.lastTsMs), n,
+        java.math.BigDecimal.valueOf(q).setScale(6, half).doubleValue())
+    }
+
+    def update(uid: Long, it: Iterator[Event],
+               state: GroupState[EwmaState]): Iterator[UserEwma] = {
+      val st0 = state.getOption.getOrElse(EwmaState(Vector.empty, 0L, 0L))
+      val st = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .foldLeft(st0) { (s, e) =>
+          EwmaState((s.vals :+ e.value).takeRight(cap), e.ts.getTime, e.event_id)
+        }
+      if (st != st0) {
+        state.update(st)
+        Iterator.single(ewmaOf(st).copy(user_id = uid))
+      } else Iterator.empty
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, UserEwma](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 }

@@ -47,4 +47,17 @@ class GraphSpec extends SparkSpec {
     // both sides present
     assert(hist.map(_.getString(0)).toSet === Set("c", "s"))
   }
+
+  test("graphEdgeFracs round-trips through the parquet index artifact") {
+    val dir = sf("sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx").toString
+    val before = Graph.pagerank(spark, dir).collect().toSeq
+    Dedup.writeIndexes(spark, dir, idx)
+    assert(new java.io.File(s"$idx/graphEdgeFracs.parquet").exists(),
+      "graph artifact not written for a corpus with relational tables")
+    Dedup.releaseIndexes(spark)
+    Dedup.primeIndexes(spark, dir, idx)
+    val after = Graph.pagerank(spark, dir).collect().toSeq
+    assert(before === after, "primed serving must reproduce the ranks")
+  }
 }

@@ -87,4 +87,20 @@ class RelationalSpec extends SparkSpec {
     assert(out.toMap === Map(
       1L -> (1, "O"), 2L -> (1, "O"), 3L -> (2, "F"), 4L -> (3, "O")))
   }
+
+  test("table diff accounting matches the mutation rule exactly") {
+    val dir = sf("sf0.001")
+    val n = graft.sources.Tables.customer(spark, dir).count()
+    val keys = graft.sources.Tables.customer(spark, dir)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val removed = keys.count(_ % 13 == 3).toLong
+    val added = keys.count(_ % 101 == 5).toLong
+    val changed = keys.count(k => k % 13 != 3 && k % 7 == 0).toLong
+    val out = Relational.tableDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse("removed", 0L) === removed)
+    assert(out.getOrElse("added", 0L) === added)
+    assert(out.getOrElse("changed", 0L) === changed)
+    assert(out.values.sum === n + added, "every key classified exactly once")
+  }
 }

@@ -293,4 +293,47 @@ class EventStreamsSpec extends SparkSpec {
         s"stream final states must reproduce the batch funnel: $counts vs $streamCounts")
     }
   }
+
+  test("stateful EWMA: incremental trailing window equals the batch query exactly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // u1 gets 25 events across two batches (window must trim to 20);
+    // u2 has 3 — varied values so the weighting is actually exercised
+    val batch1 = (1 to 15).map(i =>
+      ev(i, f"2024-01-01 10:$i%02d:00", 1, v = i * 1.7 - 8.0)) ++
+      Seq(ev(100, "2024-01-01 09:00:00", 2, v = 5.5))
+    val batch2 = (16 to 25).map(i =>
+      ev(i, f"2024-01-01 11:${i - 15}%02d:00", 1, v = 60.0 - i * 2.3)) ++
+      Seq(ev(101, "2024-01-01 09:30:00", 2, v = -2.25),
+        ev(102, "2024-01-01 09:45:00", 2, v = 0.125))
+    val q = EventStreams.ewmaStateful(input.toDS())
+      .writeStream.format("memory").queryName("ewmast").outputMode("update").start()
+    withQuery(q) {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // last emitted row per user (max last_ts) = the final feature
+      val out = spark.table("ewmast").as[UserEwma].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> rows.maxBy(r => (r.last_ts.getTime, r.n_window))
+        }
+      val batchRows = graft.operators.Events
+        .ewmaLatestOf((batch1 ++ batch2).toDF())
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(batchRows.keySet === out.keySet)
+      for ((u, s) <- out) {
+        val (bts, bn, bewma) = batchRows(u)
+        assert(s.last_ts === bts, s"user $u last_ts")
+        assert(s.n_window.toLong === bn, s"user $u n_window")
+        assert(s.ewma === bewma,
+          s"user $u: stream ewma ${s.ewma} != batch $bewma (exact parity required)")
+      }
+      // the trim actually happened: u1's window is capped at 20
+      assert(out(1L).n_window === 20)
+    }
+  }
 }
