@@ -27,7 +27,8 @@ object Bench {
       // session state belongs to the docs family's release boundaries
       n.startsWith("q_token_budget") || n == "q_bpe_vocab_stats" ||
       n == "q_bpe_fertility" || n == "q_source_overlap" ||
-      n == "q_text_pmi" // rides the tokenized-corpus artifact
+      n == "q_text_pmi" || // rides the tokenized-corpus artifact
+      n == "q_split_leakage_safe" // rides the cluster-label artifact
 
   // q_dedup_embedding_ann rides the embedding bucket index, not the
   // shingle family — grouping it here shares embBase/lshBuckets with

@@ -430,7 +430,7 @@ object Curation {
     * 0x00–0xcc train (~80.1%), 0xcd–0xe5 val (~9.8%), rest test.
     * Lexicographic compare on the lowercase hex string is engine-
     * portable (no hex→int parsing, which DuckDB lacks). */
-  private def splitOf(id: Column): Column = {
+  private[operators] def splitOf(id: Column): Column = {
     val b = substring(md5(id.cast("string")), 1, 2)
     when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
   }
@@ -445,6 +445,31 @@ object Curation {
         sum(col("n_chars")).as("total_chars"),
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+
+  /** Leakage-safe train/val/test split: the md5 split rule applied to
+    * each document's DUP-CLUSTER representative instead of its own id,
+    * so exact and near duplicates can never straddle the train/test
+    * boundary — the contamination path a per-doc split leaves open (a
+    * test doc whose near-copy sits in train is memorization, not
+    * generalization; same failure class as benchmark decontamination,
+    * but internal to the corpus). Unclustered docs represent
+    * themselves; clustered docs inherit the component's minimum id.
+    *
+    * Scale shape: the cluster labels are the maintained
+    * `clusterLabels` artifact (docs incident to a dup edge only —
+    * tiny next to the corpus), so this is one left broadcast-able
+    * join + the same single hash-agg as [[hashSplit]]. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .join(Dedup.clusterLabels(spark, dir).select(col("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
+      .groupBy(splitOf(col("rep_id")).as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep_id")).as("n_groups"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("component").isNotNull, 1L).otherwise(0L)).as("n_clustered"))
       .orderBy("split")
 
   /** Per-group sample quota. */
@@ -850,6 +875,7 @@ object CurationModule extends QueryModule {
     "q_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "q_decontaminate_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "q_hash_split" -> ((s: SparkSession, d: String) => hashSplit(s, d)),
+    "q_split_leakage_safe" -> ((s: SparkSession, d: String) => leakageSafeSplit(s, d)),
     "q_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
     "q_chunk_docs" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "q_chunk_docs_bpe" -> ((s: SparkSession, d: String) => chunkDocsBpe(s, d)),
@@ -1000,6 +1026,20 @@ object CurationModule extends QueryModule {
         |SELECT r.lang, doc_id, CAST(rk AS BIGINT) AS rk
         |FROM r JOIN quota ON r.lang = quota.lang
         |WHERE rk <= n_keep ORDER BY r.lang, rk""".stripMargin,
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE ${DedupModule.ClusterCteSql},
+         |rep AS (SELECT d.doc_id, d.n_chars, c.component,
+         |    coalesce(c.component, d.doc_id) AS rep_id
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         |            WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT rep_id) AS BIGINT) AS n_groups,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clustered
+         |FROM rep GROUP BY split ORDER BY split""".stripMargin,
     "q_hash_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'

@@ -1895,6 +1895,60 @@ object DedupModule extends QueryModule {
       |         CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
       |       FROM p)""".stripMargin
 
+  /** The exact+near pair chain → converged components CTE (the
+    * q_dedup_clusters oracle's head, ending in `comp(doc_id,
+    * component)`) — shared with oracles outside this module that ride
+    * the cluster labels (leakage-safe split). Must follow a
+    * `WITH RECURSIVE` keyword. */
+  private[graft] val ClusterCteSql: String =
+    """norm AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |exact_pairs AS (
+      |  SELECT keep_id AS id_a, doc_id AS id_b FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS keep_id FROM norm)
+      |  WHERE doc_id != keep_id),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 2, 1)),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM norm),
+      |ex0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+      |ex AS (SELECT doc_id, n_sh, shingle,
+      |    COUNT(*) OVER (PARTITION BY shingle) AS df,
+      |    MIN(doc_id) OVER (PARTITION BY shingle) AS min_id
+      |  FROM ex0),
+      |small_scored AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+      |    COUNT(*) AS n_common
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  WHERE a.df <= 64
+      |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh),
+      |star_cand AS (
+      |  SELECT DISTINCT min_id AS id_a, doc_id AS id_b FROM ex
+      |  WHERE df > 64 AND doc_id != min_id),
+      |star_scored AS (
+      |  SELECT id_a, id_b, len(sa.sh) AS n_a, len(sb.sh) AS n_b,
+      |    len(list_intersect(sa.sh, sb.sh)) AS n_common
+      |  FROM star_cand JOIN sh sa ON sa.doc_id = star_cand.id_a
+      |                 JOIN sh sb ON sb.doc_id = star_cand.id_b),
+      |np AS (
+      |  SELECT id_a, id_b, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+      |    MAX(n_common) AS n_common
+      |  FROM (SELECT * FROM small_scored UNION ALL SELECT * FROM star_scored)
+      |  GROUP BY id_a, id_b),
+      |near_pairs AS (
+      |  SELECT id_a, id_b FROM np
+      |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.8),
+      |pairs AS (SELECT id_a, id_b FROM exact_pairs UNION SELECT id_a, id_b FROM near_pairs),
+      |edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT DISTINCT id_a AS id, id_a AS lbl FROM edges
+      |  UNION
+      |  SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.id),
+      |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)""".stripMargin
+
   def oracles = Map(
     "q_dedup_semantic" -> semanticDedupOracleSql,
     "q_curate_d4" -> curateD4OracleSql,

@@ -326,4 +326,32 @@ class CurationSpec extends SparkSpec {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(rep("en").getLong(3) == en, "ws_tokens must equal the direct count")
   }
+
+  test("leakage-safe split keeps every dup cluster inside one split") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsplit").toString
+    // one 21-member exact-dup cluster (ids 1 + 100..119 — md5 buckets of
+    // these ids individually straddle train/val/test) + 19 singletons
+    val dup = "the very same duplicated training document body here"
+    val rows = (Seq(1L) ++ (100L to 119L)).map(id => (id, dup)) ++
+      (200L to 218L).map(id => (id, s"unique doc $id with its own words ${id * 7}"))
+    rows.map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.leakageSafeSplit(spark, dir).collect()
+    // all 21 clustered docs land in exactly one split
+    val clusteredBySplit = out.map(r => r.getString(0) -> r.getLong(4)).filter(_._2 > 0)
+    assert(clusteredBySplit.map(_._2).sum === 21L, out.mkString(";"))
+    assert(clusteredBySplit.length === 1,
+      s"cluster straddles splits: ${clusteredBySplit.mkString(",")}")
+    // naive per-doc split DOES scatter those same ids (the leakage this
+    // operator exists to prevent) — sanity that the test is non-vacuous
+    val naive = graft.sources.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") <= 119L)
+      .select(Curation.splitOf(org.apache.spark.sql.functions.col("doc_id")).as("s"))
+      .distinct().count()
+    assert(naive > 1, "planted ids no longer straddle the naive split buckets")
+    // totals tie out
+    assert(out.map(_.getLong(1)).sum === 40L)
+  }
 }
