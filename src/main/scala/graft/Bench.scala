@@ -176,7 +176,12 @@ object Bench {
     // retry (a stall window can span two consecutive samples —
     // observed in r4).
     val StallSec = 6.0
-    val DisagreeRatio = 1.5
+    // 1.25 (was 1.5): on this host mid-range CPU steal inflates a
+    // sample 1.3-1.5× without tripping the old trigger — observed as a
+    // ±8 s swing on the suite TOTAL across clean runs with identical
+    // code. One arbitration sample per disagreeing query buys the min
+    // back; the cost is harness wall, never reported time.
+    val DisagreeRatio = 1.25
     val FastPathSec = 0.25
     // results hold (wall, cpu) of the MIN-WALL sample; a failed query
     // has no entry here and is emitted as null in both JSON maps so a
