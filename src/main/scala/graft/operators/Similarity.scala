@@ -963,6 +963,30 @@ object SimilarityIvf {
        |    FROM d) WHERE rn = 1)""".stripMargin
   }
 
+  /** ANN serving-quality report: per-query recall@k of the FITTED IVF
+    * shortlist against the exact top-k — the eval a deployed index
+    * publishes next to its latency (a probe budget that silently
+    * degrades recall is how ANN serving rots). Rides the two already-
+    * verified legs (knnExact, annIvfFitted); the report itself is a
+    * left join on (query, neighbor) + one bounded hash agg, so its
+    * cost at any scale is the legs' cost. Oracle: both legs' SQL
+    * nested as subqueries (the fitted-centroid literals resolved at
+    * dump time), so recall is hash-checked end to end, not spec-only.
+    */
+  def annRecallReport(spark: SparkSession, dir: String,
+                      k: Int = TopKDefault): DataFrame = {
+    val ex = Similarity.knnExact(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val ap = annIvfFitted(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
   /** IVF index-health audit: per-cell population, share of corpus,
     * and skew vs the even-split ideal (skew = n·K/total; 1.0 = evenly
     * loaded, ≫1 = a fat cell whose rerank candidate lists are growing,
@@ -1221,6 +1245,7 @@ object SimilarityModule extends QueryModule {
     "q_quantize_embeddings" -> ((s: SparkSession, d: String) => quantizeEmbeddings(s, d)),
     "q_prune_prototypes" -> ((s: SparkSession, d: String) => SimilarityIvf.prototypePrune(s, d)),
     "q_ivf_stats" -> ((s: SparkSession, d: String) => SimilarityIvf.ivfStats(s, d)),
+    "q_ann_recall" -> ((s: SparkSession, d: String) => SimilarityIvf.annRecallReport(s, d)),
     "q_hybrid_search" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
     "q_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)))
 
@@ -1360,6 +1385,21 @@ object SimilarityModule extends QueryModule {
     val nprobe = SimilarityIvf.probeFor(cents.length)
     Map(
       "q_knn_ivf_fit" -> ivfOracleSql(cents, nprobe),
+      // both legs nested verbatim: exact top-k vs the fitted-IVF
+      // shortlist under the SAME resolved centroid literals
+      "q_ann_recall" ->
+        s"""WITH ex AS (SELECT query_id, neighbor_id FROM (
+           |${knnOracleSql}
+           |)),
+           |ap AS (SELECT query_id, neighbor_id FROM (
+           |${ivfOracleSql(cents, nprobe)}
+           |))
+           |SELECT ex.query_id, CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hits,
+           |  round(CAST(COUNT(ap.neighbor_id) AS DOUBLE)
+           |    / ${Similarity.TopKDefault}, 6) AS recall_at_k
+           |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id
+           |  AND ap.neighbor_id = ex.neighbor_id
+           |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
       "q_knn_ivf_filtered" -> ivfFilteredOracleSql(cents,
         SimilarityIvf.probeForFiltered(spark, dir, cents.length,
           SimilarityIvf.FilterLabelMax),

@@ -384,4 +384,19 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("ANN recall report: bounded per query, and honest about natural-query recall") {
+    val out = SimilarityIvf.annRecallReport(spark, sf("sf0.01")).collect()
+    assert(out.length === 10)
+    assert(out.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 5L))
+    // Natural queries over i.i.d. gaussian vectors are ANN's hardest
+    // case (near-uniform cosines, true neighbors scattered across
+    // cells) — measured mean ≈ 0.58 at nprobe = k/8, against the ≥0.8
+    // the PLANTED-duplicate pins achieve. That gap is exactly what
+    // this report exists to surface for a probe-budget decision; pin
+    // a floor well above chance (top-5 of ~1k ≈ 0.005) but below the
+    // planted ceiling.
+    val mean = out.map(_.getDouble(2)).sum / out.length
+    assert(mean >= 0.3 && mean <= 1.0, s"mean recall@5 $mean outside [0.3, 1]")
+  }
 }
