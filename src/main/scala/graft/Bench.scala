@@ -38,6 +38,7 @@ object Bench {
       n.startsWith("q_dedup_embedding_ann") ||
       // the semantic/prototype curation ops ride embBase + ivfCells —
       // grouping them with the knn queries shares one index build
+      n == "q_ann_recall" || // rides embBase + the fitted IVF artifacts
       n == "q_dedup_semantic" || n == "q_dedup_semantic_fit" ||
       n == "q_prune_prototypes" || n == "q_curate_d4" || n == "q_ivf_stats" ||
       // the PQ family rides embBase + the pqCodes/pqCodebooksFit artifacts

@@ -255,6 +255,9 @@ object Dedup {
     // compressed-domain ANN pair (codes are 64× smaller than vectors)
     "pqCodebooksFit" -> ((s, d) => SimilarityPq.codebookTable(s, d)),
     "pqCodes" -> ((s, d) => SimilarityPq.pqCodes(s, d)),
+    // int8 scalar-quantized code table — the 4×-smaller representation
+    // knnSq8 serves; scale is per-vector, so appends decompose row-wise
+    "sq8Codes" -> ((s, d) => Similarity.sq8Codes(s, d)),
     "bpeMergesFit" -> ((s, d) => BpeFit.mergesTable(s, d)),
     // the tokenized-corpus materializations (whitespace + subword) —
     // what a training pipeline persists next to the raw text so every
@@ -288,7 +291,7 @@ object Dedup {
     * corpus has no embeddings (`withEmbeddings = false`). */
   private val embeddingArtifacts =
     Set("embBase", "lshBuckets", "ivfCells", "ivfCentroidsFit", "ivfCellsFit",
-      "pqCodebooksFit", "pqCodes", "labelCentroids")
+      "pqCodebooksFit", "pqCodes", "sq8Codes", "labelCentroids")
 
   /** Materialize every index artifact for `dir` as parquet under
     * `indexDir` — the 100 TB posture made literal: the shingle /
@@ -322,6 +325,7 @@ object Dedup {
     Seq("embBase", "lshBuckets", "ivfCells"),
     Seq("ivfCentroidsFit", "ivfCellsFit"),
     Seq("pqCodebooksFit", "pqCodes"),
+    Seq("sq8Codes"),
     Seq("bpeMergesFit"),
     Seq("curationToks"),
     Seq("curationBpeToks"),
@@ -530,6 +534,11 @@ object Dedup {
       SimilarityPq.readCodebookArtifact(spark, indexDir).foreach { cbs =>
         append(SimilarityPq.pqAssign(base, cbs), "pqCodes")
       }
+      // int8 codes: the scale is PER-VECTOR (no trained model), so the
+      // append is purely row-wise — quantize the batch, append
+      if (artifactExists("sq8Codes"))
+        append(Similarity.sq8CodesOf(
+          Tables.embeddings(spark, dir).filter(p)), "sq8Codes")
       // the per-label centroid model is a corpus-global AGGREGATE (not
       // a train-once quantizer): after an embedding append it must
       // reflect ALL rows, so re-derive it wholesale like the pair

@@ -32,7 +32,7 @@ class IndexPersistenceSpec extends SparkSpec {
   private val artifacts = Seq("docShingles", "shingleIndex", "jaccardPairs",
     "minhashSigs", "minhashBands", "simhashTable", "embBase", "lshBuckets",
     "ivfCells", "ivfCentroidsFit", "ivfCellsFit", "pqCodebooksFit", "pqCodes",
-    "bpeMergesFit", "curationToks", "curationBpeToks", "labelCentroids",
+    "bpeMergesFit", "curationToks", "curationBpeToks", "labelCentroids", "sq8Codes",
     "clusterLabels")
 
   test("writeIndexes → releaseIndexes → primeIndexes serves identical results from parquet") {
