@@ -199,4 +199,29 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"SCD2 must sort once per partitioning ($exchanges):\n$p")
   }
+
+  test("ER best-match is a partially-aggregating argmax, not a ranking window") {
+    val p = plan(q("q_name_match"))
+    assert(!p.contains("Window"),
+      s"best-match selection must not sort scored pairs through a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"argmax must combine map-side before the shuffle:\n$p")
+  }
+
+  test("snapshot diff is one full-outer join; PMI broadcasts its totals") {
+    val d = plan(q("q_table_diff"))
+    assert(d.contains("FullOuter"), s"diff must be a single full-outer join:\n$d")
+    assert(!d.contains("CartesianProduct"), d)
+    val pm = plan(q("q_text_pmi"))
+    assert(pm.contains("BroadcastExchange"),
+      s"the 1-row totals must broadcast, never shuffle the vocabulary:\n${pm.take(2000)}")
+  }
+
+  test("gap-fill grid explodes a broadcast span instead of rescanning events") {
+    val p = plan(q("q_events_gapfill"))
+    assert(p.contains("Generate explode"),
+      s"the day grid must come from an exploded sequence:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the global span is a 1-row broadcast:\n${p.take(2000)}")
+  }
 }
