@@ -102,7 +102,47 @@ object Graph {
       .drop("r", "_id")
 
   /** Full rank table (node, r) after [[PrIters]] supersteps. */
-  private[operators] def pagerankFull(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def pagerankFull(spark: SparkSession, dir: String): DataFrame =
+    rankLoop(spark, dir, PrIters,
+      n => lit(1.0) / n._2, n => lit(Teleport) / n._2)
+
+  /** Personalized PageRank iterations (teleport mass concentrated on
+    * the source node) — converges geometrically from a unit mass, so
+    * fewer supersteps than the global walk suffice for a stable
+    * top-k. */
+  private[operators] val PprIters = 6
+
+  /** PPR source: customer key 0 (parity-encoded node 0) — present at
+    * every SF. */
+  private[operators] val PprSource = 0L
+
+  /** Personalized PageRank: random walk with restart at ONE node —
+    * "what is close to this customer in the transaction graph", the
+    * graph-native recommendation / similarity primitive (the walk
+    * mixes lexical 2-hop neighbors: suppliers this customer buys
+    * from, then customers who share those suppliers). Same superstep
+    * machinery, artifacts, fixed-point discipline, and oracle
+    * unrolling as [[pagerank]]; only the init/teleport vector changes
+    * (an indicator on the source instead of 1/N). */
+  def pagerankPersonalized(spark: SparkSession, dir: String): DataFrame =
+    rankLoop(spark, dir, PprIters,
+      n => when(n._1 === lit(PprSource), lit(1.0)).otherwise(lit(0.0)),
+      n => when(n._1 === lit(PprSource), lit(Teleport)).otherwise(lit(0.0)))
+      .select(label(col("node")).as("node"), round(col("r"), 6).as("rank"),
+        col("r"), col("node").as("_id"))
+      .orderBy(col("r").desc, col("_id").asc)
+      .limit(20)
+      .drop("r", "_id")
+
+  /** The shared synchronous-superstep loop. `init` and `teleTerm` map
+    * (node column, n column) to the starting mass and the per-step
+    * teleport term — expressions, so the global path keeps the exact
+    * `0.15 / n` division it always had (0.15·(1/n) differs in the
+    * last ulp and would break the hash against the unrolled oracle).
+    */
+  private def rankLoop(spark: SparkSession, dir: String, iters: Int,
+      init: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
+      teleTerm: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column): DataFrame = {
     val en = edgeFracs(spark, dir)
     // intermediate checkpoints are query-local scratch, not memoized
     // artifacts: track them and free each superstep's predecessor so a
@@ -114,8 +154,8 @@ object Graph {
     val cnt = nodes.agg(count(lit(1)).as("n"))
     var prevIds: Set[Int] = Set.empty
     var rank = nodes.crossJoin(broadcast(cnt))
-      .select(col("node"), (lit(1.0) / col("n")).as("r"))
-    for (_ <- 1 to PrIters) {
+      .select(col("node"), init((col("node"), col("n"))).as("r"))
+    for (_ <- 1 to iters) {
       // contributions in FIXED-POINT (units of 1e-9): round(x·1e9) as
       // a long keeps the order-proof exact reduction but stays inside
       // whole-stage codegen as primitive arithmetic — the
@@ -135,7 +175,7 @@ object Graph {
         nodes.crossJoin(broadcast(cnt))
           .join(broadcast(contrib), col("node") === col("dst"), "left")
           .select(col("node"),
-            (lit(Teleport) / col("n") + lit(Damping) *
+            (teleTerm((col("node"), col("n"))) + lit(Damping) *
               (coalesce(col("sc"), lit(0L)).cast("double") / lit(1e9)))
               .as("r")))
       Dedup.unpersistIds(spark, prevIds)
@@ -164,6 +204,7 @@ object GraphModule extends QueryModule {
 
   def queries = Map(
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
+    "q_graph_ppr" -> ((s: SparkSession, d: String) => Graph.pagerankPersonalized(s, d)),
     "q_graph_degree" -> ((s: SparkSession, d: String) => Graph.degreeHistogram(s, d)))
 
   /** The shared edge/node CTE head — same parity-encoded long ids. */
@@ -180,32 +221,45 @@ object GraphModule extends QueryModule {
       |n AS (SELECT DISTINCT src AS node FROM e),
       |cnt AS (SELECT COUNT(*) AS n FROM n)""".stripMargin
 
-  /** Ten unrolled PageRank supersteps — same arithmetic, same 9-dp
-    * round + DECIMAL(29,9) reduction as the Spark side. */
-  private def pagerankSql: String = {
-    val steps = (1 to Graph.PrIters).map { i =>
+  /** Unrolled supersteps — same fixed-point arithmetic as the Spark
+    * side; `initSql`/`teleSql` parameterize the global vs personalized
+    * teleport vector (texts chosen so the global path is byte-stable
+    * against its established hash). */
+  private def pagerankSqlWith(iters: Int, initSql: String, teleSql: String): String = {
+    val steps = (1 to iters).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
       s"""c$i AS (SELECT en.dst AS node,
          |    CAST(round($prev.r * en.frac * 1000000000.0) AS BIGINT) AS c
          |  FROM en JOIN $prev ON $prev.node = en.src),
          |s$i AS (SELECT node, CAST(SUM(c) AS BIGINT) AS sc FROM c$i GROUP BY node),
          |r$i AS (SELECT n.node,
-         |    CAST(0.15 AS DOUBLE) / cnt.n + CAST(0.85 AS DOUBLE) *
+         |    $teleSql + CAST(0.85 AS DOUBLE) *
          |      (CAST(coalesce(s$i.sc, 0) AS DOUBLE) / 1000000000.0) AS r
          |  FROM n CROSS JOIN cnt LEFT JOIN s$i ON s$i.node = n.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH $GraphCte,
-       |r0 AS (SELECT node, CAST(1 AS DOUBLE) / cnt.n AS r FROM n CROSS JOIN cnt),
+       |r0 AS (SELECT node, $initSql AS r FROM n CROSS JOIN cnt),
        |$steps
        |SELECT CASE WHEN id % 2 = 0 THEN 'c' || CAST(id // 2 AS BIGINT)
        |            ELSE 's' || CAST((id - 1) // 2 AS BIGINT) END AS node,
        |  round(r, 6) AS rank
-       |FROM (SELECT node AS id, r FROM r${Graph.PrIters}) t
+       |FROM (SELECT node AS id, r FROM r$iters) t
        |ORDER BY r DESC, id ASC LIMIT 20""".stripMargin
   }
 
+  private def pagerankSql: String =
+    pagerankSqlWith(Graph.PrIters,
+      "CAST(1 AS DOUBLE) / cnt.n",
+      "CAST(0.15 AS DOUBLE) / cnt.n")
+
+  private def pprSql: String =
+    pagerankSqlWith(Graph.PprIters,
+      s"CASE WHEN node = ${Graph.PprSource} THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END",
+      s"CASE WHEN n.node = ${Graph.PprSource} THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END")
+
   def oracles = Map(
     "q_graph_pagerank" -> pagerankSql,
+    "q_graph_ppr" -> pprSql,
     "q_graph_degree" ->
       s"""WITH $GraphCte,
          |d AS (SELECT CASE WHEN src % 2 = 0 THEN 'c' ELSE 's' END AS side,

@@ -60,4 +60,18 @@ class GraphSpec extends SparkSpec {
     val after = Graph.pagerank(spark, dir).collect().toSeq
     assert(before === after, "primed serving must reproduce the ranks")
   }
+
+  test("personalized PageRank concentrates mass near its source") {
+    val out = Graph.pagerankPersonalized(spark, sf("sf0.001")).collect()
+    assert(out.length === 20)
+    // the restart node itself must rank first (it alone receives the
+    // teleport mass every superstep)
+    assert(out.head.getString(0) === "c0", out.head.toString)
+    // a personalized walk is NOT the global ranking: the two top-20
+    // neighbor sets must differ (the global walk has no source bias)
+    val global = Graph.pagerank(spark, sf("sf0.001")).collect()
+      .map(_.getString(0)).toSet
+    val ppr = out.map(_.getString(0)).toSet
+    assert(ppr != global, "personalization had no effect on the ranking")
+  }
 }
