@@ -184,6 +184,7 @@ object Bench {
     // back; the cost is harness wall, never reported time.
     val DisagreeRatio = 1.25
     val FastPathSec = 0.25
+    val ExtraSampleSec = 1.0
     // results hold (wall, cpu) of the MIN-WALL sample; a failed query
     // has no entry here and is emitted as null in both JSON maps so a
     // naive per-query delta consumer can never read the failure
@@ -261,6 +262,20 @@ object Bench {
             f"[bench] $phase%-5s $name%-28s disagree-resample: ${again._1}%.3f s")
           samples += again
         }
+        // Expensive queries get a THIRD unconditional sample: host
+        // steal windows span seconds, so a >1 s query's two samples
+        // often land in the SAME window and agree with each other
+        // while both being inflated — the disagree trigger can't see
+        // that. One more draw decorrelates (best-of-3 above 1 s,
+        // disclosed in the protocol field).
+        if (!failed(name) && best._1 > ExtraSampleSec && tries < 3) {
+          releaseForResample()
+          val again = once()
+          tries += 1
+          System.err.println(
+            f"[bench] $phase%-5s $name%-28s slow-resample: ${again._1}%.3f s")
+          samples += again
+        }
         while (best._1 > StallSec && tries < 5 && !failed(name)) {
           releaseForResample()
           val again = once()
@@ -287,7 +302,7 @@ object Bench {
     val totalCpu = results.values.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val protocol =
-      s"best-of-2-min-fastpath-lt${FastPathSec}s-resample-gt${DisagreeRatio}x-stallretry-gt${StallSec.toInt}s-prebuilt-index"
+      s"best-of-2-min-fastpath-lt${FastPathSec}s-resample-gt${DisagreeRatio}x-bestof3-gt${ExtraSampleSec.toInt}s-stallretry-gt${StallSec.toInt}s-prebuilt-index"
 
     // Regression gate against the committed per-query baseline: the
     // builder sees a CPU/wall doubling in THIS artifact instead of the
