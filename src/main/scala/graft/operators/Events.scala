@@ -288,6 +288,39 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Robust (median/MAD) outlier audit per event type — the
+    * heavy-tail-safe complement to [[valueAnomalies]]'s z-score: the
+    * mean and σ are themselves dragged by the outliers they are meant
+    * to find, while the median and the median-absolute-deviation have
+    * a 50% breakdown point. Flags |v − median| > 3·MAD.
+    *
+    * Exact medians via the interpolating percentile on both sides
+    * (the q_percentiles parity). Scale note, stated honestly: exact
+    * per-group percentiles buffer group values; at production scale
+    * the same query swaps in the GK sketch twin
+    * (`approx_percentile`, the q_percentiles_approx discipline) —
+    * the robust-stats semantics are unchanged, the quantile becomes
+    * ±ε-rank. Three passes sharing one event_type partitioning: the
+    * medians and MADs are per-type scalars broadcast back, never a
+    * corpus re-shuffle. */
+  def valueMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** JSON property extraction (reference F6 `json.loads`,
     * `flows/main_flow.py:68`): parse the props JSON string column with
     * an explicit schema, aggregate the extracted field. */
@@ -317,7 +350,8 @@ object EventsModule extends QueryModule {
     "q_events_transitions" -> ((s: SparkSession, d: String) => typeTransitions(s, d)),
     "q_events_anomaly" -> ((s: SparkSession, d: String) => valueAnomalies(s, d)),
     "q_events_gapfill" -> ((s: SparkSession, d: String) => gapfillDaily(s, d)),
-    "q_events_ewma" -> ((s: SparkSession, d: String) => ewmaLatest(s, d)))
+    "q_events_ewma" -> ((s: SparkSession, d: String) => ewmaLatest(s, d)),
+    "q_events_mad" -> ((s: SparkSession, d: String) => valueMadOutliers(s, d)))
 
   /** The EWMA weight table as a VALUES list — same literals the Spark
     * side broadcasts. */
@@ -329,6 +363,19 @@ object EventsModule extends QueryModule {
   // 2000-01-01) sits on the same 30-min grid as Spark's epoch-aligned
   // windows, so bucket starts agree.
   def oracles = Map(
+    "q_events_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, value, med, abs(value - med) AS adev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, COUNT(*) AS n_events,
+        |  round(max(d.med), 6) AS med, round(max(m.mad), 6) AS mad,
+        |  CAST(SUM(CASE WHEN adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q_events_gapfill" ->
       """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
         |    COUNT(*) AS n_events,

@@ -100,4 +100,27 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(3) - math.sqrt(14.0)) < 1e-5,
       s"z mismatch: ${out(0)}")
   }
+
+  test("MAD audit: a planted far point is an outlier; the median ignores it") {
+    import spark.implicits._
+    // 14 values at 1.0 and one at 101: median 1, MAD 0... MAD=0 flags
+    // everything nonequal - so use a spread base instead: values
+    // 1..15 plus one extreme. median=8.5? use odd count for stability.
+    val base = (1 to 15).map(i => (i.toLong, f"2024-01-01 10:$i%02d:00", 1L, "click", i.toDouble))
+    val rows = (base :+ (16L, "2024-01-01 11:00:00", 1L, "click", 500.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+        "event_type", "value", "'{}' props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.valueMadOutliers(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    // median of 1..15,500 = 8.5; adev median (MAD) = 4.0; only 500 is
+    // beyond 8.5 +/- 12
+    assert(r.getLong(1) === 16L)
+    assert(math.abs(r.getDouble(2) - 8.5) < 1e-9, r.toString)
+    assert(math.abs(r.getDouble(3) - 4.0) < 1e-9, r.toString)
+    assert(r.getLong(4) === 1L, s"exactly the planted point: $r")
+  }
 }
