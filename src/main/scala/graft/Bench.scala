@@ -138,17 +138,33 @@ object Bench {
       .createTempDirectory("graft_bench_idx").toString
     def primed(): Unit =
       graft.operators.Dedup.primeIndexes(spark, sfDir, idxRoot)
-    drainTasks()
-    val idxCpu0 = cpuNs.get()
-    val idxT0 = System.nanoTime()
-    graft.operators.Dedup.writeIndexes(spark, sfDir, idxRoot)
-    drainTasks()
-    val idxWall = (System.nanoTime() - idxT0) / 1e9
-    val idxCpu = (cpuNs.get() - idxCpu0) / 1e9
+    // The build gets the SAME best-of-2 the queries get: it is the
+    // single largest entry (8.4–11.7 s across clean runs on identical
+    // code — ±3 s of pure host noise on the total). Each sample is a
+    // full from-scratch job (artifacts deleted, session state
+    // released between them), so the min never under-reports engine
+    // work; the second sample's wall is harness cost, not reported
+    // time.
+    def buildOnce(): (Double, Double) = {
+      val fs = new org.apache.hadoop.fs.Path(idxRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idxRoot), true)
+      graft.operators.Dedup.releaseIndexes(spark)
+      drainTasks()
+      val c0 = cpuNs.get()
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.writeIndexes(spark, sfDir, idxRoot)
+      drainTasks()
+      ((System.nanoTime() - t0) / 1e9, (cpuNs.get() - c0) / 1e9)
+    }
+    val b1 = buildOnce()
+    val b2 = buildOnce()
+    val (idxWall, idxCpu) = if (b1._1 <= b2._1) b1 else b2
     // drop the in-session build state; serve everything from the files
     graft.operators.Dedup.releaseIndexes(spark)
     primed()
-    System.err.println(f"[bench] index_build $idxWall%8.3f s  cpu=$idxCpu%7.2f s")
+    System.err.println(
+      f"[bench] index_build $idxWall%8.3f s  cpu=$idxCpu%7.2f s  (samples ${b1._1}%.2f / ${b2._1}%.2f)")
 
     val all = SparkEntry.queries
     val names = all.keys.toSeq.sorted
@@ -302,7 +318,7 @@ object Bench {
     val totalCpu = results.values.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val protocol =
-      s"best-of-2-min-fastpath-lt${FastPathSec}s-resample-gt${DisagreeRatio}x-bestof3-gt${ExtraSampleSec.toInt}s-stallretry-gt${StallSec.toInt}s-prebuilt-index"
+      s"best-of-2-min-fastpath-lt${FastPathSec}s-resample-gt${DisagreeRatio}x-bestof3-gt${ExtraSampleSec.toInt}s-stallretry-gt${StallSec.toInt}s-prebuilt-index-bestof2"
 
     // Regression gate against the committed per-query baseline: the
     // builder sees a CPU/wall doubling in THIS artifact instead of the
