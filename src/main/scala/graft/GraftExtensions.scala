@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, ImageDims, JsonPretty, Mp4Info, ParseIntJs, WavInfo}
+import graft.functions.{ArrayDotProduct, ImageDims, JaroWinklerSimilarity, JsonPretty, Mp4Info, ParseIntJs, WavInfo}
 
 /** SparkSessionExtensions entry point: wires graft's custom Catalyst
   * pieces into a session so the SQL surface sees them
@@ -44,7 +44,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => WavInfo(children.head)),
     (new FunctionIdentifier("mp4_info"),
       new ExpressionInfo(classOf[Mp4Info].getName, "mp4_info"),
-      (children: Seq[Expression]) => Mp4Info(children.head)))
+      (children: Seq[Expression]) => Mp4Info(children.head)),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinklerSimilarity(children(0), children(1))))
 
   /** Register into a live session (the extensions path only applies at
     * session construction). */

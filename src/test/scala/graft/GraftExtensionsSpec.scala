@@ -58,4 +58,15 @@ class GraftExtensionsSpec extends SparkSpec {
     GraftExtensions.register(fresh)
     assert(fresh.sql("SELECT parseint_js('  +42abc')").head().getInt(0) == 42)
   }
+
+  test("jaro_winkler is callable from SQL with DuckDB-pinned values") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS a," +
+        " jaro_winkler('abcdx', 'abcdefghijklmn') AS b," +
+        " jaro_winkler('', '') AS c").head()
+    assert(math.abs(r.getDouble(0) - 0.9611111111) < 1e-10)
+    assert(math.abs(r.getDouble(1) - 0.6952380952) < 1e-10) // no boost below 0.7
+    assert(r.getDouble(2) == 0.0) // both-empty scores 0, the DuckDB convention
+  }
 }
