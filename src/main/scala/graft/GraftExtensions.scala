@@ -26,28 +26,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** Arity guard shared by every builder: a wrong-arg-count call
+    * (`SELECT jaro_winkler('x')`) must fail ANALYSIS with the expected
+    * signature, not reach the builder's positional indexing and throw
+    * IndexOutOfBoundsException from deep inside planning. */
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      if (children.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> n.toString,
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(children)
+    }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("parseint_js"),
       new ExpressionInfo(classOf[ParseIntJs].getName, "parseint_js"),
-      (children: Seq[Expression]) => ParseIntJs(children.head)),
+      arity("parseint_js", 1)(children => ParseIntJs(children.head))),
     (new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
+      arity("array_dot", 2)(children => ArrayDotProduct(children(0), children(1)))),
     (new FunctionIdentifier("json_pretty"),
       new ExpressionInfo(classOf[JsonPretty].getName, "json_pretty"),
-      (children: Seq[Expression]) => JsonPretty(children.head)),
+      arity("json_pretty", 1)(children => JsonPretty(children.head))),
     (new FunctionIdentifier("image_dims"),
       new ExpressionInfo(classOf[ImageDims].getName, "image_dims"),
-      (children: Seq[Expression]) => ImageDims(children.head)),
+      arity("image_dims", 1)(children => ImageDims(children.head))),
     (new FunctionIdentifier("wav_info"),
       new ExpressionInfo(classOf[WavInfo].getName, "wav_info"),
-      (children: Seq[Expression]) => WavInfo(children.head)),
+      arity("wav_info", 1)(children => WavInfo(children.head))),
     (new FunctionIdentifier("mp4_info"),
       new ExpressionInfo(classOf[Mp4Info].getName, "mp4_info"),
-      (children: Seq[Expression]) => Mp4Info(children.head)),
+      arity("mp4_info", 1)(children => Mp4Info(children.head))),
     (new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
-      (children: Seq[Expression]) => JaroWinklerSimilarity(children(0), children(1))))
+      arity("jaro_winkler", 2)(children => JaroWinklerSimilarity(children(0), children(1)))))
 
   /** Register into a live session (the extensions path only applies at
     * session construction). */

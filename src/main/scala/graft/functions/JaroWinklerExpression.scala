@@ -29,8 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Why native: Spark has `levenshtein` but no Jaro-Winkler; a Scala UDF
   * would box both strings per pair and break the codegen span around
   * the blocked self-join. This expression is O(la·lb) worst-case over
-  * byte arrays with a 64-entry bitset fast path (names are short), and
-  * the generated code is a single static call on the raw UTF8String.
+  * byte arrays with plain boolean match-flag arrays (names are short,
+  * so the quadratic scan is a few dozen byte compares), and the
+  * generated code is a single static call on the raw UTF8String.
   */
 object JaroWinkler {
 

@@ -138,7 +138,7 @@ object CorpusModule extends QueryModule {
       |  SELECT doc_id FROM norm
       |  WHERE len(toks) < 10
       |     OR round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) > 0.2
-      |     OR round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) < 0.2),
+      |     OR round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) < 0.2),
       |victims AS (
       |  SELECT doc_id FROM exact_victims
       |  UNION SELECT doc_id FROM near_victims

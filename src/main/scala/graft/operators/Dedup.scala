@@ -225,7 +225,7 @@ object Dedup {
   /** Seed the memo cache with an externally materialized table (e.g. a
     * parquet-backed index loaded by primeIndexes) — no checkpoint ids
     * to track, the storage is the file. */
-  private def memoPut(spark: SparkSession, key: String, df: DataFrame): Unit =
+  private[operators] def memoPut(spark: SparkSession, key: String, df: DataFrame): Unit =
     indexCache.synchronized {
       indexCache.put(s"${sessionKey(spark)}|$key", df)
     }
@@ -377,7 +377,7 @@ object Dedup {
   /** Drop (and unpersist) one memo entry — the targeted version of
     * releaseIndexes, for maintenance jobs that invalidate a single
     * derived artifact. */
-  private def memoDrop(spark: SparkSession, key: String): Unit = indexCache.synchronized {
+  private[operators] def memoDrop(spark: SparkSession, key: String): Unit = indexCache.synchronized {
     val k = s"${sessionKey(spark)}|$key"
     indexCache.remove(k)
     Option(indexRdds.remove(k)).foreach(unpersistIds(spark, _))
@@ -2193,7 +2193,7 @@ object DedupModule extends QueryModule {
         |qm AS (SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
-        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS distinct_ratio
         |  FROM q),
         |qq AS (SELECT doc_id, n_tokens,
         |  CASE WHEN n_tokens < 10 THEN 'too_short'

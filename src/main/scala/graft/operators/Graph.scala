@@ -47,9 +47,18 @@ import graft.sources.Tables
   *    iteration localCheckpoints truncate lineage so superstep k's
   *    plan doesn't embed supersteps 1..k−1 (pure lineage re-executes
   *    every broadcast subplan per level — measured strictly worse).
-  *  - At a scale where ranks outgrow broadcast, the superstep flips to
-  *    a co-partitioned join with both sides bucketed by node id; the
-  *    superstep count doesn't change the posture. */
+  *  - At a scale where ranks outgrow broadcast ([[BroadcastMaxNodes]]),
+  *    the superstep FLIPS to the co-partitioned join implemented below:
+  *    edges hash-partitioned by src and sorted within partitions ONCE
+  *    (a second memoized artifact, derived from the primary), ranks
+  *    hash-partitioned by node — the checkpoint preserves both the
+  *    partitioning and the ordering through LogicalRDD, so every
+  *    superstep's rank⋈edge join is exchange-free (and edge-sort-free)
+  *    sort-merge; the only wire traffic per superstep is the map-side-
+  *    combined contribution aggregation, same as the broadcast path.
+  *    GraphSpec pins broadcast ≡ co-partitioned rank parity (the
+  *    fixed-point arithmetic is order-proof, so the results are
+  *    bit-identical) and the exchange-free plan shape. */
 object Graph {
 
   private[operators] val PrIters = 10
@@ -85,6 +94,68 @@ object Graph {
         e.join(ow, "src")
           .select(col("src"), col("dst"), col("w"),
             (col("w").cast("double") / col("ow").cast("double")).as("frac")))
+    }
+
+  /** Append a batch of NEW ORDERS to the persisted graphEdgeFracs
+    * artifact without re-running the full orders ⋈ lineitem join — at
+    * 100 TB that join is the single biggest item in the index job, and
+    * re-deriving it wholesale for every ingest batch is exactly the
+    * cost an incremental pipeline exists to avoid. `orderPredicate`
+    * selects the batch's rows of the orders table (pushed down to the
+    * scan, so only the batch's row groups are read and joined).
+    *
+    * Discipline (the pair-table rebuild shape): per-(src,dst) edge
+    * COUNTS decompose additively, so the batch contributes delta
+    * counts from a batch-sized join; the out-weight FRACTIONS are a
+    * per-src global (every existing edge of a touched src changes), so
+    * they are re-derived from the merged counts and the artifact is
+    * wholesale-replaced — a |edges|-row aggregation + write, linear in
+    * the edge table and independent of the orders/lineitem volume.
+    * IndexPersistenceSpec pins append-then-read ≡ full rebuild.
+    *
+    * Requires the artifact to exist (an append cannot seed an index —
+    * the appendIndexes contract); leaves the session primed on the
+    * fresh artifact, with the derived graphEdgesBySrc layout dropped
+    * for on-demand rebuild. */
+  def appendGraphEdges(spark: SparkSession, dir: String, indexDir: String,
+                       orderPredicate: org.apache.spark.sql.Column): Unit =
+    IndexLease.withShared(spark, indexDir, "graph-edge-append") {
+      val path = s"$indexDir/graphEdgeFracs.parquet"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(p),
+        s"appendGraphEdges: artifact graphEdgeFracs.parquet missing under $indexDir — " +
+          "run writeIndexes first; an append cannot seed an index")
+      // existing counts come from the persisted artifact (NOT the memo:
+      // a session-built entry could be newer or older than the file —
+      // the file is the maintained truth the append extends)
+      val existing = spark.read.parquet(path).select("src", "dst", "w")
+      val eb = Tables.orders(spark, dir).filter(orderPredicate)
+        .join(Tables.lineitem(spark, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .agg(count(lit(1)).as("w"))
+      val delta = eb.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(eb.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val merged = existing.unionByName(delta)
+        .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      val ow = merged.groupBy("src").agg(sum(col("w")).as("ow"))
+      // materialize BEFORE deleting the old generation (the merged plan
+      // reads it); then wholesale-replace, one fresh base directory
+      val (fresh, freshIds) = Dedup.trackedCheckpoint(
+        merged.join(ow, "src")
+          .select(col("src"), col("dst"), col("w"),
+            (col("w").cast("double") / col("ow").cast("double")).as("frac")))
+      fs.delete(p, true)
+      fresh.write.mode("overwrite").parquet(s"$path/batch_id=base")
+      Dedup.unpersistIds(spark, freshIds)
+      // serve the fresh parquet; drop the derived by-src layout so the
+      // next co-partitioned superstep rebuilds it from the new edges
+      Dedup.memoDrop(spark, s"graphEdgeFracs|$dir")
+      Dedup.memoDrop(spark, s"graphEdgesBySrc|$dir")
+      Dedup.memoPut(spark, s"graphEdgeFracs|$dir",
+        spark.read.parquet(path).drop("batch_id"))
     }
 
   /** Parity-encoded id → display label ('c<key>' / 's<key>'). */
@@ -140,17 +211,71 @@ object Graph {
     * `0.15 / n` division it always had (0.15·(1/n) differs in the
     * last ulp and would break the hash against the unrolled oracle).
     */
+  /** Rank-table broadcast ceiling (nodes). 4M (long, double) rows is
+    * ~64 MB of broadcast build — comfortably under executor budgets;
+    * past it the full rank table can no longer ship to every task and
+    * the superstep flips to the co-partitioned join. The tests force
+    * the flip on the toy graph via [[rankLoop]]'s explicit override
+    * rather than a data blow-up. */
+  private[operators] val BroadcastMaxNodes = 4000000L
+
+  /** Spec/probe hook: when [[capturePlans]] is set, [[rankLoop]]
+    * records the first superstep's planned (not re-executed) physical
+    * plan here, so GraphSpec can pin the exchange-free shape of the
+    * co-partitioned path — the plan of an intermediate loop stage is
+    * otherwise unobservable from outside (every iteration checkpoints
+    * eagerly, truncating it away). */
+  @volatile private[operators] var capturePlans: Boolean = false
+  @volatile private[operators] var capturedSuperstepPlan: Option[String] = None
+
   private def rankLoop(spark: SparkSession, dir: String, iters: Int,
       init: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
-      teleTerm: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column): DataFrame = {
+      teleTerm: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
+      coPartition: Option[Boolean] = None): DataFrame = {
     val en = edgeFracs(spark, dir)
     // intermediate checkpoints are query-local scratch, not memoized
     // artifacts: track them and free each superstep's predecessor so a
     // pagerank run leaves ONE persisted rank table behind, not
     // PrIters + 1 (leaked block-manager state drags every later query
     // in the session — the round-5 GC lesson)
-    val (nodes, nodeIds) = Dedup.trackedCheckpoint(
+    val (nodes0, nodeIds) = Dedup.trackedCheckpoint(
       en.select(col("src").as("node")).distinct())
+    // the broadcast/co-partition switch reads the node count off the
+    // just-checkpointed table — a metadata-cheap driver action, the
+    // annIvfFitted switch discipline (decide from observed size, not
+    // a config the operator can outgrow)
+    val coPart = coPartition.getOrElse(nodes0.count() > BroadcastMaxNodes)
+    // co-partitioned path: nodes hash-partitioned by id and sorted, so
+    // the per-superstep teleport join and the final rank table inherit
+    // node partitioning through every checkpoint
+    // EXPLICIT partition count on both co-partitioned sides: an
+    // unpinned repartition is an AQE coalesce candidate, and the two
+    // sides coalescing to different counts would silently re-insert
+    // the exchange this path exists to avoid
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    // DECLARED-partitioning checkpoints (ColumnBridge): under AQE a
+    // plain localCheckpoint forgets its layout (the adaptive plan
+    // reports UnknownPartitioning at checkpoint time), which would
+    // re-insert an exchange on every superstep join — the bridge
+    // persists the rows AND states the hash layout on the LogicalRDD
+    def declChk(df: DataFrame, key: String, reshape: Boolean): (DataFrame, Set[Int]) = {
+      val out = org.apache.spark.sql.graftbridge.ColumnBridge
+        .checkpointDeclared(df, key, nPart, reshape,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      (out, org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRddIds(out))
+    }
+    val (nodes, nodesPartIds) =
+      if (!coPart) (nodes0, Set.empty[Int])
+      else declChk(nodes0, "node", reshape = true)
+    // edge side of the co-partitioned superstep: partitioned by src and
+    // sorted ONCE, memoized per (session, dir) — every superstep's
+    // sort-merge join then reads it exchange-free AND sort-free (the
+    // checkpoint preserves outputPartitioning + outputOrdering via
+    // LogicalRDD). This is the second graph artifact; at 100 TB it is
+    // the bucketed-by-src parquet layout of graphEdgeFracs.
+    def enBySrc = Dedup.memo(spark, s"graphEdgesBySrc|$dir") {
+      declChk(en, "src", reshape = true)._1
+    }
     val cnt = nodes.agg(count(lit(1)).as("n"))
     var prevIds: Set[Int] = Set.empty
     var rank = nodes.crossJoin(broadcast(cnt))
@@ -162,7 +287,18 @@ object Graph {
       // round(x, 9) → DECIMAL(29,9) formulation allocates a BigDecimal
       // per edge row per superstep (measured ~2× the whole superstep).
       // Total mass is 1e9·Σr ≈ 1e9, so the long sum cannot overflow.
-      val contrib = en.join(broadcast(rank), col("node") === col("src"))
+      // Both paths run the SAME expressions in the same reduction
+      // discipline, so broadcast and co-partitioned ranks are
+      // bit-identical (GraphSpec pins it).
+      val joined =
+        if (coPart)
+          // rank is hash-partitioned by node (init: inherited from
+          // nodes; iterations: preserved through the checkpoint), edges
+          // by src — sort-merge joins exchange-free; only the rank side
+          // sorts, and only until its ordering survives the loop
+          enBySrc.hint("merge").join(rank, col("node") === col("src"))
+        else en.join(broadcast(rank), col("node") === col("src"))
+      val contrib = joined
         .select(col("dst"),
           round(col("r") * col("frac") * lit(1e9)).cast("long").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
@@ -171,20 +307,51 @@ object Graph {
       // and the next broadcast(rank) reads materialized rows instead
       // of chaining broadcast-inside-broadcast builds on the driver
       // (measured 5.0 s vs 3.3 s for the contrib-checkpoint variant)
-      val (next, ids) = Dedup.trackedCheckpoint(
-        nodes.crossJoin(broadcast(cnt))
+      val teleJoined =
+        if (coPart)
+          // nodes by node, contrib by dst (its aggregation key) — the
+          // left join is co-partitioned too; no rank-sized broadcast
+          // anywhere in this path
+          nodes.crossJoin(broadcast(cnt))
+            .hint("merge").join(contrib, col("node") === col("dst"), "left")
+        else nodes.crossJoin(broadcast(cnt))
           .join(broadcast(contrib), col("node") === col("dst"), "left")
-          .select(col("node"),
-            (teleTerm((col("node"), col("n"))) + lit(Damping) *
-              (coalesce(col("sc"), lit(0L)).cast("double") / lit(1e9)))
-              .as("r")))
+      val next0 = teleJoined.select(col("node"),
+        (teleTerm((col("node"), col("n"))) + lit(Damping) *
+          (coalesce(col("sc"), lit(0L)).cast("double") / lit(1e9)))
+          .as("r"))
+      if (capturePlans && capturedSuperstepPlan.isEmpty)
+        capturedSuperstepPlan = Some(next0.queryExecution.executedPlan.toString)
+      // co-partitioned path: the superstep output IS hash(node, nPart)
+      // partitioned and node-sorted (the left-outer merge join's
+      // required distribution and output ordering) — declare it
+      // without reshaping, so the NEXT superstep's joins stay
+      // exchange-free; the reshape=false assertion is pinned by
+      // GraphSpec's bit-parity against the broadcast path
+      val (next, ids) =
+        if (coPart) declChk(next0, "node", reshape = false)
+        else Dedup.trackedCheckpoint(next0)
       Dedup.unpersistIds(spark, prevIds)
       prevIds = ids
       rank = next
     }
     Dedup.unpersistIds(spark, nodeIds)
+    Dedup.unpersistIds(spark, nodesPartIds)
+    // the FINAL iteration's checkpoint backs the returned table, so it
+    // cannot be freed here — register it as stray session state so
+    // releaseIndexes reclaims it (otherwise every pagerank invocation
+    // leaks one persisted rank table for the session's lifetime)
+    Dedup.trackStray(spark, prevIds)
     rank
   }
+
+  /** Test/bench entry: [[pagerankFull]] with the superstep join
+    * strategy forced, bypassing the node-count switch. */
+  private[operators] def pagerankFullForced(spark: SparkSession, dir: String,
+      coPartition: Boolean): DataFrame =
+    rankLoop(spark, dir, PrIters,
+      n => lit(1.0) / n._2, n => lit(Teleport) / n._2,
+      coPartition = Some(coPartition))
 
   /** Degree distribution per side — the pre-flight audit before any
     * graph job (a power-law tail predicts the skew the superstep

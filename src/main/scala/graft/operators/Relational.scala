@@ -404,7 +404,7 @@ object Relational {
     * valid and verify runs must treat the query as rows-only rather
     * than read a hash mismatch as a bug (the oracle's exactness is a
     * property of ε·n < 1, not of the operator). */
-  private val GkExactRankMaxN = 100000000L
+  private[operators] val GkExactRankMaxN = 100000000L
 
   /** GK accuracy derived from the corpus: ε·n < 1 needs accuracy > n
     * (any group is at most the table), floored at the legacy 10^6 so
@@ -413,7 +413,7 @@ object Relational {
     * 10^6 rows would otherwise silently leave the exact-rank regime
     * and fail the hash compare with no explanatory marker. The row
     * count is a parquet metadata read, not a scan. */
-  private def gkAccuracyFor(spark: SparkSession, dir: String): Long =
+  private[operators] def gkAccuracyFor(spark: SparkSession, dir: String): Long =
     math.min(math.max(1000000L, 2L * Tables.orders(spark, dir).count()),
       GkExactRankMaxN)
 
@@ -536,8 +536,16 @@ object Relational {
       .withColumn("c_acctbal",
         when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
           .otherwise(col("c_acctbal")))
+    // re-key base: max(c_custkey) + key is guaranteed above the live
+    // key domain at EVERY scale factor (a fixed +1,000,000 offset
+    // collides with genuine custkeys once the table passes ~1M rows,
+    // silently corrupting the added/changed taxonomy); the 1-row max
+    // broadcasts, so the synthetic keys cost no extra shuffle
+    val maxKey = v1.agg(max(col("c_custkey")).as("_maxkey"))
     val added = v1.filter(col("c_custkey") % 101 === 5)
-      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      .crossJoin(broadcast(maxKey))
+      .withColumn("c_custkey", col("c_custkey") + col("_maxkey"))
+      .drop("_maxkey")
     val v2 = base.unionByName(added)
     def side(df: DataFrame, p: String): DataFrame =
       df.select(col("c_custkey").as("key"),
@@ -598,6 +606,23 @@ object RelationalModule extends QueryModule {
     "q_asof_join" -> ((s: SparkSession, d: String) => asofJoin(s, d)),
     "q_revenue_by_region" -> ((s: SparkSession, d: String) => revenueByRegion(s, d)))
 
+  /** SF-gated: the quantile_disc oracle is only emitted while the
+    * corpus keeps GK in the exact-rank regime (ε·n < 1 ⇔ derived
+    * accuracy above the row count). Past [[Relational.GkExactRankMaxN]]
+    * rows the accuracy caps, the sketch is approximate by design, and
+    * omitting the entry degrades the driver's compare to rows-only
+    * instead of mis-reading bounded-error output as a hash mismatch. */
+  override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] =
+    if (Relational.gkAccuracyFor(spark, dir) >
+        Tables.orders(spark, dir).count())
+      Map("q_percentiles_approx" ->
+        """SELECT o_orderstatus,
+          |  quantile_disc(o_totalprice, 0.25) AS p25,
+          |  quantile_disc(o_totalprice, 0.5) AS p50,
+          |  quantile_disc(o_totalprice, 0.75) AS p75
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    else Map.empty
+
   def oracles = Map(
     "q_table_diff" ->
       """WITH v1 AS (SELECT * FROM customer),
@@ -607,8 +632,8 @@ object RelationalModule extends QueryModule {
         |         ELSE c_acctbal END AS c_acctbal, c_mktsegment
         |  FROM v1 WHERE c_custkey % 13 != 3
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
-        |    c_mktsegment
+        |  SELECT c_custkey + (SELECT max(c_custkey) FROM v1), c_name,
+        |    c_nationkey, c_acctbal, c_mktsegment
         |  FROM v1 WHERE c_custkey % 101 = 5),
         |j AS (SELECT coalesce(a.c_custkey, b.c_custkey) AS key,
         |    CASE WHEN a.c_custkey IS NULL THEN 'added'
@@ -782,14 +807,11 @@ object RelationalModule extends QueryModule {
         |  quantile_cont(o_totalprice, 0.5) AS p50,
         |  quantile_cont(o_totalprice, 0.75) AS p75
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    // exact-rank regime (see approxPercentiles): GK at accuracy 10^6
-    // returns the discrete quantile, i.e. DuckDB's quantile_disc
-    "q_percentiles_approx" ->
-      """SELECT o_orderstatus,
-        |  quantile_disc(o_totalprice, 0.25) AS p25,
-        |  quantile_disc(o_totalprice, 0.5) AS p50,
-        |  quantile_disc(o_totalprice, 0.75) AS p75
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // q_percentiles_approx's oracle is SF-GATED (dynamicOracles below):
+    // quantile_disc equals the GK summary only in the exact-rank regime
+    // (ε·n < 1); past GkExactRankMaxN rows the sketch degrades to
+    // bounded-error and the compare must fall back to rows-only rather
+    // than read the designed approximation as a hash-mismatch bug.
     "q_minmax_orders" ->
       """SELECT o_orderstatus, MIN(o_totalprice) AS min_price,
         |  MAX(o_totalprice) AS max_price, MIN(o_orderdate) AS first_order,

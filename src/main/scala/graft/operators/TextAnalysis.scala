@@ -109,11 +109,15 @@ object TextAnalysis {
     val nChars = length(col("text"))
     val punct = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
     val stop = countIn(t, enStop)
-    val distinctRatio = round(size(array_distinct(t)).cast("double") / nTok, 6)
     // greatest(,1): a zero-length document must CLASSIFY (too_short),
-    // not throw DIVIDE_BY_ZERO under ANSI mode; mirrored in the oracle
+    // not throw or go NaN — mirrored in every oracle that rebuilds
+    // these ratios. The token guard is defensive parity only: the
+    // regex split of an empty string yields [''] in both engines, so
+    // len(toks) >= 1 and the guarded value is always identical.
+    val nTokSafe = greatest(nTok, lit(1))
+    val distinctRatio = round(size(array_distinct(t)).cast("double") / nTokSafe, 6)
     val punctRatio = round(punct.cast("double") / greatest(nChars, lit(1)), 6)
-    val stopRatio = round(stop.cast("double") / nTok, 6)
+    val stopRatio = round(stop.cast("double") / nTokSafe, 6)
     Tables.documents(spark, dir)
       .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
         punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
@@ -691,8 +695,8 @@ object TextAnalysisModule extends QueryModule {
         |s AS (SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
-        |  round(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
-        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+        |  round(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / greatest(len(toks), 1), 6) AS stop_ratio,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS distinct_ratio
         |  FROM d)
         |SELECT doc_id, n_tokens, punct_ratio, stop_ratio, distinct_ratio,
         |  CASE WHEN n_tokens < 10 THEN 'too_short'
@@ -706,7 +710,7 @@ object TextAnalysisModule extends QueryModule {
         |s AS (SELECT doc_id, source,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
-        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS distinct_ratio
         |  FROM d),
         |q AS (SELECT *,
         |  CASE WHEN n_tokens < 10 THEN 'too_short'

@@ -149,16 +149,14 @@ object Sinks {
     *    are), and the pair composes to exactly-once EFFECTS.
     *
     * `markerDir` lives next to the sink target so the marker and the
-    * data share a consistency domain. The marker itself is EMPTY, so
-    * its create is already atomic (a reader sees the file or not —
-    * there is no partially-written content to observe); the
-    * create-temp + rename below is kept only to also tolerate a
-    * non-empty marker payload in the future. NOTE the filesystem
-    * caveat: rename is atomic on HDFS and local file:// but a
-    * COPY+DELETE on object stores (s3a), so on such stores the
-    * skip-if-marker-exists read is still correct (empty file: present
-    * or absent, never partial) but two CONCURRENT publishers of the
-    * same batchId could both pass the exists-check and both run
+    * data share a consistency domain. The marker is EMPTY and is
+    * published by a DIRECT create, not create-temp + rename: an empty
+    * file is present or absent, never partial, so the create is the
+    * atomic publish on every filesystem — including object stores
+    * (s3a), where rename is a non-atomic COPY+DELETE and a
+    * rename-based publish would be the one step of this sink that
+    * silently weakened off HDFS. Two CONCURRENT publishers of the same
+    * batchId could still both pass the exists-check and both run
     * `write` — acceptable under this contract because `write` is
     * required idempotent, and Structured Streaming never runs one
     * batchId concurrently with itself anyway. */
@@ -170,12 +168,8 @@ object Sinks {
     if (!fs.exists(marker)) {
       write(batch, batchId)
       fs.mkdirs(base)
-      val tmp = new Path(base, s".batch-$batchId.tmp")
-      val out = fs.create(tmp, true)
+      val out = fs.create(marker, true)
       try out.write(Array.emptyByteArray) finally out.close()
-      if (!fs.rename(tmp, marker) && !fs.exists(marker))
-        throw new java.io.IOException(
-          s"exactlyOnceBatch: could not publish commit marker $marker")
     }
   }
 }

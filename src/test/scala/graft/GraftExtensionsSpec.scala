@@ -69,4 +69,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 0.6952380952) < 1e-10) // no boost below 0.7
     assert(r.getDouble(2) == 0.0) // both-empty scores 0, the DuckDB convention
   }
+
+  test("wrong arity fails analysis with the expected signature, not IndexOutOfBounds") {
+    GraftExtensions.register(spark)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jaro_winkler('x')").collect()
+    }
+    assert(e1.getMessage.contains("jaro_winkler"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT parseint_js('1', '2')").collect()
+    }
+    assert(e2.getMessage.contains("parseint_js"))
+  }
 }

@@ -61,6 +61,45 @@ class GraphSpec extends SparkSpec {
     assert(before === after, "primed serving must reproduce the ranks")
   }
 
+  test("co-partitioned superstep: bit-identical ranks, exchange-free joins") {
+    val dir = sf("sf0.001")
+    val bcast = Graph.pagerankFullForced(spark, dir, coPartition = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    Graph.capturedSuperstepPlan = None
+    Graph.capturePlans = true
+    val copart = try
+      Graph.pagerankFullForced(spark, dir, coPartition = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    finally Graph.capturePlans = false
+    // the fixed-point arithmetic is order-proof, so the two join
+    // strategies must agree BIT-identically, not approximately
+    assert(bcast === copart, "co-partitioned ranks diverge from broadcast")
+    val plan = Graph.capturedSuperstepPlan.getOrElse(fail("no plan captured"))
+    // rank never broadcasts in this path (that broadcast is the
+    // scale-killer this variant removes)...
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"rank-sized broadcast in the co-partitioned superstep:\n$plan")
+    // ...both superstep joins are co-partitioned sort-merge...
+    assert("SortMergeJoin".r.findAllIn(plan).size === 2,
+      s"expected 2 sort-merge joins:\n$plan")
+    // ...and the ONLY wire traffic is the contribution aggregation
+    // (one hash exchange); the rank⋈edge and rank⋈contrib joins ride
+    // the checkpoint-preserved partitioning exchange-free
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"expected exactly 1 hash exchange (contribution agg):\n$plan")
+  }
+
+  test("auto-switch: node counts under the ceiling keep the broadcast superstep") {
+    // sf0.001 is far below BroadcastMaxNodes — the unforced path must
+    // still match the forced-broadcast path (switch defaults sane)
+    val dir = sf("sf0.001")
+    val auto = Graph.pagerankFull(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val forced = Graph.pagerankFullForced(spark, dir, coPartition = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(auto === forced)
+  }
+
   test("personalized PageRank concentrates mass near its source") {
     val out = Graph.pagerankPersonalized(spark, sf("sf0.001")).collect()
     assert(out.length === 20)

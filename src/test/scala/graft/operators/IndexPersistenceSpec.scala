@@ -205,6 +205,55 @@ class IndexPersistenceSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
   }
 
+  test("appendGraphEdges: delta order batch equals a full rebuild of graphEdgeFracs") {
+    import org.apache.spark.sql.functions.col
+    // order graph split two ways: the 'old' view has orders < 30, the
+    // full view adds a batch that touches an existing (customer,
+    // supplier) pair (delta count merge), a new supplier for an
+    // existing customer, and a brand-new customer (new src rows) —
+    // every frac of a touched src must re-derive
+    val orders = Seq(
+      (10L, 1L), (11L, 1L), (20L, 2L), (21L, 3L),
+      (30L, 1L), (31L, 4L), (32L, 2L))
+    val lineitem = Seq(
+      (10L, 7L), (11L, 7L), (11L, 8L), (20L, 7L), (21L, 9L),
+      (30L, 7L), (30L, 9L), (31L, 8L), (32L, 10L))
+    def mkDir(okey: Long => Boolean): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-graph-app").toString
+      orders.filter(o => okey(o._1)).toDF("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$d/orders.parquet")
+      lineitem.toDF("l_orderkey", "l_suppkey")
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      d
+    }
+    val dirOld = mkDir(_ < 30)
+    val dirFull = mkDir(_ => true)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select("src", "dst", "w", "frac").collect().map(_.toSeq).toSet
+    // expected BEFORE the append memoizes the artifact under dirFull
+    val expected = rows(Graph.edgeFracs(spark, dirFull))
+    val idx = java.nio.file.Files.createTempDirectory("graft-graph-idx").toString
+    Graph.edgeFracs(spark, dirOld).write.mode("overwrite")
+      .parquet(s"$idx/graphEdgeFracs.parquet/batch_id=base")
+    Graph.appendGraphEdges(spark, dirFull, idx, col("o_orderkey") >= 30L)
+    val got = rows(spark.read.parquet(s"$idx/graphEdgeFracs.parquet")
+      .drop("batch_id"))
+    assert(got === expected,
+      "appended graph artifact diverges from the wholesale rebuild")
+    // the session now serves the fresh artifact for dirFull
+    assert(rows(Graph.edgeFracs(spark, dirFull)) === expected)
+    Dedup.releaseIndexes(spark)
+  }
+
+  test("appendGraphEdges onto a never-written artifact fails fast") {
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft-graph-idx0").toString
+    val e = intercept[IllegalArgumentException] {
+      Graph.appendGraphEdges(spark, dir, idx, col("o_orderkey") > 0L)
+    }
+    assert(e.getMessage.contains("writeIndexes first"))
+  }
+
   test("appendIndexes with an empty batch leaves artifacts equivalent to the originals") {
     import org.apache.spark.sql.functions.col
     val indexDir = java.nio.file.Files.createTempDirectory("graft-idx-empty-batch").toString
