@@ -20,6 +20,19 @@ case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
   * (fixed-size state — see funnelStateful). */
 case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
 
+/** One buffered funnel event awaiting watermark finalization. */
+case class FunnelBufEvent(tsMs: Long, id: Long, typ: String)
+
+/** Out-of-order-tolerant funnel state: the FINALIZED machine (only
+  * events at or below the watermark have been folded in — nothing
+  * that can still be reordered), the buffered events still inside the
+  * watermark horizon, and the last PROVISIONAL state emitted (change
+  * detection). Bounded by the horizon × per-user rate, not by the
+  * stream — the price of exact out-of-order funnels, same bound as
+  * every windowed aggregation under the same watermark. */
+case class FunnelBufState(fin: FunnelState, buf: Seq[FunnelBufEvent],
+                          emitted: FunnelState)
+
 /** Trailing-window EWMA state: the last ≤20 values OLDEST-FIRST plus
   * the latest event's (ts, id) — fixed-size per user regardless of
   * stream length (see ewmaStateful). */
@@ -280,51 +293,77 @@ object EventStreams {
 
   /** Incremental conversion funnel: the streaming twin of
     * [[graft.operators.Events.funnel]] — per-user state machine
-    * (first view → first later click → first later purchase) advanced
-    * as events arrive, emitting the user's progression row whenever
-    * the reached step changes. State is three optional timestamps per
-    * user (fixed size — the 100 TB posture: funnel state never grows
-    * with event volume, unlike a buffered-events formulation).
+    * (first view → first later click → first later purchase),
+    * OUT-OF-ORDER TOLERANT within the watermark (the sessionizer's
+    * interval-merge discipline applied to a state machine):
     *
-    * Within a batch, events apply in (ts, event_id) order — the same
-    * total order every batch oracle uses. Cross-batch, the state
-    * machine is monotone: a step once reached keeps its first-touch
-    * time. That matches the batch query exactly under in-order
-    * delivery (parity pinned in EventStreamsSpec); an out-of-order
-    * straggler that would RETROACTIVELY lower an earlier step's time
-    * is ignored for that step — the documented simplification, same
-    * family as the single-open-session model above (the batch twin
-    * stays the ground truth for reprocessing). */
-  def funnelStateful(events: Dataset[Event]): Dataset[FunnelProgress] = {
+    *  - events at or below the current watermark FINALIZE, folded
+    *    into the state machine in (ts, event_id) order — the same
+    *    total order every batch oracle uses; nothing that can still
+    *    be reordered is baked in;
+    *  - events above the watermark BUFFER (bounded by the horizon ×
+    *    per-user rate), and the emitted progression is the
+    *    PROVISIONAL fold of finalized + buffered — so a late step-2
+    *    arriving after step-3 still slots between them and unlocks
+    *    the step-3 progression, exactly as the batch funnel sees it;
+    *  - an event-time timer at the earliest buffered timestamp
+    *    finalizes the buffer when the watermark passes it even if the
+    *    user never sends another event;
+    *  - a straggler later than the watermark allows is DROPPED by
+    *    the engine's late-data filter before it reaches the state
+    *    function (flatMapGroupsWithState under an event-time timeout
+    *    filters sub-watermark rows) — the same droppable-late
+    *    contract as every watermarked aggregation; the batch twin
+    *    stays the reprocessing ground truth. Size the horizon to the
+    *    source's real disorder: the default is deliberately generous
+    *    because funnel state is tiny.
+    *
+    * Under in-order delivery the provisional fold reproduces the old
+    * immediate-emission behavior row for row (parity pinned in
+    * EventStreamsSpec). */
+  def funnelStateful(events: Dataset[Event],
+                     watermark: String = "2 hours"): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
 
-    def advance(st: FunnelState, e: Event): FunnelState = e.event_type match {
-      case "view" if st.t1.isEmpty => st.copy(t1 = Some(e.ts.getTime))
+    def advance(st: FunnelState, e: FunnelBufEvent): FunnelState = e.typ match {
+      case "view" if st.t1.isEmpty => st.copy(t1 = Some(e.tsMs))
       case "click" if st.t2.isEmpty &&
-        st.t1.exists(e.ts.getTime > _) => st.copy(t2 = Some(e.ts.getTime))
+        st.t1.exists(e.tsMs > _) => st.copy(t2 = Some(e.tsMs))
       case "purchase" if st.t3.isEmpty &&
-        st.t2.exists(e.ts.getTime > _) => st.copy(t3 = Some(e.ts.getTime))
+        st.t2.exists(e.tsMs > _) => st.copy(t3 = Some(e.tsMs))
       case _ => st
     }
 
+    def progressOf(uid: Long, st: FunnelState): FunnelProgress =
+      FunnelProgress(uid,
+        Seq(st.t1, st.t2, st.t3).count(_.isDefined),
+        st.t1.map(new Timestamp(_)).orNull,
+        st.t2.map(new Timestamp(_)).orNull,
+        st.t3.map(new Timestamp(_)).orNull)
+
     def update(uid: Long, it: Iterator[Event],
-               state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
-      val st0 = state.getOption.getOrElse(FunnelState(None, None, None))
-      val st = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        .foldLeft(st0)(advance)
-      if (st != st0) {
-        state.update(st)
-        Iterator.single(FunnelProgress(uid,
-          Seq(st.t1, st.t2, st.t3).count(_.isDefined),
-          st.t1.map(new Timestamp(_)).orNull,
-          st.t2.map(new Timestamp(_)).orNull,
-          st.t3.map(new Timestamp(_)).orNull))
-      } else Iterator.empty
+               state: GroupState[FunnelBufState]): Iterator[FunnelProgress] = {
+      val empty = FunnelState(None, None, None)
+      val st0 = state.getOption.getOrElse(FunnelBufState(empty, Nil, empty))
+      val wm = state.getCurrentWatermarkMs()
+      val sorted =
+        (st0.buf ++ it.map(e => FunnelBufEvent(e.ts.getTime, e.event_id, e.event_type)))
+          .sortBy(b => (b.tsMs, b.id))
+      val (ripe, rest) = sorted.partition(_.tsMs <= wm)
+      val fin = ripe.foldLeft(st0.fin)(advance)
+      val provisional = rest.foldLeft(fin)(advance)
+      state.update(FunnelBufState(fin, rest, provisional))
+      // finalize the buffer when the watermark passes its head, even
+      // if this user never sends another event
+      if (rest.nonEmpty) state.setTimeoutTimestamp(rest.head.tsMs)
+      if (provisional != st0.emitted) Iterator.single(progressOf(uid, provisional))
+      else Iterator.empty
     }
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelProgress](
-        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBufState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Streaming twin of `Events.ewmaLatest`: the trailing decay-0.9

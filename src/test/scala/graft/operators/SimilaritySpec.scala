@@ -111,6 +111,28 @@ class SimilaritySpec extends SparkSpec {
     assert(SimilarityIvf.probeFor(expectedK) == expectedK / 8)
   }
 
+  test("tuned probe budget reaches the 0.8 recall target on NATURAL queries") {
+    val dir = sf("sf0.001")
+    // natural serving queries (vec_id < 10), not planted duplicates —
+    // the configuration the round-11 report measured at 0.58 under
+    // the k/8 heuristic
+    val truth = exact.map(r => (r._1, r._2)).toSet
+    val tuned = SimilarityIvf.annIvfTuned(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(tuned).size.toDouble / truth.size
+    info(s"tuned mean recall@5 on natural queries: $recall " +
+      s"(nprobe=${SimilarityIvf.tunedProbe(spark, dir)})")
+    assert(recall >= 0.8, s"tuned recall $recall below the 0.8 target")
+    // the tuner must actually have raised the budget past the k/8
+    // heuristic iff the heuristic missed the target (ladder semantics:
+    // chosen is the first rung that clears it)
+    val kCells = SimilarityIvf.corpusK(spark, dir)
+    assert(SimilarityIvf.tunedProbe(spark, dir) >= SimilarityIvf.probeFor(kCells))
+    // deterministic: same session, same answer (memoized), and the
+    // ladder is data-derived so a fresh derivation agrees
+    assert(SimilarityIvf.tunedProbe(spark, dir) == SimilarityIvf.tunedProbe(spark, dir))
+  }
+
   test("filtered ANN: predicate holds on every row, recall vs post-filter exact twin") {
     import org.apache.spark.sql.functions.col
     val dir = sf("sf0.001")

@@ -294,6 +294,49 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stateful funnel: a late step-2 arriving after step-3 still yields batch parity") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    // u1's click is DELAYED: the purchase (step 3) arrives in batch 1,
+    // the click (step 2) only in batch 2, with an event time BETWEEN
+    // view and purchase and inside the 30-minute watermark horizon.
+    // The pre-round-12 monotone machine pinned t2 to nothing (click
+    // rejected: no t2 ordering) and could never unlock step 3 —
+    // the buffered replay must slot it in and reach the batch answer.
+    val batch1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view"),
+      ev(2, "2024-01-01 10:20:00", 1, "purchase"))
+    val batch2 = Seq(
+      ev(3, "2024-01-01 10:10:00", 1, "click"), // the straggler
+      ev(4, "2024-01-01 10:25:00", 2, "view"))  // advances u2 + the clock
+    val q = funnelStateful(input.toDS())
+      .writeStream.format("memory").queryName("funnelooo").outputMode("update").start()
+    withQuery(q) {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // provisional after batch 1: view only (a purchase with no
+      // prior click does not advance past step 1)
+      val after1 = spark.table("funnelooo")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("step").as("step"))
+        .as[(Long, Int)].collect().toMap
+      assert(after1 === Map(1L -> 1))
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val finalSteps = spark.table("funnelooo")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("step").as("step"))
+        .as[(Long, Int)].collect().toMap
+      import spark.implicits._
+      val counts = graft.operators.Events.funnelOf((batch1 ++ batch2).toDF())
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val streamCounts = (1 to 3).map(st =>
+        st -> finalSteps.values.count(_ >= st).toLong).toMap
+      assert(finalSteps === Map(1L -> 3, 2L -> 1),
+        s"late click must retro-unlock the purchase: $finalSteps")
+      assert(counts === streamCounts,
+        s"stream must reproduce the batch funnel: $counts vs $streamCounts")
+    }
+  }
+
   test("stateful EWMA: incremental trailing window equals the batch query exactly") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
