@@ -307,16 +307,29 @@ object Multimodal {
 
   /** 64-bit perceptual difference hash (dHash) of a payload: bit(r,c)
     * = pixel(r,c+1) > pixel(r,c) over an 8×9 grid. The pixel decode is
-    * the repo's documented STUB (no codecs in this environment): a
-    * deterministic fake pixel per (payload, r, c) — md5 of the keyed
-    * payload, with the > comparison done directly on the hex strings
-    * so neither engine parses hex. The HASH ALGEBRA — gradient bits,
-    * banding, capped candidate join, Hamming rerank — is the real
-    * thing a codec-backed decode would feed. */
+    * the repo's documented STUB (no codecs in this environment): the
+    * payload digests ONCE (md5 of the full text — the only full-length
+    * pass, bound as a lambda variable so CollapseProject cannot clone
+    * it into all 128 cell references; the pre-round-12 formulation
+    * keyed every cell's md5 on the raw payload and paid 128 full-text
+    * hashes per row — the q_media_phash floor drift), then each fake
+    * pixel is md5 of the 32-char digest keyed by (r, c), compared
+    * directly on hex strings so neither engine parses hex. The HASH
+    * ALGEBRA — gradient bits, banding, capped candidate join, Hamming
+    * rerank — is the real thing a codec-backed decode would feed. */
   private def dhashBits(payloadText: Column): Column =
-    concat((for { r <- 0 until DhashRows; c <- 0 until DhashCols } yield
-      when(md5(concat(payloadText, lit(s":$r:${c + 1}"))) >
-           md5(concat(payloadText, lit(s":$r:$c"))), "1").otherwise("0")): _*)
+    element_at(transform(array(md5(payloadText)), h =>
+      concat((for { r <- 0 until DhashRows; c <- 0 until DhashCols } yield
+        when(md5(concat(h, lit(s":$r:${c + 1}"))) >
+             md5(concat(h, lit(s":$r:$c"))), "1").otherwise("0")): _*)), 1)
+
+  /** The SQL twin of [[dhashBits]]'s bit chain over a bound digest
+    * column — generated, not longhand, so the two engines cannot
+    * drift cell by cell. */
+  private[operators] def dhashCaseSql(h: String): String =
+    (for { r <- 0 until DhashRows; c <- 0 until DhashCols } yield
+      s"CASE WHEN md5($h || ':$r:${c + 1}') > md5($h || ':$r:$c') " +
+        "THEN '1' ELSE '0' END").mkString(" || ")
 
   /** Perceptual near-dup pairs: dHash banding (4 × 16-bit bands — the
     * pigeonhole guarantees any pair within Hamming distance 3 shares a
@@ -408,10 +421,11 @@ object MultimodalModule extends QueryModule {
         |FROM m GROUP BY media_type, sha256_hex
         |ORDER BY media_type, keep_id""".stripMargin,
     "q_media_phash" ->
-      """WITH ph AS (SELECT doc_id,
+      s"""WITH ph0 AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |ph AS (SELECT doc_id,
         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-        |    (CASE WHEN md5(text || ':0:1') > md5(text || ':0:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:2') > md5(text || ':0:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:3') > md5(text || ':0:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:4') > md5(text || ':0:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:5') > md5(text || ':0:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:6') > md5(text || ':0:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:7') > md5(text || ':0:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':0:8') > md5(text || ':0:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:1') > md5(text || ':1:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:2') > md5(text || ':1:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:3') > md5(text || ':1:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:4') > md5(text || ':1:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:5') > md5(text || ':1:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:6') > md5(text || ':1:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:7') > md5(text || ':1:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':1:8') > md5(text || ':1:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:1') > md5(text || ':2:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:2') > md5(text || ':2:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:3') > md5(text || ':2:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:4') > md5(text || ':2:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:5') > md5(text || ':2:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:6') > md5(text || ':2:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:7') > md5(text || ':2:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':2:8') > md5(text || ':2:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:1') > md5(text || ':3:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:2') > md5(text || ':3:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:3') > md5(text || ':3:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:4') > md5(text || ':3:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:5') > md5(text || ':3:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:6') > md5(text || ':3:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:7') > md5(text || ':3:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':3:8') > md5(text || ':3:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:1') > md5(text || ':4:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:2') > md5(text || ':4:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:3') > md5(text || ':4:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:4') > md5(text || ':4:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:5') > md5(text || ':4:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:6') > md5(text || ':4:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:7') > md5(text || ':4:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':4:8') > md5(text || ':4:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:1') > md5(text || ':5:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:2') > md5(text || ':5:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:3') > md5(text || ':5:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:4') > md5(text || ':5:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:5') > md5(text || ':5:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:6') > md5(text || ':5:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:7') > md5(text || ':5:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':5:8') > md5(text || ':5:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:1') > md5(text || ':6:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:2') > md5(text || ':6:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:3') > md5(text || ':6:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:4') > md5(text || ':6:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:5') > md5(text || ':6:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:6') > md5(text || ':6:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:7') > md5(text || ':6:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':6:8') > md5(text || ':6:7') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:1') > md5(text || ':7:0') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:2') > md5(text || ':7:1') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:3') > md5(text || ':7:2') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:4') > md5(text || ':7:3') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:5') > md5(text || ':7:4') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:6') > md5(text || ':7:5') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:7') > md5(text || ':7:6') THEN '1' ELSE '0' END || CASE WHEN md5(text || ':7:8') > md5(text || ':7:7') THEN '1' ELSE '0' END) AS bits
-        |  FROM documents),
+        |    (${Multimodal.dhashCaseSql("h")}) AS bits
+        |  FROM ph0),
         |bands AS (SELECT doc_id, media_type, bits, band_idx,
         |    substr(bits, band_idx * 16 + 1, 16) AS band
         |  FROM ph, unnest(generate_series(0, 3)) AS u(band_idx)),

@@ -100,6 +100,17 @@ class GraphSpec extends SparkSpec {
     assert(auto === forced)
   }
 
+  test("PPR top-20 is superstep-stable: 4 iterations rank like 6") {
+    // geometric convergence from the unit mass: the extra two
+    // supersteps move mass only below the 6-dp report rounding, so
+    // the served ranking must be identical node for node
+    val at4 = Graph.pagerankPersonalizedAt(spark, sf("sf0.001"), 4)
+      .collect().map(_.getString(0)).toSeq
+    val at6 = Graph.pagerankPersonalizedAt(spark, sf("sf0.001"), 6)
+      .collect().map(_.getString(0)).toSeq
+    assert(at4 === at6, "top-20 order diverged between 4 and 6 supersteps")
+  }
+
   test("personalized PageRank concentrates mass near its source") {
     val out = Graph.pagerankPersonalized(spark, sf("sf0.001")).collect()
     assert(out.length === 20)
