@@ -366,6 +366,40 @@ object Graph {
       n => lit(1.0) / n._2, n => lit(Teleport) / n._2,
       coPartition = Some(coPartition))
 
+  /** Strong-tie threshold: a (customer, supplier) pair is a strong
+    * tie when at least this many lineitems connect them — the
+    * weight floor that turns the dense bipartite transaction graph
+    * into meaningful communities (at w ≥ 1 everything is one giant
+    * component; at 3, sf0.1 resolves 157 components). */
+  private[operators] val StrongTieMinW = 3L
+
+  /** Connected components over the STRONG-TIE transaction graph —
+    * the community-resolution analytic (which customers and suppliers
+    * form a repeat-business cluster), reusing the engine's
+    * O(log n)-round alternating large-star/small-star machinery
+    * (`Dedup.connectedComponents`, the Kiveris 2014 shape the dedup
+    * clusters already run at corpus scale). Per-component summary:
+    * component id = the component's minimum node id, node and
+    * per-side counts, id range. One edge-table filter feeds the star
+    * rounds; each round is two window passes over the (tiny) strong
+    * edge set — no full-graph shuffle anywhere.
+    *
+    * Oracle: DuckDB replays the same components with a recursive
+    * reach CTE over the identical strong edge set (min-label
+    * semantics agree by construction). */
+  def strongComponents(spark: SparkSession, dir: String): DataFrame = {
+    val strong = edgeFracs(spark, dir)
+      .filter(col("w") >= StrongTieMinW && col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    Dedup.connectedComponents(strong)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("id") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("id") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"),
+        min(col("id")).as("min_node"), max(col("id")).as("max_node"))
+      .orderBy("component")
+  }
+
   /** Degree distribution per side — the pre-flight audit before any
     * graph job (a power-law tail predicts the skew the superstep
     * shuffle must absorb). One corpus-sized aggregation, then a
@@ -385,7 +419,8 @@ object GraphModule extends QueryModule {
   def queries = Map(
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "q_graph_ppr" -> ((s: SparkSession, d: String) => Graph.pagerankPersonalized(s, d)),
-    "q_graph_degree" -> ((s: SparkSession, d: String) => Graph.degreeHistogram(s, d)))
+    "q_graph_degree" -> ((s: SparkSession, d: String) => Graph.degreeHistogram(s, d)),
+    "q_graph_components" -> ((s: SparkSession, d: String) => Graph.strongComponents(s, d)))
 
   /** The shared edge/node CTE head — same parity-encoded long ids. */
   private val GraphCte: String =
@@ -440,6 +475,20 @@ object GraphModule extends QueryModule {
   def oracles = Map(
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_ppr" -> pprSql,
+    "q_graph_components" ->
+      s"""WITH RECURSIVE $GraphCte,
+         |strong AS (SELECT a AS u, b AS v FROM eb WHERE w >= ${Graph.StrongTieMinW}),
+         |edges AS (SELECT u, v FROM strong UNION SELECT v, u FROM strong),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT u AS id, u AS lbl FROM edges
+         |  UNION
+         |  SELECT ed.v, r.lbl FROM reach r JOIN edges ed ON ed.u = r.id),
+         |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+         |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+         |  CAST(SUM(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+         |  MIN(id) AS min_node, MAX(id) AS max_node
+         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
     "q_graph_degree" ->
       s"""WITH $GraphCte,
          |d AS (SELECT CASE WHEN src % 2 = 0 THEN 'c' ELSE 's' END AS side,

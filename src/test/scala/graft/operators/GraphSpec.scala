@@ -61,6 +61,27 @@ class GraphSpec extends SparkSpec {
     assert(before === after, "primed serving must reproduce the ranks")
   }
 
+  test("strong-tie components: threshold prunes weak edges, stars resolve communities") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-graph-cc").toString
+    val s2 = spark
+    import s2.implicits._
+    // strong ties (w >= 3): c1–s7 (3 lineitems), c2–s7 (3), c3–s8 (4)
+    // → two communities {c1, c2, s7} and {c3, s8}; the single-lineitem
+    // c4–s9 edge must not connect anything
+    Seq((10L, 1L), (20L, 2L), (30L, 3L), (40L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (Seq.fill(3)((10L, 7L)) ++ Seq.fill(3)((20L, 7L)) ++
+      Seq.fill(4)((30L, 8L)) ++ Seq((40L, 9L)))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Graph.strongComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // parity ids: c1=2, c2=4, c3=6, s7=15, s8=17
+    assert(out.toSeq === Seq((2L, 3L, 2L, 1L), (6L, 2L, 1L, 1L)), out.toSeq)
+  }
+
   test("co-partitioned superstep: bit-identical ranks, exchange-free joins") {
     val dir = sf("sf0.001")
     val bcast = Graph.pagerankFullForced(spark, dir, coPartition = false)
