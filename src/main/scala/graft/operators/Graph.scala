@@ -244,8 +244,23 @@ object Graph {
   private def rankLoop(spark: SparkSession, dir: String, iters: Int,
       init: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
       teleTerm: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
-      coPartition: Option[Boolean] = None): DataFrame = {
-    val en = edgeFracs(spark, dir)
+      coPartition: Option[Boolean] = None): DataFrame =
+    rankLoopOver(spark, edgeFracs(spark, dir), iters, init, teleTerm,
+      coPartition, Some(s"graphEdgesBySrc|$dir"))
+
+  /** The superstep loop over an ARBITRARY weighted edge table
+    * (src, dst, frac) — node ids of any orderable type (the
+    * transaction graph uses parity-encoded longs; TextRank uses the
+    * words themselves). `bySrcMemoKey`, when given, memoizes the
+    * partitioned-by-src edge layout for the co-partitioned path
+    * (callers whose edges are query-local scratch pass None and the
+    * layout is tracked as stray session state instead). */
+  private[operators] def rankLoopOver(spark: SparkSession, enIn: DataFrame, iters: Int,
+      init: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
+      teleTerm: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
+      coPartition: Option[Boolean] = None,
+      bySrcMemoKey: Option[String] = None): DataFrame = {
+    val en = enIn
     // intermediate checkpoints are query-local scratch, not memoized
     // artifacts: track them and free each superstep's predecessor so a
     // pagerank run leaves ONE persisted rank table behind, not
@@ -286,8 +301,12 @@ object Graph {
     // checkpoint preserves outputPartitioning + outputOrdering via
     // LogicalRDD). This is the second graph artifact; at 100 TB it is
     // the bucketed-by-src parquet layout of graphEdgeFracs.
-    def enBySrc = Dedup.memo(spark, s"graphEdgesBySrc|$dir") {
-      declChk(en, "src", reshape = true)._1
+    lazy val enBySrc = bySrcMemoKey match {
+      case Some(key) => Dedup.memo(spark, key) { declChk(en, "src", reshape = true)._1 }
+      case None =>
+        val (df, ids) = declChk(en, "src", reshape = true)
+        Dedup.trackStray(spark, ids)
+        df
     }
     val cnt = nodes.agg(count(lit(1)).as("n"))
     var prevIds: Set[Int] = Set.empty
@@ -440,7 +459,12 @@ object GraphModule extends QueryModule {
     * side; `initSql`/`teleSql` parameterize the global vs personalized
     * teleport vector (texts chosen so the global path is byte-stable
     * against its established hash). */
-  private def pagerankSqlWith(iters: Int, initSql: String, teleSql: String): String = {
+  /** The unrolled fixed-point superstep CTE chain (r0 … r`iters`) over
+    * whatever `en`/`n`/`cnt` tables the WITH head defines — shared by
+    * the transaction-graph oracles and TextRank's word-graph oracle
+    * (same arithmetic, different node universe). */
+  private[operators] def unrolledSuperstepsSql(iters: Int, initSql: String,
+                                               teleSql: String): String = {
     val steps = (1 to iters).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
       s"""c$i AS (SELECT en.dst AS node,
@@ -452,15 +476,18 @@ object GraphModule extends QueryModule {
          |      (CAST(coalesce(s$i.sc, 0) AS DOUBLE) / 1000000000.0) AS r
          |  FROM n CROSS JOIN cnt LEFT JOIN s$i ON s$i.node = n.node)""".stripMargin
     }.mkString(",\n")
+    s"""r0 AS (SELECT node, $initSql AS r FROM n CROSS JOIN cnt),
+       |$steps""".stripMargin
+  }
+
+  private def pagerankSqlWith(iters: Int, initSql: String, teleSql: String): String =
     s"""WITH $GraphCte,
-       |r0 AS (SELECT node, $initSql AS r FROM n CROSS JOIN cnt),
-       |$steps
+       |${unrolledSuperstepsSql(iters, initSql, teleSql)}
        |SELECT CASE WHEN id % 2 = 0 THEN 'c' || CAST(id // 2 AS BIGINT)
        |            ELSE 's' || CAST((id - 1) // 2 AS BIGINT) END AS node,
        |  round(r, 6) AS rank
        |FROM (SELECT node AS id, r FROM r$iters) t
        |ORDER BY r DESC, id ASC LIMIT 20""".stripMargin
-  }
 
   private def pagerankSql: String =
     pagerankSqlWith(Graph.PrIters,

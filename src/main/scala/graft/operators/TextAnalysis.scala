@@ -235,6 +235,55 @@ object TextAnalysis {
     * (identical integer-derived doubles in both engines — monotone
     * with ln, so no libm call decides the order); ln only prints the
     * reported score. */
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * over the word co-occurrence graph — words are nodes, adjacent
+    * token pairs (both ≥ [[TextRankMinLen]] chars, neither a
+    * stopword) are undirected weighted edges, and the stationary
+    * walk's mass ranks corpus keywords. Runs on the SAME generalized
+    * superstep loop as the transaction-graph PageRank
+    * ([[Graph.rankLoopOver]] — node ids here are the words
+    * themselves), with the identical fixed-point discipline, so the
+    * ranks hash-match DuckDB replaying the unrolled supersteps.
+    *
+    * Scale shape: the co-occurrence aggregation is the corpus-sized
+    * stage (adjacent-pair explode over the staged token artifact,
+    * fully map-side combined); the rank loop itself is
+    * VOCABULARY-sized — sublinear in the corpus by Heaps' law — so
+    * the iterations never touch the documents again. */
+  private[operators] val TextRankMinLen = 3
+  private[operators] val TextRankIters = 10
+  private[operators] val TextRankTopK = 30
+
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val stop = enStop
+    def good(c: Column): Column =
+      length(c) >= TextRankMinLen && !c.isInCollection(stop)
+    val pairs = Curation.docToks(spark, dir)
+      .select(explode(transform(
+        sequence(lit(1), greatest(size(col("toks")) - 1, lit(1))),
+        i => struct(element_at(col("toks"), i).as("a"),
+          element_at(col("toks"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("b").isNotNull && col("a") =!= col("b") &&
+        good(col("a")) && good(col("b")))
+    val eb = pairs
+      .groupBy(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val e = eb.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(eb.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val ow = e.groupBy("src").agg(sum(col("w")).as("ow"))
+    val en = e.join(ow, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("ow").cast("double")).as("frac"))
+    Graph.rankLoopOver(spark, en, TextRankIters,
+      n => lit(1.0) / n._2, n => lit(Graph.Teleport) / n._2)
+      .select(col("node").as("word"), round(col("r"), 6).as("rank"), col("r"))
+      .orderBy(col("r").desc, col("word").asc)
+      .limit(TextRankTopK)
+      .drop("r")
+  }
+
   def pmiCollocations(spark: SparkSession, dir: String,
       minCount: Int = 5, k: Int = 25): DataFrame = {
     val toksDf = Curation.docToks(spark, dir)
@@ -580,6 +629,7 @@ object TextAnalysisModule extends QueryModule {
     "q_text_bigrams" -> ((s: SparkSession, d: String) => bigrams(s, d)),
     "q_text_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "q_text_pmi" -> ((s: SparkSession, d: String) => pmiCollocations(s, d)),
+    "q_text_keywords" -> ((s: SparkSession, d: String) => textrankKeywords(s, d)),
     "q_text_bm25" -> ((s: SparkSession, d: String) => bm25Search(s, d)),
     "q_text_perplexity" -> ((s: SparkSession, d: String) => perplexityScore(s, d)),
     "q_text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
@@ -590,6 +640,31 @@ object TextAnalysisModule extends QueryModule {
   // DuckDB lambda syntax (list_transform / list_filter) mirrors Spark's
   // higher-order functions one-to-one; counts are BIGINT on both sides.
   def oracles = Map(
+    "q_text_keywords" ->
+      s"""WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+         |p0 AS (SELECT toks[i] AS a, toks[i+1] AS b
+         |  FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS u(i)),
+         |pp AS (SELECT a, b FROM p0 WHERE b IS NOT NULL AND a <> b
+         |  AND length(a) >= ${TextAnalysis.TextRankMinLen}
+         |  AND length(b) >= ${TextAnalysis.TextRankMinLen}
+         |  AND a NOT IN ('the','a','of','and','is','in','to')
+         |  AND b NOT IN ('the','a','of','and','is','in','to')),
+         |eb AS (SELECT least(a, b) AS u, greatest(a, b) AS v,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM pp GROUP BY 1, 2),
+         |e AS (SELECT u AS src, v AS dst, w FROM eb
+         |      UNION ALL SELECT v AS src, u AS dst, w FROM eb),
+         |ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+         |en AS (SELECT e.src, e.dst,
+         |    CAST(e.w AS DOUBLE) / CAST(ow.ow AS DOUBLE) AS frac
+         |  FROM e JOIN ow ON ow.src = e.src),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |cnt AS (SELECT COUNT(*) AS n FROM n),
+         |${GraphModule.unrolledSuperstepsSql(TextAnalysis.TextRankIters,
+             "CAST(1 AS DOUBLE) / cnt.n", "CAST(0.15 AS DOUBLE) / cnt.n")}
+         |SELECT node AS word, round(r, 6) AS rank
+         |FROM r${TextAnalysis.TextRankIters}
+         |ORDER BY r DESC, node ASC LIMIT ${TextAnalysis.TextRankTopK}""".stripMargin,
     "q_text_pmi" ->
       """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
         |           FROM documents),

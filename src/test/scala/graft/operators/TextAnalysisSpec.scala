@@ -120,4 +120,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("srcGood") === ((2L, 2L, 1.0)))
     assert(out("srcBad") === ((2L, 1L, 0.5)))
   }
+
+  test("TextRank keywords: hub word outranks satellites; stopwords/short words excluded") {
+    // 'engine' co-occurs with every content word (hub of the word
+    // graph); 'the' and 2-char tokens must never appear
+    val dir = java.nio.file.Files.createTempDirectory("graft-trank").toString
+    val docs = Seq(
+      (1L, "engine speed the engine torque an engine power xy engine"),
+      (2L, "engine speed engine torque engine power"),
+      (3L, "speed torque the power xy"))
+    docs.map { case (id, t) => (id, t, "en", "srcT", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.textrankKeywords(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.nonEmpty && out.head._1 === "engine", out.toSeq)
+    assert(out.forall(_._2 > 0))
+    // rank order is non-increasing (presentation contract)
+    assert(out.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    val words = out.map(_._1).toSet
+    assert(!words.contains("the") && !words.contains("an") && !words.contains("xy"),
+      s"stoplist/short-word leak: $words")
+  }
 }
