@@ -126,6 +126,80 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** MMR trade-off: relevance weight λ and the diversity penalty
+    * weight, BOTH parsed literals (0.3 spelled, never computed as
+    * 1 − 0.7 — Scala evaluates that to 0.30000000000000004 while both
+    * engines parse "0.3" to the same nearest double; the Teleport
+    * lesson). */
+  private[operators] val MmrLambda = 0.7
+  private[operators] val MmrPenalty = 0.3
+
+  /** Candidate pool width the greedy selection draws from. */
+  private[operators] val MmrPoolN = 20
+
+  /** MMR (maximal marginal relevance) diversified re-ranking: from
+    * each query's exact top-[[MmrPoolN]] shortlist, greedily pick k
+    * results maximizing λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s) —
+    * the standard serving-side answer to "my top-5 are five near-
+    * copies of the same document" (a failure mode this corpus's dup
+    * clusters make real). Deterministic: ties break on neighbor_id,
+    * and every score is the same exact dot/norm arithmetic the kNN
+    * family hash-checks.
+    *
+    * Shape: the greedy loop UNROLLS (k is a small serving constant) —
+    * each round is one anti-join (drop selected), one bounded
+    * aggregation (max similarity to the selected set over the
+    * pool×pool pair table), one window argmax. Everything after the
+    * pool build is per-query O(poolN²) — independent of corpus size;
+    * the pool build is the already-verified exact kNN leg. */
+  def mmrRerank(spark: SparkSession, dir: String,
+                nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val pool = knnExact(spark, dir, nQueries, MmrPoolN)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val e = embBase(spark, dir)
+    val va = e.select(col("vec_id").as("neighbor_id"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val vb = e.select(col("vec_id").as("other_id"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val pairSims = pool.select(col("query_id"), col("neighbor_id"))
+      .join(pool.select(col("query_id"), col("neighbor_id").as("other_id")),
+        Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("other_id"))
+      .join(va, Seq("neighbor_id")).join(vb, Seq("other_id"))
+      .select(col("query_id"), col("neighbor_id"), col("other_id"),
+        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("sim_cc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    var result = pool
+      .withColumn("score", lit(MmrLambda) * col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        lit(1).as("pick_order"), col("score"))
+    for (i <- 2 to k) {
+      val selectedIds = result.select(col("query_id"), col("neighbor_id"))
+      val penalty = pairSims
+        .join(selectedIds.select(col("query_id"),
+          col("neighbor_id").as("other_id")), Seq("query_id", "other_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(max(col("sim_cc")).as("max_cc"))
+      val next = pool
+        .join(selectedIds, Seq("query_id", "neighbor_id"), "left_anti")
+        .join(penalty, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("score", lit(MmrLambda) * col("cos") -
+          lit(MmrPenalty) * coalesce(col("max_cc"), lit(0.0)))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(i).as("pick_order"), col("score"))
+      result = result.unionByName(next)
+    }
+    result
+      .select(col("query_id"), col("pick_order"), col("neighbor_id"),
+        round(col("score"), 6).as("mmr_score"))
+      .orderBy("query_id", "pick_order")
+  }
+
   /** T tables × H seeded random hyperplanes (unit-free gaussians) —
     * literals compiled into the plan. */
   private[operators] val NumTables = 8
@@ -1349,6 +1423,7 @@ object SimilarityModule extends QueryModule {
 
   def queries = Map(
     "q_knn_exact" -> ((s: SparkSession, d: String) => knnExact(s, d)),
+    "q_knn_mmr" -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
     "q_knn_exact_agg" -> ((s: SparkSession, d: String) => knnExactAgg(s, d)),
     "q_knn_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q_knn_lsh_probe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),
@@ -1423,10 +1498,66 @@ object SimilarityModule extends QueryModule {
       |  FROM d)
       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+
+  /** SQL twin of [[Similarity.mmrRerank]]: the k greedy selection
+    * rounds UNROLL as CTEs (k is a serving constant), each one the
+    * same argmax-with-penalty the Spark side computes — identical
+    * arithmetic, identical tie order, so picks and scores hash-match.
+    * Generated, not longhand, like the superstep oracles. */
+  private def mmrOracleSql: String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val pen = "CAST(0.3 AS DOUBLE)"
+    val k = Similarity.TopKDefault
+    val rounds = (2 to k).map { i =>
+      val prevSel = (1 until i).map(j => s"SELECT query_id, neighbor_id FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""sel$i AS (SELECT query_id, neighbor_id, $i AS pick_order, score FROM (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    $lam * p.cos - $pen * coalesce(mx.max_cc, 0) AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |      ORDER BY $lam * p.cos - $pen * coalesce(mx.max_cc, 0) DESC,
+         |               p.neighbor_id ASC) AS rk
+         |  FROM pool p
+         |  LEFT JOIN (SELECT pc.query_id, pc.neighbor_id, MAX(pc.sim_cc) AS max_cc
+         |             FROM pc JOIN ($prevSel) s
+         |               ON s.query_id = pc.query_id AND s.neighbor_id = pc.other_id
+         |             GROUP BY pc.query_id, pc.neighbor_id) mx
+         |    ON mx.query_id = p.query_id AND mx.neighbor_id = p.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM ($prevSel) s2
+         |    WHERE s2.query_id = p.query_id AND s2.neighbor_id = p.neighbor_id)
+         |  ) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $eCte,
+       |q AS (SELECT * FROM e WHERE vec_id < ${Similarity.NumQueriesDefault}),
+       |s0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, c.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+       |pool AS (SELECT query_id, neighbor_id, cos FROM (
+       |    SELECT query_id, neighbor_id, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |    FROM s0) WHERE rn <= ${Similarity.MmrPoolN}),
+       |pc AS (SELECT a.query_id, a.neighbor_id, b.neighbor_id AS other_id,
+       |    list_dot_product(ea.v, eb.v) /
+       |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS sim_cc
+       |  FROM pool a JOIN pool b ON b.query_id = a.query_id AND b.neighbor_id <> a.neighbor_id
+       |  JOIN e ea ON ea.vec_id = a.neighbor_id
+       |  JOIN e eb ON eb.vec_id = b.neighbor_id),
+       |sel1 AS (SELECT query_id, neighbor_id, 1 AS pick_order, score FROM (
+       |    SELECT query_id, neighbor_id, $lam * cos AS score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY $lam * cos DESC, neighbor_id ASC) AS rk
+       |    FROM pool) WHERE rk = 1),
+       |$rounds
+       |SELECT query_id, pick_order, neighbor_id, round(score, 6) AS mmr_score
+       |FROM (${(1 to k).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
+       |ORDER BY query_id, pick_order""".stripMargin
+  }
+
   def oracles = Map(
     "q_hybrid_search" -> hybridOracleSql,
     "q_knn_sq8" -> sq8OracleSql,
     "q_knn_exact_agg" -> knnOracleSql,
+    "q_knn_mmr" -> mmrOracleSql,
     "q_knn_exact" -> knnOracleSql,
     "q_knn_lsh" -> lshOracleSql,
     "q_knn_lsh_probe" -> lshProbeOracleSql,

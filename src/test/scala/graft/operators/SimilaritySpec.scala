@@ -111,6 +111,44 @@ class SimilaritySpec extends SparkSpec {
     assert(SimilarityIvf.probeFor(expectedK) == expectedK / 8)
   }
 
+  test("MMR re-rank: first pick is the top-1, no repeats, picks stay in the pool") {
+    val dir = sf("sf0.001")
+    val mmr = Similarity.mmrRerank(spark, dir)
+      .select("query_id", "pick_order", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.values.forall(_.map(_._2).sorted.toSeq == (1 to 5)), "pick orders dense")
+    // per query: pick 1 = relevance argmax (= exact top-1), all picks distinct
+    val top1 = exact.filter(_._4 == 1).map(r => r._1 -> r._2).toMap
+    byQ.foreach { case (q, picks) =>
+      assert(picks.find(_._2 == 1).get._3 === top1(q), s"query $q pick-1")
+      assert(picks.map(_._3).distinct.length === picks.length, s"query $q repeats")
+    }
+    // pool containment: every pick within the exact top-20
+    val pool = Similarity.knnExact(spark, dir, 10, Similarity.MmrPoolN)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(mmr.forall(r => pool((r._1, r._3))), "pick outside the candidate pool")
+  }
+
+  test("MMR diversification: a planted near-copy pair cannot BOTH sit in the top picks") {
+    // query 1's pool contains vec 21 (cos ~ 1 near-copy of the query
+    // itself): after 21 is picked, any candidate nearly identical to
+    // it pays ~0.3 penalty — verify the penalty actually moves picks
+    // vs the plain similarity ranking
+    val plain = Similarity.knnExact(spark, plantedDir, 10, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mmr = Similarity.mmrRerank(spark, plantedDir)
+      .select("query_id", "pick_order", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(mmr.keySet === plain.keySet)
+    // at least one query's diversified set must differ from the plain
+    // top-5 (the penalty re-ordered something on this geometry)
+    assert(mmr.exists { case (q, s) => s != plain(q) },
+      "MMR never diverged from the plain ranking — penalty inert")
+  }
+
   test("tuned probe budget reaches the 0.8 recall target on NATURAL queries") {
     val dir = sf("sf0.001")
     // natural serving queries (vec_id < 10), not planted duplicates —
