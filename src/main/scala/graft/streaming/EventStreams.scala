@@ -38,6 +38,16 @@ case class FunnelBufState(fin: FunnelState, buf: Seq[FunnelBufEvent],
   * stream length (see ewmaStateful). */
 case class EwmaState(vals: Seq[Double], lastTsMs: Long, lastId: Long)
 
+/** One buffered EWMA event awaiting watermark finalization. */
+case class EwmaBufEvent(tsMs: Long, id: Long, value: Double)
+
+/** Out-of-order-tolerant EWMA state — the funnel discipline applied
+  * to the trailing window: the FINALIZED window (≤ watermark, ordered
+  * fold), the in-horizon buffer, and the last emitted feature row
+  * (change detection). */
+case class EwmaBufState(fin: EwmaState, buf: Seq[EwmaBufEvent],
+                        emitted: Option[UserEwma])
+
 /** Smoothed-activity feature row: the user's EWMA at their latest
   * event — the streaming twin of Events.ewmaLatest's output. */
 case class UserEwma(user_id: Long, last_ts: Timestamp, n_window: Int,
@@ -378,10 +388,18 @@ object EventStreams {
     * (decimal addition is order-proof), divided once as doubles, and
     * half-up rounded at 6 dp like Spark's `round`. The weight table is
     * the same [[graft.operators.Events.EwmaWeights]] literal list.
-    * In-order delivery per user is assumed, as documented for
-    * [[funnelStateful]]; within a micro-batch rows sort by
-    * (ts, event_id). */
-  def ewmaStateful(events: Dataset[Event]): Dataset[UserEwma] = {
+    *
+    * OUT-OF-ORDER TOLERANT within the watermark, the
+    * [[funnelStateful]] discipline: sub-watermark events finalize
+    * into the trailing window in (ts, event_id) order, in-horizon
+    * events buffer, and the emitted feature is the provisional fold
+    * of both — a delayed reading slots into its TRUE position, so
+    * the served window equals the batch query's, not arrival
+    * order's. An event-time timer flushes the buffer; stragglers
+    * past the horizon follow the droppable-late contract (size the
+    * horizon to the source's real disorder). */
+  def ewmaStateful(events: Dataset[Event],
+                   watermark: String = "2 hours"): Dataset[UserEwma] = {
     import events.sparkSession.implicits._
     val weights = graft.operators.Events.EwmaWeights
     val cap = weights.size
@@ -406,21 +424,31 @@ object EventStreams {
         java.math.BigDecimal.valueOf(q).setScale(6, half).doubleValue())
     }
 
+    def fold(s: EwmaState, e: EwmaBufEvent): EwmaState =
+      EwmaState((s.vals :+ e.value).takeRight(cap), e.tsMs, e.id)
+
     def update(uid: Long, it: Iterator[Event],
-               state: GroupState[EwmaState]): Iterator[UserEwma] = {
-      val st0 = state.getOption.getOrElse(EwmaState(Vector.empty, 0L, 0L))
-      val st = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        .foldLeft(st0) { (s, e) =>
-          EwmaState((s.vals :+ e.value).takeRight(cap), e.ts.getTime, e.event_id)
-        }
-      if (st != st0) {
-        state.update(st)
-        Iterator.single(ewmaOf(st).copy(user_id = uid))
-      } else Iterator.empty
+               state: GroupState[EwmaBufState]): Iterator[UserEwma] = {
+      val st0 = state.getOption.getOrElse(
+        EwmaBufState(EwmaState(Vector.empty, 0L, 0L), Nil, None))
+      val wm = state.getCurrentWatermarkMs()
+      val sorted =
+        (st0.buf ++ it.map(e => EwmaBufEvent(e.ts.getTime, e.event_id, e.value)))
+          .sortBy(b => (b.tsMs, b.id))
+      val (ripe, rest) = sorted.partition(_.tsMs <= wm)
+      val fin = ripe.foldLeft(st0.fin)(fold)
+      val prov = rest.foldLeft(fin)(fold)
+      val out =
+        if (prov.vals.isEmpty) None
+        else Some(ewmaOf(prov).copy(user_id = uid))
+      state.update(EwmaBufState(fin, rest, out.orElse(st0.emitted)))
+      if (rest.nonEmpty) state.setTimeoutTimestamp(rest.head.tsMs)
+      if (out.isDefined && out != st0.emitted) out.iterator else Iterator.empty
     }
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[EwmaState, UserEwma](
-        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaBufState, UserEwma](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 }

@@ -337,6 +337,39 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stateful EWMA: a late mid-window value slots into event-time order (batch parity)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // u1's middle reading is DELAYED to batch 2: the trailing window
+    // must order [10, 20, 30] by event time, not [10, 30, 20] by
+    // arrival — the weighted average differs between the two
+    val batch1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, v = 10.0),
+      ev(3, "2024-01-01 10:10:00", 1, v = 30.0))
+    val batch2 = Seq(
+      ev(2, "2024-01-01 10:05:00", 1, v = 20.0)) // the straggler
+    val q = EventStreams.ewmaStateful(input.toDS())
+      .writeStream.format("memory").queryName("ewmaooo").outputMode("update").start()
+    withQuery(q) {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val last = spark.table("ewmaooo").as[UserEwma].collect()
+        .filter(_.user_id == 1L)
+        .maxBy(r => (r.last_ts.getTime, r.n_window))
+      val batchRow = graft.operators.Events
+        .ewmaLatestOf((batch1 ++ batch2).toDF()).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .find(_._1 == 1L).get
+      assert(last.last_ts === batchRow._2)
+      assert(last.n_window.toLong === batchRow._3)
+      assert(last.ewma === batchRow._4,
+        s"stream ewma ${last.ewma} != batch ${batchRow._4} — straggler not re-ordered")
+    }
+  }
+
   test("stateful EWMA: incremental trailing window equals the batch query exactly") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
