@@ -154,28 +154,44 @@ object Similarity {
     * the pool build is the already-verified exact kNN leg. */
   def mmrRerank(spark: SparkSession, dir: String,
                 nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val pool = knnExact(spark, dir, nQueries, MmrPoolN)
-      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    // the pool and its pair table are CHECKPOINTED before the greedy
+    // unroll: every round references both, and round i's plan embeds
+    // round i−1's — without the barrier the exact-kNN leg replans
+    // (and its heap-prune re-executes) once per reference, ~2^k
+    // subtrees by the last round (measured 9.5 s wall at 0.7 s CPU —
+    // pure scheduling, no compute). Tracked as stray session state so
+    // releaseIndexes reclaims the bounded tables.
+    val (pool, poolIds) = Dedup.trackedCheckpoint(
+      knnExact(spark, dir, nQueries, MmrPoolN)
+        .select(col("query_id"), col("neighbor_id"), col("cos")))
+    Dedup.trackStray(spark, poolIds)
     val e = embBase(spark, dir)
     val va = e.select(col("vec_id").as("neighbor_id"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))
     val vb = e.select(col("vec_id").as("other_id"),
       col("v").as("v_b"), col("nrm").as("nrm_b"))
-    val pairSims = pool.select(col("query_id"), col("neighbor_id"))
-      .join(pool.select(col("query_id"), col("neighbor_id").as("other_id")),
-        Seq("query_id"))
-      .filter(col("neighbor_id") =!= col("other_id"))
-      .join(va, Seq("neighbor_id")).join(vb, Seq("other_id"))
-      .select(col("query_id"), col("neighbor_id"), col("other_id"),
-        (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("sim_cc"))
+    val (pairSims, pairIds) = Dedup.trackedCheckpoint(
+      pool.select(col("query_id"), col("neighbor_id"))
+        .join(pool.select(col("query_id"), col("neighbor_id").as("other_id")),
+          Seq("query_id"))
+        .filter(col("neighbor_id") =!= col("other_id"))
+        .join(va, Seq("neighbor_id")).join(vb, Seq("other_id"))
+        .select(col("query_id"), col("neighbor_id"), col("other_id"),
+          (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("sim_cc")))
+    Dedup.trackStray(spark, pairIds)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    var result = pool
+    // each round's accumulated selection is checkpointed too (two
+    // references per round — the anti-join and the penalty — would
+    // otherwise double the result subtree every iteration); the
+    // superseded round's blocks are freed immediately, so one
+    // ≤ nQueries·k-row table survives the loop
+    var (result, resultIds) = Dedup.trackedCheckpoint(pool
       .withColumn("score", lit(MmrLambda) * col("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("query_id"), col("neighbor_id"),
-        lit(1).as("pick_order"), col("score"))
+        lit(1).as("pick_order"), col("score")))
     for (i <- 2 to k) {
       val selectedIds = result.select(col("query_id"), col("neighbor_id"))
       val penalty = pairSims
@@ -192,8 +208,12 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("query_id"), col("neighbor_id"),
           lit(i).as("pick_order"), col("score"))
-      result = result.unionByName(next)
+      val (acc, accIds) = Dedup.trackedCheckpoint(result.unionByName(next))
+      Dedup.unpersistIds(spark, resultIds)
+      result = acc
+      resultIds = accIds
     }
+    Dedup.trackStray(spark, resultIds)
     result
       .select(col("query_id"), col("pick_order"), col("neighbor_id"),
         round(col("score"), 6).as("mmr_score"))
