@@ -125,13 +125,36 @@ object Graph {
     * Requires the artifact to exist (an append cannot seed an index —
     * the appendIndexes contract); leaves the session primed on the
     * fresh artifact, with the derived graphEdgesBySrc layout dropped
-    * for on-demand rebuild. */
+    * for on-demand rebuild.
+    *
+    * Lease: EXCLUSIVE, not the appender-class shared lease — unlike
+    * appendIndexes (whose appenders write disjoint batch_id
+    * directories), this is a read-merge-REPLACE of the whole
+    * artifact: two concurrent appends would both read the same
+    * existing counts and the last writer would silently drop the
+    * other's batch. The replace itself goes through the
+    * compactIndexes tmp + double-rename swap, so a crash at any point
+    * leaves either the old artifact, the old artifact plus staging,
+    * or the new artifact — never an empty index directory. */
   def appendGraphEdges(spark: SparkSession, dir: String, indexDir: String,
                        orderPredicate: org.apache.spark.sql.Column): Unit =
-    IndexLease.withShared(spark, indexDir, "graph-edge-append") {
+    IndexLease.withExclusive(spark, indexDir, "graph-edge-append") {
       val path = s"$indexDir/graphEdgeFracs.parquet"
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // recover a crash BETWEEN the two swap renames below by putting
+      // the OLD generation back (not the staged new one — this RERUN
+      // is about to merge the same delta again, and restoring the
+      // post-append state would double-count the batch); a retry
+      // after a FULLY completed append still double-appends, the same
+      // single-successful-run contract as a bare appendIndexes —
+      // operational pipelines key their windows (ingestSinceWatermark)
+      locally {
+        val old0 = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.old.parquet")
+        if (!fs.exists(p) && fs.exists(old0)) {
+          require(fs.rename(old0, p), s"appendGraphEdges: recovery rename $old0 -> $p failed")
+        }
+      }
       require(fs.exists(p),
         s"appendGraphEdges: artifact graphEdgeFracs.parquet missing under $indexDir — " +
           "run writeIndexes first; an append cannot seed an index")
@@ -150,15 +173,23 @@ object Graph {
       val merged = existing.unionByName(delta)
         .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       val ow = merged.groupBy("src").agg(sum(col("w")).as("ow"))
-      // materialize BEFORE deleting the old generation (the merged plan
-      // reads it); then wholesale-replace, one fresh base directory
-      val (fresh, freshIds) = Dedup.trackedCheckpoint(
-        merged.join(ow, "src")
-          .select(col("src"), col("dst"), col("w"),
-            (col("w").cast("double") / col("ow").cast("double")).as("frac")))
-      fs.delete(p, true)
-      fresh.write.mode("overwrite").parquet(s"$path/batch_id=base")
-      Dedup.unpersistIds(spark, freshIds)
+      // the new generation is STAGED next to the artifact and swapped
+      // in with two renames (the compactIndexes discipline): the plan
+      // reads the old files while writing the staging copy, and a
+      // crash at any point leaves a recoverable state — old artifact
+      // (crash before the swap), old + staging (rerun overwrites the
+      // staging), or new artifact — never a deleted index
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.append.parquet")
+      val old = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.old.parquet")
+      fs.delete(tmp, true)
+      fs.delete(old, true)
+      merged.join(ow, "src")
+        .select(col("src"), col("dst"), col("w"),
+          (col("w").cast("double") / col("ow").cast("double")).as("frac"))
+        .write.mode("overwrite").parquet(s"$tmp/batch_id=base")
+      require(fs.rename(p, old), s"appendGraphEdges: rename $p -> $old failed")
+      require(fs.rename(tmp, p), s"appendGraphEdges: rename $tmp -> $p failed")
+      fs.delete(old, true)
       // serve the fresh parquet; drop the derived by-src layout so the
       // next co-partitioned superstep rebuilds it from the new edges
       Dedup.memoDrop(spark, s"graphEdgeFracs|$dir")

@@ -885,9 +885,12 @@ object SimilarityIvf {
     * exact top-k, over queries in [loQ, hiQ) — the measurement leg of
     * the probe tuner. One bounded scalar per evaluation; all joins are
     * the serving joins (broadcast query side, equi-join on cell). */
-  private def meanRecallAt(spark: SparkSession, dir: String,
-                           cents: Seq[Seq[Double]], nprobe: Int,
-                           loQ: Long, hiQ: Long, k: Int): Double = {
+  /** Exact ground-truth top-k for the held-out tuning queries — built
+    * ONCE per ladder walk (it does not depend on nprobe) and passed
+    * into every rung's evaluation; re-deriving it per rung measured
+    * 4-8 redundant corpus-sized kNN jobs on the first tuned call. */
+  private def tuneGroundTruth(spark: SparkSession, dir: String,
+                              loQ: Long, hiQ: Long, k: Int): DataFrame = {
     val base = Similarity.embBase(spark, dir)
     val qpred = col("vec_id") >= loQ && col("vec_id") < hiQ
     val qv = base.filter(qpred)
@@ -896,11 +899,25 @@ object SimilarityIvf {
       col("v").as("v_c"), col("nrm").as("nrm_c"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    val exact = broadcast(qv).join(cv, col("query_id") =!= col("neighbor_id"))
+    broadcast(qv).join(cv, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("query_id", "neighbor_id")
+  }
+
+  private def meanRecallAt(spark: SparkSession, dir: String,
+                           cents: Seq[Seq[Double]], nprobe: Int,
+                           loQ: Long, hiQ: Long, k: Int,
+                           exact: DataFrame): Double = {
+    val base = Similarity.embBase(spark, dir)
+    val qpred = col("vec_id") >= loQ && col("vec_id") < hiQ
+    val qv = base.filter(qpred)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nrm").as("nrm_q"))
+    val cv = base.select(col("vec_id").as("neighbor_id"),
+      col("v").as("v_c"), col("nrm").as("nrm_c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
     val cells = ivfCells(spark, dir, cents, s"ivfCellsFit|$dir")
     val qcells = base.filter(qpred)
       .select(col("vec_id").as("query_id"),
@@ -942,9 +959,13 @@ object SimilarityIvf {
     val hi = lo + TuneHeldOut
     val ladder = Iterator.iterate(probeFor(kCells))(_ * 2)
       .takeWhile(_ < kCells).toSeq :+ kCells
-    val chosen = ladder.find(p =>
-      meanRecallAt(spark, dir, cents, p, lo, hi, k) >= RecallTarget)
-      .getOrElse(kCells)
+    val (truth, truthIds) = Dedup.trackedCheckpoint(
+      tuneGroundTruth(spark, dir, lo, hi, k))
+    val chosen =
+      try ladder.find(p =>
+        meanRecallAt(spark, dir, cents, p, lo, hi, k, truth) >= RecallTarget)
+        .getOrElse(kCells)
+      finally Dedup.unpersistIds(spark, truthIds)
     probeTuneCache.put(key, chosen)
     chosen
   }

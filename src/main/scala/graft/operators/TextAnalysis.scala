@@ -266,13 +266,19 @@ object TextAnalysis {
       val stop = enStop
       def good(c: Column): Column =
         length(c) >= TextRankMinLen && !c.isInCollection(stop)
+      // single-token documents are dropped BEFORE the pair explode
+      // (the pmiCollocations guard): under ANSI mode element_at past
+      // the array end THROWS rather than returning the NULL a
+      // post-explode filter could catch, and greatest(size-1, 1)
+      // would generate exactly that dereference for a 1-token doc
       val pairs = Curation.docToks(spark, dir)
+        .filter(size(col("toks")) >= 2)
         .select(explode(transform(
-          sequence(lit(1), greatest(size(col("toks")) - 1, lit(1))),
+          sequence(lit(1), size(col("toks")) - 1),
           i => struct(element_at(col("toks"), i).as("a"),
             element_at(col("toks"), i + 1).as("b")))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
-        .filter(col("b").isNotNull && col("a") =!= col("b") &&
+        .filter(col("a") =!= col("b") &&
           good(col("a")) && good(col("b")))
       val eb = pairs
         .groupBy(least(col("a"), col("b")).as("u"),

@@ -121,6 +121,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("srcBad") === ((2L, 1L, 0.5)))
   }
 
+  test("TextRank keywords: single-token and empty documents are skipped, not an ANSI crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trank1").toString
+    Seq((1L, "solo"), (2L, ""), (3L, "alpha beta alpha beta gamma"))
+      .map { case (id, t) => (id, t, "en", "srcT", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // under ANSI mode an unguarded element_at(toks, 2) on the 1-token
+    // docs would throw INVALID_ARRAY_INDEX before any filter ran
+    val out = TextAnalysis.textrankKeywords(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSet === Set("alpha", "beta", "gamma"))
+  }
+
   test("TextRank keywords: hub word outranks satellites; stopwords/short words excluded") {
     // 'engine' co-occurs with every content word (hub of the word
     // graph); 'the' and 2-char tokens must never appear
