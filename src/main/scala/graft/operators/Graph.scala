@@ -137,65 +137,85 @@ object Graph {
     * leaves either the old artifact, the old artifact plus staging,
     * or the new artifact — never an empty index directory. */
   def appendGraphEdges(spark: SparkSession, dir: String, indexDir: String,
-                       orderPredicate: org.apache.spark.sql.Column): Unit =
+                       orderPredicate: org.apache.spark.sql.Column,
+                       batchId: Option[String] = None): Unit =
     IndexLease.withExclusive(spark, indexDir, "graph-edge-append") {
+      batchId.foreach(id => require(id.matches("[A-Za-z0-9._-]+"),
+        s"appendGraphEdges: batchId '$id' must be a [A-Za-z0-9._-]+ marker name"))
       val path = s"$indexDir/graphEdgeFracs.parquet"
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // recover a crash BETWEEN the two swap renames below by putting
-      // the OLD generation back (not the staged new one — this RERUN
-      // is about to merge the same delta again, and restoring the
-      // post-append state would double-count the batch); a retry
-      // after a FULLY completed append still double-appends, the same
-      // single-successful-run contract as a bare appendIndexes —
-      // operational pipelines key their windows (ingestSinceWatermark)
-      locally {
-        val old0 = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.old.parquet")
-        if (!fs.exists(p) && fs.exists(old0)) {
-          require(fs.rename(old0, p), s"appendGraphEdges: recovery rename $old0 -> $p failed")
+      // batch marker (the exactlyOnceBatch discipline adapted to a
+      // merge-replace that cannot be directory-idempotent): an EMPTY
+      // marker publishes by direct create AFTER the swap completes,
+      // so a retried batch id is a no-op instead of double-counting
+      // the delta — a crash anywhere before the marker leaves no
+      // marker and the rerun re-applies against the recovered
+      // PRE-append generation (exactly-once in effect)
+      val marker = batchId.map(id =>
+        new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.applied/batch-$id"))
+      if (!marker.exists(fs.exists(_))) {
+        // recover a crash BETWEEN the two swap renames below by putting
+        // the OLD generation back (not the staged new one — this RERUN
+        // is about to merge the same delta again, and restoring the
+        // post-append state would double-count the batch); a BARE retry
+        // after a FULLY completed append double-appends (the
+        // single-successful-run contract of a bare appendIndexes) —
+        // pass a batchId for the marker-gated exactly-once upgrade
+        // above, or key windows via ingestSinceWatermark
+        locally {
+          val old0 = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.old.parquet")
+          if (!fs.exists(p) && fs.exists(old0)) {
+            require(fs.rename(old0, p), s"appendGraphEdges: recovery rename $old0 -> $p failed")
+          }
         }
-      }
-      require(fs.exists(p),
-        s"appendGraphEdges: artifact graphEdgeFracs.parquet missing under $indexDir — " +
-          "run writeIndexes first; an append cannot seed an index")
-      // existing counts come from the persisted artifact (NOT the memo:
-      // a session-built entry could be newer or older than the file —
-      // the file is the maintained truth the append extends)
-      val existing = spark.read.parquet(path).select("src", "dst", "w")
-      val eb = Tables.orders(spark, dir).filter(orderPredicate)
-        .join(Tables.lineitem(spark, dir),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("a"),
-          (col("l_suppkey") * 2 + 1).as("b"))
-        .agg(count(lit(1)).as("w"))
-      val delta = eb.select(col("a").as("src"), col("b").as("dst"), col("w"))
-        .unionByName(eb.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      val merged = existing.unionByName(delta)
-        .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      val ow = merged.groupBy("src").agg(sum(col("w")).as("ow"))
-      // the new generation is STAGED next to the artifact and swapped
-      // in with two renames (the compactIndexes discipline): the plan
-      // reads the old files while writing the staging copy, and a
-      // crash at any point leaves a recoverable state — old artifact
-      // (crash before the swap), old + staging (rerun overwrites the
-      // staging), or new artifact — never a deleted index
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.append.parquet")
-      val old = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.old.parquet")
-      fs.delete(tmp, true)
-      fs.delete(old, true)
-      merged.join(ow, "src")
-        .select(col("src"), col("dst"), col("w"),
-          (col("w").cast("double") / col("ow").cast("double")).as("frac"))
-        .write.mode("overwrite").parquet(s"$tmp/batch_id=base")
-      require(fs.rename(p, old), s"appendGraphEdges: rename $p -> $old failed")
-      require(fs.rename(tmp, p), s"appendGraphEdges: rename $tmp -> $p failed")
-      fs.delete(old, true)
-      // serve the fresh parquet; drop the derived by-src layout so the
-      // next co-partitioned superstep rebuilds it from the new edges
-      Dedup.memoDrop(spark, s"graphEdgeFracs|$dir")
-      Dedup.memoDrop(spark, s"graphEdgesBySrc|$dir")
-      Dedup.memoPut(spark, s"graphEdgeFracs|$dir",
-        spark.read.parquet(path).drop("batch_id"))
+        require(fs.exists(p),
+          s"appendGraphEdges: artifact graphEdgeFracs.parquet missing under $indexDir — " +
+            "run writeIndexes first; an append cannot seed an index")
+        // existing counts come from the persisted artifact (NOT the memo:
+        // a session-built entry could be newer or older than the file —
+        // the file is the maintained truth the append extends)
+        val existing = spark.read.parquet(path).select("src", "dst", "w")
+        val eb = Tables.orders(spark, dir).filter(orderPredicate)
+          .join(Tables.lineitem(spark, dir),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .agg(count(lit(1)).as("w"))
+        val delta = eb.select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .unionByName(eb.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        val merged = existing.unionByName(delta)
+          .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+        val ow = merged.groupBy("src").agg(sum(col("w")).as("ow"))
+        // the new generation is STAGED next to the artifact and swapped
+        // in with two renames (the compactIndexes discipline): the plan
+        // reads the old files while writing the staging copy, and a
+        // crash at any point leaves a recoverable state — old artifact
+        // (crash before the swap), old + staging (rerun overwrites the
+        // staging), or new artifact — never a deleted index
+        val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.append.parquet")
+        val old = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.old.parquet")
+        fs.delete(tmp, true)
+        fs.delete(old, true)
+        merged.join(ow, "src")
+          .select(col("src"), col("dst"), col("w"),
+            (col("w").cast("double") / col("ow").cast("double")).as("frac"))
+          .write.mode("overwrite").parquet(s"$tmp/batch_id=base")
+        require(fs.rename(p, old), s"appendGraphEdges: rename $p -> $old failed")
+        require(fs.rename(tmp, p), s"appendGraphEdges: rename $tmp -> $p failed")
+        fs.delete(old, true)
+        marker.foreach { m =>
+          fs.mkdirs(m.getParent)
+          val out = fs.create(m, true)
+          try out.write(Array.emptyByteArray) finally out.close()
+        }
+        // serve the fresh parquet; drop the derived by-src layout so the
+        // next co-partitioned superstep rebuilds it from the new edges
+        Dedup.memoDrop(spark, s"graphEdgeFracs|$dir")
+        Dedup.memoDrop(spark, s"graphEdgesBySrc|$dir")
+        Dedup.memoPut(spark, s"graphEdgeFracs|$dir",
+          spark.read.parquet(path).drop("batch_id"))
+      } // not-already-applied
     }
 
   /** Parity-encoded id → display label ('c<key>' / 's<key>'). */

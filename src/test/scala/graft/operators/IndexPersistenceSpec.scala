@@ -282,6 +282,33 @@ class IndexPersistenceSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
   }
 
+  test("appendGraphEdges with a batchId is exactly-once: the retried batch is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val d = java.nio.file.Files.createTempDirectory("graft-graph-b").toString
+    Seq((10L, 1L), (30L, 3L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((10L, 7L), (30L, 8L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-graph-b-idx").toString
+    Graph.edgeFracs(spark, d).filter(col("w") >= 0 && col("src") >= 0)
+      .write.mode("overwrite").parquet(s"$idx/graphEdgeFracs.parquet/batch_id=base")
+    def rows() = spark.read.parquet(s"$idx/graphEdgeFracs.parquet")
+      .drop("batch_id").collect().map(_.toSeq).toSet
+    Graph.appendGraphEdges(spark, d, idx, col("o_orderkey") >= 30L,
+      batchId = Some("b1"))
+    val afterOnce = rows()
+    // a bare re-run would double-count order 30's edge; the keyed
+    // retry must change NOTHING
+    Graph.appendGraphEdges(spark, d, idx, col("o_orderkey") >= 30L,
+      batchId = Some("b1"))
+    assert(rows() === afterOnce, "retried keyed batch re-applied")
+    // a NEW batch id applies normally
+    Graph.appendGraphEdges(spark, d, idx, col("o_orderkey") >= 30L,
+      batchId = Some("b2"))
+    assert(rows() !== afterOnce, "fresh batch id must apply")
+    Dedup.releaseIndexes(spark)
+  }
+
   test("appendGraphEdges onto a never-written artifact fails fast") {
     import org.apache.spark.sql.functions.col
     val idx = java.nio.file.Files.createTempDirectory("graft-graph-idx0").toString
