@@ -365,7 +365,18 @@ object Dedup {
         import scala.jdk.CollectionConverters._
         val tasks = chains.map { chain =>
           new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = chain.foreach(writeOne)
+            def call(): Unit = {
+              // pool hint for FAIR-scheduled sessions: the shingle→pair
+              // chain is the build's critical path (every other chain
+              // finishes inside its shadow), so a session running the
+              // FAIR scheduler with a weighted "critical" pool keeps it
+              // from being starved by sibling chains' task bursts; under
+              // the default FIFO scheduler the property is inert
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+                if (chain.headOption.contains("docShingles")) "critical" else "bulk")
+              try chain.foreach(writeOne)
+              finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            }
           }
         }
         // invokeAll waits for all; surface the first failure (the
