@@ -149,25 +149,40 @@ object Graph {
       // merge-replace that cannot be directory-idempotent): an EMPTY
       // marker publishes by direct create AFTER the swap completes,
       // so a retried batch id is a no-op instead of double-counting
-      // the delta — a crash anywhere before the marker leaves no
-      // marker and the rerun re-applies against the recovered
-      // PRE-append generation (exactly-once in effect)
+      // the delta. For KEYED runs the rolled-out generation is kept —
+      // under a batch-NAMED directory, so it can never be mistaken
+      // for another batch's — until the marker is published: a crash
+      // anywhere before the marker (mid-swap, or post-swap
+      // pre-publish) then rolls back to the PRE-append generation on
+      // retry and re-applies once — exactly-once in effect. Only the
+      // marker write finalizes; the old generation is reaped on the
+      // next run that sees its marker present.
       val marker = batchId.map(id =>
         new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.applied/batch-$id"))
-      if (!marker.exists(fs.exists(_))) {
-        // recover a crash BETWEEN the two swap renames below by putting
-        // the OLD generation back (not the staged new one — this RERUN
-        // is about to merge the same delta again, and restoring the
-        // post-append state would double-count the batch); a BARE retry
-        // after a FULLY completed append double-appends (the
-        // single-successful-run contract of a bare appendIndexes) —
-        // pass a batchId for the marker-gated exactly-once upgrade
-        // above, or key windows via ingestSinceWatermark
-        locally {
-          val old0 = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.old.parquet")
-          if (!fs.exists(p) && fs.exists(old0)) {
-            require(fs.rename(old0, p), s"appendGraphEdges: recovery rename $old0 -> $p failed")
-          }
+      val oldDir = batchId match {
+        case Some(id) =>
+          new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.old.$id.parquet")
+        case None =>
+          new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.old.parquet")
+      }
+      if (marker.exists(fs.exists(_))) {
+        // completed batch: reap the rollback copy its crash window
+        // may have left, then no-op
+        fs.delete(oldDir, true)
+      } else {
+        // recover any crash BEFORE this batch's marker was published
+        // by putting the OLD generation back (not the staged new one —
+        // this RERUN is about to merge the same delta again, and
+        // keeping the post-append state would double-count the batch).
+        // The batch-named rollback dir makes this unambiguous: its
+        // presence + a missing marker = THIS batch did not finalize.
+        // A BARE (un-keyed) retry after a fully completed append still
+        // double-appends — the single-successful-run contract of a
+        // bare appendIndexes; key the batch for exactly-once.
+        if (fs.exists(oldDir)) {
+          fs.delete(p, true) // post-swap partial state, marker never published
+          require(fs.rename(oldDir, p),
+            s"appendGraphEdges: recovery rename $oldDir -> $p failed")
         }
         require(fs.exists(p),
           s"appendGraphEdges: artifact graphEdgeFracs.parquet missing under $indexDir — " +
@@ -194,20 +209,24 @@ object Graph {
         // (crash before the swap), old + staging (rerun overwrites the
         // staging), or new artifact — never a deleted index
         val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.append.parquet")
-        val old = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.old.parquet")
         fs.delete(tmp, true)
-        fs.delete(old, true)
         merged.join(ow, "src")
           .select(col("src"), col("dst"), col("w"),
             (col("w").cast("double") / col("ow").cast("double")).as("frac"))
           .write.mode("overwrite").parquet(s"$tmp/batch_id=base")
-        require(fs.rename(p, old), s"appendGraphEdges: rename $p -> $old failed")
+        require(fs.rename(p, oldDir), s"appendGraphEdges: rename $p -> $oldDir failed")
         require(fs.rename(tmp, p), s"appendGraphEdges: rename $tmp -> $p failed")
-        fs.delete(old, true)
-        marker.foreach { m =>
-          fs.mkdirs(m.getParent)
-          val out = fs.create(m, true)
-          try out.write(Array.emptyByteArray) finally out.close()
+        marker match {
+          case Some(m) =>
+            // publish FIRST, then reap the rollback copy: the ordering
+            // is what closes the post-swap crash window (marker absent
+            // on retry ⇒ rollback copy still there ⇒ roll back)
+            fs.mkdirs(m.getParent)
+            val out = fs.create(m, true)
+            try out.write(Array.emptyByteArray) finally out.close()
+            fs.delete(oldDir, true)
+          case None =>
+            fs.delete(oldDir, true)
         }
         // serve the fresh parquet; drop the derived by-src layout so the
         // next co-partitioned superstep rebuilds it from the new edges

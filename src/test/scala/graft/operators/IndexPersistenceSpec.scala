@@ -309,6 +309,48 @@ class IndexPersistenceSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
   }
 
+  test("appendGraphEdges keyed: a crash AFTER the swap but BEFORE the marker still lands exactly once") {
+    import org.apache.spark.sql.functions.col
+    val d = java.nio.file.Files.createTempDirectory("graft-graph-pm").toString
+    Seq((10L, 1L), (30L, 3L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((10L, 7L), (30L, 8L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-graph-pm-idx").toString
+    Graph.edgeFracs(spark, d).write.mode("overwrite")
+      .parquet(s"$idx/graphEdgeFracs.parquet/batch_id=base")
+    def rows() = spark.read.parquet(s"$idx/graphEdgeFracs.parquet")
+      .drop("batch_id").collect().map(_.toSeq).toSet
+    val base = rows()
+    Graph.appendGraphEdges(spark, d, idx, col("o_orderkey") >= 30L,
+      batchId = Some("bx"))
+    val applied = rows()
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the post-swap pre-marker crash of a SECOND attempt of
+    // the SAME batch: artifact post-append, the batch-named rollback
+    // copy holding the PRE-append generation, marker never published
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idx/.graphEdgeFracs.applied/batch-bx"), true)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        base.toSeq.map(r => org.apache.spark.sql.Row.fromSeq(r))),
+      spark.read.parquet(s"$idx/graphEdgeFracs.parquet").drop("batch_id").schema)
+      .write.mode("overwrite")
+      .parquet(s"$idx/.graphEdgeFracs.old.bx.parquet/batch_id=base")
+    // the artifact itself stays post-append (the crashed attempt had
+    // completed its swap); retry must ROLL BACK and apply once
+    Graph.appendGraphEdges(spark, d, idx, col("o_orderkey") >= 30L,
+      batchId = Some("bx"))
+    assert(rows() === applied,
+      "post-swap pre-marker retry must land the batch exactly once")
+    // and the marker now exists, so a further retry is a no-op
+    Graph.appendGraphEdges(spark, d, idx, col("o_orderkey") >= 30L,
+      batchId = Some("bx"))
+    assert(rows() === applied)
+    Dedup.releaseIndexes(spark)
+  }
+
   test("appendGraphEdges onto a never-written artifact fails fast") {
     import org.apache.spark.sql.functions.col
     val idx = java.nio.file.Files.createTempDirectory("graft-graph-idx0").toString
