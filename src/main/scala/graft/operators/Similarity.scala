@@ -153,7 +153,9 @@ object Similarity {
     * pool build is per-query O(poolN²) — independent of corpus size;
     * the pool build is the already-verified exact kNN leg. */
   def mmrRerank(spark: SparkSession, dir: String,
-                nQueries: Int = 10, k: Int = 5): DataFrame = {
+                nQueries: Int = 10, k: Int = 5,
+                lambdaRel: Double = MmrLambda,
+                penalty: Double = MmrPenalty): DataFrame = {
     // the pool and its pair table are CHECKPOINTED before the greedy
     // unroll: every round references both, and round i's plan embeds
     // round i−1's — without the barrier the exact-kNN leg replans
@@ -187,23 +189,23 @@ object Similarity {
     // superseded round's blocks are freed immediately, so one
     // ≤ nQueries·k-row table survives the loop
     var (result, resultIds) = Dedup.trackedCheckpoint(pool
-      .withColumn("score", lit(MmrLambda) * col("cos"))
+      .withColumn("score", lit(lambdaRel) * col("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("query_id"), col("neighbor_id"),
         lit(1).as("pick_order"), col("score")))
     for (i <- 2 to k) {
       val selectedIds = result.select(col("query_id"), col("neighbor_id"))
-      val penalty = pairSims
+      val penaltyDf = pairSims
         .join(selectedIds.select(col("query_id"),
           col("neighbor_id").as("other_id")), Seq("query_id", "other_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(max(col("sim_cc")).as("max_cc"))
       val next = pool
         .join(selectedIds, Seq("query_id", "neighbor_id"), "left_anti")
-        .join(penalty, Seq("query_id", "neighbor_id"), "left")
-        .withColumn("score", lit(MmrLambda) * col("cos") -
-          lit(MmrPenalty) * coalesce(col("max_cc"), lit(0.0)))
+        .join(penaltyDf, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("score", lit(lambdaRel) * col("cos") -
+          lit(penalty) * coalesce(col("max_cc"), lit(0.0)))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("query_id"), col("neighbor_id"),

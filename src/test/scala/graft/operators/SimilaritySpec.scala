@@ -130,6 +130,19 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr.forall(r => pool((r._1, r._3))), "pick outside the candidate pool")
   }
 
+  test("MMR degeneracy: relevance-only weights reproduce the plain exact top-k order") {
+    // λ=1, penalty=0 removes the diversity term entirely — the greedy
+    // argmax then IS the similarity ranking, pick for pick, which
+    // pins the selection machinery against the hash-verified kNN leg
+    val mmr = Similarity.mmrRerank(spark, sf("sf0.001"),
+        lambdaRel = 1.0, penalty = 0.0)
+      .select("query_id", "pick_order", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val plain = exact.map(r => (r._1, r._4) -> r._2).toMap
+    assert(mmr === plain, "relevance-only MMR diverged from the exact ranking")
+  }
+
   test("MMR diversification: a planted near-copy pair cannot BOTH sit in the top picks") {
     // query 1's pool contains vec 21 (cos ~ 1 near-copy of the query
     // itself): after 21 is picked, any candidate nearly identical to
