@@ -265,6 +265,38 @@ object Curation {
       .orderBy("lang", "rk")
   }
 
+  /** Temperature-scaled sampling weights (τ = 2 ⇔ exponent α = 1/2 —
+    * the standard multilingual pretraining re-balance, mBERT/XLM-R
+    * style): per language, the raw corpus share and the
+    * temperature-flattened share w_i = √n_i / Σ_j √n_j, plus the doc
+    * quota the flattened share implies at the current corpus size.
+    * Flattening up-weights tail languages without the hard pivot of
+    * the fixed MixTargets table — the OTHER standard mixer, so the
+    * family now covers both specification styles.
+    *
+    * Cross-engine determinism: √n is one correctly-rounded IEEE op on
+    * an integer count (both engines agree bitwise), but Σ_j √n_j as a
+    * plain double sum would depend on reduction order — so each √n
+    * rounds to 9 dp and sums as DECIMAL (order-proof), and the shares
+    * are single double divisions of those exact decimals. One tiny
+    * aggregation (|langs| rows) + a 1-row broadcast total. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("srt", round(sqrt(col("n_docs").cast("double")), 9)
+        .cast("decimal(38,9)"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("srt")).as("srt_total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("raw_share"),
+        round(col("srt").cast("double") / col("srt_total").cast("double"), 6)
+          .as("temp_share"),
+        floor(col("srt").cast("double") / col("srt_total").cast("double") *
+          col("n_total").cast("double")).cast("long").as("n_keep"))
+      .orderBy("lang")
+  }
+
   /** corpusMix in REAL training units: rebalance the language mix by
     * TOKEN proportions instead of document counts — what a data-mix
     * spec actually means ("40 % English tokens"), since document
@@ -888,6 +920,7 @@ object CurationModule extends QueryModule {
     "q_dup_spans_apply" -> ((s: SparkSession, d: String) => dupSpansApply(s, d)),
     "q_dup_spans_keep" -> ((s: SparkSession, d: String) => dupSpansKeep(s, d)),
     "q_corpus_mix" -> ((s: SparkSession, d: String) => corpusMix(s, d)),
+    "q_corpus_mix_temp" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "q_corpus_mix_tokens" -> ((s: SparkSession, d: String) => corpusMixTokens(s, d)),
     "q_profile_orders" -> ((s: SparkSession, d: String) => profileOrders(s, d)),
     "q_select_dsir" -> ((s: SparkSession, d: String) => dsirSelect(s, d)),
@@ -1010,6 +1043,17 @@ object CurationModule extends QueryModule {
         |  coalesce(clean_text, '') AS clean_text
         |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+    "q_corpus_mix_temp" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE)), 9) AS DECIMAL(38,9)) AS srt
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(n_docs) AS n_total, SUM(srt) AS srt_total FROM c)
+        |SELECT lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / n_total, 6) AS raw_share,
+        |  round(CAST(srt AS DOUBLE) / CAST(srt_total AS DOUBLE), 6) AS temp_share,
+        |  CAST(floor(CAST(srt AS DOUBLE) / CAST(srt_total AS DOUBLE)
+        |    * CAST(n_total AS DOUBLE)) AS BIGINT) AS n_keep
+        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
     "q_corpus_mix" ->
       """WITH counts AS (
         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),

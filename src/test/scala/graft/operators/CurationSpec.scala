@@ -354,4 +354,24 @@ class CurationSpec extends SparkSpec {
     // totals tie out
     assert(out.map(_.getLong(1)).sum === 40L)
   }
+
+  test("temperature mix flattens the language distribution without reordering it") {
+    val out = Curation.temperatureMix(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(out.length > 1)
+    // shares are distributions (up to 6-dp rounding)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-4)
+    // √-flattening COMPRESSES: the head language loses share, the tail
+    // gains, and the relative ORDER of languages never changes
+    val byN = out.sortBy(-_._2)
+    assert(byN.head._4 < byN.head._3, "head language must lose share")
+    assert(byN.last._4 > byN.last._3, "tail language must gain share")
+    val rawOrder = out.sortBy(-_._3).map(_._1).toSeq
+    val tmpOrder = out.sortBy(-_._4).map(_._1).toSeq
+    assert(rawOrder === tmpOrder, "flattening must be monotone in the raw share")
+    // quotas are feasible at the current corpus size
+    val total = out.map(_._2).sum
+    assert(out.map(_._5).sum <= total)
+  }
 }
