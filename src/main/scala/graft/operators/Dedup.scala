@@ -275,7 +275,11 @@ object Dedup {
     // PageRank run, so primed columnar serving matters most here;
     // re-derived wholesale by the index job, never appended (it
     // derives from the relational tables, not doc/embedding batches)
-    "graphEdgeFracs" -> ((s, d) => Graph.edgeFracs(s, d)))
+    "graphEdgeFracs" -> ((s, d) => Graph.edgeFracs(s, d)),
+    // the TextRank word co-occurrence graph — corpus-global aggregate
+    // over the tokenized corpus (the labelCentroids posture: appends
+    // re-derive it wholesale from the appended token artifact)
+    "wordGraph" -> ((s, d) => TextAnalysis.wordGraph(s, d)))
 
   /** Builder names that read the relational (orders/lineitem) tables —
     * skipped when the corpus directory has none (document-only spec
@@ -327,7 +331,7 @@ object Dedup {
     Seq("pqCodebooksFit", "pqCodes"),
     Seq("sq8Codes"),
     Seq("bpeMergesFit"),
-    Seq("curationToks"),
+    Seq("curationToks", "wordGraph"),
     Seq("curationBpeToks"),
     Seq("labelCentroids"),
     Seq("graphEdgeFracs"))
@@ -384,6 +388,8 @@ object Dedup {
         pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
       } finally pool.shutdown()
     }
+
+  private val wordGraphRederiveLock = new Object
 
   /** Drop (and unpersist) one memo entry — the targeted version of
     * releaseIndexes, for maintenance jobs that invalidate a single
@@ -578,6 +584,45 @@ object Dedup {
     // persisted pair table reflects the pre-append corpus.
     releaseIndexes(spark)
     primeIndexes(spark, dir, indexDir)
+    // the word co-occurrence graph is a corpus-global aggregate (pair
+    // counts AND per-word out-weight normalizers both move under a doc
+    // batch) — re-derive it wholesale from the just-primed token
+    // artifact, the labelCentroids discipline; ordering matters: this
+    // must run AFTER the re-prime so the derivation reads the appended
+    // parquet tokens, not the session's stale pre-append memo
+    val wg = new org.apache.hadoop.fs.Path(s"$indexDir/wordGraph.parquet")
+    val wgFs = wg.getFileSystem(hconf)
+    // serialize the re-derive across SHARED-lease appenders in this
+    // JVM (the swap's delete+rename window would otherwise race a
+    // sibling's schema-inferring read of the same artifact — caught by
+    // the concurrent-keyed-appends spec); cross-JVM appenders keep the
+    // one-batch-stale async-refresh contract all corpus-global
+    // artifacts carry
+    if (wgFs.exists(wg)) wordGraphRederiveLock.synchronized {
+      memoDrop(spark, s"wordGraph|$dir")
+      val rebuilt = TextAnalysis.wordGraph(spark, dir)
+      // stage under a per-attempt unique directory, then swap: the
+      // appender lease is SHARED, so two concurrent appends both reach
+      // this re-derive — writing the shared path directly was a
+      // filesystem race (caught by the concurrent-keyed-appends spec).
+      // Each attempt derives from the corpus + whatever batches have
+      // landed at its read, so the last swap to win is at worst one
+      // in-flight batch stale — the async-refresh staleness contract
+      // every corpus-global artifact here carries.
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$indexDir/.wordGraph.rederive.${java.util.UUID.randomUUID()}.parquet")
+      rebuilt.write.mode("overwrite").parquet(s"$stage/batch_id=base")
+      wgFs.delete(wg, true)
+      if (!wgFs.rename(stage, wg)) {
+        // lost the swap race to an equivalent concurrent re-derive
+        wgFs.delete(stage, true)
+        require(wgFs.exists(wg),
+          s"appendIndexes: wordGraph swap failed and no artifact present at $wg")
+      }
+      memoDrop(spark, s"wordGraph|$dir")
+      memoPut(spark, s"wordGraph|$dir",
+        spark.read.parquet(s"$indexDir/wordGraph.parquet").drop("batch_id"))
+    }
     if (rebuildPairs) rebuildPairTable(spark, dir, indexDir)
   }
 

@@ -254,15 +254,19 @@ object TextAnalysis {
   private[operators] val TextRankIters = 10
   private[operators] val TextRankTopK = 30
 
-  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
-    // the word graph is a MEMOIZED checkpoint (the edgeFracs
-    // discipline): the rank loop scans it once per superstep, and
-    // without the barrier each superstep would re-run the
-    // corpus-sized co-occurrence aggregation — measured 10× the
-    // engine work (5.8 s wall / 8.8 s CPU for what is a ~500-edge
-    // graph). releaseIndexes reclaims it with the rest of the
-    // session's index state.
-    val en = Dedup.memo(spark, s"wordGraph|$dir") {
+  /** The word co-occurrence graph (src, dst, frac) — memoized
+    * checkpoint in-session AND index artifact #21 ("wordGraph",
+    * written by `Dedup.writeIndexes`, served vectorized when primed):
+    * the rank loop scans it once per superstep, and without the
+    * barrier each superstep re-ran the corpus-sized co-occurrence
+    * aggregation — measured 10× the engine work (5.8 s wall / 8.8 s
+    * CPU for a ~500-edge graph). Like labelCentroids it is a
+    * corpus-global aggregate, so `appendIndexes` re-derives it
+    * wholesale from the appended token artifact (a doc batch changes
+    * pair counts AND the out-weight normalizers of every touched
+    * word). */
+  private[graft] def wordGraph(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(spark, s"wordGraph|$dir") {
       val stop = enStop
       def good(c: Column): Column =
         length(c) >= TextRankMinLen && !c.isInCollection(stop)
@@ -291,6 +295,9 @@ object TextAnalysis {
         .select(col("src"), col("dst"),
           (col("w").cast("double") / col("ow").cast("double")).as("frac")))
     }
+
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val en = wordGraph(spark, dir)
     Graph.rankLoopOver(spark, en, TextRankIters,
       n => lit(1.0) / n._2, n => lit(Graph.Teleport) / n._2,
       chkEvery = Graph.ChkEvery)

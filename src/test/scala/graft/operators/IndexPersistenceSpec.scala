@@ -33,7 +33,7 @@ class IndexPersistenceSpec extends SparkSpec {
     "minhashSigs", "minhashBands", "simhashTable", "embBase", "lshBuckets",
     "ivfCells", "ivfCentroidsFit", "ivfCellsFit", "pqCodebooksFit", "pqCodes",
     "bpeMergesFit", "curationToks", "curationBpeToks", "labelCentroids", "sq8Codes",
-    "clusterLabels")
+    "clusterLabels", "wordGraph")
 
   test("writeIndexes → releaseIndexes → primeIndexes serves identical results from parquet") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-idx").toString
