@@ -592,32 +592,64 @@ object Dedup {
     // parquet tokens, not the session's stale pre-append memo
     val wg = new org.apache.hadoop.fs.Path(s"$indexDir/wordGraph.parquet")
     val wgFs = wg.getFileSystem(hconf)
+    // Crash recovery BEFORE the maintained-artifact guard: a prior
+    // re-derive that died between parking the old generation and
+    // renaming the staged one in leaves no wordGraph.parquet — without
+    // this restore, the exists() guard below would silently stop
+    // maintaining the artifact forever (every later append skips it,
+    // no error). Any parked `.wordGraph.old.*` copy restores the
+    // pre-rederive generation; the re-derive below then rebuilds from
+    // the appended tokens, so nothing is stale after recovery.
+    if (!wgFs.exists(wg)) {
+      val parked = wgFs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$indexDir/.wordGraph.old.*.parquet"))
+      if (parked != null && parked.nonEmpty)
+        require(wgFs.rename(parked.head.getPath, wg),
+          s"appendIndexes: wordGraph recovery rename ${parked.head.getPath} -> $wg failed")
+    }
     // serialize the re-derive across SHARED-lease appenders in this
-    // JVM (the swap's delete+rename window would otherwise race a
-    // sibling's schema-inferring read of the same artifact — caught by
-    // the concurrent-keyed-appends spec); cross-JVM appenders keep the
+    // JVM (the swap window would otherwise race a sibling's
+    // schema-inferring read of the same artifact — caught by the
+    // concurrent-keyed-appends spec); cross-JVM appenders keep the
     // one-batch-stale async-refresh contract all corpus-global
     // artifacts carry
     if (wgFs.exists(wg)) wordGraphRederiveLock.synchronized {
       memoDrop(spark, s"wordGraph|$dir")
       val rebuilt = TextAnalysis.wordGraph(spark, dir)
-      // stage under a per-attempt unique directory, then swap: the
-      // appender lease is SHARED, so two concurrent appends both reach
-      // this re-derive — writing the shared path directly was a
-      // filesystem race (caught by the concurrent-keyed-appends spec).
-      // Each attempt derives from the corpus + whatever batches have
-      // landed at its read, so the last swap to win is at worst one
-      // in-flight batch stale — the async-refresh staleness contract
-      // every corpus-global artifact here carries.
+      // stage under a per-attempt unique directory, then swap via
+      // rename-ASIDE (park old → rename stage in → reap the parked
+      // copy): the artifact is present at every instant except the
+      // gap between the two renames, and a crash inside that gap is
+      // repaired by the restore above — the old delete-then-rename
+      // order lost the artifact permanently on a crash in its gap.
+      // The appender lease is SHARED, so two concurrent appends both
+      // reach this re-derive; per-attempt unique stage and aside names
+      // keep their files disjoint. Each attempt derives from the
+      // corpus + whatever batches have landed at its read, so the last
+      // swap to win is at worst one in-flight batch stale — the
+      // async-refresh staleness contract every corpus-global artifact
+      // here carries.
+      val attempt = java.util.UUID.randomUUID()
       val stage = new org.apache.hadoop.fs.Path(
-        s"$indexDir/.wordGraph.rederive.${java.util.UUID.randomUUID()}.parquet")
+        s"$indexDir/.wordGraph.rederive.$attempt.parquet")
+      val aside = new org.apache.hadoop.fs.Path(
+        s"$indexDir/.wordGraph.old.$attempt.parquet")
       rebuilt.write.mode("overwrite").parquet(s"$stage/batch_id=base")
-      wgFs.delete(wg, true)
-      if (!wgFs.rename(stage, wg)) {
-        // lost the swap race to an equivalent concurrent re-derive
+      if (!wgFs.rename(wg, aside)) {
+        // a cross-JVM sibling is mid-swap (wg momentarily parked on
+        // ITS aside); its equivalent re-derive will land — drop this
+        // attempt's staging rather than fight over the rename
         wgFs.delete(stage, true)
-        require(wgFs.exists(wg),
-          s"appendIndexes: wordGraph swap failed and no artifact present at $wg")
+      } else if (!wgFs.rename(stage, wg)) {
+        // swap-in lost to a concurrent equivalent re-derive (its stage
+        // won the name); restore the parked generation if nothing won
+        wgFs.delete(stage, true)
+        if (!wgFs.exists(wg))
+          require(wgFs.rename(aside, wg),
+            s"appendIndexes: wordGraph swap and restore both failed at $wg")
+        else wgFs.delete(aside, true)
+      } else {
+        wgFs.delete(aside, true)
       }
       memoDrop(spark, s"wordGraph|$dir")
       memoPut(spark, s"wordGraph|$dir",

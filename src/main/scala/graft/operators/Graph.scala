@@ -179,10 +179,26 @@ object Graph {
         // A BARE (un-keyed) retry after a fully completed append still
         // double-appends — the single-successful-run contract of a
         // bare appendIndexes; key the batch for exactly-once.
-        if (fs.exists(oldDir)) {
-          fs.delete(p, true) // post-swap partial state, marker never published
-          require(fs.rename(oldDir, p),
-            s"appendGraphEdges: recovery rename $oldDir -> $p failed")
+        if (fs.exists(oldDir)) batchId match {
+          case Some(_) =>
+            fs.delete(p, true) // post-swap partial state, marker never published
+            require(fs.rename(oldDir, p),
+              s"appendGraphEdges: recovery rename $oldDir -> $p failed")
+          case None =>
+            // UNKEYED: there is no marker, so "rollback dir present"
+            // cannot distinguish this-run-retry from a NEW batch after
+            // a crash that completed the swap but missed the reap.
+            // Renames are atomic, so the artifact's presence decides:
+            //  - artifact present → the prior swap COMPLETED (only the
+            //    rename(tmp → p) can have created it); the parked copy
+            //    is the superseded generation — reap it and append on
+            //    top of the completed state. Rolling back here (the old
+            //    behavior) silently discarded the prior append's delta
+            //    the moment any LATER unkeyed batch ran.
+            //  - artifact absent → genuine mid-swap crash; restore.
+            if (fs.exists(p)) fs.delete(oldDir, true)
+            else require(fs.rename(oldDir, p),
+              s"appendGraphEdges: recovery rename $oldDir -> $p failed")
         }
         require(fs.exists(p),
           s"appendGraphEdges: artifact graphEdgeFracs.parquet missing under $indexDir — " +
@@ -257,13 +273,15 @@ object Graph {
       n => lit(1.0) / n._2, n => lit(Teleport) / n._2)
 
   /** Personalized PageRank iterations (teleport mass concentrated on
-    * the source node) — converges geometrically from a unit mass, so
-    * fewer supersteps than the global walk suffice for a stable
-    * top-k: 4 supersteps return the same top-20 nodes in the same
-    * order as 6 (GraphSpec pins it — residual mass shifts only digits
-    * below the round(·, 6) the query reports), at two-thirds the
-    * superstep cost. */
-  private[operators] val PprIters = 4
+    * the source node). Round 12 served 4 on a toy-scale stability
+    * claim ("4 ranks like 6"); testing the claim at sf0.01 REFUTED it
+    * — the top-20 diverges, because damping^4 ≈ 0.52 of the unit mass
+    * is still circulating after 4 supersteps and a denser graph gives
+    * it room to reorder the tail. Back to 6, where the residual
+    * (damping^6 ≈ 0.38, and geometrically less per extra step) moves
+    * nothing at either pinned SF (GraphSpec pins 6 ≡ 8 at sf0.001 AND
+    * sf0.01); the oracle unrolls the same count. */
+  private[operators] val PprIters = 6
 
   /** PPR source: customer key 0 (parity-encoded node 0) — present at
     * every SF. */

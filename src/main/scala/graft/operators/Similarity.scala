@@ -938,7 +938,11 @@ object SimilarityIvf {
       .agg(count(lit(1)).as("n"), count(col("hit")).as("hits"))
       .collect()(0)
     val n = stats.getLong(0)
-    if (n == 0) 1.0 else stats.getLong(1).toDouble / n
+    // zero ground-truth rows = NO measurement — report 0 so a caller's
+    // recall-target search can never "pass" on an empty sample (1.0
+    // here made tunedProbe serve the minimal budget untested; the
+    // empty case is now short-circuited to probe-all upstream)
+    if (n == 0) 0.0 else stats.getLong(1).toDouble / n
   }
 
   /** Recall-targeted probe budget: the smallest nprobe on a doubling
@@ -964,10 +968,21 @@ object SimilarityIvf {
     val (truth, truthIds) = Dedup.trackedCheckpoint(
       tuneGroundTruth(spark, dir, lo, hi, k))
     val chosen =
-      try ladder.find(p =>
-        meanRecallAt(spark, dir, cents, p, lo, hi, k, truth) >= RecallTarget)
-        .getOrElse(kCells)
-      finally Dedup.unpersistIds(spark, truthIds)
+      try {
+        if (truth.isEmpty) {
+          // the held-out id range [lo, hi) yielded no ground-truth
+          // rows (tiny corpus, or ids that don't cover the range):
+          // there is nothing to tune AGAINST, so serve exhaustive
+          // probing — correct at any recall target — instead of
+          // letting an unmeasured minimal budget pass as "tuned"
+          System.err.println(
+            s"[tunedProbe] empty held-out sample for $dir ids [$lo,$hi) — " +
+              s"falling back to probe-all ($kCells cells)")
+          kCells
+        } else ladder.find(p =>
+          meanRecallAt(spark, dir, cents, p, lo, hi, k, truth) >= RecallTarget)
+          .getOrElse(kCells)
+      } finally Dedup.unpersistIds(spark, truthIds)
     probeTuneCache.put(key, chosen)
     chosen
   }

@@ -65,6 +65,37 @@ object ColumnBridge {
     val keyAttr = output.find(_.name == key).getOrElse(
       throw new IllegalArgumentException(
         s"checkpointDeclared: no column '$key' in ${output.map(_.name)}"))
+    // reshape=false means the CALLER asserts the executed child plan
+    // already laid rows out as HashPartitioning(key, numPartitions) —
+    // if an AQE or planner change ever breaks that assumption, every
+    // downstream exchange-free join returns silently wrong results.
+    // Guard: evaluate HashPartitioning's own partition-id expression
+    // (murmur3(key, seed 42) pmod n) on a few sampled rows per
+    // persisted partition and require it to match the partition the
+    // row actually landed in. The scan rides the just-persisted
+    // blocks (a handful of rows per partition), so the cost is one
+    // tiny narrow job per checkpoint; disable with
+    // spark.graft.verify.declaredPartitioning=false if even that
+    // matters in a hot loop.
+    if (!reshape && spark.conf
+          .get("spark.graft.verify.declaredPartitioning", "true").toBoolean) {
+      import org.apache.spark.sql.catalyst.expressions.{BindReferences, Murmur3Hash}
+      val check = BindReferences.bindReference(
+        new Murmur3Hash(Seq(keyAttr)): Expression, output)
+      val n = numPartitions
+      val bad = rdd.mapPartitionsWithIndex { (pid, it) =>
+        it.take(8).flatMap { row =>
+          val h = check.eval(row).asInstanceOf[Int]
+          val expected = ((h % n) + n) % n
+          if (expected != pid) Iterator((pid, expected)) else Iterator.empty
+        }
+      }.take(1)
+      require(bad.isEmpty,
+        s"checkpointDeclared(reshape=false): declared HashPartitioning('$key', $n) " +
+          s"does not match the executed layout — a sampled row in partition " +
+          s"${bad.head._1} hashes to partition ${bad.head._2}. The caller's " +
+          "exchange-free assumption is broken; use reshape=true or fix the child plan.")
+    }
     org.apache.spark.sql.classic.Dataset.ofRows(spark,
       LogicalRDD(output, rdd,
         HashPartitioning(Seq(keyAttr), numPartitions),
