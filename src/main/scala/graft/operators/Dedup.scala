@@ -76,9 +76,26 @@ object Dedup {
     * of byte buffers: same lineage-truncation semantics, ~zero GC
     * residency, a small per-access deserialization cost the index
     * access patterns (build once, scan a few times) never notice. */
-  private[graft] def checkpointSer(df: DataFrame): DataFrame =
-    df.localCheckpoint(true,
+  private[graft] def checkpointSer(df: DataFrame): DataFrame = {
+    // RELIABLE mode (spark.graft.checkpointDir set): a filesystem
+    // checkpoint instead of the session-resident localCheckpoint.
+    // localCheckpoint truncates lineage into executor-held blocks, so
+    // at cluster scale an executor loss mid-iteration KILLS the query
+    // (nothing to recompute from); the reliable variant writes the
+    // rows to the shared checkpoint dir and an executor loss re-reads
+    // files. The cost is one write + per-access reads against the
+    // checkpoint store — the fault-tolerance tradeoff a 1000-executor
+    // run takes and a local[32] bench doesn't. The caller owns the
+    // dir's lifecycle (set spark.cleaner.referenceTracking
+    // .cleanCheckpoints=true to reap with GC).
+    val ckDir = df.sparkSession.conf.get("spark.graft.checkpointDir", "")
+    if (ckDir.nonEmpty) {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(ckDir)
+      df.checkpoint(true)
+    } else df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
 
   /** Session-scoped cache of materialized signature/index tables —
     * the engine's equivalent of a database index: MinHash, Jaccard,
@@ -251,6 +268,12 @@ object Dedup {
     "ivfCells" -> ((s, d) => SimilarityIvf.ivfCells(s, d)),
     "ivfCentroidsFit" -> ((s, d) => SimilarityIvf.centroidTable(s, d)),
     "ivfCellsFit" -> ((s, d) => SimilarityIvf.ivfCellsFit(s, d)),
+    // the recall-tuned probe budget (k, nprobe) — the serving knob the
+    // ladder walk chose under ivfCentroidsFit; persisting it makes the
+    // tune train-once like the quantizer instead of per-session
+    "ivfProbeTuned" -> ((s, d) => SimilarityIvf.probeTunedTable(s, d)),
+    // the LSH twin: the recall-tuned Hamming probe radius (k, radius)
+    "lshProbeTuned" -> ((s, d) => Similarity.lshProbeTunedTable(s, d)),
     // PQ model (train-once, M·K rows) + per-vector code table — the
     // compressed-domain ANN pair (codes are 64× smaller than vectors)
     "pqCodebooksFit" -> ((s, d) => SimilarityPq.codebookTable(s, d)),
@@ -295,7 +318,8 @@ object Dedup {
     * corpus has no embeddings (`withEmbeddings = false`). */
   private val embeddingArtifacts =
     Set("embBase", "lshBuckets", "ivfCells", "ivfCentroidsFit", "ivfCellsFit",
-      "pqCodebooksFit", "pqCodes", "sq8Codes", "labelCentroids")
+      "ivfProbeTuned", "lshProbeTuned", "pqCodebooksFit", "pqCodes", "sq8Codes",
+      "labelCentroids")
 
   /** Materialize every index artifact for `dir` as parquet under
     * `indexDir` — the 100 TB posture made literal: the shingle /
@@ -327,7 +351,11 @@ object Dedup {
     Seq("minhashSigs", "minhashBands"),
     Seq("simhashTable"),
     Seq("embBase", "lshBuckets", "ivfCells"),
-    Seq("ivfCentroidsFit", "ivfCellsFit"),
+    Seq("ivfCentroidsFit", "ivfCellsFit", "ivfProbeTuned"),
+    // its ground-truth leg and bucket reads ride the memo (per-key
+    // locks make the cross-chain embBase/lshBuckets builds safe), so
+    // the tune walk runs as its own concurrent chain
+    Seq("lshProbeTuned"),
     Seq("pqCodebooksFit", "pqCodes"),
     Seq("sq8Codes"),
     Seq("bpeMergesFit"),
@@ -352,8 +380,19 @@ object Dedup {
         // a rebuild must not leave a previous generation's batch
         // directories behind the fresh base
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-        byName(name)(spark, dir).write.mode("overwrite")
-          .parquet(s"$indexDir/$name.parquet/batch_id=base")
+        // tag every job this builder submits (thread-local, inherited
+        // by the build + write jobs) so a listener can attribute task
+        // CPU per ARTIFACT — the concurrent chains make wall time
+        // useless for cost attribution, and a 3× build-CPU growth was
+        // unexplainable in round 12 for exactly that reason. Nested
+        // cross-chain memo builds (ivfCellsFit building embBase first)
+        // bill to whichever artifact's thread arrives first — disclosed
+        // semantics, same as the memo's ownership rule.
+        spark.sparkContext.setJobDescription(s"graft-index:$name")
+        try {
+          byName(name)(spark, dir).write.mode("overwrite")
+            .parquet(s"$indexDir/$name.parquet/batch_id=base")
+        } finally spark.sparkContext.setJobDescription(null)
         // operational visibility: which artifact the index job spends
         // its time on (scheduling input for the maintenance window)
         System.err.println(
@@ -378,7 +417,21 @@ object Dedup {
               // the default FIFO scheduler the property is inert
               spark.sparkContext.setLocalProperty("spark.scheduler.pool",
                 if (chain.headOption.contains("docShingles")) "critical" else "bulk")
-              try chain.foreach(writeOne)
+              try {
+                chain.foreach(writeOne)
+                // the bucketed by-src layout derives from the edge
+                // artifact just written in this chain; it is a TABLE
+                // (bucket metadata lives in the catalog), so the
+                // generic path-writer above cannot produce it
+                if (chain.contains("graphEdgeFracs")) {
+                  val t0 = System.nanoTime()
+                  spark.sparkContext.setJobDescription("graft-index:graphEdgesBySrc")
+                  try Graph.writeEdgesBySrc(spark, dir, indexDir)
+                  finally spark.sparkContext.setJobDescription(null)
+                  System.err.println(
+                    f"[writeIndexes] graphEdgesBySrc  ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+                }
+              }
               finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
             }
           }
@@ -521,7 +574,10 @@ object Dedup {
     append(Curation.docBpeToksOf(batch), "curationBpeToks")
     // bpeMergesFit is deliberately NOT appended or refit: the tokenizer
     // is train-once (refitting on ingest would re-tokenize the world —
-    // the IVF-quantizer posture); writeIndexes re-trains it.
+    // the IVF-quantizer posture); writeIndexes re-trains it. The same
+    // goes for ivfProbeTuned — the probe budget was tuned under the
+    // frozen quantizer, so it drifts exactly as far as the quantizer
+    // does and is re-derived with it by the next writeIndexes.
     unpersistIds(spark, batchIds)
     embPredicate.foreach { p =>
       val (base, baseIds) = trackedCheckpoint(
@@ -829,7 +885,11 @@ object Dedup {
     * parquet indexes (pushdown, column pruning, no block-manager
     * residency) instead of rebuilding. Missing artifacts are simply
     * skipped — the builder runs on first use as usual. */
-  def primeIndexes(spark: SparkSession, dir: String, indexDir: String): Unit =
+  def primeIndexes(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    // the bucketed by-src superstep layout (validity-checked against
+    // the current edge artifact generation; silently skipped when
+    // stale or bucket-count-mismatched — the session path rebuilds)
+    Graph.primeEdgesBySrc(spark, dir, indexDir)
     indexBuilders.foreach { case (name, _) =>
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -846,8 +906,13 @@ object Dedup {
         // same artifact-wins rule for the learned tokenizer + PQ model
         if (name == "bpeMergesFit") BpeFit.invalidateFit(spark, dir)
         if (name == "pqCodebooksFit") SimilarityPq.invalidateFit(spark, dir)
+        // and for the tuned probe budget: the persisted (k, nprobe)
+        // row wins over a budget walked earlier in this session
+        if (name == "ivfProbeTuned") SimilarityIvf.invalidateProbeTune(spark, dir)
+        if (name == "lshProbeTuned") Similarity.invalidateLshTune(spark, dir)
       }
     }
+  }
 
   /** (doc_id, sh) with the token array materialized behind a
     * checkpoint barrier. A plain projection is NOT enough: Catalyst's

@@ -88,6 +88,121 @@ object Graph {
     * SER-cached checkpoint every pass (re-derived wholesale by the
     * index job, never appended: edges derive from orders ⋈ lineitem,
     * not from document/embedding ingest batches). */
+  /** Catalog name for the bucketed by-src layout of an index dir —
+    * derived from the dir so two primed index roots in one session
+    * cannot collide on a table name. */
+  private def bySrcTableName(indexDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(indexDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"graft_edges_by_src_$h"
+  }
+
+  /** Content fingerprint of the graphEdgeFracs artifact (relative data
+    * file names + lengths, order-independent): the validity tie between
+    * the bucketed by-src layout and the edge generation it was derived
+    * from. Part-file names carry write UUIDs, so ANY rebuild or append
+    * of the edge artifact changes the fingerprint and silently
+    * invalidates a stale by-src layout at prime time — no delete
+    * coupling to get wrong across crashes or JVMs. */
+  private def edgeArtifactFingerprint(spark: SparkSession,
+                                      indexDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/graphEdgeFracs.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val it = fs.listFiles(p, true)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          entries += s"${s.getPath.getName}:${s.getLen}"
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+      Some(md.digest().map("%02x".format(_)).mkString)
+    }
+  }
+
+  /** Persist the by-src superstep layout as a BUCKETED parquet table
+    * (bucketBy(src) + sortBy(src), one file per bucket) next to the
+    * edge artifact — the co-partitioned PageRank path's second input,
+    * which round 12 rebuilt per session with a full repartition of the
+    * edge table. Bucket scheme is Spark's shuffle hash (murmur3 pmod
+    * n), so a primed scan reports HashPartitioning(src, n) and the
+    * superstep's sort-merge joins stay exchange-free against the
+    * declared-partitioning rank checkpoints with ZERO session-time
+    * shuffling — at 100 TB this is the difference between an edge-table
+    * shuffle per analysis session and none. The repartition before the
+    * bucketed write uses the same hash, so every task holds exactly one
+    * bucket and each bucket lands in one file — the reader only trusts
+    * the sortBy ordering in that layout. Sidecar meta records bucket
+    * count + source fingerprint; [[primeEdgesBySrc]] validates both. */
+  private[operators] def writeEdgesBySrc(spark: SparkSession, dir: String,
+                                         indexDir: String): Unit = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val tbl = bySrcTableName(indexDir)
+    val loc = s"$indexDir/graphEdgesBySrc"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val df = edgeFracs(spark, dir)
+    df.repartition(n, col("src"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(n, "src").sortBy("src")
+      .option("path", loc)
+      .saveAsTable(tbl)
+    val fp = edgeArtifactFingerprint(spark, indexDir).getOrElse("")
+    // line-based sidecar (schema DDL contains commas/quotes — a
+    // structured format buys nothing for three fields we parse back)
+    val meta = s"buckets=$n\nsource=$fp\nschema=${df.schema.toDDL}\n"
+    val mp = new org.apache.hadoop.fs.Path(s"$indexDir/graphEdgesBySrc.meta.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+    // a stale session-derived layout must not outlive the fresh table
+    Dedup.memoDrop(spark, s"graphEdgesBySrc|$dir")
+    Dedup.memoPut(spark, s"graphEdgesBySrc|$dir", spark.table(tbl))
+  }
+
+  /** Serve the persisted by-src layout into the session memo if (and
+    * only if) it is VALID: sidecar meta present, derived from exactly
+    * the current graphEdgeFracs generation, and bucketed at the
+    * session's shuffle-partition count (a mismatched count would
+    * re-insert the exchange the layout exists to avoid — fall back to
+    * the session path instead). Re-registers the catalog table from
+    * the sidecar schema when this JVM has never seen it. */
+  private[operators] def primeEdgesBySrc(spark: SparkSession, dir: String,
+                                         indexDir: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(s"$indexDir/graphEdgesBySrc.meta.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) return
+    // an unreadable/corrupt sidecar means the layout's provenance is
+    // unknown — skip it (session path rebuilds) rather than fail the
+    // whole prime
+    val meta = try {
+      val in = fs.open(mp)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    } catch { case _: java.io.IOException => return }
+    def field(name: String): Option[String] =
+      meta.linesIterator.find(_.startsWith(s"$name="))
+        .map(_.drop(name.length + 1))
+    val ok = for {
+      buckets <- field("buckets").flatMap(_.toIntOption)
+      source <- field("source")
+      schema <- field("schema")
+      current <- edgeArtifactFingerprint(spark, indexDir)
+      if source == current && buckets == spark.sessionState.conf.numShufflePartitions
+    } yield (buckets, schema)
+    ok.foreach { case (buckets, schema) =>
+      val tbl = bySrcTableName(indexDir)
+      if (!spark.catalog.tableExists(tbl))
+        spark.sql(
+          s"CREATE TABLE $tbl ($schema) USING parquet " +
+            s"CLUSTERED BY (src) SORTED BY (src) INTO $buckets BUCKETS " +
+            s"LOCATION '$indexDir/graphEdgesBySrc'")
+      Dedup.memoPut(spark, s"graphEdgesBySrc|$dir", spark.table(tbl))
+    }
+  }
+
   private[operators] def edgeFracs(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"graphEdgeFracs|$dir") {
       val eb = Tables.orders(spark, dir)
@@ -248,6 +363,15 @@ object Graph {
         // next co-partitioned superstep rebuilds it from the new edges
         Dedup.memoDrop(spark, s"graphEdgeFracs|$dir")
         Dedup.memoDrop(spark, s"graphEdgesBySrc|$dir")
+        // the PERSISTED by-src layout is now stale too — its sidecar
+        // fingerprint no longer matches, so priming already skips it;
+        // reap the files and catalog entry so the dead layout doesn't
+        // linger until the next writeIndexes re-derives it
+        try {
+          spark.sql(s"DROP TABLE IF EXISTS ${bySrcTableName(indexDir)}")
+          fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/graphEdgesBySrc"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/graphEdgesBySrc.meta.json"), true)
+        } catch { case _: Throwable => () } // best-effort; fingerprint guards anyway
         Dedup.memoPut(spark, s"graphEdgeFracs|$dir",
           spark.read.parquet(path).drop("batch_id"))
       } // not-already-applied

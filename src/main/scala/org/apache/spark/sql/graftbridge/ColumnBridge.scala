@@ -60,6 +60,16 @@ object ColumnBridge {
     val rdd = qe.executedPlan.execute().map(_.copy())
     rdd.setName(s"graft declared-checkpoint $key/$numPartitions")
     rdd.persist(level)
+    // reliable mode (spark.graft.checkpointDir): ALSO checkpoint the
+    // persisted rows to the shared dir, so an executor loss recomputes
+    // from files instead of killing the iteration — the persisted copy
+    // still serves the fast path; the files are the recovery path
+    val ckDir = spark.conf.get("spark.graft.checkpointDir", "")
+    if (ckDir.nonEmpty) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(ckDir)
+      rdd.checkpoint()
+    }
     rdd.count() // eager: materialize now, under this query's lifetime
     val output = qe.analyzed.output
     val keyAttr = output.find(_.name == key).getOrElse(
@@ -83,13 +93,18 @@ object ColumnBridge {
       val check = BindReferences.bindReference(
         new Murmur3Hash(Seq(keyAttr)): Expression, output)
       val n = numPartitions
+      // collect(), not take(1): the healthy case returns ZERO rows, and
+      // take's incremental partition scan turns "empty" into up to 4
+      // scheduling rounds per checkpoint — measurable wall inside a
+      // superstep loop. collect is one job of trivial tasks over the
+      // just-persisted blocks.
       val bad = rdd.mapPartitionsWithIndex { (pid, it) =>
         it.take(8).flatMap { row =>
           val h = check.eval(row).asInstanceOf[Int]
           val expected = ((h % n) + n) % n
           if (expected != pid) Iterator((pid, expected)) else Iterator.empty
         }
-      }.take(1)
+      }.collect()
       require(bad.isEmpty,
         s"checkpointDeclared(reshape=false): declared HashPartitioning('$key', $n) " +
           s"does not match the executed layout — a sampled row in partition " +

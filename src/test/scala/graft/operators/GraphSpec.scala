@@ -61,6 +61,59 @@ class GraphSpec extends SparkSpec {
     assert(before === after, "primed serving must reproduce the ranks")
   }
 
+  test("persisted by-src layout: primed superstep is exchange-free off the bucketed table") {
+    val dir = sf("sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft-bysrc").toString
+    val bcast = Graph.pagerankFullForced(spark, dir, coPartition = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    Dedup.writeIndexes(spark, dir, idx)
+    assert(new java.io.File(s"$idx/graphEdgesBySrc").exists(),
+      "bucketed by-src layout not written by the index job")
+    assert(new java.io.File(s"$idx/graphEdgesBySrc.meta.json").exists(),
+      "by-src sidecar meta not written")
+    Dedup.releaseIndexes(spark)
+    Dedup.primeIndexes(spark, dir, idx)
+    // the primed entry short-circuits rankLoop's session repartition —
+    // the memo must hold the TABLE, not wait for a query to rebuild
+    assert(Dedup.memoGet(spark, s"graphEdgesBySrc|$dir").isDefined,
+      "by-src layout not primed into the session memo")
+    Graph.capturedSuperstepPlan = None
+    Graph.capturePlans = true
+    val primed = try Graph.pagerankFullForced(spark, dir, coPartition = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    finally Graph.capturePlans = false
+    assert(bcast === primed, "bucketed-table superstep ranks diverge from broadcast")
+    val plan = Graph.capturedSuperstepPlan.getOrElse(fail("no plan captured"))
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"rank-sized broadcast in the primed superstep:\n$plan")
+    // the bucketed scan reports hash(src) partitioning, so the edge
+    // side joins with NO exchange — the one hash exchange is the
+    // contribution aggregation, same as the session path
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"expected exactly 1 hash exchange (contribution agg):\n$plan")
+    // STALENESS: a by-src layout derived from a different edge
+    // generation must not prime (fingerprint mismatch → session path)
+    // rewrite through the Hadoop fs API (a raw java.nio write would
+    // leave the LocalFileSystem .crc sidecar stale)
+    val mp = new org.apache.hadoop.fs.Path(s"$idx/graphEdgesBySrc.meta.json")
+    val hfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = {
+      val in = hfs.open(mp)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }.replaceAll("source=[0-9a-f]*", "source=deadbeef")
+    val out = hfs.create(mp, true)
+    try out.write(stale.getBytes("UTF-8")) finally out.close()
+    Dedup.releaseIndexes(spark)
+    Dedup.primeIndexes(spark, dir, idx)
+    assert(Dedup.memoGet(spark, s"graphEdgesBySrc|$dir").isEmpty,
+      "a stale by-src layout (fingerprint mismatch) must not prime")
+    // the query still serves correctly via the session rebuild path
+    val afterStale = Graph.pagerankFullForced(spark, dir, coPartition = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(bcast === afterStale)
+  }
+
   test("strong-tie components: threshold prunes weak edges, stars resolve communities") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-graph-cc").toString
@@ -153,6 +206,40 @@ class GraphSpec extends SparkSpec {
       "top-20 SET diverged between 6 and 8 supersteps at sf0.01")
     assert(at6.take(7) === at8.take(7),
       "gap-separated head reordered between 6 and 8 supersteps at sf0.01")
+  }
+
+  test("reliable-checkpoint mode: iterative results bit-identical, files actually land") {
+    // spark.graft.checkpointDir switches every iteration checkpoint
+    // (rank loop, declared-partitioning checkpoints, CC label tables)
+    // from session-resident localCheckpoint to a filesystem checkpoint
+    // an executor loss can recompute from — the cluster-scale fault
+    // posture. The switch must not move a single bit of the results.
+    val dir = sf("sf0.001")
+    val localRanks = Graph.pagerankFullForced(spark, dir, coPartition = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    Dedup.releaseIndexes(spark)
+    val localClusters = Dedup.dedupClusters(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val ck = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    spark.conf.set("spark.graft.checkpointDir", ck)
+    try {
+      Dedup.releaseIndexes(spark) // rebuild the loop state under the new mode
+      val reliableRanks = Graph.pagerankFullForced(spark, dir, coPartition = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(localRanks === reliableRanks,
+        "reliable-checkpoint superstep ranks diverge from localCheckpoint")
+      val reliableClusters = Dedup.dedupClusters(spark, dir)
+        .collect().map(_.toSeq).toSet
+      assert(localClusters === reliableClusters,
+        "reliable-checkpoint CC labels diverge from localCheckpoint")
+      // the mode actually wrote recovery state, not just flipped a flag
+      def count(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(count).sum else 1
+      assert(count(new java.io.File(ck)) > 0, "no checkpoint files written")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      Dedup.releaseIndexes(spark)
+    }
   }
 
   test("personalized PageRank concentrates mass near its source") {

@@ -31,9 +31,38 @@ class IndexPersistenceSpec extends SparkSpec {
 
   private val artifacts = Seq("docShingles", "shingleIndex", "jaccardPairs",
     "minhashSigs", "minhashBands", "simhashTable", "embBase", "lshBuckets",
-    "ivfCells", "ivfCentroidsFit", "ivfCellsFit", "pqCodebooksFit", "pqCodes",
+    "ivfCells", "ivfCentroidsFit", "ivfCellsFit", "ivfProbeTuned", "lshProbeTuned",
+    "pqCodebooksFit", "pqCodes",
     "bpeMergesFit", "curationToks", "curationBpeToks", "labelCentroids", "sq8Codes",
     "clusterLabels", "wordGraph")
+
+  test("tuned probe budget is a persisted artifact: primed sessions serve it, not re-walk it") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-idx-tune").toString
+    Dedup.writeIndexes(spark, dir, indexDir)
+    val p = s"$indexDir/ivfProbeTuned.parquet"
+    assert(new java.io.File(p).exists(), "ivfProbeTuned artifact not written")
+    val written = spark.read.parquet(p)
+      .select("k", "nprobe").as[(Int, Int)].collect().toMap
+    assert(written.contains(5), s"no tuned budget for the served k: $written")
+    // the artifact must hold what the in-session walk would choose
+    Dedup.releaseIndexes(spark)
+    SimilarityIvf.clearFitCache()
+    Dedup.primeIndexes(spark, dir, indexDir)
+    assert(SimilarityIvf.tunedProbe(spark, dir) === written(5),
+      "primed tuned budget diverges from the persisted walk")
+    // PROOF the primed session reads the artifact instead of
+    // re-walking the ladder: poison the persisted budget and observe
+    // the poisoned value served verbatim — a re-walk could never
+    // produce it (the real walk just chose a different number above)
+    val poisoned = written(5) + 7
+    Seq((5, poisoned)).toDF("k", "nprobe")
+      .write.mode("overwrite").parquet(s"$p/batch_id=base")
+    Dedup.releaseIndexes(spark)
+    SimilarityIvf.clearFitCache()
+    Dedup.primeIndexes(spark, dir, indexDir)
+    assert(SimilarityIvf.tunedProbe(spark, dir) === poisoned,
+      "tunedProbe re-walked the ladder instead of serving the primed artifact")
+  }
 
   test("writeIndexes → releaseIndexes → primeIndexes serves identical results from parquet") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-idx").toString
@@ -167,8 +196,12 @@ class IndexPersistenceSpec extends SparkSpec {
     // the original codebooks (and encodes the batch under them), the
     // rebuild refits — compared against the original-model reference
     // below instead
+    // ivfProbeTuned rides the frozen quantizer the same way: the
+    // append keeps the budget tuned under the original centroids, the
+    // rebuild re-walks the ladder on the grown corpus — train-once,
+    // excluded from the strict sweep like the model artifacts above
     artifacts.filterNot(Set("ivfCentroidsFit", "ivfCellsFit", "bpeMergesFit",
-        "pqCodebooksFit", "pqCodes"))
+        "pqCodebooksFit", "pqCodes", "ivfProbeTuned", "lshProbeTuned"))
       .foreach { a =>
       val appended = spark.read.parquet(s"$idxA/$a.parquet").drop("batch_id")
       val rebuilt = spark.read.parquet(s"$idxB/$a.parquet").drop("batch_id")

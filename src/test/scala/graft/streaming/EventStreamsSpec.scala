@@ -337,6 +337,68 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stateful twins under the RocksDB state store: funnel + EWMA parity unchanged") {
+    // the default in-memory (HDFS-backed) provider holds every user's
+    // state on the executor heap — at 100× user cardinality the
+    // RocksDB provider is the production posture. The provider is a
+    // pure storage swap, so the twins must produce byte-identical
+    // progressions; this pin runs the HARD paths (out-of-order funnel
+    // straggler + EWMA re-ordering) under RocksDB.
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val batch1 = Seq(
+        ev(1, "2024-01-01 10:00:00", 1, "view"),
+        ev(2, "2024-01-01 10:20:00", 1, "purchase"))
+      val batch2 = Seq(
+        ev(3, "2024-01-01 10:10:00", 1, "click"), // the straggler
+        ev(4, "2024-01-01 10:25:00", 2, "view"))
+      val q = funnelStateful(input.toDS())
+        .writeStream.format("memory").queryName("funnelrdb").outputMode("update").start()
+      withQuery(q) {
+        input.addData(batch1: _*)
+        q.processAllAvailable()
+        input.addData(batch2: _*)
+        q.processAllAvailable()
+        val finalSteps = spark.table("funnelrdb")
+          .groupBy("user_id").agg(org.apache.spark.sql.functions.max("step").as("step"))
+          .as[(Long, Int)].collect().toMap
+        assert(finalSteps === Map(1L -> 3, 2L -> 1),
+          s"RocksDB-backed funnel diverged: $finalSteps")
+      }
+      val einput = MemoryStream[Event]
+      val eb1 = Seq(
+        ev(1, "2024-01-01 10:00:00", 1, v = 10.0),
+        ev(3, "2024-01-01 10:10:00", 1, v = 30.0))
+      val eb2 = Seq(ev(2, "2024-01-01 10:05:00", 1, v = 20.0))
+      val eq = EventStreams.ewmaStateful(einput.toDS())
+        .writeStream.format("memory").queryName("ewmardb").outputMode("update").start()
+      withQuery(eq) {
+        einput.addData(eb1: _*)
+        eq.processAllAvailable()
+        einput.addData(eb2: _*)
+        eq.processAllAvailable()
+        val last = spark.table("ewmardb").as[UserEwma].collect()
+          .filter(_.user_id == 1L)
+          .maxBy(r => (r.last_ts.getTime, r.n_window))
+        val batchRow = graft.operators.Events
+          .ewmaLatestOf((eb1 ++ eb2).toDF()).collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+          .find(_._1 == 1L).get
+        assert(last.ewma === batchRow._4 && last.n_window.toLong === batchRow._3,
+          s"RocksDB-backed EWMA diverged: ${last.ewma} vs ${batchRow._4}")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful EWMA: a late mid-window value slots into event-time order (batch parity)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
