@@ -28,7 +28,8 @@ object Bench {
       n.startsWith("q_token_budget") || n == "q_bpe_vocab_stats" ||
       n == "q_bpe_fertility" || n == "q_source_overlap" ||
       n == "q_text_pmi" || // rides the tokenized-corpus artifact
-      n == "q_split_leakage_safe" // rides the cluster-label artifact
+      n == "q_split_leakage_safe" || // rides the cluster-label artifact
+      n.startsWith("q_quality_nb") // rides curationToks + nbQualityModel
 
   // q_dedup_embedding_ann rides the embedding bucket index, not the
   // shingle family — grouping it here shares embBase/lshBuckets with

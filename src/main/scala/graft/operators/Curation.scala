@@ -41,7 +41,7 @@ import graft.sources.Tables
   */
 object Curation {
 
-  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+  private[graft] def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
 
   /** Staged (doc_id, lang, n_chars, toks): tokenized once per
     * (session, dir) behind a checkpoint barrier so the n-gram and

@@ -242,7 +242,7 @@ object Dedup {
   /** Seed the memo cache with an externally materialized table (e.g. a
     * parquet-backed index loaded by primeIndexes) — no checkpoint ids
     * to track, the storage is the file. */
-  private[operators] def memoPut(spark: SparkSession, key: String, df: DataFrame): Unit =
+  private[graft] def memoPut(spark: SparkSession, key: String, df: DataFrame): Unit =
     indexCache.synchronized {
       indexCache.put(s"${sessionKey(spark)}|$key", df)
     }
@@ -302,7 +302,11 @@ object Dedup {
     // the TextRank word co-occurrence graph — corpus-global aggregate
     // over the tokenized corpus (the labelCentroids posture: appends
     // re-derive it wholesale from the appended token artifact)
-    "wordGraph" -> ((s, d) => TextAnalysis.wordGraph(s, d)))
+    "wordGraph" -> ((s, d) => TextAnalysis.wordGraph(s, d)),
+    // the distilled quality classifier (multinomial NB trained on the
+    // rule-filter labels) — vocabulary-sized model table, corpus-global
+    // aggregate: appends re-derive it wholesale like wordGraph
+    "nbQualityModel" -> ((s, d) => TextAnalysis.nbQualityModel(s, d)))
 
   /** Builder names that read the relational (orders/lineitem) tables —
     * skipped when the corpus directory has none (document-only spec
@@ -360,6 +364,9 @@ object Dedup {
     Seq("sq8Codes"),
     Seq("bpeMergesFit"),
     Seq("curationToks", "wordGraph"),
+    // one documents scan + a vocab-sized agg — its own chain so the
+    // train rides concurrently with the token/band builders
+    Seq("nbQualityModel"),
     Seq("curationBpeToks"),
     Seq("labelCentroids"),
     Seq("graphEdgeFracs"))
@@ -367,7 +374,6 @@ object Dedup {
   def writeIndexes(spark: SparkSession, dir: String, indexDir: String,
                    withEmbeddings: Boolean = true): Unit =
     IndexLease.withExclusive(spark, indexDir, s"writeIndexes:$dir") {
-      val byName = indexBuilders.toMap
       val names = indexBuilders.map(_._1)
       // every builder must belong to exactly one chain — a new artifact
       // added to indexBuilders but not to a chain would silently never
@@ -442,12 +448,20 @@ object Dedup {
       } finally pool.shutdown()
     }
 
-  private val wordGraphRederiveLock = new Object
+  /** Name → builder lookup over [[indexBuilders]] — shared by the
+    * index-job writer and the corpus-global re-derive path. */
+  private lazy val byName: Map[String, (SparkSession, String) => DataFrame] =
+    indexBuilders.toMap
+
+  /** Per-artifact re-derive serialization (same-JVM shared-lease
+    * appenders; see [[rederiveCorpusGlobal]]). */
+  private val rederiveLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Drop (and unpersist) one memo entry — the targeted version of
     * releaseIndexes, for maintenance jobs that invalidate a single
     * derived artifact. */
-  private[operators] def memoDrop(spark: SparkSession, key: String): Unit = indexCache.synchronized {
+  private[graft] def memoDrop(spark: SparkSession, key: String): Unit = indexCache.synchronized {
     val k = s"${sessionKey(spark)}|$key"
     indexCache.remove(k)
     Option(indexRdds.remove(k)).foreach(unpersistIds(spark, _))
@@ -640,78 +654,88 @@ object Dedup {
     // persisted pair table reflects the pre-append corpus.
     releaseIndexes(spark)
     primeIndexes(spark, dir, indexDir)
-    // the word co-occurrence graph is a corpus-global aggregate (pair
-    // counts AND per-word out-weight normalizers both move under a doc
-    // batch) — re-derive it wholesale from the just-primed token
-    // artifact, the labelCentroids discipline; ordering matters: this
-    // must run AFTER the re-prime so the derivation reads the appended
-    // parquet tokens, not the session's stale pre-append memo
-    val wg = new org.apache.hadoop.fs.Path(s"$indexDir/wordGraph.parquet")
-    val wgFs = wg.getFileSystem(hconf)
+    // the word co-occurrence graph and the distilled quality model are
+    // corpus-global aggregates (pair counts / class-conditional term
+    // counts both move under a doc batch) — re-derive them wholesale
+    // from the just-primed artifacts, the labelCentroids discipline;
+    // ordering matters: this must run AFTER the re-prime so the
+    // derivations read the appended parquet, not the session's stale
+    // pre-append memos
+    rederiveCorpusGlobal(spark, dir, indexDir, "wordGraph", hconf)
+    rederiveCorpusGlobal(spark, dir, indexDir, "nbQualityModel", hconf)
+    if (rebuildPairs) rebuildPairTable(spark, dir, indexDir)
+  }
+
+  /** Wholesale re-derive of a corpus-global artifact after an append —
+    * the maintained-index discipline every corpus-sized aggregate
+    * carries (labelCentroids posture): rebuild from the full corpus,
+    * stage under a per-attempt unique directory, swap via rename-ASIDE
+    * (park old → rename stage in → reap the parked copy), so the
+    * artifact is present at every instant except the gap between the
+    * two renames — and a crash inside that gap is repaired by the
+    * parked-copy restore on the next run (the old delete-then-rename
+    * order lost the artifact permanently on a crash in its gap).
+    *
+    * The re-derive is serialized across SHARED-lease appenders in this
+    * JVM (the swap window would otherwise race a sibling's
+    * schema-inferring read of the same artifact — caught by the
+    * concurrent-keyed-appends spec); cross-JVM appenders keep the
+    * one-batch-stale async-refresh contract all corpus-global
+    * artifacts carry: each attempt derives from the corpus + whatever
+    * batches have landed at its read, so the last swap to win is at
+    * worst one in-flight batch stale. A corpus whose index predates
+    * the artifact skips it (appends never seed an index). */
+  private def rederiveCorpusGlobal(spark: SparkSession, dir: String,
+      indexDir: String, name: String,
+      hconf: org.apache.hadoop.conf.Configuration): Unit = {
+    val art = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
+    val fs = art.getFileSystem(hconf)
     // Crash recovery BEFORE the maintained-artifact guard: a prior
     // re-derive that died between parking the old generation and
-    // renaming the staged one in leaves no wordGraph.parquet — without
-    // this restore, the exists() guard below would silently stop
-    // maintaining the artifact forever (every later append skips it,
-    // no error). Any parked `.wordGraph.old.*` copy restores the
-    // pre-rederive generation; the re-derive below then rebuilds from
-    // the appended tokens, so nothing is stale after recovery.
-    if (!wgFs.exists(wg)) {
-      val parked = wgFs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$indexDir/.wordGraph.old.*.parquet"))
+    // renaming the staged one in leaves no artifact — without this
+    // restore, the exists() guard below would silently stop
+    // maintaining it forever (every later append skips it, no error).
+    if (!fs.exists(art)) {
+      val parked = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$indexDir/.$name.old.*.parquet"))
       if (parked != null && parked.nonEmpty)
-        require(wgFs.rename(parked.head.getPath, wg),
-          s"appendIndexes: wordGraph recovery rename ${parked.head.getPath} -> $wg failed")
+        require(fs.rename(parked.head.getPath, art),
+          s"appendIndexes: $name recovery rename ${parked.head.getPath} -> $art failed")
     }
-    // serialize the re-derive across SHARED-lease appenders in this
-    // JVM (the swap window would otherwise race a sibling's
-    // schema-inferring read of the same artifact — caught by the
-    // concurrent-keyed-appends spec); cross-JVM appenders keep the
-    // one-batch-stale async-refresh contract all corpus-global
-    // artifacts carry
-    if (wgFs.exists(wg)) wordGraphRederiveLock.synchronized {
-      memoDrop(spark, s"wordGraph|$dir")
-      val rebuilt = TextAnalysis.wordGraph(spark, dir)
-      // stage under a per-attempt unique directory, then swap via
-      // rename-ASIDE (park old → rename stage in → reap the parked
-      // copy): the artifact is present at every instant except the
-      // gap between the two renames, and a crash inside that gap is
-      // repaired by the restore above — the old delete-then-rename
-      // order lost the artifact permanently on a crash in its gap.
-      // The appender lease is SHARED, so two concurrent appends both
-      // reach this re-derive; per-attempt unique stage and aside names
-      // keep their files disjoint. Each attempt derives from the
-      // corpus + whatever batches have landed at its read, so the last
-      // swap to win is at worst one in-flight batch stale — the
-      // async-refresh staleness contract every corpus-global artifact
-      // here carries.
-      val attempt = java.util.UUID.randomUUID()
-      val stage = new org.apache.hadoop.fs.Path(
-        s"$indexDir/.wordGraph.rederive.$attempt.parquet")
-      val aside = new org.apache.hadoop.fs.Path(
-        s"$indexDir/.wordGraph.old.$attempt.parquet")
-      rebuilt.write.mode("overwrite").parquet(s"$stage/batch_id=base")
-      if (!wgFs.rename(wg, aside)) {
-        // a cross-JVM sibling is mid-swap (wg momentarily parked on
-        // ITS aside); its equivalent re-derive will land — drop this
-        // attempt's staging rather than fight over the rename
-        wgFs.delete(stage, true)
-      } else if (!wgFs.rename(stage, wg)) {
-        // swap-in lost to a concurrent equivalent re-derive (its stage
-        // won the name); restore the parked generation if nothing won
-        wgFs.delete(stage, true)
-        if (!wgFs.exists(wg))
-          require(wgFs.rename(aside, wg),
-            s"appendIndexes: wordGraph swap and restore both failed at $wg")
-        else wgFs.delete(aside, true)
-      } else {
-        wgFs.delete(aside, true)
+    if (fs.exists(art))
+      rederiveLocks.computeIfAbsent(name, _ => new Object).synchronized {
+        memoDrop(spark, s"$name|$dir")
+        val rebuilt = byName(name)(spark, dir)
+        // per-attempt unique stage and aside names keep concurrent
+        // appenders' files disjoint (the lease is SHARED — two
+        // concurrent appends both reach this re-derive)
+        val attempt = java.util.UUID.randomUUID()
+        val stage = new org.apache.hadoop.fs.Path(
+          s"$indexDir/.$name.rederive.$attempt.parquet")
+        val aside = new org.apache.hadoop.fs.Path(
+          s"$indexDir/.$name.old.$attempt.parquet")
+        rebuilt.write.mode("overwrite").parquet(s"$stage/batch_id=base")
+        if (!fs.rename(art, aside)) {
+          // a cross-JVM sibling is mid-swap (the artifact momentarily
+          // parked on ITS aside); its equivalent re-derive will land —
+          // drop this attempt's staging rather than fight the rename
+          fs.delete(stage, true)
+        } else if (!fs.rename(stage, art)) {
+          // swap-in lost to a concurrent equivalent re-derive (its
+          // stage won the name); restore the parked generation if
+          // nothing won
+          fs.delete(stage, true)
+          if (!fs.exists(art))
+            require(fs.rename(aside, art),
+              s"appendIndexes: $name swap and restore both failed at $art")
+          else fs.delete(aside, true)
+        } else {
+          fs.delete(aside, true)
+        }
+        memoDrop(spark, s"$name|$dir")
+        memoPut(spark, s"$name|$dir",
+          spark.read.parquet(s"$indexDir/$name.parquet").drop("batch_id"))
       }
-      memoDrop(spark, s"wordGraph|$dir")
-      memoPut(spark, s"wordGraph|$dir",
-        spark.read.parquet(s"$indexDir/wordGraph.parquet").drop("batch_id"))
-    }
-    if (rebuildPairs) rebuildPairTable(spark, dir, indexDir)
   }
 
   /** Rebuild the corpus-global Jaccard candidate-pair artifact from the

@@ -104,6 +104,21 @@ object TextAnalysis {
     * curation operators consume sort-free (an inherited orderBy
     * would plan a dead range exchange under their own shuffles). */
   private[operators] def qualityTiers(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityParts
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), q.nTokens.cast("long").as("n_tokens"),
+        q.punctRatio.as("punct_ratio"), q.stopRatio.as("stop_ratio"),
+        q.distinctRatio.as("distinct_ratio"), q.tier.as("quality"))
+  }
+
+  /** The rule-filter expressions over a `text` column — shared by
+    * [[qualityTiers]] and the distilled-classifier training scan (the
+    * teacher labels must be the same CASE the rule query serves). */
+  private[operators] case class QualityParts(nTokens: Column,
+      punctRatio: Column, stopRatio: Column, distinctRatio: Column,
+      tier: Column)
+
+  private[operators] def qualityParts: QualityParts = {
     val t = tokens(col("text"))
     val nTok = size(t)
     val nChars = length(col("text"))
@@ -118,14 +133,11 @@ object TextAnalysis {
     val distinctRatio = round(size(array_distinct(t)).cast("double") / nTokSafe, 6)
     val punctRatio = round(punct.cast("double") / greatest(nChars, lit(1)), 6)
     val stopRatio = round(stop.cast("double") / nTokSafe, 6)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
-        punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
-        distinctRatio.as("distinct_ratio"),
-        when(nTok < 10, "too_short")
-          .when(punctRatio > 0.2, "too_punct")
-          .when(distinctRatio < 0.2, "too_repetitive")
-          .otherwise("ok").as("quality"))
+    QualityParts(nTok, punctRatio, stopRatio, distinctRatio,
+      when(nTok < 10, "too_short")
+        .when(punctRatio > 0.2, "too_punct")
+        .when(distinctRatio < 0.2, "too_repetitive")
+        .otherwise("ok"))
   }
 
   /** Per-source quality dashboard: the governance roll-up a
@@ -152,6 +164,165 @@ object TextAnalysis {
         round(col("sp").cast("double") / col("n_docs"), 6).as("mean_punct_ratio"),
         round(col("sd").cast("double") / col("n_docs"), 6).as("mean_distinct_ratio"))
       .orderBy("source")
+
+  /** Terms rarer than this across both classes are excluded from the
+    * discriminative-terms report (log-likelihood ratios are unstable
+    * on rare terms — the PMI min-count discipline). */
+  private[operators] val NbMinTermCount = 5
+  private[operators] val NbTopTerms = 20
+
+  /** The distilled quality classifier: multinomial Naive Bayes with
+    * Laplace smoothing (α = 1) trained on the GOPHER rule filter's own
+    * pass/reject verdicts — the "distill the heuristic filter into a
+    * cheap statistical classifier" step production corpora run
+    * (CCNet / DCLM-style quality classifiers, with NB standing in for
+    * fastText: same bag-of-terms linear scorer, but trainable in ONE
+    * aggregation pass instead of SGD epochs). Gopher is the teacher
+    * because it actually SPLITS this corpus (~64/36 at sf0.01); the
+    * basic tier filter passes every testdata doc, which would train a
+    * one-class degenerate.
+    *
+    * Model artifact (`nbQualityModel`, maintained by the index job):
+    * one row per vocabulary term — (term, n_pass, n_reject,
+    * llr = ln P(term|pass) − ln P(term|reject)) — plus one NULL-term
+    * row carrying the class prior ln((n_pass_docs+1)/(n_reject_docs+1))
+    * with the doc counts in n_pass/n_reject. Scoring a document is
+    * then prior + Σ llr(term): a vocabulary join and one sum — no
+    * text heuristics on the serving path at all.
+    *
+    * Scale shape: the teacher labels are a per-doc aggregate
+    * (gopherTiers), joined doc-keyed to the staged token artifact and
+    * exploded into ONE fully map-side-combined term aggregation;
+    * everything after is vocabulary-sized. Train-once — the join cost
+    * is the index job's, never a serving query's. Corpus-global
+    * aggregate, so `appendIndexes` re-derives it wholesale (the
+    * labelCentroids/wordGraph posture).
+    *
+    * Oracle parity: llr = round(ln((n+1)/(N+V)) − ln(...), 9) — each
+    * ratio ≤ 1 (no bigint-product overflow at any corpus size), ln on
+    * identical integer-derived doubles in both engines; scoring sums
+    * the 9-dp llrs as DECIMAL (reduction-order-proof) and classifies
+    * on the 6-dp ROUNDED score. Unknown terms at serve time contribute
+    * 0 (neutral) — on the training corpus every term is known; for
+    * appended batches the model is one refresh behind at worst. */
+  private[graft] def nbQualityModel(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(spark, s"nbQualityModel|$dir") {
+      val labels = gopherTiers(spark, dir)
+        .select(col("doc_id"), (col("pass") === 1).as("is_ok"))
+      val counts = Curation.docToks(spark, dir).select("doc_id", "toks")
+        .join(labels, Seq("doc_id"))
+        .select(col("is_ok"), explode(col("toks")).as("term"))
+        .groupBy("term")
+        .agg(sum(when(col("is_ok"), 1L).otherwise(0L)).as("n_pass_t"),
+          sum(when(col("is_ok"), 0L).otherwise(1L)).as("n_reject_t"))
+      val tots = counts.agg(sum(col("n_pass_t")).as("n_pass_tot"),
+        sum(col("n_reject_t")).as("n_reject_tot"), count(lit(1)).as("v"))
+      val dtots = labels.agg(
+        sum(when(col("is_ok"), 1L).otherwise(0L)).as("n_pass_docs"),
+        sum(when(col("is_ok"), 0L).otherwise(1L)).as("n_reject_docs"))
+      val terms = counts.crossJoin(broadcast(tots))
+        .select(col("term"),
+          col("n_pass_t").as("n_pass"), col("n_reject_t").as("n_reject"),
+          round(log((col("n_pass_t") + 1).cast("double") / (col("n_pass_tot") + col("v"))) -
+            log((col("n_reject_t") + 1).cast("double") / (col("n_reject_tot") + col("v"))), 9)
+            .as("llr"))
+      val prior = dtots.select(lit(null).cast("string").as("term"),
+        col("n_pass_docs").as("n_pass"), col("n_reject_docs").as("n_reject"),
+        round(log((col("n_pass_docs") + 1).cast("double") / (col("n_reject_docs") + 1)), 9)
+          .as("llr"))
+      Dedup.checkpointSer(terms.unionByName(prior))
+    }
+
+  /** Per-doc NB score sums of an arbitrary (doc_id, toks) slice
+    * against a model table — the serving kernel shared by the corpus
+    * score query and the streaming ingest quality gate (identical
+    * arithmetic is the stream≡batch parity contract). Returns
+    * (doc_id, sdec); docs with no in-vocab terms are absent (callers
+    * left-join and coalesce to the prior). */
+  private[graft] def nbScoreSums(toks: DataFrame, model: DataFrame): DataFrame = {
+    // the vocabulary join: model is vocab-sized (tiny next to the
+    // exploded corpus) — AQE broadcasts it, same shape as tf-idf's df
+    // join; the only corpus-sized shuffle is the per-doc sum, fully
+    // map-side combined
+    val terms = model.filter(col("term").isNotNull).select(col("term"), col("llr"))
+    toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(terms, Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("llr").cast("decimal(28,9)")).as("sdec"))
+  }
+
+  /** The 6-dp serving score off a summed (sdec, prior_dec) pair — see
+    * the precision notes at the call site below. */
+  private[graft] def nbScoreExpr: Column =
+    round(coalesce(col("sdec"), lit(0)).cast("decimal(28,9)") +
+      col("prior_dec"), 6).cast("double")
+
+  /** The model's NULL-term prior row as a 1-row (prior_dec) table. */
+  private[graft] def nbPrior(model: DataFrame): DataFrame =
+    model.filter(col("term").isNull)
+      .select(col("llr").cast("decimal(28,9)").as("prior_dec"))
+
+  /** Per-doc NB scores next to the teacher's rule tier — unordered
+    * internal shared by the score dump and the distillation report. */
+  private def nbScored(spark: SparkSession, dir: String): DataFrame = {
+    val model = nbQualityModel(spark, dir)
+    val prior = nbPrior(model)
+    val sums = nbScoreSums(
+      Curation.docToks(spark, dir).select("doc_id", "toks"), model)
+    // left join from the labeled corpus: a doc with no in-vocab terms
+    // (NULL text) still scores — prior only. nbScoreExpr rounds the
+    // exact DECIMAL sum to 6 dp BEFORE the double cast (rounding the
+    // cast double diverges cross-engine on exact-half 7th digits),
+    // and casts the (38,9) sum back to (28,9) BEFORE the addition:
+    // (38,9) + (28,9) overflows precision 38, which Spark resolves by
+    // silently dropping to scale 8 — a hidden half-up at digit 9 that
+    // double-rounds ...499 up to ...50 → ...8 (measured at sf0.001
+    // doc 163). Scores are bounded by vocab·|llr|max, far inside
+    // (28,9), so the down-cast is exact.
+    val score = nbScoreExpr
+    gopherTiers(spark, dir)
+      .select(col("doc_id"),
+        when(col("pass") === 1, "pass").otherwise("reject").as("teacher"))
+      .join(sums, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), score.as("nb_score"),
+        when(score > 0, "pass").otherwise("reject").as("nb_pred"),
+        col("teacher"),
+        ((score > 0) === (col("teacher") === "pass")).as("agree"))
+  }
+
+  /** Per-document distilled-classifier scores: NB score, predicted
+    * class, the teacher rule tier, and the agreement flag. */
+  def nbQualityScore(spark: SparkSession, dir: String): DataFrame =
+    nbScored(spark, dir).orderBy("doc_id")
+
+  /** Distillation confusion table: teacher tier × student prediction
+    * doc counts — the governance view that says WHERE the cheap
+    * classifier diverges from the rules it distills (e.g. too_short
+    * docs the token model cannot see the length of). */
+  def nbDistillReport(spark: SparkSession, dir: String): DataFrame =
+    nbScored(spark, dir)
+      .groupBy("teacher", "nb_pred").agg(count(lit(1)).as("n_docs"))
+      .orderBy("teacher", "nb_pred")
+
+  /** Most discriminative vocabulary: top-[[NbTopTerms]] ok-indicative
+    * (llr desc) and bad-indicative (llr asc) terms with count ≥
+    * [[NbMinTermCount]] — the model audit a reviewer reads before
+    * trusting a distilled filter. Both sides are
+    * TakeOrderedAndProject over the vocab-sized model (no global
+    * sort shuffle). */
+  def nbTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val base = nbQualityModel(spark, dir)
+      .filter(col("term").isNotNull &&
+        (col("n_pass") + col("n_reject")) >= NbMinTermCount)
+    val ok = base.orderBy(col("llr").desc, col("term").asc).limit(NbTopTerms)
+      .select(lit("pass_indicative").as("side"), col("term"),
+        col("n_pass"), col("n_reject"), col("llr"))
+    val bad = base.orderBy(col("llr").asc, col("term").asc).limit(NbTopTerms)
+      .select(lit("reject_indicative").as("side"), col("term"),
+        col("n_pass"), col("n_reject"), col("llr"))
+    ok.unionByName(bad).orderBy(col("side"), col("llr").desc, col("term").asc)
+  }
 
   /** Tokenizer-style counting: whitespace tokens vs a BPE-ish regex
     * lexer ([a-z]+ | digit runs | single non-alnum) — the usual cheap
@@ -583,7 +754,13 @@ object TextAnalysis {
     * n_chars_calc does. NULL-text docs keep an all-NULL audit row
     * (explode_outer + the cnt>0 remap), matching the oracle's NULL
     * propagation. */
-  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherTiers(spark, dir).orderBy("doc_id")
+
+  /** Unordered [[gopherQuality]] — the building block the distilled
+    * classifier trains on (an inherited orderBy would plan a dead
+    * range exchange under the training aggregations). */
+  private[operators] def gopherTiers(spark: SparkSession, dir: String): DataFrame = {
     // '#' and '…' by delete-and-measure (translate is a codegen char
     // map — no regex engine on the full text); ASCII '...' by
     // non-overlapping replace-and-measure (exact /3, so the double
@@ -631,7 +808,6 @@ object TextAnalysis {
         (col("rule_word_count") === 1 && col("rule_mean_word_len") === 1 &&
           col("rule_symbol_ratio") === 1 && col("rule_alpha") === 1 &&
           col("rule_stopwords") === 1).cast("int"))
-      .orderBy("doc_id")
   }
 }
 
@@ -639,10 +815,62 @@ object TextAnalysis {
 object TextAnalysisModule extends QueryModule {
   import TextAnalysis._
 
+  /** Shared CTE chain replaying the NB quality model in SQL: teacher
+    * labels from the SAME Gopher rule chain as q_quality_gopher,
+    * class-conditional term counts, smoothed log-likelihood ratios
+    * (each ratio ≤ 1 — no product overflow), and the doc-count prior.
+    * Every nb oracle nests this verbatim, so the DuckDB side
+    * re-TRAINS the model independently rather than echoing the
+    * persisted artifact. */
+  private val nbModelCtes =
+    s"""WITH d AS (SELECT doc_id, text,
+      |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+      |gs AS (SELECT doc_id, toks,
+      |  CAST(len(toks) AS BIGINT) AS n_words,
+      |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |    / len(toks), 6) AS mean_word_len,
+      |  round(CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+      |      + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INTEGER)
+      |      + length(regexp_replace(text, '[^…]', '', 'g')) AS DOUBLE)
+      |    / len(toks), 6) AS symbol_ratio,
+      |  round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+      |    / len(toks), 6) AS alpha_frac,
+      |  CAST(len(list_filter(toks,
+      |    t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
+      |  FROM d),
+      |q AS (SELECT doc_id, toks,
+      |  CASE WHEN n_words BETWEEN ${TextAnalysis.GopherMinWords} AND ${TextAnalysis.GopherMaxWords}
+      |       AND mean_word_len BETWEEN ${TextAnalysis.GopherMinMeanLen} AND ${TextAnalysis.GopherMaxMeanLen}
+      |       AND symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
+      |       AND alpha_frac >= ${TextAnalysis.GopherMinAlphaFrac}
+      |       AND n_stop >= ${TextAnalysis.GopherMinStopHits}
+      |  THEN 'pass' ELSE 'reject' END AS teacher
+      |  FROM gs),
+      |ex AS (SELECT teacher = 'pass' AS is_ok, unnest(toks) AS term FROM q),
+      |counts AS (SELECT term,
+      |    CAST(SUM(CASE WHEN is_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |    CAST(SUM(CASE WHEN is_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_reject
+      |  FROM ex GROUP BY term),
+      |tots AS (SELECT SUM(n_pass) AS n_pass_tot, SUM(n_reject) AS n_reject_tot,
+      |    COUNT(*) AS v FROM counts),
+      |dtots AS (SELECT
+      |    CAST(SUM(CASE WHEN teacher = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_docs,
+      |    CAST(SUM(CASE WHEN teacher = 'pass' THEN 0 ELSE 1 END) AS BIGINT) AS n_reject_docs
+      |  FROM q),
+      |model AS (SELECT term, n_pass, n_reject,
+      |    round(ln(CAST(n_pass + 1 AS DOUBLE) / (n_pass_tot + v)) -
+      |          ln(CAST(n_reject + 1 AS DOUBLE) / (n_reject_tot + v)), 9) AS llr
+      |  FROM counts, tots),
+      |prior AS (SELECT round(ln(CAST(n_pass_docs + 1 AS DOUBLE) / (n_reject_docs + 1)), 9) AS llr
+      |  FROM dtots)""".stripMargin
+
   def queries = Map(
     "q_text_stats" -> ((s: SparkSession, d: String) => textStats(s, d)),
     "q_text_lang_id" -> ((s: SparkSession, d: String) => langId(s, d)),
     "q_text_quality" -> ((s: SparkSession, d: String) => qualityScore(s, d)),
+    "q_quality_nb" -> ((s: SparkSession, d: String) => nbQualityScore(s, d)),
+    "q_quality_nb_report" -> ((s: SparkSession, d: String) => nbDistillReport(s, d)),
+    "q_quality_nb_terms" -> ((s: SparkSession, d: String) => nbTopTerms(s, d)),
     "q_source_quality" -> ((s: SparkSession, d: String) => sourceQuality(s, d)),
     "q_text_token_count" -> ((s: SparkSession, d: String) => tokenCount(s, d)),
     "q_text_token_count_bpe" -> ((s: SparkSession, d: String) => bpeTokenCount(s, d)),
@@ -802,6 +1030,51 @@ object TextAnalysisModule extends QueryModule {
         |       WHEN distinct_ratio < 0.2 THEN 'too_repetitive'
         |       ELSE 'ok' END AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_quality_nb" ->
+      s"""$nbModelCtes,
+        |scores AS (
+        |  SELECT e.doc_id, SUM(CAST(m.llr AS DECIMAL(28,9))) AS sdec
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM q) e
+        |  JOIN model m USING (term)
+        |  GROUP BY e.doc_id),
+        |scored AS (
+        |  SELECT q.doc_id,
+        |    CAST(round(CAST(coalesce(s.sdec, 0) AS DECIMAL(28,9)) +
+        |      CAST(p.llr AS DECIMAL(28,9)), 6) AS DOUBLE) AS nb_score,
+        |    q.teacher
+        |  FROM q LEFT JOIN scores s ON q.doc_id = s.doc_id, prior p)
+        |SELECT doc_id, nb_score,
+        |  CASE WHEN nb_score > 0 THEN 'pass' ELSE 'reject' END AS nb_pred,
+        |  teacher,
+        |  (nb_score > 0) = (teacher = 'pass') AS agree
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_quality_nb_report" ->
+      s"""$nbModelCtes,
+        |scores AS (
+        |  SELECT e.doc_id, SUM(CAST(m.llr AS DECIMAL(28,9))) AS sdec
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM q) e
+        |  JOIN model m USING (term)
+        |  GROUP BY e.doc_id),
+        |scored AS (
+        |  SELECT q.doc_id,
+        |    CAST(round(CAST(coalesce(s.sdec, 0) AS DECIMAL(28,9)) +
+        |      CAST(p.llr AS DECIMAL(28,9)), 6) AS DOUBLE) AS nb_score,
+        |    q.teacher
+        |  FROM q LEFT JOIN scores s ON q.doc_id = s.doc_id, prior p)
+        |SELECT teacher,
+        |  CASE WHEN nb_score > 0 THEN 'pass' ELSE 'reject' END AS nb_pred,
+        |  COUNT(*) AS n_docs
+        |FROM scored GROUP BY teacher, nb_pred ORDER BY teacher, nb_pred""".stripMargin,
+    "q_quality_nb_terms" ->
+      s"""$nbModelCtes,
+        |filt AS (SELECT term, n_pass, n_reject, llr FROM model
+        |         WHERE n_pass + n_reject >= ${TextAnalysis.NbMinTermCount}),
+        |okside AS (SELECT 'pass_indicative' AS side, term, n_pass, n_reject, llr
+        |           FROM filt ORDER BY llr DESC, term LIMIT ${TextAnalysis.NbTopTerms}),
+        |badside AS (SELECT 'reject_indicative' AS side, term, n_pass, n_reject, llr
+        |            FROM filt ORDER BY llr ASC, term LIMIT ${TextAnalysis.NbTopTerms})
+        |SELECT * FROM (SELECT * FROM okside UNION ALL SELECT * FROM badside)
+        |ORDER BY side, llr DESC, term""".stripMargin,
     "q_source_quality" ->
       """WITH d AS (SELECT doc_id, source, text,
         |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

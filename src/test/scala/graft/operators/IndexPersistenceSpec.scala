@@ -34,7 +34,7 @@ class IndexPersistenceSpec extends SparkSpec {
     "ivfCells", "ivfCentroidsFit", "ivfCellsFit", "ivfProbeTuned", "lshProbeTuned",
     "pqCodebooksFit", "pqCodes",
     "bpeMergesFit", "curationToks", "curationBpeToks", "labelCentroids", "sq8Codes",
-    "clusterLabels", "wordGraph")
+    "clusterLabels", "wordGraph", "nbQualityModel")
 
   test("tuned probe budget is a persisted artifact: primed sessions serve it, not re-walk it") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-idx-tune").toString

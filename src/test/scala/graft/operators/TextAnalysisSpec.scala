@@ -154,4 +154,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!words.contains("the") && !words.contains("an") && !words.contains("xy"),
       s"stoplist/short-word leak: $words")
   }
+
+  test("NB distillation: separable corpus classifies 100%, prior-only for null text") {
+    // 4 Gopher-pass docs (60 words, clean vocabulary incl. 2+ Gopher
+    // stopwords) vs 6 reject docs (3 junk words — fails word count and
+    // mean word length). Vocabularies are disjoint except the shared
+    // stopwords, so the distilled model must separate perfectly.
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    val passText = Array.fill(6)("the be to of and that have with good clean").mkString(" ")
+    val docs =
+      (1L to 4L).map(id => (id, Option(passText))) ++
+        (5L to 10L).map(id => (id, Option("zz qq ww"))) ++
+        Seq((11L, Option.empty[String])) // prior-only path
+    docs.map { case (id, t) => (id, t, "en", "srcT", t.map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val model = TextAnalysis.nbQualityModel(spark, dir).collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // class-exclusive terms separate with the right signs
+    assert(model(Some("good"))._3 > 0, s"pass-only term llr: ${model(Some("good"))}")
+    assert(model(Some("zz"))._3 < 0, s"reject-only term llr: ${model(Some("zz"))}")
+    // the NULL-term prior row carries the doc counts (4 pass, 7 reject
+    // — the null-text doc has no Gopher stats, so the teacher rejects)
+    val (nPass, nReject, prior) = model(None)
+    assert(nPass == 4L && nReject == 7L, s"prior doc counts: $nPass/$nReject")
+    assert(math.abs(prior - math.log(5.0 / 8.0)) < 1e-6)
+    val out = TextAnalysis.nbQualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+      .toMap
+    assert(out.size == 11)
+    (1L to 4L).foreach(id => assert(out(id)._2 == "pass" && out(id)._4, s"$id: ${out(id)}"))
+    (5L to 10L).foreach(id => assert(out(id)._2 == "reject" && out(id)._4, s"$id: ${out(id)}"))
+    // null text: no in-vocab tokens -> score = the prior alone
+    assert(math.abs(out(11L)._1 - BigDecimal(prior).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"prior-only: ${out(11L)}")
+    // the confusion table sums to the corpus and the separable corpus
+    // has no off-diagonal pass/reject leakage
+    val rep = TextAnalysis.nbDistillReport(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 7 = the 6 junk docs + the null-text doc: its teacher verdict is
+    // reject (no Gopher stats) and its prior-only score ln(5/8) < 0
+    // predicts reject too — the class balance happens to agree
+    assert(rep(("pass", "pass")) == 4L && rep(("reject", "reject")) == 7L)
+    assert(rep.getOrElse(("pass", "reject"), 0L) == 0L)
+    assert(rep.values.sum == 11L)
+    // discriminative-terms report: the vocabulary is only 13 terms, so
+    // both top-20 sides contain all of it — assert the EXTREMES: the
+    // strongest pass-indicative term is clean vocabulary, the
+    // strongest reject-indicative term is junk
+    val terms = TextAnalysis.nbTopTerms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(4)))
+    val passSide = terms.filter(_._1 == "pass_indicative")
+    val rejectSide = terms.filter(_._1 == "reject_indicative")
+    assert(passSide.nonEmpty && rejectSide.nonEmpty)
+    val junk = Set("zz", "qq", "ww")
+    val topPass = passSide.maxBy(_._3)
+    val topReject = rejectSide.minBy(_._3)
+    assert(!junk(topPass._2) && topPass._3 > 0, s"top pass term: $topPass")
+    assert(junk(topReject._2) && topReject._3 < 0, s"top reject term: $topReject")
+  }
 }
