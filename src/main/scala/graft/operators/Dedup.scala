@@ -747,6 +747,14 @@ object Dedup {
     * re-shingle of the corpus text. */
   def rebuildPairTable(spark: SparkSession, dir: String, indexDir: String): Unit =
     IndexLease.withShared(spark, indexDir, "pair-rebuild") {
+      rebuildPairTableLocked(spark, dir, indexDir)
+    }
+
+  /** [[rebuildPairTable]] without the appender marker — for callers
+    * already holding the EXCLUSIVE maintenance lease (eraseDocuments),
+    * where taking a shared marker would deadlock on our own lease. */
+  private def rebuildPairTableLocked(spark: SparkSession, dir: String,
+      indexDir: String): Unit = {
       memoDrop(spark, s"jaccardPairs|$dir")
       // the pair table is corpus-global — wholesale replace, clearing any
       // previous generation's directories, then one fresh base directory
@@ -902,6 +910,115 @@ object Dedup {
       }
     }
     releaseIndexes(spark)
+    }
+
+  /** Right-to-be-forgotten erasure: remove documents (and/or
+    * embedding vectors) from the CORPUS tables and every maintained
+    * index artifact — the deletion-request maintenance job a
+    * training-data pipeline owes its sources, completing the index
+    * lifecycle (writeIndexes / appendIndexes / compactIndexes /
+    * eraseDocuments).
+    *
+    * What happens, in order, under ONE exclusive maintenance lease:
+    *  1. the corpus tables themselves (`documents.parquet`,
+    *     `embeddings.parquet` under `dir`) are rewritten with the ids
+    *     filtered out — erasing only indexes while the corpus still
+    *     serves the rows would be incoherent;
+    *  2. every id-decomposable artifact (shingles, signatures, bands,
+    *     token tables, embedding/code tables) is rewritten with its
+    *     rows filtered, folding the batch history into a fresh base —
+    *     fold-on-erase is deliberate: a surviving `batch_id=` directory
+    *     could resurrect erased rows through a replayed append;
+    *  3. the content-bearing corpus-global artifacts are re-derived
+    *     from the now-clean corpus (pair table + cluster labels via
+    *     the rebuild path; wordGraph / nbQualityModel / labelCentroids
+    *     via their wholesale re-derive) so no aggregate still carries
+    *     the erased rows' contributions.
+    *
+    * TRAIN-ONCE MODELS ARE KEPT FROZEN (centroids, PQ codebooks, BPE
+    * merges, tuned probe budgets): they are statistical summaries that
+    * store no row of the erased data, and refitting them would
+    * re-encode the world on every deletion request — the FAISS
+    * quantizer posture, disclosed; the next writeIndexes refreshes
+    * them. Erased vectors' ROWS under those models (cells, codes) are
+    * removed in step 2.
+    *
+    * Crash contract: each rewrite stages next to the artifact under
+    * the SAME `.compact-<name>` / `.old-<name>` names compaction uses
+    * and swaps with the same two renames — so a crash at any point is
+    * repaired by re-running eraseDocuments (or compactIndexes: the
+    * recovery path is shared by construction). A retried erase is
+    * idempotent — filtering already-erased rows is a no-op.
+    *
+    * Scale note: ids arrive as literal sequences (an `isin` filter —
+    * pushed to the parquet scan); a deletion backlog too large for a
+    * literal list should run as several calls or a pre-joined erase,
+    * but note GDPR-class backlogs are ~thousands of ids, not
+    * corpus-sized. The full-artifact rewrite cost is compaction's —
+    * this IS a compaction with a filter. */
+  def eraseDocuments(spark: SparkSession, dir: String, indexDir: String,
+      docIds: Seq[Long], vecIds: Seq[Long] = Nil): Unit =
+    IndexLease.withExclusive(spark, indexDir, "eraseDocuments") {
+      require(docIds.nonEmpty || vecIds.nonEmpty,
+        "eraseDocuments: nothing to erase (both id sets empty)")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      releaseIndexes(spark)
+      // Filter-rewrite `parent/name.parquet` in place with compaction's
+      // staging names and two-rename swap. `batched = true` writes the
+      // fresh generation under batch_id=base (artifact layout);
+      // corpus tables stay flat. Missing paths are skipped (corpus
+      // without embeddings; index predating an artifact).
+      def filterRewrite(parent: String, name: String, keep: Column,
+          batched: Boolean): Unit = {
+        val p = new org.apache.hadoop.fs.Path(s"$parent/$name.parquet")
+        val tmp = new org.apache.hadoop.fs.Path(s"$parent/.compact-$name.parquet")
+        val old = new org.apache.hadoop.fs.Path(s"$parent/.old-$name.parquet")
+        val fs = p.getFileSystem(hconf)
+        if (!fs.exists(p) && fs.exists(tmp)) {
+          // a prior erase/compaction died between the two swap renames —
+          // finish the swap, then fall through and filter the result
+          // (the staging copy may predate THIS erase's ids)
+          require(fs.rename(tmp, p), s"eraseDocuments: recovery rename $tmp -> $p failed")
+          fs.delete(old, true)
+        }
+        if (fs.exists(p)) {
+          fs.delete(tmp, true)
+          fs.delete(old, true)
+          val kept = spark.read.parquet(p.toString).drop("batch_id").filter(keep)
+          if (batched) kept.write.mode("overwrite").parquet(s"$tmp/batch_id=base")
+          else kept.write.mode("overwrite").parquet(tmp.toString)
+          require(fs.rename(p, old), s"eraseDocuments: rename $p -> $old failed")
+          require(fs.rename(tmp, p), s"eraseDocuments: rename $tmp -> $p failed")
+          fs.delete(old, true)
+        }
+      }
+      val keepDoc = !col("doc_id").isInCollection(docIds)
+      val keepVec = !col("vec_id").isInCollection(vecIds)
+      if (docIds.nonEmpty) {
+        filterRewrite(dir, "documents", keepDoc, batched = false)
+        Seq("docShingles", "shingleIndex", "minhashSigs", "minhashBands",
+          "simhashTable", "curationToks", "curationBpeToks")
+          .foreach(a => filterRewrite(indexDir, a, keepDoc, batched = true))
+      }
+      if (vecIds.nonEmpty) {
+        filterRewrite(dir, "embeddings", keepVec, batched = false)
+        Seq("embBase", "lshBuckets", "ivfCells", "ivfCellsFit", "pqCodes",
+          "sq8Codes")
+          .foreach(a => filterRewrite(indexDir, a, keepVec, batched = true))
+      }
+      // corpus-global re-derives read through the session memo — it
+      // must serve the just-rewritten parquet, not stale cache entries
+      releaseIndexes(spark)
+      primeIndexes(spark, dir, indexDir)
+      if (docIds.nonEmpty) {
+        val pairs = new org.apache.hadoop.fs.Path(s"$indexDir/jaccardPairs.parquet")
+        if (pairs.getFileSystem(hconf).exists(pairs))
+          rebuildPairTableLocked(spark, dir, indexDir)
+        rederiveCorpusGlobal(spark, dir, indexDir, "wordGraph", hconf)
+        rederiveCorpusGlobal(spark, dir, indexDir, "nbQualityModel", hconf)
+      }
+      if (vecIds.nonEmpty)
+        rederiveCorpusGlobal(spark, dir, indexDir, "labelCentroids", hconf)
     }
 
   /** Load previously written index artifacts into the session cache:
