@@ -180,7 +180,14 @@ object Bench {
       fs.delete(new org.apache.hadoop.fs.Path(idxRoot), true)
       graft.operators.Dedup.releaseIndexes(spark)
       drainTasks()
+      // clear ALL attribution state between samples: a straggler task
+      // from sample 1 finishing after the drain deadline would
+      // otherwise bill into sample 2's fresh counters through the
+      // still-live stage→job→description maps (and the maps would
+      // grow for the whole bench lifetime)
       descCpuNs.clear()
+      jobDesc.clear()
+      stageJob.clear()
       val c0 = cpuNs.get()
       val t0 = System.nanoTime()
       graft.operators.Dedup.writeIndexes(spark, sfDir, idxRoot)

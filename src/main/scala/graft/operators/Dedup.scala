@@ -92,7 +92,16 @@ object Dedup {
     if (ckDir.nonEmpty) {
       val sc = df.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(ckDir)
-      df.checkpoint(true)
+      // persist BEFORE the eager checkpoint: Dataset.checkpoint runs
+      // the count job and THEN writes the files in a second job that
+      // would otherwise recompute the whole un-persisted plan — a
+      // silent 2× of the dominant index-build cost (the ColumnBridge
+      // reliable path got this right from the start). The cache is
+      // dropped once the files are down; per-access reads then come
+      // from the checkpoint store, the documented reliable semantics.
+      val cached = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try cached.checkpoint(true) finally cached.unpersist()
     } else df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
   }
@@ -695,12 +704,28 @@ object Dedup {
     // renaming the staged one in leaves no artifact — without this
     // restore, the exists() guard below would silently stop
     // maintaining it forever (every later append skips it, no error).
+    // With several crashed attempts parked, restore the NEWEST (the
+    // closest-to-current generation; an arbitrary pick could silently
+    // regress the artifact by a batch).
     if (!fs.exists(art)) {
-      val parked = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$indexDir/.$name.old.*.parquet"))
-      if (parked != null && parked.nonEmpty)
+      val parked = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$indexDir/.$name.old.*.parquet")))
+        .getOrElse(Array.empty).sortBy(-_.getModificationTime)
+      if (parked.nonEmpty)
         require(fs.rename(parked.head.getPath, art),
           s"appendIndexes: $name recovery rename ${parked.head.getPath} -> $art failed")
+    }
+    // Reap crash orphans past the lease TTL: leftover parked copies and
+    // abandoned staging dirs are full artifact-sized copies that would
+    // otherwise accumulate forever (one per crash). The TTL guard keeps
+    // a LIVE cross-JVM sibling's in-flight staging safe — deleting a
+    // fresh one mid-write would fail that sibling's append.
+    Seq(s".$name.old.*.parquet", s".$name.rederive.*.parquet").foreach { pat =>
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$indexDir/$pat")))
+        .getOrElse(Array.empty)
+        .filter(s => System.currentTimeMillis() - s.getModificationTime >
+          IndexLease.DefaultTtlMs)
+        .foreach(s => fs.delete(s.getPath, true))
     }
     if (fs.exists(art))
       rederiveLocks.computeIfAbsent(name, _ => new Object).synchronized {
@@ -1014,6 +1039,12 @@ object Dedup {
         val pairs = new org.apache.hadoop.fs.Path(s"$indexDir/jaccardPairs.parquet")
         if (pairs.getFileSystem(hconf).exists(pairs))
           rebuildPairTableLocked(spark, dir, indexDir)
+        else
+          // the pair artifact may be legitimately absent (deferred /
+          // reclaimed rebuild) while clusterLabels still exists — the
+          // labels derive from pairs, so without this re-derive an
+          // erased doc's cluster membership would survive the erase
+          rederiveCorpusGlobal(spark, dir, indexDir, "clusterLabels", hconf)
         rederiveCorpusGlobal(spark, dir, indexDir, "wordGraph", hconf)
         rederiveCorpusGlobal(spark, dir, indexDir, "nbQualityModel", hconf)
       }

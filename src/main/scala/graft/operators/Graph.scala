@@ -194,12 +194,26 @@ object Graph {
     } yield (buckets, schema)
     ok.foreach { case (buckets, schema) =>
       val tbl = bySrcTableName(indexDir)
-      if (!spark.catalog.tableExists(tbl))
+      try {
+        // ALWAYS re-register from the current sidecar: a catalog entry
+        // left by an earlier prime may carry a stale bucket count over
+        // newer files (writeIndexes rerun at a different
+        // shuffle-partition count) — trusting it would declare a
+        // HashPartitioning the data does not have and the exchange-free
+        // superstep joins would be silently wrong
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
         spark.sql(
           s"CREATE TABLE $tbl ($schema) USING parquet " +
             s"CLUSTERED BY (src) SORTED BY (src) INTO $buckets BUCKETS " +
             s"LOCATION '$indexDir/graphEdgesBySrc'")
-      Dedup.memoPut(spark, s"graphEdgesBySrc|$dir", spark.table(tbl))
+        Dedup.memoPut(spark, s"graphEdgesBySrc|$dir", spark.table(tbl))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // a garbled schema line (damaged sidecar) must degrade to the
+          // session rebuild path, not abort the whole primeIndexes
+          System.err.println(
+            s"[primeEdgesBySrc] skipping damaged by-src layout: ${e.getMessage}")
+      }
     }
   }
 
@@ -371,7 +385,12 @@ object Graph {
           spark.sql(s"DROP TABLE IF EXISTS ${bySrcTableName(indexDir)}")
           fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/graphEdgesBySrc"), true)
           fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/graphEdgesBySrc.meta.json"), true)
-        } catch { case _: Throwable => () } // best-effort; fingerprint guards anyway
+        } catch {
+          // best-effort (the fingerprint guards staleness anyway) — but
+          // NonFatal only: swallowing an interrupt/OOM here would let
+          // the append report success from an undefined JVM state
+          case scala.util.control.NonFatal(_) => ()
+        }
         Dedup.memoPut(spark, s"graphEdgeFracs|$dir",
           spark.read.parquet(path).drop("batch_id"))
       } // not-already-applied

@@ -104,21 +104,6 @@ object TextAnalysis {
     * curation operators consume sort-free (an inherited orderBy
     * would plan a dead range exchange under their own shuffles). */
   private[operators] def qualityTiers(spark: SparkSession, dir: String): DataFrame = {
-    val q = qualityParts
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), q.nTokens.cast("long").as("n_tokens"),
-        q.punctRatio.as("punct_ratio"), q.stopRatio.as("stop_ratio"),
-        q.distinctRatio.as("distinct_ratio"), q.tier.as("quality"))
-  }
-
-  /** The rule-filter expressions over a `text` column — shared by
-    * [[qualityTiers]] and the distilled-classifier training scan (the
-    * teacher labels must be the same CASE the rule query serves). */
-  private[operators] case class QualityParts(nTokens: Column,
-      punctRatio: Column, stopRatio: Column, distinctRatio: Column,
-      tier: Column)
-
-  private[operators] def qualityParts: QualityParts = {
     val t = tokens(col("text"))
     val nTok = size(t)
     val nChars = length(col("text"))
@@ -133,11 +118,14 @@ object TextAnalysis {
     val distinctRatio = round(size(array_distinct(t)).cast("double") / nTokSafe, 6)
     val punctRatio = round(punct.cast("double") / greatest(nChars, lit(1)), 6)
     val stopRatio = round(stop.cast("double") / nTokSafe, 6)
-    QualityParts(nTok, punctRatio, stopRatio, distinctRatio,
-      when(nTok < 10, "too_short")
-        .when(punctRatio > 0.2, "too_punct")
-        .when(distinctRatio < 0.2, "too_repetitive")
-        .otherwise("ok"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+        punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
+        distinctRatio.as("distinct_ratio"),
+        when(nTok < 10, "too_short")
+          .when(punctRatio > 0.2, "too_punct")
+          .when(distinctRatio < 0.2, "too_repetitive")
+          .otherwise("ok").as("quality"))
   }
 
   /** Per-source quality dashboard: the governance roll-up a
