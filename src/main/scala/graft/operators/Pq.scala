@@ -384,7 +384,7 @@ object PqModule extends QueryModule {
        |         WHERE a.vec_id <> qcells.query_id)""".stripMargin
   }
 
-  private def pqIvfOracleSql(cbs: Seq[Seq[Seq[Double]]],
+  private[operators] def pqIvfOracleSql(cbs: Seq[Seq[Seq[Double]]],
                              cents: Seq[Seq[Double]], nprobe: Int): String =
     s"""WITH ${SimilarityModule.eCte},
        |${ivfCtes(cents, nprobe)},
@@ -404,7 +404,7 @@ object PqModule extends QueryModule {
        |      FROM sc)
        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
-  private def pqOracleSql(cbs: Seq[Seq[Seq[Double]]]): String =
+  private[operators] def pqOracleSql(cbs: Seq[Seq[Seq[Double]]]): String =
     s"""WITH ${SimilarityModule.eCte},
        |${adcCtes(cbs)}
        |SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 6) AS adc_score, rn
@@ -414,7 +414,7 @@ object PqModule extends QueryModule {
        |      FROM sc)
        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
-  private def pqRerankOracleSql(cbs: Seq[Seq[Seq[Double]]]): String =
+  private[operators] def pqRerankOracleSql(cbs: Seq[Seq[Seq[Double]]]): String =
     s"""WITH ${SimilarityModule.eCte},
        |${adcCtes(cbs)},
        |cand AS (SELECT query_id, neighbor_id FROM (

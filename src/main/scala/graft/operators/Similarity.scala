@@ -486,10 +486,61 @@ object Similarity {
       "ivf_tuned" -> SimilarityIvf.annIvfTuned(spark, dir),
       "lsh" -> annLsh(spark, dir),
       "lsh_probe" -> annLshMultiProbe(spark, dir),
-      "lsh_tuned" -> annLshTuned(spark, dir))
+      "lsh_tuned" -> annLshTuned(spark, dir),
+      // the compressed-domain serving families — the report now covers
+      // EVERY deployed ANN leg, so "which index family is
+      // under-serving" has one answer for the whole surface
+      "pq" -> SimilarityPq.knnPq(spark, dir),
+      "pq_rerank" -> SimilarityPq.knnPqRerank(spark, dir),
+      "ivfpq" -> SimilarityPq.knnIvfPq(spark, dir),
+      "sq8" -> knnSq8(spark, dir))
       .map { case (n, df) => leg(n, df) }
       .reduce(_.unionByName(_))
       .orderBy("family")
+  }
+
+  /** Top-k corpus neighbors for ARBITRARY query vectors — the online
+    * serving kernel (the annLsh family serves queries drawn from the
+    * corpus itself; this serves vectors the corpus has never seen:
+    * user queries, fresh documents, a retrieval API's traffic).
+    * `queries` is a (query_id, embedding) slice; buckets come from the
+    * SAME seeded hyperplanes as the index, so the probe hits the
+    * persisted bucket artifact byte-for-byte; `radius` is the
+    * [[annLshAtRadius]] recall knob (query-side expansion only).
+    * Zero-norm query vectors are dropped (not cosine-rankable), the
+    * embBase discipline.
+    *
+    * Scale shape: the query batch is the broadcast side twice (probes
+    * and rerank vectors); the corpus side is the ids-only bucket
+    * artifact join + a candidate-sized vector fetch — per-batch cost
+    * scales with batch × buckets touched, never the corpus. */
+  def annServeBatch(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int = TopKDefault, radius: Int = 1): DataFrame = {
+    val qb = embBaseOf(
+      queries.select(col("query_id").as("vec_id"), col("embedding")))
+    val probes0 = lshBucketsOf(qb)
+      .select(col("vec_id").as("query_id"), col("table_idx"), col("bucket"))
+    val probes =
+      if (radius <= 0) probes0
+      else probes0.select(col("query_id"), col("table_idx"),
+        explode(array(probeColumns(col("bucket"), radius): _*)).as("bucket"))
+    val corpus = lshBuckets(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("table_idx"), col("bucket"))
+    val cands = broadcast(probes).join(corpus, Seq("table_idx", "bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = qb.select(col("vec_id").as("query_id"),
+      col("v").as("v_q"), col("nrm").as("nrm_q"))
+    val cv = embBase(spark, dir).select(col("vec_id").as("neighbor_id"),
+      col("v").as("v_c"), col("nrm").as("nrm_c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rn"))
   }
 
   /** Shared tail of the LSH variants: candidate pairs from a query-side
@@ -1970,6 +2021,7 @@ object SimilarityModule extends QueryModule {
       // every family's serving SQL nested verbatim against the exact
       // top-k — recall is hash-checked per family end to end
       "q_ann_recall_families" -> {
+        val cbs = SimilarityPq.fitCodebooks(spark, dir)
         val legs = Seq(
           "ivf_fit" -> ivfOracleSql(cents, nprobe),
           "ivf_tuned" -> ivfOracleSql(cents,
@@ -1977,7 +2029,12 @@ object SimilarityModule extends QueryModule {
           "lsh" -> lshOracleSql,
           "lsh_probe" -> lshProbeOracleSql,
           "lsh_tuned" -> lshRadiusOracleSql(
-            Similarity.tunedLshRadius(spark, dir)))
+            Similarity.tunedLshRadius(spark, dir)),
+          "pq" -> PqModule.pqOracleSql(cbs),
+          "pq_rerank" -> PqModule.pqRerankOracleSql(cbs),
+          "ivfpq" -> PqModule.pqIvfOracleSql(cbs, cents,
+            SimilarityIvf.probeFor(cents.length)),
+          "sq8" -> sq8OracleSql)
         legs.map { case (name, sql) =>
           s"""SELECT '$name' AS family, CAST(COUNT(*) AS BIGINT) AS n_exact,
              |  CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hits,
