@@ -283,6 +283,8 @@ object Dedup {
     "ivfProbeTuned" -> ((s, d) => SimilarityIvf.probeTunedTable(s, d)),
     // the LSH twin: the recall-tuned Hamming probe radius (k, radius)
     "lshProbeTuned" -> ((s, d) => Similarity.lshProbeTunedTable(s, d)),
+    // the PQ twin: the recall-tuned ADC rerank shortlist size (k, cands)
+    "pqRerankTuned" -> ((s, d) => SimilarityPq.rerankTunedTable(s, d)),
     // PQ model (train-once, M·K rows) + per-vector code table — the
     // compressed-domain ANN pair (codes are 64× smaller than vectors)
     "pqCodebooksFit" -> ((s, d) => SimilarityPq.codebookTable(s, d)),
@@ -331,8 +333,8 @@ object Dedup {
     * corpus has no embeddings (`withEmbeddings = false`). */
   private val embeddingArtifacts =
     Set("embBase", "lshBuckets", "ivfCells", "ivfCentroidsFit", "ivfCellsFit",
-      "ivfProbeTuned", "lshProbeTuned", "pqCodebooksFit", "pqCodes", "sq8Codes",
-      "labelCentroids")
+      "ivfProbeTuned", "lshProbeTuned", "pqRerankTuned", "pqCodebooksFit",
+      "pqCodes", "sq8Codes", "labelCentroids")
 
   /** Materialize every index artifact for `dir` as parquet under
     * `indexDir` — the 100 TB posture made literal: the shingle /
@@ -369,7 +371,7 @@ object Dedup {
     // locks make the cross-chain embBase/lshBuckets builds safe), so
     // the tune walk runs as its own concurrent chain
     Seq("lshProbeTuned"),
-    Seq("pqCodebooksFit", "pqCodes"),
+    Seq("pqCodebooksFit", "pqCodes", "pqRerankTuned"),
     Seq("sq8Codes"),
     Seq("bpeMergesFit"),
     Seq("curationToks", "wordGraph"),
@@ -1082,6 +1084,7 @@ object Dedup {
         // row wins over a budget walked earlier in this session
         if (name == "ivfProbeTuned") SimilarityIvf.invalidateProbeTune(spark, dir)
         if (name == "lshProbeTuned") Similarity.invalidateLshTune(spark, dir)
+        if (name == "pqRerankTuned") SimilarityPq.invalidateRerankTune(spark, dir)
       }
     }
   }

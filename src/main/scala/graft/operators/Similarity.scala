@@ -492,6 +492,7 @@ object Similarity {
       // under-serving" has one answer for the whole surface
       "pq" -> SimilarityPq.knnPq(spark, dir),
       "pq_rerank" -> SimilarityPq.knnPqRerank(spark, dir),
+      "pq_rerank_tuned" -> SimilarityPq.knnPqRerankTuned(spark, dir),
       "ivfpq" -> SimilarityPq.knnIvfPq(spark, dir),
       "sq8" -> knnSq8(spark, dir))
       .map { case (n, df) => leg(n, df) }
@@ -2032,6 +2033,8 @@ object SimilarityModule extends QueryModule {
             Similarity.tunedLshRadius(spark, dir)),
           "pq" -> PqModule.pqOracleSql(cbs),
           "pq_rerank" -> PqModule.pqRerankOracleSql(cbs),
+          "pq_rerank_tuned" -> PqModule.pqRerankOracleSql(cbs,
+            SimilarityPq.tunedRerankCands(spark, dir)),
           "ivfpq" -> PqModule.pqIvfOracleSql(cbs, cents,
             SimilarityIvf.probeFor(cents.length)),
           "sq8" -> sq8OracleSql)

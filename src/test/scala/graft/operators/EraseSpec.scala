@@ -48,7 +48,7 @@ class EraseSpec extends SparkSpec {
     * the reduced corpus) and the row tables encoded under them. */
   private val frozenModel = Set("ivfCentroidsFit", "ivfCellsFit",
     "pqCodebooksFit", "pqCodes", "bpeMergesFit", "ivfProbeTuned",
-    "lshProbeTuned")
+    "lshProbeTuned", "pqRerankTuned")
 
   test("erase ≡ rebuild-on-reduced-corpus for every non-frozen artifact; corpus is scrubbed") {
     val dir = mkCorpus()

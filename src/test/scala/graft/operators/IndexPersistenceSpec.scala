@@ -32,7 +32,7 @@ class IndexPersistenceSpec extends SparkSpec {
   private val artifacts = Seq("docShingles", "shingleIndex", "jaccardPairs",
     "minhashSigs", "minhashBands", "simhashTable", "embBase", "lshBuckets",
     "ivfCells", "ivfCentroidsFit", "ivfCellsFit", "ivfProbeTuned", "lshProbeTuned",
-    "pqCodebooksFit", "pqCodes",
+    "pqRerankTuned", "pqCodebooksFit", "pqCodes",
     "bpeMergesFit", "curationToks", "curationBpeToks", "labelCentroids", "sq8Codes",
     "clusterLabels", "wordGraph", "nbQualityModel")
 
@@ -62,6 +62,19 @@ class IndexPersistenceSpec extends SparkSpec {
     Dedup.primeIndexes(spark, dir, indexDir)
     assert(SimilarityIvf.tunedProbe(spark, dir) === poisoned,
       "tunedProbe re-walked the ladder instead of serving the primed artifact")
+    // the PQ rerank twin obeys the same artifact-wins rule
+    val rp = s"$indexDir/pqRerankTuned.parquet"
+    val rWritten = spark.read.parquet(rp)
+      .select("k", "cands").as[(Int, Int)].collect().toMap
+    assert(rWritten.contains(5), s"no tuned shortlist for the served k: $rWritten")
+    val rPoisoned = rWritten(5) + 3
+    Seq((5, rPoisoned)).toDF("k", "cands")
+      .write.mode("overwrite").parquet(s"$rp/batch_id=base")
+    Dedup.releaseIndexes(spark)
+    SimilarityPq.clearFitCache()
+    Dedup.primeIndexes(spark, dir, indexDir)
+    assert(SimilarityPq.tunedRerankCands(spark, dir) === rPoisoned,
+      "tunedRerankCands re-walked the ladder instead of serving the primed artifact")
   }
 
   test("writeIndexes → releaseIndexes → primeIndexes serves identical results from parquet") {
@@ -201,7 +214,8 @@ class IndexPersistenceSpec extends SparkSpec {
     // rebuild re-walks the ladder on the grown corpus — train-once,
     // excluded from the strict sweep like the model artifacts above
     artifacts.filterNot(Set("ivfCentroidsFit", "ivfCellsFit", "bpeMergesFit",
-        "pqCodebooksFit", "pqCodes", "ivfProbeTuned", "lshProbeTuned"))
+        "pqCodebooksFit", "pqCodes", "ivfProbeTuned", "lshProbeTuned",
+        "pqRerankTuned"))
       .foreach { a =>
       val appended = spark.read.parquet(s"$idxA/$a.parquet").drop("batch_id")
       val rebuilt = spark.read.parquet(s"$idxB/$a.parquet").drop("batch_id")
