@@ -212,13 +212,19 @@ object SimilarityPq {
 
   private def queryLutWhere(spark: SparkSession, dir: String,
                             cbs: Seq[Seq[Seq[Double]]], qpred: Column): DataFrame =
-    Similarity.embBase(spark, dir)
-      .filter(qpred)
-      .select(col("vec_id").as("query_id"),
-        array((0 until NumSub).map(m =>
-          array(cbs(m).map(c =>
-            round(dot(subCol(col("v"), m), typedLit(c)), 9)
-              .cast("decimal(29,9)")): _*)): _*).as("lut"))
+    queryLutOf(Similarity.embBase(spark, dir).filter(qpred), cbs)
+
+  /** The LUT over an ARBITRARY embBase-shaped query batch — the
+    * online-serving head ([[Similarity.annServeBatchIvfPq]]) computes
+    * lookup tables for vectors the corpus never saw; the corpus-query
+    * paths above are the special case of a corpus-prefix batch. */
+  private[operators] def queryLutOf(qb: DataFrame,
+                                    cbs: Seq[Seq[Seq[Double]]]): DataFrame =
+    qb.select(col("vec_id").as("query_id"),
+      array((0 until NumSub).map(m =>
+        array(cbs(m).map(c =>
+          round(dot(subCol(col("v"), m), typedLit(c)), 9)
+            .cast("decimal(29,9)")): _*)): _*).as("lut"))
 
   /** The ADC sum: M lookups into the bound `lut` by the bound `codes`,
     * added exactly (DECIMAL chain — order-free). */
@@ -242,10 +248,19 @@ object SimilarityPq {
   private def adcScoreOf(spark: SparkSession, dir: String,
                          cbs: Seq[Seq[Seq[Double]]], pairs: DataFrame,
                          nQueries: Int): DataFrame =
+    adcScoreWithLut(spark, dir, pairs, queryLut(spark, dir, cbs, nQueries))
+
+  /** ADC scores of a candidate table under an EXPLICIT per-query LUT
+    * frame — shared by the corpus-query path above and the
+    * online-serving head (whose LUTs come from a query batch, not the
+    * corpus). */
+  private[operators] def adcScoreWithLut(spark: SparkSession, dir: String,
+                                         pairs: DataFrame,
+                                         lut: DataFrame): DataFrame =
     pairs
       .join(pqCodes(spark, dir).select(col("vec_id").as("neighbor_id"),
         col("codes")), Seq("neighbor_id"))
-      .join(broadcast(queryLut(spark, dir, cbs, nQueries)), Seq("query_id"))
+      .join(broadcast(lut), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), adcExpr.as("adc"))
 
   /** PQ-ADC top-k: approximate inner-product ranking straight off the
@@ -423,6 +438,45 @@ object SimilarityPq {
       .orderBy("query_id", "rn")
   }
 
+  /** IVF + PQ + refine — the FAISS `IndexIVFPQ` wrapped in an
+    * `IndexRefineFlat`, with BOTH serving knobs drawn from their
+    * persisted tuned-budget artifacts: the probe budget from
+    * ivfProbeTuned ([[SimilarityIvf.tunedProbe]]) and the rerank
+    * shortlist from pqRerankTuned ([[tunedRerankCands]]). The 10-leg
+    * recall report measured raw [[knnIvfPq]] at 0.12 natural recall —
+    * under-probing (k/8 heuristic) compounded by serving raw ADC
+    * ranks from a 4-bit quantizer; this is the closure: probe wider,
+    * ADC-rank ONLY the probed cells' codes, then re-score the tuned
+    * shortlist against full-precision vectors.
+    *
+    * Scale shape: the probe touches nprobe/kCells of the corpus, the
+    * ADC scan reads only the survivors' M-byte codes, and the
+    * full-precision fetch is shortlist-sized (queries × cands rows) —
+    * the raw float column is never scanned corpus-wide. That is the
+    * billion-vector serving architecture: compressed-domain recall,
+    * full-precision precision, both budgets measured not guessed. */
+  def knnIvfPqRefined(spark: SparkSession, dir: String,
+                      nQueries: Int = NumQueriesDefault,
+                      k: Int = TopKDefault): DataFrame = {
+    val cbs = fitCodebooks(spark, dir)
+    val cents = SimilarityIvf.fitCentroids(spark, dir)
+    val nprobe = SimilarityIvf.tunedProbe(spark, dir, k)
+    val nCands = tunedRerankCands(spark, dir, k)
+    val cands = broadcast(
+        SimilarityIvf.queryProbes(spark, dir, cents, nprobe, nQueries))
+      .join(SimilarityIvf.ivfCellsFit(spark, dir)
+        .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = adcScoreOf(spark, dir, cbs, cands, nQueries)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nCands)
+      .select("query_id", "neighbor_id")
+    Similarity.rerankTopK(Similarity.embBase(spark, dir), shortlist, nQueries, k)
+  }
+
   /** Code-usage histogram per subspace — the index-health audit
     * (a subspace whose vectors collapse into few codes has lost
     * resolution and its codebook should be refit; the ivfStats
@@ -446,6 +500,7 @@ object PqModule extends QueryModule {
     "q_knn_pq_rerank" -> ((s: SparkSession, d: String) => knnPqRerank(s, d)),
     "q_knn_pq_rerank_tuned" -> ((s: SparkSession, d: String) => SimilarityPq.knnPqRerankTuned(s, d)),
     "q_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
+    "q_knn_ivfpq_refined" -> ((s: SparkSession, d: String) => knnIvfPqRefined(s, d)),
     "q_pq_stats" -> ((s: SparkSession, d: String) => pqStats(s, d)))
 
   def oracles = Map.empty[String, String]
@@ -488,7 +543,8 @@ object PqModule extends QueryModule {
     * SQL twin of the ivfCellsFit / queryProbes composition (same
     * literal-centroid discipline and tie-breaks as q_knn_ivf_fit's
     * oracle). */
-  private def ivfCtes(cents: Seq[Seq[Double]], nprobe: Int): String = {
+  private[operators] def ivfCtes(cents: Seq[Seq[Double]], nprobe: Int,
+                                 candName: String = "cand"): String = {
     val rows = cents.zipWithIndex
       .map { case (c, i) => s"(${i + 1}, ${listLit(c)}::DOUBLE[])" }
       .mkString(",\n    ")
@@ -503,7 +559,7 @@ object PqModule extends QueryModule {
        |    SELECT vec_id, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell DESC) AS rn
        |    FROM d WHERE vec_id < 10) WHERE rn <= $nprobe),
-       |cand AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+       |$candName AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id
        |         FROM qcells JOIN assign a USING (cell)
        |         WHERE a.vec_id <> qcells.query_id)""".stripMargin
   }
@@ -527,6 +583,29 @@ object PqModule extends QueryModule {
        |                           ORDER BY adc DESC, neighbor_id ASC) AS rn
        |      FROM sc)
        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  /** IVF probe → ADC shortlist of `cands` → exact-cosine rerank — the
+    * SQL twin of knnIvfPqRefined. The IVF candidate CTE is renamed so
+    * rerankTail's `cand` can be the ADC shortlist. */
+  private[operators] def pqIvfRefinedOracleSql(cbs: Seq[Seq[Seq[Double]]],
+      cents: Seq[Seq[Double]], nprobe: Int, cands: Int): String =
+    s"""WITH ${SimilarityModule.eCte},
+       |${ivfCtes(cents, nprobe, "ivfc")},
+       |${cbCtes(cbs)},
+       |$lutCte,
+       |sc AS (SELECT ivfc.query_id, ivfc.neighbor_id,
+       |         SUM(CAST(w AS DECIMAL(29,9))) AS adc
+       |       FROM ivfc
+       |       JOIN codes cd ON cd.vec_id = ivfc.neighbor_id
+       |       JOIN lut ON lut.query_id = ivfc.query_id
+       |              AND lut.m = cd.m AND lut.code = cd.code
+       |       GROUP BY 1, 2),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY adc DESC, neighbor_id ASC) AS rn
+       |    FROM sc) WHERE rn <= $cands),
+       |${SimilarityModule.rerankTail}""".stripMargin
 
   private[operators] def pqOracleSql(cbs: Seq[Seq[Seq[Double]]]): String =
     s"""WITH ${SimilarityModule.eCte},
@@ -566,6 +645,12 @@ object PqModule extends QueryModule {
       "q_knn_pq_rerank_tuned" -> pqRerankOracleSql(cbs,
         SimilarityPq.tunedRerankCands(spark, dir)),
       "q_knn_ivfpq" -> pqIvfOracleSql(cbs, cents, SimilarityIvf.probeFor(cents.length)),
+      // both tuned budgets resolve at dump time from their artifacts
+      // (or the same-session ladder walks), so the literals match the
+      // serving plan bit-for-bit
+      "q_knn_ivfpq_refined" -> pqIvfRefinedOracleSql(cbs, cents,
+        SimilarityIvf.tunedProbe(spark, dir),
+        SimilarityPq.tunedRerankCands(spark, dir)),
       "q_pq_stats" -> pqStatsOracleSql(cbs))
   }
 }

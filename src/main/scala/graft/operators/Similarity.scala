@@ -494,7 +494,9 @@ object Similarity {
       "pq_rerank" -> SimilarityPq.knnPqRerank(spark, dir),
       "pq_rerank_tuned" -> SimilarityPq.knnPqRerankTuned(spark, dir),
       "ivfpq" -> SimilarityPq.knnIvfPq(spark, dir),
-      "sq8" -> knnSq8(spark, dir))
+      "ivfpq_refined" -> SimilarityPq.knnIvfPqRefined(spark, dir),
+      "sq8" -> knnSq8(spark, dir),
+      "ivf_sq8" -> knnIvfSq8(spark, dir))
       .map { case (n, df) => leg(n, df) }
       .reduce(_.unionByName(_))
       .orderBy("family")
@@ -529,6 +531,78 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("table_idx"), col("bucket"))
     val cands = broadcast(probes).join(corpus, Seq("table_idx", "bucket"))
       .select("query_id", "neighbor_id").distinct()
+    serveRerank(spark, dir, qb, cands, k)
+  }
+
+  /** [[annServeBatch]]'s IVF twin: the same online-serving contract
+    * (arbitrary query vectors, zero-norm dropped, per-batch cost ∝
+    * batch × cells probed) against the fitted coarse quantizer
+    * instead of the LSH planes — query cells come from the SAME
+    * memoized centroids the corpus cell artifact was assigned under,
+    * and the probe budget is the persisted recall-tuned one
+    * (`ivfProbeTuned`), so online traffic serves at the recall the
+    * held-out audit measured, not a heuristic. Deployments pick by
+    * index family maintained; both twins share the exact-cosine
+    * rerank tail. */
+  def annServeBatchIvf(spark: SparkSession, dir: String, queries: DataFrame,
+                       k: Int = TopKDefault): DataFrame = {
+    val cents = SimilarityIvf.fitCentroids(spark, dir)
+    val nprobe = SimilarityIvf.tunedProbe(spark, dir, k)
+    val qb = embBaseOf(
+      queries.select(col("query_id").as("vec_id"), col("embedding")))
+    val qcells = SimilarityIvf.queryProbesOf(qb, cents, nprobe)
+    val corpus = SimilarityIvf.ivfCellsFit(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val cands = broadcast(qcells).join(corpus, Seq("cell"))
+      .select("query_id", "neighbor_id").distinct()
+    serveRerank(spark, dir, qb, cands, k)
+  }
+
+  /** The third online-serving family — IVF probe + PQ-ADC shortlist +
+    * exact rerank for ARBITRARY query vectors: the billion-vector
+    * serving architecture end to end, with all THREE stages riding
+    * persisted artifacts and tuned budgets. The LSH/IVF twins above
+    * fetch full-precision vectors for every probed candidate; at a
+    * billion vectors the candidate set of a wide probe is itself too
+    * large for float fetches, so this head ranks the probed cells'
+    * candidates in the compressed domain first (M int8 codes per
+    * candidate via the batch's own ADC lookup tables) and fetches
+    * floats only for the tuned shortlist. Budgets: probe width from
+    * `ivfProbeTuned`, shortlist from `pqRerankTuned` — both
+    * train-once artifacts, both audited by the recall report.
+    * Per-batch cost: batch × (nprobe/kCells) × corpus code reads +
+    * batch × shortlist float fetches. */
+  def annServeBatchIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
+                         k: Int = TopKDefault): DataFrame = {
+    val cbs = SimilarityPq.fitCodebooks(spark, dir)
+    val cents = SimilarityIvf.fitCentroids(spark, dir)
+    val nprobe = SimilarityIvf.tunedProbe(spark, dir, k)
+    val nCands = SimilarityPq.tunedRerankCands(spark, dir, k)
+    val qb = embBaseOf(
+      queries.select(col("query_id").as("vec_id"), col("embedding")))
+    val qcells = SimilarityIvf.queryProbesOf(qb, cents, nprobe)
+    val corpus = SimilarityIvf.ivfCellsFit(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val cands = broadcast(qcells).join(corpus, Seq("cell"))
+      .select("query_id", "neighbor_id").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = SimilarityPq
+      .adcScoreWithLut(spark, dir, cands, SimilarityPq.queryLutOf(qb, cbs))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nCands)
+      .select("query_id", "neighbor_id")
+    serveRerank(spark, dir, qb, shortlist, k)
+  }
+
+  /** Serving-side exact-cosine rerank: query vectors from the BATCH
+    * (`qb`), corpus vectors from the embBase artifact. Distinct from
+    * [[rerankTopK]] on purpose — there the query side IS the corpus
+    * and self-pairs are excluded upstream; here a self-match (a query
+    * identical to a corpus vector, cos 1) is a legitimate, pinned
+    * result. */
+  private def serveRerank(spark: SparkSession, dir: String, qb: DataFrame,
+                          cands: DataFrame, k: Int): DataFrame = {
     val qv = qb.select(col("vec_id").as("query_id"),
       col("v").as("v_q"), col("nrm").as("nrm_q"))
     val cv = embBase(spark, dir).select(col("vec_id").as("neighbor_id"),
@@ -739,6 +813,52 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** IVF-pruned int8 serving — the FAISS `IndexIVFScalarQuantizer`
+    * shape. [[knnSq8]]'s int8 scan is exact-rank (natural recall
+    * 0.98–1.0 in the families report) but reads EVERY vector's codes
+    * per query — the one ANN leg whose serving cost is still
+    * corpus-linear, which does not survive 100 TB. This composes the
+    * fitted coarse quantizer in front of it: probe the recall-tuned
+    * nprobe cells (the persisted `ivfProbeTuned` budget), then score
+    * int8 cosines over the probed cells' candidates only. Recall is
+    * bounded by the probe (ivf_tuned's audited number) because SQ8
+    * ranks are near-exact; cost drops from corpus × queries to
+    * queries × (nprobe/kCells) × corpus.
+    *
+    * No refine stage on purpose: int8 cosine IS the final score in
+    * the full-scan leg too (the families report shows sq8 ≈ exact),
+    * so a full-precision rerank would re-fetch floats to reproduce
+    * the ranking the codes already gave. Contrast knnIvfPqRefined,
+    * where 4-bit ADC ranks genuinely need the exact rerank. */
+  def knnIvfSq8(spark: SparkSession, dir: String,
+                nQueries: Int = NumQueriesDefault, k: Int = TopKDefault): DataFrame = {
+    val cents = SimilarityIvf.fitCentroids(spark, dir)
+    val nprobe = SimilarityIvf.tunedProbe(spark, dir, k)
+    val cands = broadcast(
+        SimilarityIvf.queryProbes(spark, dir, cents, nprobe, nQueries))
+      .join(SimilarityIvf.ivfCellsFit(spark, dir)
+        .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qt = sq8Codes(spark, dir)
+    val q = qt.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qd").as("qd_q"), col("nrm2").as("n2_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // candidate pairs are queries × probed-cells sized — always the
+    // broadcast side against the corpus code table
+    qt.select(col("vec_id").as("neighbor_id"), col("qd").as("qd_c"), col("nrm2").as("n2_c"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qd_q"), col("qd_c")) / (sqrt(col("n2_q")) * sqrt(col("n2_c")))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_q"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** RRF fusion constant (Cormack et al. 2009's k = 60). */
   private[operators] val RrfK = 60
 
@@ -887,9 +1007,16 @@ object SimilarityIvf {
   private[operators] def queryProbes(spark: SparkSession, dir: String,
                                      cents: Seq[Seq[Double]], nprobe: Int,
                                      nQueries: Int): DataFrame =
-    Similarity.embBase(spark, dir).filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        explode(probedCells(col("v"), cents, nprobe)).as("cell"))
+    queryProbesOf(
+      Similarity.embBase(spark, dir).filter(col("vec_id") < nQueries),
+      cents, nprobe)
+
+  /** Probed cells for an ARBITRARY embBase-shaped query batch — the
+    * online-serving head ([[Similarity.annServeBatchIvf]]). */
+  private[operators] def queryProbesOf(qb: DataFrame, cents: Seq[Seq[Double]],
+                                       nprobe: Int): DataFrame =
+    qb.select(col("vec_id").as("query_id"),
+      explode(probedCells(col("v"), cents, nprobe)).as("cell"))
 
   private[graft] def ivfCells(spark: SparkSession, dir: String,
                               cents: Seq[Seq[Double]] = centroids,
@@ -1797,7 +1924,8 @@ object SimilarityModule extends QueryModule {
     "q_ivf_stats" -> ((s: SparkSession, d: String) => SimilarityIvf.ivfStats(s, d)),
     "q_ann_recall" -> ((s: SparkSession, d: String) => SimilarityIvf.annRecallReport(s, d)),
     "q_hybrid_search" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
-    "q_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)))
+    "q_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)),
+    "q_knn_ivf_sq8" -> ((s: SparkSession, d: String) => knnIvfSq8(s, d)))
 
   // q_knn_exact_agg shares q_knn_exact's oracle: same semantics, the
   // Aggregator formulation just changes the physical plan.
@@ -1857,6 +1985,32 @@ object SimilarityModule extends QueryModule {
       |  FROM d)
       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** SQL twin of [[Similarity.knnIvfSq8]]: the fitted-IVF candidate
+    * CTEs (PqModule's, under the dump-time-resolved centroid literals
+    * and tuned nprobe) feeding the int8 scoring chain, which is
+    * renamed (ss/sqt/sn/sd) because ivfCtes already owns `d`. Scoring
+    * arithmetic is byte-identical to sq8OracleSql — only WHICH pairs
+    * are scored changes. */
+  private def ivfSq8OracleSql(cents: Seq[Seq[Double]], nprobe: Int): String =
+    s"""WITH $eCte,
+       |${PqModule.ivfCtes(cents, nprobe)},
+       |ss AS (SELECT vec_id, list_max(list_transform(v, y -> abs(y))) AS scale, v FROM e),
+       |sqt AS (SELECT vec_id, list_transform(v, y ->
+       |          CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+       |               ELSE floor(y * 127 / scale + 0.5) END) AS qd
+       |        FROM ss),
+       |sn AS (SELECT vec_id, qd, list_dot_product(qd, qd) AS nrm2 FROM sqt
+       |       WHERE list_dot_product(qd, qd) > 0),
+       |sd AS (SELECT cand.query_id, cand.neighbor_id,
+       |         list_dot_product(q.qd, c.qd) / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cos
+       |       FROM cand JOIN sn q ON q.vec_id = cand.query_id
+       |                 JOIN sn c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos_q, rn FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM sd)
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
   /** SQL twin of [[Similarity.mmrRerank]]: the k greedy selection
     * rounds UNROLL as CTEs (k is a serving constant), each one the
@@ -2011,6 +2165,10 @@ object SimilarityModule extends QueryModule {
            |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id
            |  AND ap.neighbor_id = ex.neighbor_id
            |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
+      // IVF-pruned int8 serving: the same resolved centroid + tuned
+      // nprobe literals as the ivf_tuned leg, int8 arithmetic as sq8
+      "q_knn_ivf_sq8" -> ivfSq8OracleSql(cents,
+        SimilarityIvf.tunedProbe(spark, dir)),
       "q_knn_ivf_filtered" -> ivfFilteredOracleSql(cents,
         SimilarityIvf.probeForFiltered(spark, dir, cents.length,
           SimilarityIvf.FilterLabelMax),
@@ -2037,7 +2195,12 @@ object SimilarityModule extends QueryModule {
             SimilarityPq.tunedRerankCands(spark, dir)),
           "ivfpq" -> PqModule.pqIvfOracleSql(cbs, cents,
             SimilarityIvf.probeFor(cents.length)),
-          "sq8" -> sq8OracleSql)
+          "ivfpq_refined" -> PqModule.pqIvfRefinedOracleSql(cbs, cents,
+            SimilarityIvf.tunedProbe(spark, dir),
+            SimilarityPq.tunedRerankCands(spark, dir)),
+          "sq8" -> sq8OracleSql,
+          "ivf_sq8" -> ivfSq8OracleSql(cents,
+            SimilarityIvf.tunedProbe(spark, dir)))
         legs.map { case (name, sql) =>
           s"""SELECT '$name' AS family, CAST(COUNT(*) AS BIGINT) AS n_exact,
              |  CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hits,

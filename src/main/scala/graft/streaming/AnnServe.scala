@@ -44,4 +44,37 @@ object AnnServe {
         batch.select("query_id", "embedding"), k, radius))
     }.start()
   }
+
+  /** [[annServeIngest]] against the fitted-IVF index family instead of
+    * the LSH planes: probes use the persisted recall-tuned budget
+    * (`ivfProbeTuned`), so streamed traffic serves at the audited
+    * recall. Same per-batch artifact resolution — an index refresh
+    * lands on the next micro-batch without a stream restart. */
+  def annServeIngestIvf(queries: DataFrame, spark: SparkSession, dir: String,
+      k: Int = 5, checkpointDir: Option[String] = None)
+      (sink: DataFrame => Unit): StreamingQuery = {
+    val w = queries.writeStream
+    checkpointDir.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(Similarity.annServeBatchIvf(spark, dir,
+        batch.select("query_id", "embedding"), k))
+    }.start()
+  }
+
+  /** The compressed-domain serving twin ([[Similarity
+    * .annServeBatchIvfPq]]): IVF probe + PQ-ADC shortlist + exact
+    * rerank per micro-batch, every stage on persisted artifacts and
+    * tuned budgets — the family a billion-vector deployment streams
+    * against, since candidate float fetches are shortlist-sized
+    * rather than probe-sized. */
+  def annServeIngestIvfPq(queries: DataFrame, spark: SparkSession, dir: String,
+      k: Int = 5, checkpointDir: Option[String] = None)
+      (sink: DataFrame => Unit): StreamingQuery = {
+    val w = queries.writeStream
+    checkpointDir.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(Similarity.annServeBatchIvfPq(spark, dir,
+        batch.select("query_id", "embedding"), k))
+    }.start()
+  }
 }

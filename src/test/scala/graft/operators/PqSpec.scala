@@ -45,6 +45,39 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall collapsed: $recall%.3f")
   }
 
+  test("IVFADC + refine lifts raw IVFADC recall and serves exact cosines") {
+    // The refined path (tuned probe budget + tuned-shortlist exact
+    // rerank) exists BECAUSE the recall report measured raw ivfpq at
+    // 0.12 natural recall: pin that refine is a strict improvement on
+    // this corpus and well above chance, and that what it serves are
+    // full-precision cosines (every refined pair's score equals the
+    // brute-force exact scan's score for that pair — the compressed
+    // domain only selects, never scores, the final ranking).
+    val dir = sf("sf0.001")
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.knnExact(spark, dir).collect()
+    val exactPairs = pairs(exact)
+    val raw = pairs(SimilarityPq.knnIvfPq(spark, dir).collect())
+    val refinedRows = SimilarityPq.knnIvfPqRefined(spark, dir).collect()
+    val refined = pairs(refinedRows)
+    val rawRecall = (exactPairs intersect raw).size.toDouble / exactPairs.size
+    val refRecall = (exactPairs intersect refined).size.toDouble / exactPairs.size
+    info(f"ivfpq recall@5: raw $rawRecall%.3f -> refined $refRecall%.3f")
+    assert(refRecall >= rawRecall,
+      f"refine must not lose recall: $rawRecall%.3f -> $refRecall%.3f")
+    assert(refRecall >= 0.5, f"refined recall collapsed: $refRecall%.3f")
+    // exact-cosine parity on the pairs both rankings share
+    val exactCos = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    refinedRows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactCos.get(key).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-6,
+          s"refined cos diverged from exact for $key: $c vs ${r.getDouble(2)}")
+      }
+    }
+  }
+
   test("IVFADC scores agree with the exhaustive ADC scan on shared pairs") {
     // IVF pruning changes WHICH pairs are scored, never their score:
     // every (query, neighbor) the IVFADC path returns must carry the

@@ -458,6 +458,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-pruned int8 ANN: pruning selects, int8 scores — pairs subset-scored identically to the full scan") {
+    // The corpus-linear sq8 scan vs its IVF-pruned twin: every pair
+    // BOTH serve must carry the identical quantized cosine (pruning
+    // changes WHICH pairs are scored, never a score), recall vs the
+    // full scan stays above the tuned probe budget's audited floor,
+    // and ranks are dense per query.
+    val dir = sf("sf0.001")
+    val full = Similarity.knnSq8(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pruned = Similarity.knnIvfSq8(spark, dir).collect()
+    pruned.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length),
+        s"ranks not dense for query $q")
+    }
+    var shared = 0
+    pruned.foreach { r =>
+      full.get((r.getLong(0), r.getLong(1))).foreach { cosFull =>
+        shared += 1
+        assert(r.getDouble(2) === cosFull,
+          s"pruned int8 cosine diverged from full scan: $r vs $cosFull")
+      }
+    }
+    val recall = shared.toDouble / full.size
+    info(f"ivf_sq8 recall vs full sq8 scan: $recall%.3f ($shared/${full.size})")
+    // the tuned probe budget reaches >= 0.8 recall on held-out natural
+    // queries; allow slack for the serving-query sample
+    assert(recall >= 0.5, f"IVF pruning collapsed int8 recall: $recall%.3f")
+  }
+
   test("ANN recall report: bounded per query, and honest about natural-query recall") {
     val out = SimilarityIvf.annRecallReport(spark, sf("sf0.01")).collect()
     assert(out.length === 10)

@@ -63,4 +63,108 @@ class AnnServeSpec extends SparkSpec {
     // the zero-norm query is silently dropped (not rankable), no crash
     assert(!collected.exists(_._1 == 1003L))
   }
+
+  test("IVF serving twin: stream equals batch, self-match at cos 1, exact agreement on served pairs") {
+    implicit val sq = spark.sqlContext
+    val corpusVec7 = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter("vec_id = 7").select("embedding").as[Seq[Float]].collect()(0)
+    val rnd = new scala.util.Random(42)
+    val novel = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val queryRows = Seq(
+      QVec(ts("2024-01-01 10:00:00"), 2001L, corpusVec7),
+      QVec(ts("2024-01-01 10:00:01"), 2002L, novel),
+      QVec(ts("2024-01-01 10:00:02"), 2003L, Seq.fill(16)(0f))) // zero-norm
+    val batchExpected = Similarity.annServeBatchIvf(spark, corpusDir,
+        queryRows.toDF().select("query_id", "embedding"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Double, Int)]
+    val input = MemoryStream[QVec]
+    val q = AnnServe.annServeIngestIvf(input.toDF(), spark, corpusDir, k = 3) { served =>
+      collected ++= served.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    }
+    withQuery(q) {
+      input.addData(queryRows: _*)
+      q.processAllAvailable()
+    }
+    assert(collected.toSet === batchExpected, "IVF stream/batch divergence")
+    // corpus-identical query: its own cell is always the nearest probe,
+    // so vec 7 MUST be found, at cosine exactly 1
+    val top2001 = collected.filter(t => t._1 == 2001L && t._4 == 1)
+    assert(top2001.map(t => (t._2, t._3)) === Set((7L, 1.0)),
+      s"IVF self-match failed: $top2001")
+    assert(collected.exists(_._1 == 2002L), s"novel query unanswered: $collected")
+    assert(!collected.exists(_._1 == 2003L))
+    // probing only selects — never scores: every served cosine must
+    // equal the brute-force cosine for that (query, neighbor) pair,
+    // computed independently here from the raw parquet
+    val corpusVecs = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val queryVecs = queryRows.map(q => q.query_id -> q.embedding).toMap
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    collected.foreach { case (qid, nid, cos, _) =>
+      val want = math.rint(cosine(queryVecs(qid), corpusVecs(nid)) * 1e6) / 1e6
+      assert(math.abs(want - cos) <= 1e-6,
+        s"served cos diverged for ($qid,$nid): $want vs $cos")
+    }
+  }
+
+  test("IVF+PQ serving twin: compressed shortlist selects, exact rerank scores — stream equals batch") {
+    // The third serving family runs on the REAL 64-dim corpus (PQ's
+    // 8×8 subspace split assumes dim 64); the tiny 16-dim fixture
+    // above would encode only the first two subspaces.
+    implicit val sq = spark.sqlContext
+    val dir = sf("sf0.001")
+    val corpusVec7 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id = 7").select("embedding").as[Seq[Float]].collect()(0)
+    val rnd = new scala.util.Random(7)
+    val novel = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val queryRows = Seq(
+      QVec(ts("2024-01-01 10:00:00"), 3001L, corpusVec7),
+      QVec(ts("2024-01-01 10:00:01"), 3002L, novel),
+      QVec(ts("2024-01-01 10:00:02"), 3003L, Seq.fill(64)(0f))) // zero-norm
+    val batchExpected = Similarity.annServeBatchIvfPq(spark, dir,
+        queryRows.toDF().select("query_id", "embedding"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Double, Int)]
+    val input = MemoryStream[QVec]
+    val q = AnnServe.annServeIngestIvfPq(input.toDF(), spark, dir, k = 3) { served =>
+      collected ++= served.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    }
+    withQuery(q) {
+      input.addData(queryRows: _*)
+      q.processAllAvailable()
+    }
+    assert(collected.toSet === batchExpected, "IVF+PQ stream/batch divergence")
+    // corpus-identical query: own cell always probed, the ADC shortlist
+    // (tuned, >= 32 of ~500) comfortably keeps the identical vector,
+    // and the exact rerank must then surface it at cosine exactly 1
+    val top3001 = collected.filter(t => t._1 == 3001L && t._4 == 1)
+    assert(top3001.map(t => (t._2, t._3)) === Set((7L, 1.0)),
+      s"IVF+PQ self-match failed: $top3001")
+    assert(collected.exists(_._1 == 3002L), s"novel query unanswered: $collected")
+    assert(!collected.exists(_._1 == 3003L))
+    // the compressed domain only SELECTS — served scores are exact
+    // cosines, verified independently from the raw parquet
+    val corpusVecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val queryVecs = queryRows.map(q => q.query_id -> q.embedding).toMap
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    collected.foreach { case (qid, nid, cos, _) =>
+      val want = math.rint(cosine(queryVecs(qid), corpusVecs(nid)) * 1e6) / 1e6
+      assert(math.abs(want - cos) <= 1e-6,
+        s"served cos diverged for ($qid,$nid): $want vs $cos")
+    }
+  }
 }
