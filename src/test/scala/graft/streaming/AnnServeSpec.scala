@@ -167,4 +167,50 @@ class AnnServeSpec extends SparkSpec {
         s"served cos diverged for ($qid,$nid): $want vs $cos")
     }
   }
+
+  test("corpus refresh between micro-batches: a newly ingested vector is served on the next batch") {
+    implicit val sq = spark.sqlContext
+    // private corpus dir — this test appends to it
+    val dir = java.nio.file.Files.createTempDirectory("graft-annserve-refresh").toString
+    val rnd = new scala.util.Random(23)
+    (0 until 40).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val probe = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    // per-batch result snapshots, in arrival order
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Double, Int)]]
+    val input = MemoryStream[QVec]
+    val q = AnnServe.annServeIngest(input.toDF(), spark, dir, k = 3, radius = 2) { served =>
+      batches += served.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    }
+    withQuery(q) {
+      input.addData(QVec(ts("2024-01-01 10:00:00"), 9001L, probe))
+      q.processAllAvailable()
+      // corpus maintenance lands between batches: a new vector equal to
+      // the probe is appended and the session memo entries for the
+      // corpus-derived state are dropped (what index maintenance does);
+      // the SAME running stream must serve it on the next micro-batch —
+      // the refreshable-static-side contract, pinned here end to end
+      Seq((777L, probe, 0)).toDF("vec_id", "embedding", "label")
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      graft.operators.Dedup.memoDrop(spark, s"embBase|$dir")
+      graft.operators.Dedup.memoDrop(spark, s"lshBuckets|$dir")
+      input.addData(QVec(ts("2024-01-01 10:00:01"), 9002L, probe))
+      q.processAllAvailable()
+    }
+    // locate each query's snapshot by content (an engine may hand the
+    // sink an initial empty batch; don't index positionally)
+    val b1 = batches.find(_.exists(_._1 == 9001L))
+      .getOrElse(fail(s"query 9001 unanswered: $batches"))
+    val b2 = batches.find(_.exists(_._1 == 9002L))
+      .getOrElse(fail(s"query 9002 unanswered: $batches"))
+    // batch 1 predates vector 777: it cannot have served it
+    assert(!b1.exists(_._2 == 777L),
+      s"batch 1 served a vector that did not exist yet: $b1")
+    // batch 2 must surface the ingested vector as top-1 at cosine 1
+    val top = b2.filter(t => t._1 == 9002L && t._4 == 1)
+    assert(top.map(t => (t._2, t._3)) === Set((777L, 1.0)),
+      s"refresh not served: $b2")
+  }
 }
