@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe: the three online-serving heads (LSH / IVF / IVF+PQ) at
+  * a scaled-up corpus, answering a 1000-query batch of NEVER-SEEN
+  * vectors — the measurement behind the serving-cost claims: the LSH
+  * and IVF heads fetch full-precision vectors for every probed
+  * candidate, the IVF+PQ head ranks candidates in the compressed
+  * domain and fetches floats only for the tuned shortlist, so its
+  * advantage should grow with corpus size (candidate sets grow with
+  * the corpus; shortlists do not).
+  *
+  * sbt "runMain graft.operators.ServeScaleProbe /root/testdata/sf0.1 20"
+  */
+object ServeScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 1) args(1).toInt else 20
+    val batchN = if (args.length > 2) args(2).toInt else 1000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $tag%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s"); r
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_serve_scale").toString
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nEmb = emb.count()
+    val rep = spark.range(mult).select(col("id").as("r"))
+    t(s"generate ${mult}x corpus (${mult * nEmb} vectors)") {
+      emb.crossJoin(rep)
+        .select((col("vec_id") + col("r") * nEmb).as("vec_id"),
+          transform(col("embedding"),
+            x => x + (col("r").cast("float") * lit(0.001f))).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    // the query batch: corpus-DERIVED but never-seen vectors (a fixed
+    // perturbation no replica uses), ids far outside the corpus range
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < batchN)
+      .select((col("vec_id") + lit(10000000L)).as("query_id"),
+        transform(col("embedding"), x => x * lit(1.0001f) + lit(0.0005f))
+          .as("embedding"))
+    queries.write.mode("overwrite").parquet(s"$dir/queryBatch.parquet")
+    val qb = spark.read.parquet(s"$dir/queryBatch.parquet")
+
+    // fit/tune once, outside the timed serving samples (train-once
+    // artifacts in production; the probe measures SERVING)
+    t("fit centroids + tune nprobe") {
+      SimilarityIvf.tunedProbe(spark, dir)
+    }
+    t("fit codebooks + tune rerank shortlist") {
+      SimilarityPq.tunedRerankCands(spark, dir)
+    }
+    println(s"[probe] budgets: nprobe=${SimilarityIvf.tunedProbe(spark, dir)}" +
+      s" of ${SimilarityIvf.corpusK(spark, dir)} cells," +
+      s" rerankCands=${SimilarityPq.tunedRerankCands(spark, dir)}")
+
+    val heads: Seq[(String, () => Long)] = Seq(
+      "lsh head (float fetch per candidate)" ->
+        (() => Similarity.annServeBatch(spark, dir, qb).count()),
+      "ivf head (float fetch per candidate)" ->
+        (() => Similarity.annServeBatchIvf(spark, dir, qb).count()),
+      "ivfpq head (ADC + shortlist-only floats)" ->
+        (() => Similarity.annServeBatchIvfPq(spark, dir, qb).count()))
+    heads.foreach { case (tag, f) =>
+      t(s"$tag WARM-UP")(f())
+      (1 to 2).foreach(i => t(s"$tag sample $i") {
+        val n = f(); println(s"[probe]   served rows: $n")
+      })
+    }
+    spark.stop()
+  }
+}
