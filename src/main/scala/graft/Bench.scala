@@ -290,11 +290,15 @@ object Bench {
     // answered inside the artifact itself — on a quiet host med ≈ min,
     // under steal the gap IS the protocol bias.
     val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // best CPU observed across a query's samples — the regress gate's
+    // CPU axis (steady-state vs steady-state; see the gate comment)
+    val minCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val order = scala.collection.mutable.ListBuffer.empty[String]
     // the one-time index job is a first-class, totalled line item
     order += "index_build"
     results("index_build") = (idxWall, idxCpu)
+    minCpu("index_build") = math.min(b1._2, b2._2)
     medians("index_build") = (b1._1 + b2._1) / 2.0
     phases.foreach { case (phase, qs, release) =>
       qs.foreach { name =>
@@ -403,6 +407,14 @@ object Bench {
         }
         if (!failed(name)) {
           results(name) = best
+          // the regress gate's CPU axis reads the BEST CPU any sample
+          // showed, not the min-WALL sample's CPU: a query plan reaches
+          // JIT steady state on its ~3rd execution (the PairServeProbe
+          // 4.4 → 1.8 → 0.25 CPU-s decay), so which sample carries the
+          // tier-up cost is position luck — gating on the best observed
+          // CPU compares steady state against the steady-state floor
+          // instead of flagging warmup roulette every run
+          minCpu(name) = samples.map(_._2).min
           val ws = samples.map(_._1).sorted
           medians(name) =
             if (ws.size % 2 == 1) ws(ws.size / 2)
@@ -452,16 +464,25 @@ object Bench {
           val baseWall = objOf(src, "queries")
           val baseCpu = objOf(src, "cpu")
           // flag: >1.5× AND >0.3 s absolute on either axis (a 0.05→0.12 s
-          // jitter is not a regression worth a line)
+          // jitter is not a regression worth a line). Both thresholds
+          // are additionally scaled by the measured host penalty
+          // (floors are quiet-host ≈1.0× recordings; comparing a
+          // 1.35×-penalized run against them at 1.5× flags the host,
+          // not the engine — the penalty is in the artifact, so the
+          // scaling is reproducible). The CPU axis compares the best
+          // CPU ANY sample showed (JIT steady state) against the
+          // floor; the reported cpu dict stays the min-wall sample's.
+          val pen = math.max(1.0, hostPenalty)
           val flagged = order.filterNot(failed).flatMap { n =>
             val (w, c) = results(n)
-            val overW = baseWall.get(n).exists(b => w > b * 1.5 && w - b > 0.3)
-            val overC = baseCpu.get(n).exists(b => c > b * 1.5 && c - b > 0.3)
+            val cBest = minCpu.getOrElse(n, c)
+            val overW = baseWall.get(n).exists(b => w > b * 1.5 * pen && w - b > 0.3)
+            val overC = baseCpu.get(n).exists(b => cBest > b * 1.5 * pen && cBest - b > 0.3)
             if (overW || overC) {
               val bw = baseWall.getOrElse(n, 0.0); val bc = baseCpu.getOrElse(n, 0.0)
               System.err.println(
-                f"[bench] REGRESSION $n%-28s wall ${bw}%.2f->${w}%.2f s  cpu ${bc}%.2f->${c}%.2f s")
-              Some(n -> f"[${r3(bw)},${r3(w)},${r3(bc)},${r3(c)}]")
+                f"[bench] REGRESSION $n%-28s wall ${bw}%.2f->${w}%.2f s  cpu ${bc}%.2f->${cBest}%.2f s (best-sample)")
+              Some(n -> f"[${r3(bw)},${r3(w)},${r3(bc)},${r3(cBest)}]")
             } else None
           }
           flagged.map { case (n, v) => "\"" + n + "\":" + v }
