@@ -1011,12 +1011,41 @@ object SimilarityIvf {
       Similarity.embBase(spark, dir).filter(col("vec_id") < nQueries),
       cents, nprobe)
 
+  /** Query-side literal-plan cutoff — wider than the corpus-side
+    * LiteralAssignMaxK because the query batch is small (the codegen
+    * cost is per-PLAN, amortized over few rows, and the literal shape
+    * keeps test-scale plans unchanged), but bounded: at the 200k-tier
+    * probe (k = 1792) the literal probe expression cost ~8 minutes of
+    * tuner wall where the join formulation is seconds. */
+  private val LiteralProbeMaxK = 256
+
   /** Probed cells for an ARBITRARY embBase-shaped query batch — the
-    * online-serving head ([[Similarity.annServeBatchIvf]]). */
+    * online-serving head ([[Similarity.annServeBatchIvf]]) and every
+    * corpus-query probe site. Past [[LiteralProbeMaxK]] cells the
+    * literal expression switches to a broadcast centroid-table join:
+    * same ArrayDotProduct on the same doubles, and the window's
+    * (dt DESC, cell DESC) order reproduces probedCells' reversed
+    * ascending (dot, cell) sort — bit-identical cells, k-independent
+    * codegen. */
   private[operators] def queryProbesOf(qb: DataFrame, cents: Seq[Seq[Double]],
                                        nprobe: Int): DataFrame =
-    qb.select(col("vec_id").as("query_id"),
-      explode(probedCells(col("v"), cents, nprobe)).as("cell"))
+    if (cents.length <= LiteralProbeMaxK) {
+      qb.select(col("vec_id").as("query_id"),
+        explode(probedCells(col("v"), cents, nprobe)).as("cell"))
+    } else {
+      val centDf = qb.sparkSession.createDataFrame(
+          cents.zipWithIndex.map { case (c, i) => (i + 1, c) })
+        .toDF("cell", "centroid")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dt").desc, col("cell").desc)
+      qb.select(col("vec_id").as("query_id"), col("v"))
+        .crossJoin(broadcast(centDf))
+        .select(col("query_id"), col("cell"),
+          dot(col("v"), col("centroid")).as("dt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nprobe)
+        .select("query_id", "cell")
+    }
 
   private[graft] def ivfCells(spark: SparkSession, dir: String,
                               cents: Seq[Seq[Double]] = centroids,
@@ -1175,21 +1204,48 @@ object SimilarityIvf {
     // centroids(c) past the sample would throw)
     val kEff = math.min(kReq, sample.length)
     var centroids: Array[Array[Double]] = sample.take(kEff).map(_.clone())
+    // The assignment step is O(sample × k × dim) per iteration —
+    // single-threaded it reads ~minutes at the 200k-vector tier
+    // (k = 1792) and extrapolates to hours at the k = 4096 cap, for a
+    // loop that parallelizes embarrassingly. Determinism is preserved
+    // exactly: the sample splits into FIXED chunks, each chunk
+    // accumulates its own sums/counts, and chunks merge in chunk-index
+    // order — the per-centroid addition order is a pure function of
+    // the (hash-ordered) sample order, never of thread scheduling.
+    import scala.collection.parallel.CollectionConverters._
+    val dim = centroids(0).length
+    val nChunks = math.min(32, math.max(1, sample.length / 256))
+    val chunks = sample.grouped(
+      math.max(1, (sample.length + nChunks - 1) / nChunks)).toArray
     (1 to iters).foreach { _ =>
-      val sums = Array.fill(kEff)(new Array[Double](centroids(0).length))
+      val cents = centroids
+      val partials = chunks.zipWithIndex.par.map { case (chunk, _) =>
+        val sums = Array.fill(kEff)(new Array[Double](dim))
+        val counts = new Array[Long](kEff)
+        chunk.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kEff) {
+            var d = 0.0; var i = 0
+            while (i < v.length) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        (sums, counts)
+      }.toArray // .toArray keeps chunk order; merge below is sequential
+      val sums = Array.fill(kEff)(new Array[Double](dim))
       val counts = new Array[Long](kEff)
-      sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue
+      partials.foreach { case (ps, pc) =>
         var c = 0
         while (c < kEff) {
-          var d = 0.0; var i = 0
-          while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+          var i = 0
+          while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+          counts(c) += pc(c); c += 1
         }
-        var i = 0
-        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
-        counts(best) += 1
       }
       centroids = (0 until kEff).map { c =>
         if (counts(c) == 0) sample(c % sample.length).clone()
@@ -1267,9 +1323,7 @@ object SimilarityIvf {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     val cells = ivfCells(spark, dir, cents, s"ivfCellsFit|$dir")
-    val qcells = base.filter(qpred)
-      .select(col("vec_id").as("query_id"),
-        explode(probedCells(col("v"), cents, nprobe)).as("cell"))
+    val qcells = queryProbesOf(base.filter(qpred), cents, nprobe)
     val cand = broadcast(qcells)
       .join(cells.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -1411,9 +1465,7 @@ object SimilarityIvf {
                          nprobe: Int = NumProbe): DataFrame = {
     val base = Similarity.embBase(spark, dir)
     val cells = ivfCells(spark, dir, cents, memoKey)
-    val qcells = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        explode(probedCells(col("v"), cents, nprobe)).as("cell"))
+    val qcells = queryProbesOf(base.filter(col("vec_id") < nQueries), cents, nprobe)
     val pairs = broadcast(qcells)
       .join(cells.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -1506,10 +1558,8 @@ object SimilarityIvf {
       .select(col("vec_id"))
     val filteredCells = cells.join(allowed, Seq("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("cell"))
-    val qcells = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        explode(probedCells(col("v"), cents,
-          probeForFiltered(spark, dir, cents.length, labelMax))).as("cell"))
+    val qcells = queryProbesOf(base.filter(col("vec_id") < nQueries), cents,
+      probeForFiltered(spark, dir, cents.length, labelMax))
     val pairs = broadcast(qcells)
       .join(filteredCells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

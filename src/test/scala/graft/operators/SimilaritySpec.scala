@@ -487,6 +487,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"IVF pruning collapsed int8 recall: $recall%.3f")
   }
 
+  test("join-based probe head (k past the literal cutoff) matches the literal probe semantics") {
+    // Past LiteralProbeMaxK cells queryProbesOf switches from the
+    // literal centroid expression to a broadcast-join + window plan;
+    // the cells served must be BIT-identical (same dots, same
+    // dt-desc/cell-desc tie order). Verified against an independent
+    // driver-side replay of the literal semantics, not against the
+    // other code path.
+    val dir = sf("sf0.001")
+    val cents = SimilarityIvf.fitCentroids(spark, dir, k = 300)
+    assert(cents.length === 300, s"need k past the cutoff: ${cents.length}")
+    val qb = Similarity.embBase(spark, dir).filter("vec_id < 10")
+    val got = SimilarityIvf.queryProbesOf(qb, cents, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = qb.select("vec_id", "v").collect().flatMap { r =>
+      val id = r.getLong(0)
+      // v is the raw float array; ArrayDotProduct promotes per element
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      cents.zipWithIndex.map { case (c, i) =>
+        var s = 0.0; var j = 0
+        while (j < v.length) { s += v(j) * c(j); j += 1 }
+        (s, i + 1)
+      }.sortBy { case (d, cell) => (-d, -cell) }.take(5).map(p => (id, p._2))
+    }.toSet
+    assert(got === want, "join probe head diverged from literal probe semantics")
+  }
+
   test("ANN recall report: bounded per query, and honest about natural-query recall") {
     val out = SimilarityIvf.annRecallReport(spark, sf("sf0.01")).collect()
     assert(out.length === 10)
