@@ -67,12 +67,14 @@ object Alto {
   /** Per-URL fetch fallback (S2, reference
     * `extract-text-lines-from-alto.js:24061-24063`): a distributed
     * url→document map for archives NOT on a Hadoop-readable store.
-    * The fetcher is pluggable — an HTTP client in production, a
-    * fixture lookup in tests (this environment has no egress) — and
-    * runs once per URL on the executors (the reference forks a whole
-    * Node process per URL instead). Prefer readAltoXmlFiles: a scan
-    * beats N point fetches whenever the store supports it. */
-  def fetchXml(df: DataFrame, fetcher: String => String,
+    * The fetcher is pluggable — the default is the production HTTP
+    * client ([[HttpFetcher]]: timeouts, bounded retry with backoff),
+    * swapped for a fixture lookup in tests — and runs once per URL on
+    * the executors (the reference forks a whole Node process per URL
+    * instead). Prefer readAltoXmlFiles: a scan beats N point fetches
+    * whenever the store supports it. */
+  def fetchXml(df: DataFrame,
+               fetcher: String => String = HttpFetcher.fetcher(),
                urlCol: String = "url", outCol: String = "xml",
                policy: FetchPolicy = FetchPolicy.FailFast): DataFrame =
     policy match {

@@ -608,7 +608,12 @@ object Dedup {
       val (base, baseIds) = trackedCheckpoint(
         Similarity.embBaseOf(Tables.embeddings(spark, dir).filter(p)))
       append(base, "embBase")
-      append(Similarity.lshBucketsOf(base), "lshBuckets")
+      // the batch is bucketed under the EXISTING artifact's frozen
+      // plane count (corpusH reads it off the primed bucket strings) —
+      // an append must never re-derive the geometry from the grown
+      // corpus, or old and new rows stop colliding
+      append(Similarity.lshBucketsOf(base,
+        Similarity.corpusH(spark, dir)), "lshBuckets")
       // IVF cell assignments for the batch. The seeded quantizer is a
       // compile-time constant, so the append is trivially consistent
       // with the existing rows; the FITTED quantizer is train-once
@@ -1084,6 +1089,10 @@ object Dedup {
         // row wins over a budget walked earlier in this session
         if (name == "ivfProbeTuned") SimilarityIvf.invalidateProbeTune(spark, dir)
         if (name == "lshProbeTuned") Similarity.invalidateLshTune(spark, dir)
+        // the primed bucket artifact's plane count wins over any count
+        // this session computed (a rebuilt index may carry a different
+        // corpus-sized geometry)
+        if (name == "lshBuckets") Similarity.invalidateCorpusH(spark, dir)
         if (name == "pqRerankTuned") SimilarityPq.invalidateRerankTune(spark, dir)
       }
     }
@@ -2579,7 +2588,23 @@ object DedupModule extends QueryModule {
     * itself stays spec-pinned (DedupSpec planted-recall and error
     * bounds). Band hashing must mirror bandHashes byte-for-byte:
     * md5 of the comma-joined 2-value slice, 16 bands. */
+  /** Dump-time VALUES-inlining ceiling (documents). The minhash /
+    * simhash oracles inline one literal row per document (~1 MB of
+    * SQL at sf0.1's 5k docs); a verify corpus 10× that would hand
+    * DuckDB a ~10 MB statement and degrade from there — so past this
+    * bound the dump FAILS LOUDLY with the re-formulation pointer
+    * instead of OOMing the oracle runner. */
+  private val MaxInlineOracleDocs = 50000L
+
+  private def guardInlineDocs(which: String, n: Long): Unit =
+    require(n <= MaxInlineOracleDocs,
+      s"$which: dump-time VALUES oracle would inline $n document rows " +
+        s"(> $MaxInlineOracleDocs); at this corpus size re-formulate the " +
+        "oracle (write the Spark-seeded stage to a parquet DuckDB reads " +
+        "directly) instead of growing the SQL literal")
+
   private def minhashOracleSql(spark: SparkSession, dir: String): String = {
+    guardInlineDocs("q_dedup_minhash", Dedup.minhashSignatures(spark, dir).count())
     val sigValues = Dedup.minhashSignatures(spark, dir).collect()
       .map { r =>
         val sig = r.getSeq[Long](r.fieldIndex("sig"))
@@ -2624,6 +2649,7 @@ object DedupModule extends QueryModule {
     * per document; the fingerprint semantics themselves stay pinned by
     * DedupSpec's cross-formulation differential. */
   private def simhashOracleSql(spark: SparkSession, dir: String): String = {
+    guardInlineDocs("q_dedup_simhash", Dedup.simhashDocs(spark, dir).count())
     val fpValues = Dedup.simhashDocs(spark, dir)
       .select(col("doc_id"), col("bitstr")).collect()
       .map(r => s"(BIGINT '${r.getLong(0)}', '${r.getString(1)}')")

@@ -442,12 +442,15 @@ object Graph {
     pagerankPersonalizedAt(spark, dir, PprIters)
 
   /** [[pagerankPersonalized]] at an explicit superstep count — the
-    * stability pin compares 4 vs 6. */
+    * stability pin compares 4 vs 6; `prune` exposes the frontier
+    * pruning for GraphSpec's bit-parity pin (pruned ≡ unpruned). */
   private[operators] def pagerankPersonalizedAt(spark: SparkSession, dir: String,
-                                                iters: Int): DataFrame =
+                                                iters: Int,
+                                                prune: Boolean = true): DataFrame =
     rankLoop(spark, dir, iters,
       n => when(n._1 === lit(PprSource), lit(1.0)).otherwise(lit(0.0)),
-      n => when(n._1 === lit(PprSource), lit(Teleport)).otherwise(lit(0.0)))
+      n => when(n._1 === lit(PprSource), lit(Teleport)).otherwise(lit(0.0)),
+      pruneZeroRanks = prune)
       .select(label(col("node")).as("node"), round(col("r"), 6).as("rank"),
         col("r"), col("node").as("_id"))
       .orderBy(col("r").desc, col("_id").asc)
@@ -484,9 +487,11 @@ object Graph {
   private def rankLoop(spark: SparkSession, dir: String, iters: Int,
       init: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
       teleTerm: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
-      coPartition: Option[Boolean] = None): DataFrame =
+      coPartition: Option[Boolean] = None,
+      pruneZeroRanks: Boolean = false): DataFrame =
     rankLoopOver(spark, edgeFracs(spark, dir), iters, init, teleTerm,
-      coPartition, Some(s"graphEdgesBySrc|$dir"), chkEvery = ChkEvery)
+      coPartition, Some(s"graphEdgesBySrc|$dir"), chkEvery = ChkEvery,
+      pruneZeroRanks = pruneZeroRanks)
 
   /** The superstep loop over an ARBITRARY weighted edge table
     * (src, dst, frac) — node ids of any orderable type (the
@@ -495,12 +500,23 @@ object Graph {
     * partitioned-by-src edge layout for the co-partitioned path
     * (callers whose edges are query-local scratch pass None and the
     * layout is tracked as stray session state instead). */
+  /** `pruneZeroRanks` (frontier pruning, EXACT): a node with rank
+    * 0.0 contributes round(0·frac·1e9) = 0 to every downstream sum,
+    * so dropping it from the contribution join changes no output bit
+    * — it only shrinks the join's probe side. For PERSONALIZED runs
+    * (indicator teleport) the early supersteps then cost frontier
+    * size, not graph size: superstep i touches only nodes within i
+    * hops of the source (source's suppliers, their customers, …)
+    * instead of joining all N nodes against the edges from step 1.
+    * Global PageRank gains nothing (1/N init has no zeros), so the
+    * filter stays off there. */
   private[operators] def rankLoopOver(spark: SparkSession, enIn: DataFrame, iters: Int,
       init: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
       teleTerm: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
       coPartition: Option[Boolean] = None,
       bySrcMemoKey: Option[String] = None,
-      chkEvery: Int = 1): DataFrame = {
+      chkEvery: Int = 1,
+      pruneZeroRanks: Boolean = false): DataFrame = {
     val en = enIn
     // intermediate checkpoints are query-local scratch, not memoized
     // artifacts: track them and free each superstep's predecessor so a
@@ -563,14 +579,17 @@ object Graph {
       // Both paths run the SAME expressions in the same reduction
       // discipline, so broadcast and co-partitioned ranks are
       // bit-identical (GraphSpec pins it).
+      // a filter neither reshuffles nor re-sorts, so the co-partitioned
+      // path's exchange-free merge join survives the pruning
+      val active = if (pruneZeroRanks) rank.filter(col("r") =!= 0.0) else rank
       val joined =
         if (coPart)
           // rank is hash-partitioned by node (init: inherited from
           // nodes; iterations: preserved through the checkpoint), edges
           // by src — sort-merge joins exchange-free; only the rank side
           // sorts, and only until its ordering survives the loop
-          enBySrc.hint("merge").join(rank, col("node") === col("src"))
-        else en.join(broadcast(rank), col("node") === col("src"))
+          enBySrc.hint("merge").join(active, col("node") === col("src"))
+        else en.join(broadcast(active), col("node") === col("src"))
       val contrib = joined
         .select(col("dst"),
           round(col("r") * col("frac") * lit(1e9)).cast("long").as("c"))

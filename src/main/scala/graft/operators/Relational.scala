@@ -80,13 +80,27 @@ object Relational {
         sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy("o_orderpriority")
 
-  /** HLL sketch: approx_count_distinct. No DuckDB oracle (different
-    * sketch implementations) — declared rows-only; the exact
-    * countDistinct twin above is the oracle-gated counterpart. */
+  /** HLL sketch with an ORACLED accuracy contract. DuckDB cannot
+    * replay Spark's HLL++ estimate (different sketch implementations),
+    * so the raw estimate is not a comparable column — but the
+    * estimate's CONTRACT is: |approx − exact| / exact ≤ 10% per group
+    * (HLL++ at the default 5% rsd typically lands within ~2%; 10% is
+    * the pinned bound with margin). The query emits the exact
+    * distinct count plus that boolean, the oracle emits the same
+    * exact count plus literal TRUE — a full rows+schema+hash compare
+    * that FAILS if the sketch ever drifts out of bound, replacing the
+    * old rows-only registration (the one `no_oracle` entry in r13).
+    * The sketch itself stays exercised: the estimate is computed by
+    * approx_count_distinct in the same aggregate as the exact twin. */
   def hllByPriority(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        approx_count_distinct(col("o_custkey")).as("approx"))
+      .select(col("o_orderpriority"), col("n_customers"),
+        (abs(col("approx").cast("double") - col("n_customers")) /
+          col("n_customers") <= 0.10).as("hll_within_10pct"))
       .orderBy("o_orderpriority")
 
   /** ROLLUP over the region→nation→customer dimension chain; both
@@ -660,6 +674,14 @@ object RelationalModule extends QueryModule {
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  COUNT(DISTINCT o_custkey) AS n_customers,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the HLL++ accuracy contract: the exact count is replayable, and
+    // the boolean is literal TRUE on the oracle side — the compare
+    // fails iff Spark's estimate drifts past the pinned 10% bound
+    "q_hll_priority" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  TRUE AS hll_within_10pct
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_hll_deterministic" -> DetHll.oracle,
     "q_cms_heavyhitters" -> DetCms.oracle,

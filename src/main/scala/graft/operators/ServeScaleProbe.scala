@@ -18,6 +18,10 @@ object ServeScaleProbe {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 20
     val batchN = if (args.length > 2) args(2).toInt else 1000
+    // "all" = the three heads; "lsh" = LSH head + a brute-force recall
+    // audit only (skips the ~400 s IVF/PQ fit+tune — the mode that
+    // measures the corpus-sized plane count's speed/recall trade)
+    val mode = if (args.length > 3) args(3) else "all"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,30 +55,68 @@ object ServeScaleProbe {
     queries.write.mode("overwrite").parquet(s"$dir/queryBatch.parquet")
     val qb = spark.read.parquet(s"$dir/queryBatch.parquet")
 
-    // fit/tune once, outside the timed serving samples (train-once
-    // artifacts in production; the probe measures SERVING)
-    t("fit centroids + tune nprobe") {
-      SimilarityIvf.tunedProbe(spark, dir)
+    if (mode == "all") {
+      // fit/tune once, outside the timed serving samples (train-once
+      // artifacts in production; the probe measures SERVING)
+      t("fit centroids + tune nprobe") {
+        SimilarityIvf.tunedProbe(spark, dir)
+      }
+      t("fit codebooks + tune rerank shortlist") {
+        SimilarityPq.tunedRerankCands(spark, dir)
+      }
+      println(s"[probe] budgets: nprobe=${SimilarityIvf.tunedProbe(spark, dir)}" +
+        s" of ${SimilarityIvf.corpusK(spark, dir)} cells," +
+        s" rerankCands=${SimilarityPq.tunedRerankCands(spark, dir)}")
     }
-    t("fit codebooks + tune rerank shortlist") {
-      SimilarityPq.tunedRerankCands(spark, dir)
-    }
-    println(s"[probe] budgets: nprobe=${SimilarityIvf.tunedProbe(spark, dir)}" +
-      s" of ${SimilarityIvf.corpusK(spark, dir)} cells," +
-      s" rerankCands=${SimilarityPq.tunedRerankCands(spark, dir)}")
 
     val heads: Seq[(String, () => Long)] = Seq(
       "lsh head (float fetch per candidate)" ->
-        (() => Similarity.annServeBatch(spark, dir, qb).count()),
-      "ivf head (float fetch per candidate)" ->
-        (() => Similarity.annServeBatchIvf(spark, dir, qb).count()),
-      "ivfpq head (ADC + shortlist-only floats)" ->
-        (() => Similarity.annServeBatchIvfPq(spark, dir, qb).count()))
+        (() => Similarity.annServeBatch(spark, dir, qb).count())) ++
+      (if (mode == "all") Seq(
+        "ivf head (float fetch per candidate)" ->
+          (() => Similarity.annServeBatchIvf(spark, dir, qb).count()),
+        "ivfpq head (ADC + shortlist-only floats)" ->
+          (() => Similarity.annServeBatchIvfPq(spark, dir, qb).count()))
+       else Seq.empty)
     heads.foreach { case (tag, f) =>
       t(s"$tag WARM-UP")(f())
       (1 to 2).foreach(i => t(s"$tag sample $i") {
         val n = f(); println(s"[probe]   served rows: $n")
       })
+    }
+
+    // Recall audit of the LSH head at this tier: the corpus-sized
+    // plane count trades per-table collision probability for bounded
+    // occupancy, so the recall at radius 1 must be MEASURED here, not
+    // assumed from the 8-plane test tier. Brute-force exact top-k for
+    // a query subsample vs the head's served neighbors.
+    val auditN = math.min(100, batchN)
+    val qa = qb.filter(col("query_id") < 10000000L + auditN)
+    val served = Similarity.annServeBatch(spark, dir, qa)
+      .select(col("query_id"), col("neighbor_id"))
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.ArrayDotProduct(a, b)
+    val qv = qa.select(col("query_id"), col("embedding").as("v_q"))
+      .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
+    val cv = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_c"))
+      .withColumn("nrm_c", sqrt(dot(col("v_c"), col("v_c"))))
+      .filter(col("nrm_c") > 0d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val exact = cv.crossJoin(broadcast(qv))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("query_id", "neighbor_id")
+    t(s"lsh recall audit ($auditN queries vs brute force)") {
+      val r = exact.join(served.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n"), count(col("hit")).as("hits"))
+        .collect()(0)
+      println(f"[probe]   lsh head recall@5: ${r.getLong(1).toDouble / r.getLong(0)}%.3f " +
+        s"(${r.getLong(1)}/${r.getLong(0)})")
     }
     spark.stop()
   }

@@ -223,9 +223,12 @@ object Similarity {
   }
 
   /** T tables × H seeded random hyperplanes (unit-free gaussians) —
-    * literals compiled into the plan. */
+    * literals compiled into the plan. NumPlanes is the FLOOR plane
+    * count (the geometry every test-scale corpus and the static SQL
+    * oracles use); the EFFECTIVE count scales with the corpus — see
+    * [[hForCount]]. */
   private[operators] val NumTables = 8
-  private[operators] val NumPlanes = 8
+  private[graft] val NumPlanes = 8
   private[operators] val Dim = 64
   private[operators] val NumQueriesDefault = 10
   private[operators] val TopKDefault = 5
@@ -234,10 +237,75 @@ object Similarity {
     Seq.fill(NumTables, NumPlanes, Dim)(rnd.nextGaussian())
   }
 
+  /** Plane-count ceiling (2^24 ≈ 16.7M buckets per table) and the
+    * bucket-occupancy target the corpus-sized plane count aims for.
+    * With H = ⌈log₂(N / TargetBucketOccupancy)⌉ the EXPECTED bucket
+    * population stays ~TargetBucketOccupancy as the corpus grows, so
+    * a radius-r probe's candidate volume is
+    * tables × C(H,≤r) × occupancy — polylog in N, not N/2^H-linear
+    * (the round-13 ServeScaleProbe measured the fixed-H head at
+    * 110–124 s vs IVF's 12.7–16 s at 200k vectors precisely because
+    * occupancy grew ∝ N/256). The floor keeps every corpus at or
+    * below 2^(8+5) = 8192 vectors on the legacy 8-plane geometry —
+    * all test SFs (N ≤ 2000) and therefore all static plane-literal
+    * SQL oracles are unchanged. */
+  private[operators] val MaxPlanes = 24
+  private[operators] val TargetBucketOccupancy = 32
+
+  /** Extra hyperplanes 9..MaxPlanes, drawn from a SEPARATE seed so
+    * planes 1..8 remain bit-identical to the legacy `planes` val (the
+    * persisted test-scale bucket artifacts and the baked SQL oracle
+    * literals both depend on those exact doubles). */
+  private val extraPlanes: Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(7001)
+    Seq.fill(NumTables, MaxPlanes - NumPlanes, Dim)(rnd.nextGaussian())
+  }
+
+  private def planesFor(table: Int, h: Int): Seq[Seq[Double]] =
+    (planes(table) ++ extraPlanes(table)).take(h)
+
+  /** Corpus-sized plane count: the smallest H on [NumPlanes,
+    * MaxPlanes] with expected occupancy ≤ TargetBucketOccupancy. */
+  private[operators] def hForCount(n: Long): Int = {
+    val need = math.ceil(
+      math.log(math.max(1.0, n.toDouble / TargetBucketOccupancy)) / math.log(2.0)).toInt
+    math.min(MaxPlanes, math.max(NumPlanes, need))
+  }
+
+  private val hCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** The plane count `dir`'s bucket artifact was (or will be) built
+    * under. The artifact is SELF-DESCRIBING — a bucket string's length
+    * IS its plane count — and an existing artifact always wins over
+    * the count formula: appends and probes must match the persisted
+    * geometry even after the corpus outgrows it (the plane count is
+    * frozen at index build, like the IVF centroid fit; writeIndexes
+    * re-derives it from the then-current count). Only when no
+    * artifact exists (first build) does the count formula decide. */
+  private[graft] def corpusH(spark: SparkSession, dir: String): Int = {
+    val key = s"${Dedup.sessionKey(spark)}|$dir"
+    val hit = hCache.get(key)
+    if (hit != null) return hit.intValue()
+    val fromArtifact = Dedup.memoGet(spark, s"lshBuckets|$dir").flatMap { df =>
+      df.select(length(col("bucket"))).limit(1).collect()
+        .headOption.map(_.getInt(0))
+    }
+    val h = fromArtifact.getOrElse(hForCount(embBase(spark, dir).count()))
+    hCache.put(key, h)
+    h
+  }
+
+  /** Drop the cached plane count for `dir` — applied when the bucket
+    * artifact is (re-)primed from parquet: a rebuilt index may carry a
+    * different geometry than the session cached. */
+  private[graft] def invalidateCorpusH(spark: SparkSession, dir: String): Unit =
+    hCache.remove(s"${Dedup.sessionKey(spark)}|$dir")
+
   /** Sign-random-projection bucket id of vector `v` for one table:
-    * H sign bits concatenated to a string key. */
-  private def bucketId(v: Column, table: Int): Column =
-    concat_ws("", planes(table).map { plane =>
+    * h sign bits concatenated to a string key. */
+  private def bucketId(v: Column, table: Int, h: Int): Column =
+    concat_ws("", planesFor(table, h).map { plane =>
       when(dot(v, typedLit(plane)) >= 0, "1").otherwise("0")
     }: _*)
 
@@ -267,22 +335,36 @@ object Similarity {
     * corpus. */
   private[graft] def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"lshBuckets|$dir") {
-      lshBucketsOf(embBase(spark, dir)).transform(Dedup.checkpointSer)
+      // first build of this session (no artifact to inherit from):
+      // size the plane count to the corpus, then freeze it in the
+      // artifact (bucket length = h, self-describing)
+      val base = embBase(spark, dir)
+      val h = hForCount(base.count())
+      hCache.put(s"${Dedup.sessionKey(spark)}|$dir", h)
+      if (h != NumPlanes)
+        System.err.println(s"[lshBuckets] corpus-sized plane count: h=$h " +
+          s"for $dir (legacy static SQL oracles assume h=$NumPlanes and " +
+          "do not apply at this scale)")
+      lshBucketsOf(base, h).transform(Dedup.checkpointSer)
     }
 
   /** All T bucket strings of a vector column — ONE expression tree
     * over the seeded hyperplane literals, shared by the batch index
     * build and the streaming ingest probe (a stream cannot checkpoint
     * projection stages, and byte-identical bucket strings are what
-    * make a stream-side probe hit the persisted corpus index). */
-  private[graft] def bucketStrings(v: Column): Column =
-    array((0 until NumTables).map(t => bucketId(v, t)): _*)
+    * make a stream-side probe hit the persisted corpus index — the
+    * caller passes the CORPUS ARTIFACT's plane count, never a
+    * recomputed one). */
+  private[graft] def bucketStrings(v: Column, h: Int = NumPlanes): Column =
+    array((0 until NumTables).map(t => bucketId(v, t, h)): _*)
 
   /** Bucket index over an arbitrary (vec_id, v, …) base slice — the
-    * core the memoized session build and Dedup.appendIndexes share. */
-  private[operators] def lshBucketsOf(base: DataFrame): DataFrame =
+    * core the memoized session build and Dedup.appendIndexes share;
+    * `h` is the artifact's frozen plane count (appends MUST pass the
+    * existing artifact's, via [[corpusH]]). */
+  private[operators] def lshBucketsOf(base: DataFrame, h: Int = NumPlanes): DataFrame =
     base.select(col("vec_id"),
-      posexplode(bucketStrings(col("v"))).as(Seq("table_idx", "bucket")))
+      posexplode(bucketStrings(col("v"), h)).as(Seq("table_idx", "bucket")))
 
   /** Approximate top-k: LSH candidate pairs from the ids-only bucket
     * index (equi-join on table+bucket, deduped), then an exact cosine
@@ -317,19 +399,21 @@ object Similarity {
     * few string ops riding the (possibly parquet-primed) bucket
     * artifact rather than T×H re-evaluations of the hyperplane
     * literals. */
-  private def flipBit(b: Column, i: Int): Column =
+  private def flipBit(b: Column, i: Int, h: Int): Column =
     concat(substring(b, 1, i - 1),
       when(substring(b, i, 1) === "1", "0").otherwise("1"),
-      substring(b, i + 1, NumPlanes - i))
+      substring(b, i + 1, h - i))
 
   /** All probe buckets at Hamming distance ≤ radius from `b` — the
-    * exact combination expansion (C(H,0)+C(H,1)+…); at H = 8 planes
-    * radius 3 is 93 static expressions, and only the nQueries-row
-    * query side fans out by them, so the broadcast stays tiny. */
-  private[operators] def probeColumns(b: Column, radius: Int): Seq[Column] =
+    * exact combination expansion (C(h,0)+C(h,1)+…); at h = 8 planes
+    * radius 3 is 93 static expressions (at the h = 24 ceiling and
+    * radius 3, 2,325), and only the nQueries-row query side fans out
+    * by them, so the broadcast stays tiny. */
+  private[operators] def probeColumns(b: Column, radius: Int,
+                                      h: Int = NumPlanes): Seq[Column] =
     (0 to radius).flatMap(r =>
-      (1 to NumPlanes).combinations(r).map(c =>
-        c.foldLeft(b)((acc, i) => flipBit(acc, i))).toSeq)
+      (1 to h).combinations(r).map(c =>
+        c.foldLeft(b)((acc, i) => flipBit(acc, i, h))).toSeq)
 
   /** [[annLsh]] probing every bucket within Hamming distance `radius`
     * of the query's bucket, per table (Lv et al. multi-probe at an
@@ -340,9 +424,10 @@ object Similarity {
     * the exact-cosine rerank keeps recall monotone in the candidates. */
   def annLshAtRadius(spark: SparkSession, dir: String, nQueries: Int = 10,
                      k: Int = 5, radius: Int = 1): DataFrame = {
+    val h = corpusH(spark, dir)
     val qProbes = lshBuckets(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("table_idx"),
-        explode(array(probeColumns(col("bucket"), radius): _*)).as("bucket"))
+        explode(array(probeColumns(col("bucket"), radius, h): _*)).as("bucket"))
     rerankCandidates(embBase(spark, dir), lshBuckets(spark, dir), qProbes, nQueries, k)
   }
 
@@ -372,9 +457,10 @@ object Similarity {
     val base = embBase(spark, dir)
     val qpred = col("vec_id") >= loQ && col("vec_id") < hiQ
     val buckets = lshBuckets(spark, dir)
+    val h = corpusH(spark, dir)
     val qProbes = buckets.filter(qpred)
       .select(col("vec_id").as("query_id"), col("table_idx"),
-        explode(array(probeColumns(col("bucket"), radius): _*)).as("bucket"))
+        explode(array(probeColumns(col("bucket"), radius, h): _*)).as("bucket"))
     val cb = buckets.select(col("vec_id").as("neighbor_id"),
       col("table_idx"), col("bucket"))
     val cand = broadcast(qProbes).join(cb, Seq("table_idx", "bucket"))
@@ -472,6 +558,20 @@ object Similarity {
     * micro recall@k over the natural serving queries. Every leg is an
     * already-oracled serving query, so the report's cost and 100 TB
     * posture are the legs'. */
+  /** Raw-baseline legs → the tuned/refined twin they are a baseline
+    * OF. Legs absent here serve with their production budgets; legs
+    * present publish honest untuned numbers (raw PQ ~0.12, raw ivfpq
+    * ~0.20 at sf0.1) whose deployable counterpart is the named twin —
+    * the `baseline_of` column makes the report self-describing to an
+    * operator reading it without that history. */
+  private[operators] val recallBaselineOf: Map[String, String] = Map(
+    "ivf_fit" -> "ivf_tuned",
+    "lsh" -> "lsh_tuned",
+    "lsh_probe" -> "lsh_tuned",
+    "pq" -> "pq_rerank_tuned",
+    "pq_rerank" -> "pq_rerank_tuned",
+    "ivfpq" -> "ivfpq_refined")
+
   def annRecallByFamily(spark: SparkSession, dir: String,
                         k: Int = TopKDefault): DataFrame = {
     val ex = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
@@ -480,7 +580,9 @@ object Similarity {
           Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
         .select(lit(name).as("family"), col("n_exact"), col("n_hits"),
-          round(col("n_hits").cast("double") / col("n_exact"), 6).as("recall"))
+          round(col("n_hits").cast("double") / col("n_exact"), 6).as("recall"),
+          recallBaselineOf.get(name)
+            .map(lit(_)).getOrElse(lit(null).cast("string")).as("baseline_of"))
     Seq(
       "ivf_fit" -> SimilarityIvf.annIvfFitted(spark, dir),
       "ivf_tuned" -> SimilarityIvf.annIvfTuned(spark, dir),
@@ -515,18 +617,24 @@ object Similarity {
     *
     * Scale shape: the query batch is the broadcast side twice (probes
     * and rerank vectors); the corpus side is the ids-only bucket
-    * artifact join + a candidate-sized vector fetch — per-batch cost
-    * scales with batch × buckets touched, never the corpus. */
+    * artifact join + a candidate-sized vector fetch. Candidate volume
+    * per query is tables × probes × bucket occupancy, and occupancy is
+    * held at ~[[TargetBucketOccupancy]] by the corpus-sized plane
+    * count ([[corpusH]] — frozen in the artifact at index build), so
+    * per-batch cost scales with batch × probes, never the corpus (the
+    * fixed-8-plane head measured corpus-LINEAR at the 100× tier:
+    * 110–124 s vs IVF's 12.7–16 s before the sizing). */
   def annServeBatch(spark: SparkSession, dir: String, queries: DataFrame,
                     k: Int = TopKDefault, radius: Int = 1): DataFrame = {
+    val h = corpusH(spark, dir)
     val qb = embBaseOf(
       queries.select(col("query_id").as("vec_id"), col("embedding")))
-    val probes0 = lshBucketsOf(qb)
+    val probes0 = lshBucketsOf(qb, h)
       .select(col("vec_id").as("query_id"), col("table_idx"), col("bucket"))
     val probes =
       if (radius <= 0) probes0
       else probes0.select(col("query_id"), col("table_idx"),
-        explode(array(probeColumns(col("bucket"), radius): _*)).as("bucket"))
+        explode(array(probeColumns(col("bucket"), radius, h): _*)).as("bucket"))
     val corpus = lshBuckets(spark, dir)
       .select(col("vec_id").as("neighbor_id"), col("table_idx"), col("bucket"))
     val cands = broadcast(probes).join(corpus, Seq("table_idx", "bucket"))
@@ -1207,11 +1315,16 @@ object SimilarityIvf {
     // The assignment step is O(sample × k × dim) per iteration —
     // single-threaded it reads ~minutes at the 200k-vector tier
     // (k = 1792) and extrapolates to hours at the k = 4096 cap, for a
-    // loop that parallelizes embarrassingly. Determinism is preserved
-    // exactly: the sample splits into FIXED chunks, each chunk
+    // loop that parallelizes embarrassingly. Determinism is
+    // PER-VERSION: the sample splits into FIXED chunks, each chunk
     // accumulates its own sums/counts, and chunks merge in chunk-index
     // order — the per-centroid addition order is a pure function of
-    // the (hash-ordered) sample order, never of thread scheduling.
+    // the (hash-ordered) sample order, never of thread scheduling, so
+    // every run of THIS code yields the same bits. It is NOT
+    // bit-compatible with the pre-chunked sequential loop (per-chunk
+    // partial sums reassociate the float additions); cross-session
+    // cell-geometry stability is guaranteed by the persisted
+    // ivfCentroidsFit artifact, not by refitting.
     import scala.collection.parallel.CollectionConverters._
     val dim = centroids(0).length
     val nChunks = math.min(32, math.max(1, sample.length / 256))
@@ -2252,9 +2365,12 @@ object SimilarityModule extends QueryModule {
           "ivf_sq8" -> ivfSq8OracleSql(cents,
             SimilarityIvf.tunedProbe(spark, dir)))
         legs.map { case (name, sql) =>
+          val baselineOf = Similarity.recallBaselineOf.get(name)
+            .map(t => s"'$t'").getOrElse("CAST(NULL AS VARCHAR)")
           s"""SELECT '$name' AS family, CAST(COUNT(*) AS BIGINT) AS n_exact,
              |  CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hits,
-             |  round(CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall
+             |  round(CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall,
+             |  $baselineOf AS baseline_of
              |FROM (
              |$knnOracleSql
              |) ex LEFT JOIN (

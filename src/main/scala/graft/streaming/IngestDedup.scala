@@ -256,12 +256,19 @@ object IngestDedup {
                        watermark: String = "1 hour",
                        minCos: Double = 0.9): DataFrame = {
     def dot(a: Column, b: Column): Column = graft.functions.ArrayDotProduct(a, b)
+    // the stream probe must hash under the CORPUS ARTIFACT's frozen
+    // plane count (self-describing: bucket length = h) — plan-build
+    // time read of one row off the static side; an empty artifact
+    // (nothing to collide with anyway) falls back to the floor
+    val h = buckets.select(length(col("bucket"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(graft.operators.Similarity.NumPlanes)
     vecs
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
       .filter(col("nrm") > 0d)
       .withWatermark("ts", watermark)
       .select(col("vec_id"), col("ts"), col("embedding"), col("nrm"),
-        posexplode(graft.operators.Similarity.bucketStrings(col("embedding")))
+        posexplode(graft.operators.Similarity.bucketStrings(col("embedding"), h))
           .as(Seq("table_idx", "bucket")))
       .join(buckets.select(col("vec_id").as("cand_id"), col("table_idx"), col("bucket")),
         Seq("table_idx", "bucket"))

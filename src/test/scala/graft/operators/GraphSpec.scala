@@ -187,6 +187,18 @@ class GraphSpec extends SparkSpec {
     assert(at6 === at8, "top-20 order diverged between 6 and 8 supersteps")
   }
 
+  test("PPR frontier pruning is bit-exact: pruned ranks equal unpruned") {
+    // zero-rank nodes contribute round(0·frac·1e9) = 0 to every sum,
+    // so dropping them from the contribution join must change NO
+    // output bit — full rank values compared, not just the top-20
+    // labels (rounding could mask a drifted tail)
+    def full(prune: Boolean) =
+      Graph.pagerankPersonalizedAt(spark, sf("sf0.01"), 6, prune = prune)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(full(prune = true) === full(prune = false),
+      "frontier pruning changed PPR output")
+  }
+
   test("PPR superstep stability holds past toy scale (sf0.01)") {
     // the sf0.001 pin alone leaves the claim toy-scale-only: a denser
     // graph gives the still-circulating residual mass room to reorder

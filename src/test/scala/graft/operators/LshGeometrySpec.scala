@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-sized LSH plane count (the round-13 scale fix: the fixed
+  * 8-plane geometry made serving candidate volume grow ∝ N/256 —
+  * 110–124 s vs IVF's 12.7–16 s at the 100× tier). Pins: the sizing
+  * thresholds, the legacy-prefix property of the extended plane pool,
+  * artifact-wins geometry resolution, and end-to-end serving
+  * correctness on a corpus big enough to trigger h > 8. */
+class LshGeometrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hForCount: floor at 8 through 8192 vectors, grows logarithmically, ceils at 24") {
+    assert(Similarity.hForCount(0) == 8)
+    assert(Similarity.hForCount(500) == 8)    // sf0.001/0.01
+    assert(Similarity.hForCount(2000) == 8)   // sf0.1 — test oracles unchanged
+    assert(Similarity.hForCount(8192) == 8)   // last count on the floor
+    assert(Similarity.hForCount(8193) == 9)
+    assert(Similarity.hForCount(40000) == 11)  // 20x probe tier
+    assert(Similarity.hForCount(200000) == 13) // 100x probe tier
+    assert(Similarity.hForCount(Long.MaxValue / 4) == 24) // ceiling
+  }
+
+  test("extended plane pool preserves the legacy 8-plane prefix bit-for-bit") {
+    // bucket strings at h=12 must START with the h=8 string for every
+    // vector and table: planes 1..8 come from the legacy seeded pool,
+    // extras from a separate seed — the property that keeps persisted
+    // test-scale artifacts and the baked SQL oracle literals valid
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 20)
+      .map(i => (i.toLong, Seq.fill(Similarity.Dim)(rnd.nextGaussian())))
+      .toDF("vec_id", "v")
+    val both = vecs.select(col("vec_id"),
+        posexplode(Similarity.bucketStrings(col("v"), 8)).as(Seq("t", "b8")))
+      .join(vecs.select(col("vec_id"),
+        posexplode(Similarity.bucketStrings(col("v"), 12)).as(Seq("t", "b12"))),
+        Seq("vec_id", "t"))
+      .select(col("b8"), col("b12")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (b8, b12) = (r.getString(0), r.getString(1))
+      assert(b8.length == 8 && b12.length == 12 && b12.startsWith(b8),
+        s"prefix property violated: $b8 vs $b12")
+    }
+  }
+
+  test("corpusH: an existing bucket artifact's geometry wins over the count formula") {
+    val dir = "/graft-test/fake-lsh-dir"
+    // fake a primed artifact whose buckets are 11 chars long — corpusH
+    // must serve 11 (the frozen build-time geometry), NOT recompute
+    // from any corpus count
+    Dedup.memoPut(spark, s"lshBuckets|$dir",
+      Seq((0L, 0, "10110010101")).toDF("vec_id", "table_idx", "bucket"))
+    Similarity.invalidateCorpusH(spark, dir)
+    assert(Similarity.corpusH(spark, dir) == 11)
+    Similarity.invalidateCorpusH(spark, dir)
+  }
+
+  test("large corpus builds h=9 buckets and the serving head stays correct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-h9").toString
+    val rnd = new scala.util.Random(5)
+    // 10k vectors at the production Dim=64 (the hyperplanes are
+    // 64-dim; a shorter fixture would degenerate every bucket to the
+    // NULL-dot "00000000") -> hForCount = ceil(log2(10000/32)) = 9
+    (0 until 10000)
+      .map(i => (i.toLong, Seq.fill(Similarity.Dim)(rnd.nextGaussian().toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.corpusH(spark, dir) == 9)
+    val buckets = Similarity.lshBuckets(spark, dir)
+    assert(buckets.select(max(length(col("bucket")))).collect()(0).getInt(0) == 9)
+    // occupancy sanity: mean bucket population stays near the target
+    // (10000 / 2^9 ~ 20), nowhere near the corpus
+    val meanOcc = buckets.groupBy("table_idx", "bucket").count()
+      .agg(avg("count")).collect()(0).getDouble(0)
+    assert(meanOcc < 4 * Similarity.TargetBucketOccupancy,
+      s"mean occupancy $meanOcc — plane count not controlling it")
+    // serving: a corpus-identical query self-matches at cos 1 under
+    // the 9-plane geometry (query-side hashing rides the same pool)
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id = 77").select("embedding").as[Seq[Float]].collect()(0)
+    val served = Similarity.annServeBatch(spark, dir,
+        Seq((9001L, qv)).toDF("query_id", "embedding"), k = 3, radius = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(served.exists(t => t._1 == 9001L && t._2 == 77L && t._3 == 1.0 && t._4 == 1),
+      s"self-match missing under h=9: ${served.toSeq}")
+    Dedup.releaseIndexes(spark)
+    Similarity.invalidateCorpusH(spark, dir)
+  }
+}
