@@ -50,7 +50,8 @@ object FamilyScaleProbe {
         docs.crossJoin(rep)
           .select((col("doc_id") + col("r") * nDocs).as("doc_id"),
             concat(col("text"), lit(" rep"), col("r").cast("string")).as("text"),
-            col("lang"), col("source"), col("ts"))
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       }
       val idx = java.nio.file.Files.createTempDirectory("graft_pair100x_idx").toString
