@@ -45,7 +45,9 @@ object Bench {
       // the PQ family rides embBase + the pqCodes/pqCodebooksFit artifacts
       n == "q_pq_stats" ||
       // RRF fusion rides embBase (dense leg) + the primed pair table
-      n == "q_hybrid_search"
+      n == "q_hybrid_search" ||
+      // hard-negative mining + PSI drift ride embBase/ivfCellsFit
+      n.startsWith("q_hard_negatives") || n == "q_embedding_drift"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -89,15 +91,33 @@ object Bench {
         s"$cpus requested — calibrating at $calN; local[$cpus] runs oversubscribed")
     val calIters = 400000000L
     def calibrate(tag: String): Double = {
+      // Settle before measuring: right after the suite the JVM still
+      // has GC/compiler background work that reads as phantom
+      // contention (observed: end-sample 2.29x inside the bench JVM
+      // while a standalone probe on the same idle host read 1.5x).
+      System.gc()
+      Thread.sleep(200)
       spin(calIters / 10) // JIT warm
-      val t1 = System.nanoTime(); spin(calIters)
-      val w1 = (System.nanoTime() - t1) / 1e9
-      val threads = (1 to calN).map(_ => new Thread(() => { spin(calIters); () }))
-      val tn = System.nanoTime()
-      threads.foreach(_.start()); threads.foreach(_.join())
-      val pen = ((System.nanoTime() - tn) / 1e9) / w1
+      // Min-of-N on BOTH axes: a single 1-thread sample varies ±30%
+      // on this host class (frequency/scheduling jitter), which used
+      // to swing the ratio 1.2-1.6x run to run with no load change.
+      // The min is the host's current best — the stable capacity
+      // measure the ratio needs. Measured idle spread with min-of-N:
+      // 1.44-1.65x (structural SMT-sibling sharing + all-core clock),
+      // vs 1.23-1.64x single-sample.
+      val w1 = (1 to 3).map { _ =>
+        val t1 = System.nanoTime(); spin(calIters)
+        (System.nanoTime() - t1) / 1e9
+      }.min
+      val wn = (1 to 2).map { _ =>
+        val threads = (1 to calN).map(_ => new Thread(() => { spin(calIters); () }))
+        val tn = System.nanoTime()
+        threads.foreach(_.start()); threads.foreach(_.join())
+        (System.nanoTime() - tn) / 1e9
+      }.min
+      val pen = wn / w1
       System.err.println(f"[bench] host parallel penalty ($tag): $pen%.2fx " +
-        f"(1-thread $w1%.3f s, ${calN}-thread concurrent ${w1 * pen}%.3f s)")
+        f"(1-thread min-of-3 $w1%.3f s, ${calN}-thread min-of-2 $wn%.3f s)")
       if (pen > 1.6)
         System.err.println(f"[bench] WARNING: penalty $pen%.2fx marks this " +
           "host as heavily contended — treat this run's numbers as suspect " +

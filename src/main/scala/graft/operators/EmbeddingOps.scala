@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Embedding-corpus training ops beyond serving: contrastive
+  * hard-negative mining and distribution-drift monitoring.
+  *
+  * Both are standard large-pipeline jobs the similarity family's
+  * maintained artifacts make cheap:
+  *
+  *  - HARD NEGATIVES (the DPR/contrastive-training mining step,
+  *    Karpukhin et al. 2020 §4.2 shape): for each query vector, the
+  *    top-k most similar corpus vectors whose label DIFFERS from the
+  *    query's — semantically close but wrong-class examples, the
+  *    negatives that actually move a contrastive loss. Exact form for
+  *    the oracle gate; an IVF-blocked form as the 100 TB path (the
+  *    annIvfFiltered machinery with an exclusion predicate instead of
+  *    an allow-list).
+  *
+  *  - EMBEDDING DRIFT (population-stability monitoring between corpus
+  *    snapshots): assign both snapshots to the SAME fitted coarse
+  *    quantizer and compare per-cell occupancy with the Population
+  *    Stability Index, PSI = Σ (p−q)·ln(p/q) over smoothed cell
+  *    shares. The monitor a recurring crawl runs before retraining —
+  *    a drifted cell histogram means the new snapshot no longer looks
+  *    like the data the downstream model (or the ANN index geometry)
+  *    was tuned on. The registered query splits the corpus by vec_id
+  *    parity as a deterministic stand-in for crawl t vs t+1.
+  */
+object EmbeddingOps {
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayDotProduct(a, b)
+
+  /** (vec_id, v, nrm, label) in ONE scan of the embeddings table — the
+    * labeled twin of Similarity.embBase. The label rides the same
+    * parquet row, so carrying it costs a column, not a join; the
+    * zero-norm exclusion matches embBase (no cosine exists). */
+  private def labeledBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"),
+        col("label").cast("int").as("label"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0d)
+
+  /** Exact hard-negative mining: queries vec_id < nQueries, top-k by
+    * cosine among corpus vectors with a DIFFERENT label.
+    *
+    * Plan shape = knnExact's (the formulation that survives a 100×
+    * corpus): the query side broadcasts, each executor scores its
+    * corpus slice inside codegen with the label inequality applied in
+    * the join condition (before any shuffle), and a per-partition
+    * top-k heap prunes to ≤ |Q|·k rows per partition BEFORE the
+    * ranking window's exchange — the shuffle carries
+    * O(|Q|·k·partitions), never O(|Q|·N). Labels ride the pruned
+    * tuples, so no second corpus scan joins them back. */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = labeledBase(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"),
+        col("nrm").as("nrm_q"), col("label").as("qlab"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
+      col("nrm").as("nrm_c"), col("label").as("nlab"))
+    val scored = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id") &&
+        col("qlab") =!= col("nlab"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"),
+        col("qlab"), col("nlab"))
+    // per-partition min-heap, same total order as the ranking window
+    // (cos desc with NaN greatest — java.lang.Double.compare, Spark's
+    // desc semantics — then neighbor_id asc); see knnExact for why the
+    // orders must agree exactly
+    val pruned = scored.as[(Long, Long, Double, Int, Int)].mapPartitions { it =>
+      val worstFirst = new Ordering[(Double, Long, Int)] {
+        def compare(x: (Double, Long, Int), y: (Double, Long, Int)): Int = {
+          val c = java.lang.Double.compare(y._1, x._1)
+          if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+        }
+      }
+      val best = scala.collection.mutable.Map
+        .empty[(Long, Int), scala.collection.mutable.PriorityQueue[(Double, Long, Int)]]
+      it.foreach { case (qid, nid, cos, qlab, nlab) =>
+        val h = best.getOrElseUpdate((qid, qlab),
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        if (h.size < k) h.enqueue((cos, nid, nlab))
+        else if (worstFirst.lt((cos, nid, nlab), h.head)) {
+          h.dequeue(); h.enqueue((cos, nid, nlab))
+        }
+      }
+      best.iterator.flatMap { case ((qid, qlab), h) =>
+        h.iterator.map { case (cos, nid, nlab) => (qid, qlab, nid, nlab, cos) }
+      }
+    }.toDF("query_id", "query_label", "neighbor_id", "neighbor_label", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pruned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Static DuckDB twin of [[hardNegatives]]. */
+  private[operators] val hardNegOracleSql: String =
+    """WITH el AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+      |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |s AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+      |        c.vec_id AS neighbor_id, c.label AS neighbor_label,
+      |        list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      |      FROM el q JOIN el c
+      |        ON c.vec_id <> q.vec_id AND c.label <> q.label
+      |      WHERE q.vec_id < 10)
+      |SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rn FROM (
+      |  SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM s)
+      |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  /** Probe budget under a label-EXCLUSION predicate: per query the
+    * allowed population is everything but the query's own label, so
+    * selectivity = 1 − share(label). One budget serves all queries —
+    * sized for the worst case (the most common label, whose exclusion
+    * keeps the least), from the same cached label histogram the
+    * allow-list filter reads. Capped at the cell count (probe
+    * everything — the safe degenerate limit). */
+  private[operators] def probeForExclusion(spark: SparkSession, dir: String,
+                                           kCells: Int): Int = {
+    val hist = SimilarityIvf.labelHistogram(spark, dir)
+    val total = hist.values.sum
+    if (total == 0L) kCells
+    else {
+      val worstSel = 1.0 - hist.values.max.toDouble / total
+      if (worstSel <= 0.0) kCells // single-label corpus: no negatives exist
+      else math.min(kCells,
+        math.ceil(SimilarityIvf.probeFor(kCells) *
+          SimilarityIvf.FilteredProbeHeadroom / worstSel).toInt)
+    }
+  }
+
+  /** IVF-blocked hard-negative mining — the 100 TB path: candidates
+    * come from the maintained ids-only fitted-cell index joined with
+    * the (vec_id, label) projection, the label inequality prunes
+    * INSIDE the candidate stage (the annIvfFiltered pre-filter
+    * posture — post-filtering the top-k silently under-fills whenever
+    * same-label vectors dominate a neighborhood, which is exactly the
+    * clustered case), and only the pruned candidate set pays the
+    * exact-cosine rerank. Probe budget scales with the exclusion's
+    * worst-case selectivity. */
+  def hardNegativesAnn(spark: SparkSession, dir: String,
+                       nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val cents = SimilarityIvf.fitCentroids(spark, dir)
+    val base = Similarity.embBase(spark, dir)
+    val cells = SimilarityIvf.ivfCells(spark, dir, cents, s"ivfCellsFit|$dir")
+    val lbl = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("int").as("label"))
+    val nprobe = probeForExclusion(spark, dir, cents.length)
+    val qcells = SimilarityIvf.queryProbesOf(
+      base.filter(col("vec_id") < nQueries), cents, nprobe)
+      .join(lbl.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("qlab")),
+        Seq("query_id"))
+    val candCells = cells.join(lbl, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("label").as("nlab"))
+    val pairs = broadcast(qcells)
+      .join(candCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("qlab") =!= col("nlab"))
+      .select("query_id", "neighbor_id").distinct()
+    Similarity.rerankTopK(base, pairs, nQueries, k)
+  }
+
+  /** Dump-time DuckDB twin of [[hardNegativesAnn]] — fitted centroids
+    * and the resolved exclusion probe budget inlined as literals
+    * (the q_knn_ivf_fit discipline). */
+  private[operators] def hardNegAnnOracleSql(cents: Seq[Seq[Double]],
+                                             nprobe: Int): String = {
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(",\n    ")
+    s"""WITH ${SimilarityModule.eCte},
+       |cents(cell, cv) AS (VALUES
+       |    $rows),
+       |d AS (SELECT vec_id, cell, list_dot_product(v, cv) AS dt FROM e CROSS JOIN cents),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |qcells AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell DESC) AS rn
+       |    FROM d WHERE vec_id < 10) WHERE rn <= $nprobe),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+       |         FROM qcells
+       |           JOIN lab ql ON ql.vec_id = qcells.query_id
+       |           JOIN assign a USING (cell)
+       |           JOIN lab nl ON nl.vec_id = a.vec_id
+       |         WHERE a.vec_id <> qcells.query_id AND nl.label <> ql.label),
+       |${SimilarityModule.rerankTail}""".stripMargin
+  }
+
+  /** Per-cell PSI drift report between the corpus's two snapshot
+    * halves (vec_id even = reference, odd = current), under the FITTED
+    * coarse quantizer — both snapshots in ONE cell geometry, which is
+    * what makes occupancies comparable at all (re-fitting per snapshot
+    * would move the cells with the data and hide the drift).
+    *
+    * shares are Laplace-smoothed — p = (n+0.5)/(N+0.5·K) — so empty
+    * cells stay finite; per-cell contribution (p−q)·ln(p/q) is rounded
+    * to 9 dp and decimal-summed (the CCNet-perplexity discipline: the
+    * one libm call is pinned to a tolerance-absorbing precision and
+    * the reduction is exact, so partition order can't move the total).
+    *
+    * Scale shape: one hash-agg over the maintained ids-only cell index
+    * (parity flag computed from the id — no vector is read), a 1-row
+    * broadcast total, a K-row broadcast PSI sum. At 100 TB this is the
+    * cheapest query in the family. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cents = SimilarityIvf.fitCentroids(spark, dir)
+    val kCells = cents.length
+    val cells = SimilarityIvf.ivfCells(spark, dir, cents, s"ivfCellsFit|$dir")
+    val cnt = cells.groupBy("cell").agg(
+      sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_cur"))
+    val tot = cnt.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val sc = cnt.crossJoin(broadcast(tot))
+      .withColumn("p",
+        (col("n_ref") + lit(0.5d)) / (col("t_ref") + lit(0.5d * kCells)))
+      .withColumn("q",
+        (col("n_cur") + lit(0.5d)) / (col("t_cur") + lit(0.5d * kCells)))
+      .withColumn("contrib",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 9)
+          .cast("decimal(20,9)"))
+    val total = sc.agg(sum(col("contrib")).as("psi_sum"))
+    sc.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_ref"), col("n_cur"),
+        round(col("p"), 6).as("p_ref"), round(col("q"), 6).as("p_cur"),
+        col("contrib").cast("double").as("psi_contrib"),
+        round(col("psi_sum").cast("double"), 6).as("psi_total"))
+      .orderBy("cell")
+  }
+
+  /** Dump-time DuckDB twin of [[embeddingDrift]] — fitted centroids
+    * inlined; the smoothing constants carry the same cell count. */
+  private[operators] def driftOracleSql(cents: Seq[Seq[Double]]): String = {
+    val kCells = cents.length
+    s"""WITH ${SimilarityIvf.assignCteSqlWith(cents)},
+       |cnt AS (SELECT cell,
+       |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+       |  FROM assign GROUP BY cell),
+       |tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cnt),
+       |-- all share arithmetic in DOUBLE (DuckDB parses bare decimal
+       |-- literals as DECIMAL, whose division would diverge from the
+       |-- Spark side's IEEE doubles)
+       |sh AS (SELECT cell, n_ref, n_cur,
+       |    (CAST(n_ref AS DOUBLE) + 0.5::DOUBLE) /
+       |      (CAST(t_ref AS DOUBLE) + ${0.5d * kCells}::DOUBLE) AS p,
+       |    (CAST(n_cur AS DOUBLE) + 0.5::DOUBLE) /
+       |      (CAST(t_cur AS DOUBLE) + ${0.5d * kCells}::DOUBLE) AS q
+       |  FROM cnt CROSS JOIN tot),
+       |co AS (SELECT cell, n_ref, n_cur, p, q,
+       |    CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(20,9)) AS contrib
+       |  FROM sh)
+       |SELECT cell, n_ref, n_cur, round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+       |  CAST(contrib AS DOUBLE) AS psi_contrib,
+       |  round(CAST((SELECT SUM(contrib) FROM co) AS DOUBLE), 6) AS psi_total
+       |FROM co ORDER BY cell""".stripMargin
+  }
+}

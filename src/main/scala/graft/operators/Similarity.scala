@@ -2088,7 +2088,10 @@ object SimilarityModule extends QueryModule {
     "q_ann_recall" -> ((s: SparkSession, d: String) => SimilarityIvf.annRecallReport(s, d)),
     "q_hybrid_search" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
     "q_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)),
-    "q_knn_ivf_sq8" -> ((s: SparkSession, d: String) => knnIvfSq8(s, d)))
+    "q_knn_ivf_sq8" -> ((s: SparkSession, d: String) => knnIvfSq8(s, d)),
+    "q_hard_negatives" -> ((s: SparkSession, d: String) => EmbeddingOps.hardNegatives(s, d)),
+    "q_hard_negatives_ann" -> ((s: SparkSession, d: String) => EmbeddingOps.hardNegativesAnn(s, d)),
+    "q_embedding_drift" -> ((s: SparkSession, d: String) => EmbeddingOps.embeddingDrift(s, d)))
 
   // q_knn_exact_agg shares q_knn_exact's oracle: same semantics, the
   // Aggregator formulation just changes the physical plan.
@@ -2230,6 +2233,7 @@ object SimilarityModule extends QueryModule {
   }
 
   def oracles = Map(
+    "q_hard_negatives" -> EmbeddingOps.hardNegOracleSql,
     "q_hybrid_search" -> hybridOracleSql,
     "q_knn_sq8" -> sq8OracleSql,
     "q_knn_exact_agg" -> knnOracleSql,
@@ -2308,6 +2312,12 @@ object SimilarityModule extends QueryModule {
     val nprobe = SimilarityIvf.probeFor(cents.length)
     Map(
       "q_knn_ivf_fit" -> ivfOracleSql(cents, nprobe),
+      // exclusion-filtered mining + the PSI drift report resolve their
+      // fitted centroids (and the exclusion probe budget) exactly like
+      // the fitted-IVF legs
+      "q_hard_negatives_ann" -> EmbeddingOps.hardNegAnnOracleSql(cents,
+        EmbeddingOps.probeForExclusion(spark, dir, cents.length)),
+      "q_embedding_drift" -> EmbeddingOps.driftOracleSql(cents),
       // the tuned budget resolves at dump time exactly like the
       // centroids: the memoized tuner has already run (or runs now)
       // on the same session, so the literal nprobe matches serving
