@@ -46,8 +46,10 @@ object Bench {
       n == "q_pq_stats" ||
       // RRF fusion rides embBase (dense leg) + the primed pair table
       n == "q_hybrid_search" ||
-      // hard-negative mining + PSI drift ride embBase/ivfCellsFit
-      n.startsWith("q_hard_negatives") || n == "q_embedding_drift"
+      // hard-negative mining, triplet export + PSI drift ride
+      // embBase/ivfCellsFit
+      n.startsWith("q_hard_negatives") || n == "q_embedding_drift" ||
+      n == "q_training_triplets"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -210,6 +210,95 @@ object EmbeddingOps {
        |${SimilarityModule.rerankTail}""".stripMargin
   }
 
+  /** Training-triplet mining: per anchor (vec_id < nQueries) the
+    * hardest POSITIVE (top same-label neighbor by cosine) and the
+    * hardest NEGATIVE (top cross-label neighbor) in one corpus pass —
+    * the (anchor, positive, negative) export a contrastive/metric-
+    * learning trainer consumes, with the margin (pos_cos − neg_cos)
+    * reported so violated triplets (margin < 0: an imposter scores
+    * above the best same-class example) surface as the curriculum's
+    * hard cases.
+    *
+    * One scan scores both branches (the label comparison is a flag,
+    * not a second pass); a per-partition top-1 heap per (anchor,
+    * branch) prunes to ≤ 2·|Q| rows per partition before any
+    * exchange. Anchors with no same-label peer keep a NULL positive
+    * (left join) rather than silently vanishing. */
+  def trainingTriplets(spark: SparkSession, dir: String,
+                       nQueries: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = labeledBase(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("anchor_id"), col("v").as("v_q"),
+        col("nrm").as("nrm_q"), col("label").as("qlab"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
+      col("nrm").as("nrm_c"), col("label").as("nlab"))
+    val scored = broadcast(q)
+      .join(c, col("anchor_id") =!= col("neighbor_id"))
+      .select(col("anchor_id"), col("qlab"), col("neighbor_id"),
+        (col("qlab") === col("nlab")).as("same"),
+        (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
+    val pruned = scored.as[(Long, Int, Long, Boolean, Double)].mapPartitions { it =>
+      // top-1 per (anchor, branch): the same total order as the final
+      // window (cos desc, neighbor_id asc)
+      val best = scala.collection.mutable.Map.empty[(Long, Boolean), (Int, Long, Double)]
+      it.foreach { case (aid, qlab, nid, same, cos) =>
+        val k = (aid, same)
+        val cur = best.get(k)
+        if (cur.isEmpty || cos > cur.get._3 ||
+          (cos == cur.get._3 && nid < cur.get._2))
+          best(k) = (qlab, nid, cos)
+      }
+      best.iterator.map { case ((aid, same), (qlab, nid, cos)) =>
+        (aid, qlab, nid, same, cos)
+      }
+    }.toDF("anchor_id", "qlab", "neighbor_id", "same", "cos")
+    def branch(same: Boolean, idName: String, cosName: String): DataFrame = {
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      pruned.filter(col("same") === same)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("anchor_id"), col("neighbor_id").as(idName),
+          col("cos").as(cosName))
+    }
+    val anchors = q.select(col("anchor_id"), col("qlab").as("anchor_label"))
+    anchors
+      .join(branch(same = true, "pos_id", "pos_cos"), Seq("anchor_id"), "left")
+      .join(branch(same = false, "neg_id", "neg_cos"), Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("anchor_label"),
+        col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+      .orderBy("anchor_id")
+  }
+
+  /** Static DuckDB twin of [[trainingTriplets]]. */
+  private[operators] val tripletOracleSql: String =
+    """WITH el AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+      |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) > 0),
+      |s AS (SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+      |        c.vec_id AS neighbor_id, c.label = q.label AS same,
+      |        list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      |      FROM el q JOIN el c ON c.vec_id <> q.vec_id
+      |      WHERE q.vec_id < 10),
+      |r AS (SELECT anchor_id, neighbor_id, same, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY anchor_id, same
+      |                           ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |      FROM s),
+      |pos AS (SELECT anchor_id, neighbor_id AS pos_id, cos AS pos_cos
+      |        FROM r WHERE same AND rn = 1),
+      |neg AS (SELECT anchor_id, neighbor_id AS neg_id, cos AS neg_cos
+      |        FROM r WHERE NOT same AND rn = 1),
+      |a AS (SELECT DISTINCT vec_id AS anchor_id, label AS anchor_label
+      |      FROM el WHERE vec_id < 10)
+      |SELECT a.anchor_id, a.anchor_label, pos_id, pos_cos, neg_id, neg_cos,
+      |  pos_cos - neg_cos AS margin
+      |FROM a LEFT JOIN pos USING (anchor_id) LEFT JOIN neg USING (anchor_id)
+      |ORDER BY a.anchor_id""".stripMargin
+
   /** Per-cell PSI drift report between the corpus's two snapshot
     * halves (vec_id even = reference, odd = current), under the FITTED
     * coarse quantizer — both snapshots in ONE cell geometry, which is
@@ -228,11 +317,19 @@ object EmbeddingOps {
     * cheapest query in the family. */
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     val cents = SimilarityIvf.fitCentroids(spark, dir)
-    val kCells = cents.length
     val cells = SimilarityIvf.ivfCells(spark, dir, cents, s"ivfCellsFit|$dir")
     val cnt = cells.groupBy("cell").agg(
       sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_ref"),
       sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_cur"))
+    psiReport(cnt, cents.length)
+  }
+
+  /** The PSI scoring kernel over a (cell, n_ref, n_cur) occupancy
+    * table — shared verbatim by the registered snapshot-halves query
+    * above and the streaming ingest gate
+    * ([[graft.streaming.DriftGate]]), so a stream batch's PSI is
+    * byte-identical to the batch formulation of the same counts. */
+  private[graft] def psiReport(cnt: DataFrame, kCells: Int): DataFrame = {
     val tot = cnt.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
     val sc = cnt.crossJoin(broadcast(tot))
       .withColumn("p",

@@ -320,7 +320,7 @@ object Similarity {
 
   /** embBase over an arbitrary embeddings slice — the core the
     * memoized session build and Dedup.appendIndexes share. */
-  private[operators] def embBaseOf(emb: DataFrame): DataFrame =
+  private[graft] def embBaseOf(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       // zero-norm vectors can't be cosine-ranked (ANSI 0/0 error)
@@ -1198,7 +1198,7 @@ object SimilarityIvf {
     * than a materialization round-trip; the memoized corpus-wide build
     * above keeps its staged form. Values are bit-identical either
     * way. */
-  private[operators] def ivfAssign(base: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+  private[graft] def ivfAssign(base: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
     if (cents.length > LiteralAssignMaxK)
       assignViaJoin(base.sparkSession, base, cents)
     else
@@ -1274,7 +1274,7 @@ object SimilarityIvf {
     * across runs and repartitionings — no RNG state. Empty clusters
     * re-seed from the sample (hash order), so exactly k centroids
     * always come back. */
-  private[operators] def fitCentroids(spark: SparkSession, dir: String,
+  private[graft] def fitCentroids(spark: SparkSession, dir: String,
                                       k: Int = 0, sampleN: Int = 0,
                                       iters: Int = 5): Seq[Seq[Double]] = {
     // k = 0 (the default request) resolves to the corpus-proportional
@@ -2091,7 +2091,8 @@ object SimilarityModule extends QueryModule {
     "q_knn_ivf_sq8" -> ((s: SparkSession, d: String) => knnIvfSq8(s, d)),
     "q_hard_negatives" -> ((s: SparkSession, d: String) => EmbeddingOps.hardNegatives(s, d)),
     "q_hard_negatives_ann" -> ((s: SparkSession, d: String) => EmbeddingOps.hardNegativesAnn(s, d)),
-    "q_embedding_drift" -> ((s: SparkSession, d: String) => EmbeddingOps.embeddingDrift(s, d)))
+    "q_embedding_drift" -> ((s: SparkSession, d: String) => EmbeddingOps.embeddingDrift(s, d)),
+    "q_training_triplets" -> ((s: SparkSession, d: String) => EmbeddingOps.trainingTriplets(s, d)))
 
   // q_knn_exact_agg shares q_knn_exact's oracle: same semantics, the
   // Aggregator formulation just changes the physical plan.
@@ -2234,6 +2235,7 @@ object SimilarityModule extends QueryModule {
 
   def oracles = Map(
     "q_hard_negatives" -> EmbeddingOps.hardNegOracleSql,
+    "q_training_triplets" -> EmbeddingOps.tripletOracleSql,
     "q_hybrid_search" -> hybridOracleSql,
     "q_knn_sq8" -> sq8OracleSql,
     "q_knn_exact_agg" -> knnOracleSql,

@@ -67,6 +67,25 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"hard-negative ANN recall $recall < 0.8")
   }
 
+  test("training triplets: per-anchor hardest positive + hardest negative, brute-force twin") {
+    val trip = EmbeddingOps.trainingTriplets(spark, sf("sf0.001"))
+      .select("anchor_id", "anchor_label", "pos_id", "pos_cos", "neg_id", "neg_cos", "margin")
+      .as[(Long, Int, java.lang.Long, java.lang.Double, java.lang.Long, java.lang.Double, java.lang.Double)]
+      .collect()
+    assert(trip.length == 10)
+    // hard negatives already pin the cross-label top-k exactly; the
+    // triplet's negative must be each query's rank-1 hard negative
+    val topNeg = hard.filter(_._6 == 1).map(r => r._1 -> r._3).toMap
+    trip.foreach { case (aid, alab, posId, posCos, negId, negCos, margin) =>
+      assert(alab == labelOf(aid))
+      assert(posId != null && negId != null, s"anchor $aid missing a branch")
+      assert(labelOf(posId) == alab, s"anchor $aid positive crossed labels")
+      assert(labelOf(negId) != alab, s"anchor $aid negative shares the label")
+      assert(negId.longValue == topNeg(aid), s"anchor $aid negative != rank-1 hard negative")
+      assert(math.abs(margin - (posCos - negCos)) == 0.0)
+    }
+  }
+
   // mirrored fixture: vec 2i and 2i+1 carry the IDENTICAL vector, so
   // ref/cur occupancies agree cell by cell and PSI is exactly zero
   private def writeFixture(shiftOdd: Boolean): String = {
