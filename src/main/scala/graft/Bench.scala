@@ -49,7 +49,7 @@ object Bench {
       // hard-negative mining, triplet export + PSI drift ride
       // embBase/ivfCellsFit
       n.startsWith("q_hard_negatives") || n == "q_embedding_drift" ||
-      n == "q_training_triplets"
+      n.startsWith("q_training_triplets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -16,7 +16,9 @@ object PlanProbe {
       "q_dedup_canonical", "q_embedding_outliers", "q_token_budget", "q_dup_spans",
       "q_dup_spans_apply", "q_corpus_mix", "q_dedup_incremental", "q_media_dedup",
       "q_dedup_embedding", "q_dedup_embedding_ann", "q_dedup_embedding_ann_rerank",
-      "q_media_audio", "q_media_video", "q_knn_ivfpq_refined", "q_knn_ivf_sq8")
+      "q_media_audio", "q_media_video", "q_knn_ivfpq_refined", "q_knn_ivf_sq8",
+      "q_hard_negatives", "q_hard_negatives_ann", "q_embedding_drift",
+      "q_training_triplets", "q_training_triplets_ann")
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
       println(s"===== $name =====")

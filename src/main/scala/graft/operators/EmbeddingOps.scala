@@ -272,6 +272,124 @@ object EmbeddingOps {
       .orderBy("anchor_id")
   }
 
+  /** Probe budget under a label-INCLUSION predicate keyed per query:
+    * the allowed population is exactly the query's own label, so the
+    * worst case is the RAREST label present. With realistic label
+    * arities this caps at probe-everything for the positive leg —
+    * correct (the allowed population is ~1/labels of the corpus, and
+    * mining the hardest positive from a thin slice needs wide
+    * probing), and self-limiting: the cap IS exact search over the
+    * filtered corpus. */
+  private[operators] def probeForInclusion(spark: SparkSession, dir: String,
+                                           kCells: Int): Int = {
+    val hist = SimilarityIvf.labelHistogram(spark, dir)
+    val total = hist.values.sum
+    if (total == 0L || hist.isEmpty) kCells
+    else {
+      val worstSel = hist.values.min.toDouble / total
+      math.min(kCells,
+        math.ceil(SimilarityIvf.probeFor(kCells) *
+          SimilarityIvf.FilteredProbeHeadroom / worstSel).toInt)
+    }
+  }
+
+  /** IVF-blocked triplet mining — [[trainingTriplets]]'s 100 TB path:
+    * both branches come from the maintained ids-only fitted-cell
+    * index joined with the label projection, the label predicate
+    * (equality for the positive, inequality for the negative) pruning
+    * INSIDE each candidate stage, each with its own
+    * selectivity-scaled probe budget. Anchors whose probes miss every
+    * same-label vector keep a NULL positive — the report discipline,
+    * never a silent drop. */
+  def trainingTripletsAnn(spark: SparkSession, dir: String,
+                          nQueries: Int = 10): DataFrame = {
+    val cents = SimilarityIvf.fitCentroids(spark, dir)
+    val base = Similarity.embBase(spark, dir)
+    val cells = SimilarityIvf.ivfCells(spark, dir, cents, s"ivfCellsFit|$dir")
+    val lbl = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("int").as("label"))
+    val qlabs = lbl.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlab"))
+    val candCells = cells.join(lbl, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("label").as("nlab"))
+    def leg(nprobe: Int, samePred: Column => Column,
+            idName: String, cosName: String): DataFrame = {
+      val qcells = SimilarityIvf.queryProbesOf(
+        base.filter(col("vec_id") < nQueries), cents, nprobe)
+        .join(qlabs, Seq("query_id"))
+      val pairs = broadcast(qcells)
+        .join(candCells, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id") &&
+          samePred(col("qlab")))
+        .select("query_id", "neighbor_id").distinct()
+      Similarity.rerankTopK(base, pairs, nQueries, 1)
+        .select(col("query_id").as("anchor_id"),
+          col("neighbor_id").as(idName), col("cos").as(cosName))
+    }
+    val pos = leg(probeForInclusion(spark, dir, cents.length),
+      q => col("nlab") === q, "pos_id", "pos_cos")
+    val neg = leg(probeForExclusion(spark, dir, cents.length),
+      q => col("nlab") =!= q, "neg_id", "neg_cos")
+    qlabs.select(col("query_id").as("anchor_id"), col("qlab").as("anchor_label"))
+      .join(pos, Seq("anchor_id"), "left")
+      .join(neg, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("anchor_label"),
+        col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+      .orderBy("anchor_id")
+  }
+
+  /** Dump-time DuckDB twin of [[trainingTripletsAnn]] — fitted
+    * centroids and both resolved probe budgets inlined. */
+  private[operators] def tripletAnnOracleSql(cents: Seq[Seq[Double]],
+                                             nprobePos: Int,
+                                             nprobeNeg: Int): String = {
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(",\n    ")
+    def legSql(nprobe: Int, op: String, idName: String, cosName: String) =
+      s"""qc_$idName AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell DESC) AS rn
+         |    FROM d WHERE vec_id < 10) WHERE rn <= $nprobe),
+         |cand_$idName AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+         |         FROM qc_$idName
+         |           JOIN lab ql ON ql.vec_id = qc_$idName.query_id
+         |           JOIN assign a USING (cell)
+         |           JOIN lab nl ON nl.vec_id = a.vec_id
+         |         WHERE a.vec_id <> qc_$idName.query_id AND nl.label $op ql.label),
+         |$idName AS (SELECT query_id AS anchor_id, neighbor_id AS $idName, cos AS $cosName FROM (
+         |    SELECT query_id, neighbor_id,
+         |      list_dot_product(q.v, c.v) /
+         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY list_dot_product(q.v, c.v) /
+         |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |          neighbor_id ASC) AS rn
+         |    FROM cand_$idName JOIN e q ON q.vec_id = cand_$idName.query_id
+         |                      JOIN e c ON c.vec_id = cand_$idName.neighbor_id)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH ${SimilarityModule.eCte},
+       |cents(cell, cv) AS (VALUES
+       |    $rows),
+       |d AS (SELECT vec_id, cell, list_dot_product(v, cv) AS dt FROM e CROSS JOIN cents),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |${legSql(nprobePos, "=", "pos_id", "pos_cos")},
+       |${legSql(nprobeNeg, "<>", "neg_id", "neg_cos")},
+       |anchors AS (SELECT e.vec_id AS anchor_id, lab.label AS anchor_label
+       |            FROM e JOIN lab ON lab.vec_id = e.vec_id WHERE e.vec_id < 10)
+       |SELECT anchor_id, anchor_label, pos_id, pos_cos, neg_id, neg_cos,
+       |  pos_cos - neg_cos AS margin
+       |FROM anchors LEFT JOIN pos_id USING (anchor_id)
+       |             LEFT JOIN neg_id USING (anchor_id)
+       |ORDER BY anchor_id""".stripMargin
+  }
+
   /** Static DuckDB twin of [[trainingTriplets]]. */
   private[operators] val tripletOracleSql: String =
     """WITH el AS (
@@ -348,16 +466,11 @@ object EmbeddingOps {
       .orderBy("cell")
   }
 
-  /** Dump-time DuckDB twin of [[embeddingDrift]] — fitted centroids
-    * inlined; the smoothing constants carry the same cell count. */
-  private[operators] def driftOracleSql(cents: Seq[Seq[Double]]): String = {
-    val kCells = cents.length
-    s"""WITH ${SimilarityIvf.assignCteSqlWith(cents)},
-       |cnt AS (SELECT cell,
-       |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-       |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
-       |  FROM assign GROUP BY cell),
-       |tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cnt),
+  /** The SQL twin of [[psiReport]] over whatever `cnt(cell, n_ref,
+    * n_cur)` CTE the WITH head defines — shared by the embedding and
+    * scalar-feature drift oracles. */
+  private[operators] def psiSqlTail(kCells: Int): String =
+    s"""tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cnt),
        |-- all share arithmetic in DOUBLE (DuckDB parses bare decimal
        |-- literals as DECIMAL, whose division would diverge from the
        |-- Spark side's IEEE doubles)
@@ -374,5 +487,47 @@ object EmbeddingOps {
        |  CAST(contrib AS DOUBLE) AS psi_contrib,
        |  round(CAST((SELECT SUM(contrib) FROM co) AS DOUBLE), 6) AS psi_total
        |FROM co ORDER BY cell""".stripMargin
+
+  /** Dump-time DuckDB twin of [[embeddingDrift]] — fitted centroids
+    * inlined; the smoothing constants carry the same cell count. */
+  private[operators] def driftOracleSql(cents: Seq[Seq[Double]]): String =
+    s"""WITH ${SimilarityIvf.assignCteSqlWith(cents)},
+       |cnt AS (SELECT cell,
+       |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+       |  FROM assign GROUP BY cell),
+       |${psiSqlTail(cents.length)}""".stripMargin
+
+  /** Smoothing denominator for the scalar-feature drift report: doc
+    * lengths bucket by DIGIT COUNT (order of magnitude), so 10 covers
+    * every corpus up to 10^10-char documents — a fixed constant both
+    * engines inline. */
+  private[operators] val FeatureDriftBuckets = 10
+
+  /** Scalar-feature drift: the [[psiReport]] kernel over a document
+    * LENGTH histogram instead of embedding cells — the cheap first
+    * alarm a text pipeline checks before anything embedding-based (a
+    * new crawl whose length profile shifted an order of magnitude is
+    * broken upstream, no model needed to see it). Buckets are the
+    * n_chars DIGIT COUNT — an exact integer both engines derive from
+    * the decimal string, no libm in the bucketing (log-family buckets
+    * would put boundary values at the mercy of ln round-off). Same
+    * parity-split snapshot convention as [[embeddingDrift]]. */
+  def featureDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("n_chars").cast("string")).cast("int").as("cell"))
+      .groupBy("cell").agg(
+        sum(when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(pmod(col("doc_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_cur"))
+    psiReport(cnt, FeatureDriftBuckets)
   }
+
+  /** Static DuckDB twin of [[featureDrift]]. */
+  private[operators] val featureDriftOracleSql: String =
+    s"""WITH cnt AS (SELECT CAST(length(CAST(n_chars AS VARCHAR)) AS INT) AS cell,
+       |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+       |  FROM documents GROUP BY 1),
+       |${psiSqlTail(FeatureDriftBuckets)}""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.sources.Tables
@@ -680,6 +681,100 @@ object Graph {
       .orderBy("component")
   }
 
+  /** Label-propagation superstep count: 4 = two full
+    * alternate-the-sides rounds (each side updated twice). This is a
+    * FIXED operating point, not a convergence knob — the public API
+    * shape (GraphFrames' labelPropagation takes maxIter and documents
+    * that LPA does not converge): on a dense weighted graph label
+    * propagation is epidemic, and running longer consensus-collapses
+    * the structure (measured at sf0.01: 4 supersteps resolve 20
+    * communities, 6 collapse all 1,600 nodes into one — the PprIters
+    * stability claim was TESTED here and refuted, so the contract is
+    * the pinned count the oracle unrolls, with the collapse itself
+    * spec-pinned as the documented reason). */
+  private[operators] val LpaIters = 4
+
+  /** Community detection by SEMI-SYNCHRONOUS label propagation
+    * (Raghavan et al. 2007 semantics with the bipartite-safe
+    * schedule of Cordasco & Gargano 2010): each superstep updates
+    * ONE side of the bipartite transaction graph — odd steps the
+    * suppliers, even steps the customers — to the label with the
+    * greatest incoming edge weight (ties to the smallest label).
+    * Fully synchronous LPA oscillates on bipartite graphs (labels
+    * swap sides every step and never settle); freezing one side per
+    * step removes the oscillation while keeping the update
+    * deterministic and order-free — no async sweep, no RNG.
+    *
+    * Weighted, unlike [[strongComponents]]' thresholded connectivity:
+    * a supplier joins the community it does the MOST business with,
+    * not every community it ever sold to — the two queries answer
+    * different questions off the same artifact.
+    *
+    * Scale shape: the side filter pushes into the edge scan (each
+    * superstep joins HALF the edge table), votes are one hash-agg on
+    * (node, label) with map-side partials, the argmax is a
+    * WindowGroupLimit rank-1, and the label table checkpoints per
+    * step under the rank loop's track-and-free discipline. Below
+    * [[BroadcastMaxNodes]] the label side broadcasts; above it the
+    * join rides the same memoized by-src layout the rank supersteps
+    * use (only the node-sized label side shuffles). Integer weights
+    * sum exactly — no float reduction anywhere. */
+  def labelPropagation(spark: SparkSession, dir: String,
+                       iters: Int = LpaIters): DataFrame = {
+    val en = edgeFracs(spark, dir)
+    val (nodes, nodeIds) = Dedup.trackedCheckpoint(
+      en.select(col("src").as("node")).distinct())
+    val coPart = nodes.count() > BroadcastMaxNodes
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    lazy val enBySrc = Dedup.memo(spark, s"graphEdgesBySrc|$dir") {
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointDeclared(
+        en, "src", nPart, reshape = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    var prevIds: Set[Int] = Set.empty
+    for (i <- 1 to iters) {
+      val side = i % 2 // 1 = suppliers (odd ids), 0 = customers
+      val lbl = labels.withColumnRenamed("node", "src")
+      val sideEdges =
+        (if (coPart) enBySrc.hint("merge") else en)
+          .filter(pmod(col("dst"), lit(2)) === side)
+      val joined =
+        if (coPart) sideEdges.join(lbl, "src")
+        else sideEdges.join(broadcast(lbl), "src")
+      val votes = joined
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(sum(col("w")).as("wsum"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("wsum").desc, col("lbl").asc)
+      val updated = votes
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "lbl")
+      val (next, ids) = Dedup.trackedCheckpoint(
+        updated.unionByName(
+          labels.filter(pmod(col("node"), lit(2)) =!= side)))
+      Dedup.unpersistIds(spark, prevIds)
+      labels = next
+      prevIds = ids
+    }
+    // the FINAL label table stays persisted (the rank-loop contract:
+    // one table left behind, tracked as stray session state so
+    // releaseIndexes frees it); only the intermediates were freed
+    // in-loop
+    Dedup.trackStray(spark, prevIds)
+    Dedup.unpersistIds(spark, nodeIds)
+    labels.groupBy("lbl")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+      .select(label(col("lbl")).as("community"), col("n_nodes"),
+        col("n_customers"), col("n_suppliers"), col("lbl").as("_id"))
+      .orderBy(col("n_nodes").desc, col("_id").asc)
+      .limit(20)
+      .drop("_id")
+  }
+
   /** Degree distribution per side — the pre-flight audit before any
     * graph job (a power-law tail predicts the skew the superstep
     * shuffle must absorb). One corpus-sized aggregation, then a
@@ -700,7 +795,8 @@ object GraphModule extends QueryModule {
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "q_graph_ppr" -> ((s: SparkSession, d: String) => Graph.pagerankPersonalized(s, d)),
     "q_graph_degree" -> ((s: SparkSession, d: String) => Graph.degreeHistogram(s, d)),
-    "q_graph_components" -> ((s: SparkSession, d: String) => Graph.strongComponents(s, d)))
+    "q_graph_components" -> ((s: SparkSession, d: String) => Graph.strongComponents(s, d)),
+    "q_graph_lpa" -> ((s: SparkSession, d: String) => Graph.labelPropagation(s, d)))
 
   /** The shared edge/node CTE head — same parity-encoded long ids. */
   private val GraphCte: String =
@@ -760,9 +856,40 @@ object GraphModule extends QueryModule {
       s"CASE WHEN node = ${Graph.PprSource} THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END",
       s"CASE WHEN n.node = ${Graph.PprSource} THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END")
 
+  /** Unrolled semi-synchronous LPA — one (votes, argmax, merge) CTE
+    * triple per superstep, the side schedule and min-label tie-break
+    * mirrored from the Spark loop; integer weight sums, so the two
+    * engines agree exactly. */
+  private def lpaSql: String = {
+    val steps = (1 to Graph.LpaIters).map { i =>
+      val prev = s"l${i - 1}"
+      val side = i % 2
+      s"""v$i AS (SELECT e.dst AS node, p.lbl, CAST(SUM(e.w) AS BIGINT) AS wsum
+         |  FROM e JOIN $prev p ON p.node = e.src
+         |  WHERE e.dst % 2 = $side GROUP BY 1, 2),
+         |u$i AS (SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY wsum DESC, lbl ASC) AS rn
+         |    FROM v$i) WHERE rn = 1),
+         |l$i AS (SELECT node, lbl FROM u$i
+         |        UNION ALL SELECT node, lbl FROM $prev WHERE node % 2 <> $side)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $GraphCte,
+       |l0 AS (SELECT node, node AS lbl FROM n),
+       |$steps
+       |SELECT CASE WHEN lbl % 2 = 0 THEN 'c' || CAST(lbl // 2 AS BIGINT)
+       |            ELSE 's' || CAST((lbl - 1) // 2 AS BIGINT) END AS community,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+       |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+       |FROM l${Graph.LpaIters}
+       |GROUP BY lbl ORDER BY n_nodes DESC, lbl ASC LIMIT 20""".stripMargin
+  }
+
   def oracles = Map(
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_ppr" -> pprSql,
+    "q_graph_lpa" -> lpaSql,
     "q_graph_components" ->
       s"""WITH RECURSIVE $GraphCte,
          |strong AS (SELECT a AS u, b AS v FROM eb WHERE w >= ${Graph.StrongTieMinW}),

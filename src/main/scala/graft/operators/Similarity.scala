@@ -2092,7 +2092,9 @@ object SimilarityModule extends QueryModule {
     "q_hard_negatives" -> ((s: SparkSession, d: String) => EmbeddingOps.hardNegatives(s, d)),
     "q_hard_negatives_ann" -> ((s: SparkSession, d: String) => EmbeddingOps.hardNegativesAnn(s, d)),
     "q_embedding_drift" -> ((s: SparkSession, d: String) => EmbeddingOps.embeddingDrift(s, d)),
-    "q_training_triplets" -> ((s: SparkSession, d: String) => EmbeddingOps.trainingTriplets(s, d)))
+    "q_training_triplets" -> ((s: SparkSession, d: String) => EmbeddingOps.trainingTriplets(s, d)),
+    "q_training_triplets_ann" -> ((s: SparkSession, d: String) => EmbeddingOps.trainingTripletsAnn(s, d)),
+    "q_feature_drift" -> ((s: SparkSession, d: String) => EmbeddingOps.featureDrift(s, d)))
 
   // q_knn_exact_agg shares q_knn_exact's oracle: same semantics, the
   // Aggregator formulation just changes the physical plan.
@@ -2236,6 +2238,7 @@ object SimilarityModule extends QueryModule {
   def oracles = Map(
     "q_hard_negatives" -> EmbeddingOps.hardNegOracleSql,
     "q_training_triplets" -> EmbeddingOps.tripletOracleSql,
+    "q_feature_drift" -> EmbeddingOps.featureDriftOracleSql,
     "q_hybrid_search" -> hybridOracleSql,
     "q_knn_sq8" -> sq8OracleSql,
     "q_knn_exact_agg" -> knnOracleSql,
@@ -2318,6 +2321,9 @@ object SimilarityModule extends QueryModule {
       // fitted centroids (and the exclusion probe budget) exactly like
       // the fitted-IVF legs
       "q_hard_negatives_ann" -> EmbeddingOps.hardNegAnnOracleSql(cents,
+        EmbeddingOps.probeForExclusion(spark, dir, cents.length)),
+      "q_training_triplets_ann" -> EmbeddingOps.tripletAnnOracleSql(cents,
+        EmbeddingOps.probeForInclusion(spark, dir, cents.length),
         EmbeddingOps.probeForExclusion(spark, dir, cents.length)),
       "q_embedding_drift" -> EmbeddingOps.driftOracleSql(cents),
       // the tuned budget resolves at dump time exactly like the

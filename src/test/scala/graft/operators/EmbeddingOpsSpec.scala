@@ -86,6 +86,23 @@ class EmbeddingOpsSpec extends SparkSpec {
     }
   }
 
+  test("ANN triplets: label constraints hold, >= 8/10 anchors match the exact triplet") {
+    val exact = EmbeddingOps.trainingTriplets(spark, sf("sf0.001"))
+      .select("anchor_id", "pos_id", "neg_id")
+      .as[(Long, java.lang.Long, java.lang.Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val ann = EmbeddingOps.trainingTripletsAnn(spark, sf("sf0.001"))
+      .select("anchor_id", "anchor_label", "pos_id", "neg_id")
+      .as[(Long, Int, java.lang.Long, java.lang.Long)].collect()
+    assert(ann.length == 10)
+    ann.foreach { case (aid, alab, posId, negId) =>
+      assert(posId == null || labelOf(posId) == alab)
+      assert(negId == null || labelOf(negId) != alab)
+    }
+    val agree = ann.count { case (aid, _, p, n) => exact(aid) == ((p, n)) }
+    assert(agree >= 8, s"only $agree/10 ANN triplets match the exact twin")
+  }
+
   // mirrored fixture: vec 2i and 2i+1 carry the IDENTICAL vector, so
   // ref/cur occupancies agree cell by cell and PSI is exactly zero
   private def writeFixture(shiftOdd: Boolean): String = {
@@ -113,6 +130,28 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(shifted.nonEmpty)
     assert(shifted.forall(_ == shifted.head), "psi_total must be constant per report")
     assert(shifted.head > 0.5, s"planted shift PSI ${shifted.head} unexpectedly small")
+  }
+
+  test("feature drift: digit-count buckets cover the corpus; a planted length shift trips") {
+    val rows = EmbeddingOps.featureDrift(spark, sf("sf0.001"))
+      .select("cell", "n_ref", "n_cur", "psi_total")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(sf("sf0.001") + "/documents.parquet").count()
+    assert(rows.map(r => r._2 + r._3).sum == n)
+    val basePsi = rows.head._4
+    assert(basePsi >= 0.0 && rows.forall(_._4 == basePsi))
+    // planted shift: odd docs an order of magnitude longer
+    val dir = java.nio.file.Files.createTempDirectory("graft-fdrift").toString
+    (0L until 200L).map { i =>
+      val len = if (i % 2 == 1) 5000L else 500L
+      (i, "x", "en", "s", len)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val shifted = EmbeddingOps.featureDrift(spark, dir)
+      .select("psi_total").as[Double].collect()
+    assert(shifted.head > 1.0,
+      s"an order-of-magnitude length shift must trip hard, got ${shifted.head}")
   }
 
   test("drift report: per-cell counts cover the corpus, shares are smoothed finite") {

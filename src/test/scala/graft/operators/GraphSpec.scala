@@ -267,4 +267,25 @@ class GraphSpec extends SparkSpec {
     val ppr = out.map(_.getString(0)).toSet
     assert(ppr != global, "personalization had no effect on the ranking")
   }
+
+  test("LPA communities: deterministic at the pinned count; longer runs consensus-collapse") {
+    val a = Graph.labelPropagation(spark, sf("sf0.01")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val b = Graph.labelPropagation(spark, sf("sf0.01")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(a == b, "LPA must be run-to-run deterministic")
+    assert(a.nonEmpty)
+    // labels root at customer ids under the odd-side-first schedule
+    assert(a.forall(_._1.startsWith("c")))
+    // communities span both sides of the bipartite graph (a weighted
+    // vote that never crossed sides would leave suppliers orphaned)
+    assert(a.head._3 > 0 && a.head._4 > 0, s"top community is single-sided: ${a.head}")
+    // the pinned count is an OPERATING POINT, not convergence: LPA is
+    // epidemic on this dense weighted graph, and two more supersteps
+    // consensus-collapse the mesoscale structure the query exists to
+    // surface - the measured behavior that pins LpaIters = 4
+    val at6 = Graph.labelPropagation(spark, sf("sf0.01"), iters = 6).collect()
+    assert(at6.length < a.length,
+      s"expected 6 supersteps to collapse communities (got ${at6.length} vs ${a.length})")
+  }
 }
