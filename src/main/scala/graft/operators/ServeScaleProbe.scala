@@ -85,6 +85,32 @@ object ServeScaleProbe {
       })
     }
 
+    // Round-14 pipeline legs at the same tier: the mining/monitoring
+    // components that ride the fitted-cell index. "pipeline" mode
+    // fits the quantizer only (no PQ tune) and measures these alone.
+    if (mode == "pipeline") {
+      t("fit centroids (pipeline mode)") {
+        SimilarityIvf.fitCentroids(spark, dir)
+      }
+      val legs: Seq[(String, () => Long)] = Seq(
+        "hard-negatives ANN (10 anchors)" ->
+          (() => EmbeddingOps.hardNegativesAnn(spark, dir).count()),
+        "training triplets ANN (10 anchors)" ->
+          (() => EmbeddingOps.trainingTripletsAnn(spark, dir).count()),
+        "embedding drift (corpus snapshot split)" ->
+          (() => EmbeddingOps.embeddingDrift(spark, dir).count()),
+        s"drift gate batch kernel ($batchN-vector batch)" ->
+          (() => graft.streaming.DriftGate.driftReport(
+            qb.select(col("query_id").as("vec_id"), col("embedding")),
+            spark, dir).count()))
+      legs.foreach { case (tag, f) =>
+        t(s"$tag WARM-UP")(f())
+        (1 to 2).foreach(i => t(s"$tag sample $i") {
+          val n = f(); println(s"[probe]   rows: $n")
+        })
+      }
+    }
+
     // Recall audit of the LSH head at this tier: the corpus-sized
     // plane count trades per-table collision probability for bounded
     // occupancy, so the recall at radius 1 must be MEASURED here, not
