@@ -737,6 +737,46 @@ object Curation {
   }
 
   /** Token budget for the quality-first selection. */
+  /** Length-bucketed batching audit — the padding-efficiency report a
+    * training loader runs before choosing its batching strategy:
+    * documents bucket by token-count POWER OF TWO (bucket = bit length
+    * of n_tokens — an exact integer both engines derive from the
+    * binary string, the q_feature_drift digit-count discipline), and
+    * the report compares per-bucket padding waste (pad to the bucket
+    * cap 2^bucket) against unbucketed padding (pad everything to the
+    * global max) — the measured argument for length-bucketed batching,
+    * which typically recovers most of the 1 − mean/max waste.
+    *
+    * Scale shape: one tokenizing scan, one hash-agg on the bucket id
+    * (map-side partials), a 1-row broadcast global max. */
+  def paddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    // pad to the longest doc IN the bucket (what a loader batching
+    // within a bucket actually pads to), never to the 2^bucket cap —
+    // the top bucket's cap exceeds the global max and would overstate
+    // the bucketed waste
+    val g = d
+      .withColumn("bucket", length(bin(col("n_tokens"))).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .withColumn("cap", pow(lit(2d), col("bucket")).cast("long"))
+    val gmax = d.agg(max(col("n_tokens")).as("gmax"))
+    g.crossJoin(broadcast(gmax))
+      .select(col("bucket"), col("n_docs"), col("cap"), col("max_tokens"),
+        col("sum_tokens"),
+        round(lit(1.0d) - col("sum_tokens").cast("double") /
+          (col("n_docs") * col("max_tokens")).cast("double"), 6)
+          .as("pad_ratio_bucketed"),
+        round(lit(1.0d) - col("sum_tokens").cast("double") /
+          (col("n_docs") * col("gmax")).cast("double"), 6)
+          .as("pad_ratio_unbucketed"))
+      .orderBy("bucket")
+  }
+
   private[operators] val TokenBudget = 8000L
 
   /** Token-budget curation: fill a fixed training-token budget with the
@@ -915,6 +955,7 @@ object CurationModule extends QueryModule {
     "q_pack_chunks_bpe" -> ((s: SparkSession, d: String) => packChunksBpe(s, d)),
     "q_pps_sample" -> ((s: SparkSession, d: String) => ppsSample(s, d)),
     "q_pack_chunks" -> ((s: SparkSession, d: String) => packChunks(s, d)),
+    "q_padding_audit" -> ((s: SparkSession, d: String) => paddingAudit(s, d)),
     "q_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "q_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
     "q_dup_spans_apply" -> ((s: SparkSession, d: String) => dupSpansApply(s, d)),
@@ -952,6 +993,24 @@ object CurationModule extends QueryModule {
   def oracles = Map(
     "q_decontaminate" -> DecontOracleSql,
     "q_decontaminate_bloom" -> DecontOracleSql,
+    "q_padding_audit" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |f AS (SELECT * FROM d WHERE n_tokens > 0),
+        |g AS (SELECT CAST(length(bin(n_tokens)) AS INT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |    CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+        |  FROM f GROUP BY 1),
+        |m AS (SELECT MAX(n_tokens) AS gmax FROM f)
+        |SELECT bucket, n_docs, CAST(power(2, bucket) AS BIGINT) AS cap, max_tokens,
+        |  sum_tokens,
+        |  round(1.0::DOUBLE - CAST(sum_tokens AS DOUBLE) /
+        |    (CAST(n_docs AS DOUBLE) * CAST(max_tokens AS DOUBLE)), 6) AS pad_ratio_bucketed,
+        |  round(1.0::DOUBLE - CAST(sum_tokens AS DOUBLE) /
+        |    (CAST(n_docs AS DOUBLE) * CAST(gmax AS DOUBLE)), 6) AS pad_ratio_unbucketed
+        |FROM g CROSS JOIN m ORDER BY bucket""".stripMargin,
     "q_token_budget" ->
       """WITH d AS (SELECT doc_id, text,
         |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -374,4 +374,28 @@ class CurationSpec extends SparkSpec {
     val total = out.map(_._2).sum
     assert(out.map(_._5).sum <= total)
   }
+
+  test("padding audit: buckets cover the corpus; bucketing strictly cuts padding waste") {
+    val rows = Curation.paddingAudit(spark, sf("sf0.001"))
+      .select("bucket", "n_docs", "cap", "max_tokens", "sum_tokens",
+        "pad_ratio_bucketed", "pad_ratio_unbucketed")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length > 1, "fixture corpus should span multiple length buckets")
+    val gmax = rows.map(_._4).max
+    rows.foreach { case (bucket, nDocs, cap, maxToks, sumToks, padB, padU) =>
+      assert(cap == (1L << bucket))
+      assert(maxToks < cap && maxToks >= cap / 2, "bucket bounds broken")
+      assert(sumToks <= nDocs * maxToks && sumToks >= nDocs * (cap / 2))
+      // padding to the global max can never beat padding to the
+      // bucket's own max (max_tokens <= gmax)
+      assert(padB <= padU + 1e-9, s"bucket $bucket: bucketed $padB > unbucketed $padU")
+    }
+    // the audit's point: aggregate bucketed waste is strictly below
+    // pad-everything-to-global-max waste on a multi-bucket corpus
+    val wasteB = rows.map(r => r._2 * r._4 - r._5).sum
+    val wasteU = rows.map(r => r._2 * gmax - r._5).sum
+    assert(wasteB < wasteU, s"bucketing saved nothing: $wasteB vs $wasteU")
+  }
 }
