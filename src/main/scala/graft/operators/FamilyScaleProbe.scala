@@ -113,6 +113,9 @@ object FamilyScaleProbe {
       t("PPR unpruned (full-graph join)") {
         Graph.pagerankPersonalizedAt(spark, dir, 6, prune = false).count()
       }
+      t("LPA communities (4 supersteps, warm by-src layout)") {
+        Graph.labelPropagation(spark, dir).count()
+      }
       Dedup.releaseIndexes(spark)
     }
     spark.stop()
