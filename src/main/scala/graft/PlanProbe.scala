@@ -18,7 +18,8 @@ object PlanProbe {
       "q_dedup_embedding", "q_dedup_embedding_ann", "q_dedup_embedding_ann_rerank",
       "q_media_audio", "q_media_video", "q_knn_ivfpq_refined", "q_knn_ivf_sq8",
       "q_hard_negatives", "q_hard_negatives_ann", "q_embedding_drift",
-      "q_training_triplets", "q_training_triplets_ann")
+      "q_training_triplets", "q_training_triplets_ann",
+      "q_feature_drift", "q_padding_audit", "q_graph_lpa")
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
       println(s"===== $name =====")

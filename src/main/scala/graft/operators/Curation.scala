@@ -764,8 +764,12 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
         max(col("n_tokens")).as("max_tokens"))
       .withColumn("cap", pow(lit(2d), col("bucket")).cast("long"))
-    val gmax = d.agg(max(col("n_tokens")).as("gmax"))
-    g.crossJoin(broadcast(gmax))
+    // buckets partition the corpus, so the global max is the max of
+    // the K per-bucket maxes — a GLOBAL WINDOW over the K-row
+    // aggregate (an agg + join-back would reference `g` from two
+    // unpersisted subtrees and re-run the tokenizing scan)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    g.withColumn("gmax", max(col("max_tokens")).over(all))
       .select(col("bucket"), col("n_docs"), col("cap"), col("max_tokens"),
         col("sum_tokens"),
         round(lit(1.0d) - col("sum_tokens").cast("double") /

@@ -240,7 +240,7 @@ object EmbeddingOps {
         (dot(col("v_q"), col("v_c")) / (col("nrm_q") * col("nrm_c"))).as("cos"))
     val pruned = scored.as[(Long, Int, Long, Boolean, Double)].mapPartitions { it =>
       // top-1 per (anchor, branch): the same total order as the final
-      // window (cos desc, neighbor_id asc)
+      // argmax (cos desc, neighbor_id asc)
       val best = scala.collection.mutable.Map.empty[(Long, Boolean), (Int, Long, Double)]
       it.foreach { case (aid, qlab, nid, same, cos) =>
         val k = (aid, same)
@@ -253,22 +253,24 @@ object EmbeddingOps {
         (aid, qlab, nid, same, cos)
       }
     }.toDF("anchor_id", "qlab", "neighbor_id", "same", "cos")
-    def branch(same: Boolean, idName: String, cosName: String): DataFrame = {
-      val w = Window.partitionBy(col("anchor_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      pruned.filter(col("same") === same)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("anchor_id"), col("neighbor_id").as(idName),
-          col("cos").as(cosName))
-    }
+    // both branch argmaxes from ONE aggregation over the pruned rows
+    // (a per-branch window would re-evaluate the corpus scan once per
+    // branch — the plans would share no exchange): max of
+    // struct(cos, -neighbor_id, …) IS the (cos desc, neighbor_id asc)
+    // argmax, and max(when(…)) over an all-null branch yields the NULL
+    // positive the report contract requires
+    def top(branch: Column) = max(when(branch,
+      struct(col("cos"), (-col("neighbor_id")).as("_negid"),
+        col("neighbor_id"))))
+    val tops = pruned.groupBy("anchor_id").agg(
+      top(col("same")).as("pos"), top(!col("same")).as("neg"))
     val anchors = q.select(col("anchor_id"), col("qlab").as("anchor_label"))
     anchors
-      .join(branch(same = true, "pos_id", "pos_cos"), Seq("anchor_id"), "left")
-      .join(branch(same = false, "neg_id", "neg_cos"), Seq("anchor_id"), "left")
+      .join(tops, Seq("anchor_id"), "left")
       .select(col("anchor_id"), col("anchor_label"),
-        col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
-        (col("pos_cos") - col("neg_cos")).as("margin"))
+        col("pos.neighbor_id").as("pos_id"), col("pos.cos").as("pos_cos"),
+        col("neg.neighbor_id").as("neg_id"), col("neg.cos").as("neg_cos"),
+        (col("pos.cos") - col("neg.cos")).as("margin"))
       .orderBy("anchor_id")
   }
 
@@ -308,7 +310,12 @@ object EmbeddingOps {
     val cells = SimilarityIvf.ivfCells(spark, dir, cents, s"ivfCellsFit|$dir")
     val lbl = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("int").as("label"))
-    val qlabs = lbl.filter(col("vec_id") < nQueries)
+    // anchors come from the norm-filtered base, NOT the raw table —
+    // the exact twin and both oracles exclude zero-norm vectors (no
+    // cosine exists), and an anchor universe that disagreed by one
+    // row would row-count-mismatch the gate on such a corpus
+    val qlabs = base.filter(col("vec_id") < nQueries).select("vec_id")
+      .join(lbl, Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("label").as("qlab"))
     val candCells = cells.join(lbl, Seq("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("cell"),
@@ -448,8 +455,17 @@ object EmbeddingOps {
     * ([[graft.streaming.DriftGate]]), so a stream batch's PSI is
     * byte-identical to the batch formulation of the same counts. */
   private[graft] def psiReport(cnt: DataFrame, kCells: Int): DataFrame = {
-    val tot = cnt.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
-    val sc = cnt.crossJoin(broadcast(tot))
+    // totals as GLOBAL WINDOW sums over the K-row occupancy table (a
+    // single-partition exchange of K rows — negligible) instead of
+    // agg + crossJoin: the crossJoin formulation referenced `cnt`
+    // from two unpersisted subtrees and the final plan evaluated the
+    // upstream (for DriftGate: the batch assignment scan) ~4×. One
+    // window pass evaluates it once; the decimal sums are exact either
+    // way, so every emitted value is unchanged.
+    val all = Window.partitionBy(lit(1))
+    cnt
+      .withColumn("t_ref", sum(col("n_ref")).over(all))
+      .withColumn("t_cur", sum(col("n_cur")).over(all))
       .withColumn("p",
         (col("n_ref") + lit(0.5d)) / (col("t_ref") + lit(0.5d * kCells)))
       .withColumn("q",
@@ -457,8 +473,7 @@ object EmbeddingOps {
       .withColumn("contrib",
         round((col("p") - col("q")) * log(col("p") / col("q")), 9)
           .cast("decimal(20,9)"))
-    val total = sc.agg(sum(col("contrib")).as("psi_sum"))
-    sc.crossJoin(broadcast(total))
+      .withColumn("psi_sum", sum(col("contrib")).over(all))
       .select(col("cell"), col("n_ref"), col("n_cur"),
         round(col("p"), 6).as("p_ref"), round(col("q"), 6).as("p_cur"),
         col("contrib").cast("double").as("psi_contrib"),

@@ -69,9 +69,12 @@ object ServeScaleProbe {
         s" rerankCands=${SimilarityPq.tunedRerankCands(spark, dir)}")
     }
 
-    val heads: Seq[(String, () => Long)] = Seq(
+    // "pipeline" mode measures ONLY the mining/drift legs below — no
+    // LSH head samples, no LSH bucket build on its wall
+    val heads: Seq[(String, () => Long)] = (if (mode == "pipeline") Seq.empty
+     else Seq(
       "lsh head (float fetch per candidate)" ->
-        (() => Similarity.annServeBatch(spark, dir, qb).count())) ++
+        (() => Similarity.annServeBatch(spark, dir, qb).count()))) ++
       (if (mode == "all") Seq(
         "ivf head (float fetch per candidate)" ->
           (() => Similarity.annServeBatchIvf(spark, dir, qb).count()),
@@ -115,7 +118,10 @@ object ServeScaleProbe {
     // plane count trades per-table collision probability for bounded
     // occupancy, so the recall at radius 1 must be MEASURED here, not
     // assumed from the 8-plane test tier. Brute-force exact top-k for
-    // a query subsample vs the head's served neighbors.
+    // a query subsample vs the head's served neighbors. Skipped in
+    // "pipeline" mode (it would pull the LSH bucket build + a
+    // full-corpus crossJoin onto a probe that measures other legs).
+    if (mode == "pipeline") { spark.stop(); return }
     val auditN = math.min(100, batchN)
     val qa = qb.filter(col("query_id") < 10000000L + auditN)
     val served = Similarity.annServeBatch(spark, dir, qa)

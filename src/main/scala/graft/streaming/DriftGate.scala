@@ -66,7 +66,11 @@ object DriftGate {
     val w = vecs.writeStream
     checkpointDir.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, id: Long) =>
-      sink(driftReport(batch, spark, dir), id)
+      // an EMPTY batch (recovery replay, no-data trigger) must not
+      // reach the sink: with n_cur = 0 everywhere the smoothed current
+      // shares go uniform while the reference stays skewed, and the
+      // "drift" of no data at all reads as a large spurious PSI
+      if (!batch.isEmpty) sink(driftReport(batch, spark, dir), id)
     }.start()
   }
 }
