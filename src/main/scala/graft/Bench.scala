@@ -529,8 +529,16 @@ object Bench {
           // silently. The ratio is clamped to [0.5, 1.5] so a
           // pathological calibration can neither disable the gate nor
           // flag everything on a merely-quiet host.
-          val basePen = "\"host_parallel_penalty\":([0-9.]+)".r
-            .findFirstMatchIn(src).map(_.group(1).toDouble).getOrElse(1.0)
+          // the baseline's penalty is the WORSE of its start/end
+          // samples, mirroring penGate: a baseline whose contention
+          // arrived mid-run records it only in _end — reading the
+          // start sample alone under-reports basePen and loosens the
+          // gate against floors that were themselves inflated
+          // (pre-r14 baselines carry no _end field; start-only then)
+          val basePen = Seq("host_parallel_penalty", "host_parallel_penalty_end")
+            .flatMap(f => ("\"" + f + "\":([0-9.]+)").r
+              .findFirstMatchIn(src).map(_.group(1).toDouble))
+            .reduceOption(math.max(_, _)).getOrElse(1.0)
           val pen = math.min(1.5, math.max(0.5, penGate / basePen))
           System.err.println(
             f"[bench] gate penalty ratio: $penGate%.3f / $basePen%.3f = clamp $pen%.3f")

@@ -609,11 +609,16 @@ object Dedup {
         Similarity.embBaseOf(Tables.embeddings(spark, dir).filter(p)))
       append(base, "embBase")
       // the batch is bucketed under the EXISTING artifact's frozen
-      // plane count (corpusH reads it off the primed bucket strings) —
-      // an append must never re-derive the geometry from the grown
-      // corpus, or old and new rows stop colliding
+      // plane count, read off the ON-DISK artifact itself (one row's
+      // bucket length) — never the session memo or the count formula:
+      // a fresh unprimed maintenance session appending to a corpus
+      // that crossed a sizing boundary since its build would otherwise
+      // bucket the batch under a different plane count than the
+      // persisted rows (mixed-length strings that never collide). The
+      // formula fallback applies only when the artifact is empty.
       append(Similarity.lshBucketsOf(base,
-        Similarity.corpusH(spark, dir)), "lshBuckets")
+        Similarity.artifactH(spark, indexDir)
+          .getOrElse(Similarity.corpusH(spark, dir))), "lshBuckets")
       // IVF cell assignments for the batch. The seeded quantizer is a
       // compile-time constant, so the append is trivially consistent
       // with the existing rows; the FITTED quantizer is train-once

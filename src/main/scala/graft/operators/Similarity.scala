@@ -265,11 +265,16 @@ object Similarity {
     (planes(table) ++ extraPlanes(table)).take(h)
 
   /** Corpus-sized plane count: the smallest H on [NumPlanes,
-    * MaxPlanes] with expected occupancy ≤ TargetBucketOccupancy. */
+    * MaxPlanes] with expected occupancy ≤ TargetBucketOccupancy —
+    * i.e. ⌈log₂⌈N / TargetBucketOccupancy⌉⌉, derived with INTEGER
+    * arithmetic (bit length of ⌈N/target⌉-1): the floating-point
+    * log-division this replaced could wobble to x.000…2 at exact
+    * power-of-two boundaries and bump H by one, making the sizing
+    * boundary value-unstable across platforms/JVMs. */
   private[operators] def hForCount(n: Long): Int = {
-    val need = math.ceil(
-      math.log(math.max(1.0, n.toDouble / TargetBucketOccupancy)) / math.log(2.0)).toInt
-    math.min(MaxPlanes, math.max(NumPlanes, need))
+    val cells = math.max(1L, (n + TargetBucketOccupancy - 1L) / TargetBucketOccupancy)
+    val need = 64 - java.lang.Long.numberOfLeadingZeros(cells - 1L)
+    math.min(MaxPlanes, math.max(NumPlanes, need.toInt))
   }
 
   private val hCache =
@@ -301,6 +306,25 @@ object Similarity {
     * different geometry than the session cached. */
   private[graft] def invalidateCorpusH(spark: SparkSession, dir: String): Unit =
     hCache.remove(s"${Dedup.sessionKey(spark)}|$dir")
+
+  /** Plane count read off the ON-DISK bucket artifact under `indexDir`
+    * (one row's bucket length — the artifact is self-describing), for
+    * the append path: [[corpusH]] consults only the SESSION memo, so a
+    * fresh maintenance session that appends without priming would fall
+    * back to the count formula over the CURRENT grown corpus — and if
+    * the corpus crossed a sizing boundary since the build, the batch
+    * would be bucketed under a different plane count than the persisted
+    * rows (mixed-length bucket strings that never collide). Appends
+    * must read the geometry from the artifact itself, exactly as
+    * IngestDedup's stream-side probe does on its static side. */
+  private[graft] def artifactH(spark: SparkSession, indexDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/lshBuckets.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.parquet(p.toString)
+      .select(length(col("bucket"))).limit(1)
+      .collect().headOption.map(_.getInt(0))
+  }
 
   /** Sign-random-projection bucket id of vector `v` for one table:
     * h sign bits concatenated to a string key. */

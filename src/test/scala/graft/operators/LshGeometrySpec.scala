@@ -21,6 +21,56 @@ class LshGeometrySpec extends SparkSpec {
     assert(Similarity.hForCount(40000) == 11)  // 20x probe tier
     assert(Similarity.hForCount(200000) == 13) // 100x probe tier
     assert(Similarity.hForCount(Long.MaxValue / 4) == 24) // ceiling
+    // exact power-of-two boundaries are value-stable (integer bit
+    // length, no floating-point log wobble): 32·2^19 is the last count
+    // at h=19; one more vector crosses to 20
+    assert(Similarity.hForCount(32L * (1L << 19)) == 19)
+    assert(Similarity.hForCount(32L * (1L << 19) + 1) == 20)
+  }
+
+  test("fresh-session append buckets the batch under the ON-DISK artifact's plane count") {
+    // build at N=500 (h=8), grow the corpus past the h=9 sizing
+    // boundary, then append from a session with NO primed memo: the
+    // batch must inherit the artifact's 8-plane geometry (read off the
+    // parquet bucket strings), not the count formula's h=9 over the
+    // grown corpus — mixed-length bucket strings would silently never
+    // collide with the persisted rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-append").toString
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-lsh-append-idx").toString
+    val rnd = new scala.util.Random(11)
+    def vecs(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, Seq.fill(Similarity.Dim)(rnd.nextGaussian().toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    Seq((1L, "base doc one", "en", "srcT", 12L), (2L, "base doc two", "en", "srcT", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    vecs(0, 500).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Dedup.writeIndexes(spark, dir, indexDir)
+    // corpus grows 20x past the build: 10000 vectors => hForCount = 9
+    val grown = vecs(500, 10000)
+    spark.read.parquet(s"$dir/embeddings.parquet").unionByName(grown)
+      .write.mode("overwrite").parquet(s"$dir/embeddings_grown.parquet")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/embeddings_grown.parquet"),
+      new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"))
+    // simulate a FRESH maintenance session: no memo, no cached h
+    Dedup.releaseIndexes(spark)
+    Similarity.invalidateCorpusH(spark, dir)
+    assert(Dedup.memoGet(spark, s"lshBuckets|$dir").isEmpty, "memo not cleared")
+    Dedup.appendIndexes(spark, dir, indexDir,
+      docPredicate = col("doc_id") < 0L, // doc side: empty batch
+      embPredicate = Some(col("vec_id") >= 500L),
+      rebuildPairs = false, batchId = Some("grown"))
+    // every persisted bucket string — base AND appended batch — is 8
+    // chars: one geometry, old and new rows collide as built
+    val lens = spark.read.parquet(s"$indexDir/lshBuckets.parquet")
+      .select(length(col("bucket")).as("len")).distinct()
+      .as[Int].collect().toSet
+    assert(lens == Set(8), s"mixed plane counts in the appended artifact: $lens")
+    Dedup.releaseIndexes(spark)
+    Similarity.invalidateCorpusH(spark, dir)
   }
 
   test("extended plane pool preserves the legacy 8-plane prefix bit-for-bit") {
