@@ -457,6 +457,9 @@ object Dedup {
         // others' results are still drained so no thread leaks)
         pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
       } finally pool.shutdown()
+      // a full rebuild re-derives every geometry from the current
+      // corpus — any outstanding re-index recommendation is resolved
+      Reindex.clearAdvice(spark, indexDir)
     }
 
   /** Name → builder lookup over [[indexBuilders]] — shared by the
@@ -949,6 +952,98 @@ object Dedup {
     releaseIndexes(spark)
     }
 
+  /** Re-fit the FROZEN index geometry to the current corpus — the
+    * maintenance verb the geometry-drift monitor ([[Reindex
+    * .geometryDrift]]) recommends. The append path deliberately
+    * inherits build-time geometry (LSH plane count, IVF/PQ quantizer
+    * models, tuned probe budgets): consistency requires old and new
+    * rows under ONE geometry. This verb is the other half of that
+    * contract — when the corpus has grown (or shrunk, after a mass
+    * erasure) far past its build, re-derive the geometry wholesale:
+    *
+    *   - LSH buckets re-derived under h = hForCount(current N);
+    *   - the fitted IVF quantizer re-trained at k = corpusK(current N)
+    *     and the cell index re-assigned under it;
+    *   - PQ codebooks re-trained, codes re-encoded;
+    *   - tuned probe/rerank budgets re-walked under the new geometry;
+    *   - row-wise embedding artifacts re-derived (which also folds
+    *     accumulated batch directories — a reindex IS a compaction of
+    *     the embedding family).
+    *
+    * Discipline: exclusive maintenance lease (an append racing a
+    * geometry swap would bucket its batch under whichever generation
+    * it happened to read); two-phase — every rebuilt artifact is
+    * STAGED first, then swapped in with compaction's two renames — so
+    * a crash at any point is repaired by re-running reindexArtifacts
+    * (stages rebuild from scratch; a parked `.old` generation with a
+    * missing artifact is restored before the swap). Document-side
+    * artifacts (shingles, bands, pair table, tokenizer) are untouched:
+    * their geometry is not corpus-sized. Clears the erase-advice
+    * marker — the rebuild is what the marker asked for. */
+  def reindexArtifacts(spark: SparkSession, dir: String, indexDir: String): Unit =
+    IndexLease.withExclusive(spark, indexDir, "reindexArtifacts") {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def path(n: String) = new org.apache.hadoop.fs.Path(s"$indexDir/$n.parquet")
+      val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
+      // crash recovery first: a prior reindex that died between its two
+      // swap renames left the artifact parked at `.old` — restore the
+      // newest parked generation so the rebuild below starts complete
+      embeddingFamily.foreach { n =>
+        val p = path(n)
+        val old = new org.apache.hadoop.fs.Path(s"$indexDir/.old-$n.parquet")
+        if (!fs.exists(p) && fs.exists(old))
+          require(fs.rename(old, p),
+            s"reindexArtifacts: recovery rename $old -> $p failed")
+      }
+      val present = embeddingFamily.filter(n => fs.exists(path(n)))
+      require(present.nonEmpty,
+        s"reindexArtifacts: no embedding index artifacts under $indexDir — " +
+          "run writeIndexes first; a reindex cannot seed an index")
+      // the new geometry derives from the CURRENT corpus: drop every
+      // primed memo and every cached model/budget/count for this dir
+      releaseIndexes(spark)
+      Similarity.invalidateCorpusH(spark, dir)
+      Similarity.invalidateLshTune(spark, dir)
+      SimilarityIvf.invalidateCorpusK(spark, dir)
+      SimilarityIvf.invalidateFit(spark, dir)
+      SimilarityIvf.invalidateProbeTune(spark, dir)
+      SimilarityPq.invalidateFit(spark, dir)
+      SimilarityPq.invalidateRerankTune(spark, dir)
+      // phase 1: stage every rebuild (chain order — models before the
+      // tables assigned under them; the session memo carries the new
+      // geometry from builder to builder)
+      present.foreach { n =>
+        val stage = new org.apache.hadoop.fs.Path(s"$indexDir/.reindex-$n.parquet")
+        fs.delete(stage, true)
+        val t0 = System.nanoTime()
+        byName(n)(spark, dir).write.mode("overwrite").parquet(s"$stage/batch_id=base")
+        System.err.println(
+          f"[reindexArtifacts] $n%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+      // phase 2: swap each artifact in (two renames; at every instant a
+      // complete generation exists on disk)
+      present.foreach { n =>
+        val p = path(n)
+        val stage = new org.apache.hadoop.fs.Path(s"$indexDir/.reindex-$n.parquet")
+        val old = new org.apache.hadoop.fs.Path(s"$indexDir/.old-$n.parquet")
+        fs.delete(old, true)
+        require(fs.rename(p, old), s"reindexArtifacts: rename $p -> $old failed")
+        require(fs.rename(stage, p), s"reindexArtifacts: rename $stage -> $p failed")
+        fs.delete(old, true)
+      }
+      Reindex.clearAdvice(spark, indexDir)
+      releaseIndexes(spark)
+      primeIndexes(spark, dir, indexDir)
+    }
+
+  /** The corpus-sized embedding-family artifacts [[reindexArtifacts]]
+    * maintains, in build-dependency order (models before the tables
+    * assigned under them). */
+  private val embeddingFamily = Seq(
+    "embBase", "lshBuckets", "ivfCells", "ivfCentroidsFit", "ivfCellsFit",
+    "ivfProbeTuned", "lshProbeTuned", "pqCodebooksFit", "pqCodes",
+    "pqRerankTuned", "sq8Codes")
+
   /** Right-to-be-forgotten erasure: remove documents (and/or
     * embedding vectors) from the CORPUS tables and every maintained
     * index artifact — the deletion-request maintenance job a
@@ -1037,6 +1132,21 @@ object Dedup {
           "simhashTable", "curationToks", "curationBpeToks")
           .foreach(a => filterRewrite(indexDir, a, keepDoc, batched = true))
       }
+      // measured BEFORE the rewrite: the erased fraction of the vector
+      // corpus decides whether the frozen geometry (plane count,
+      // quantizer models — kept by design, see below) still summarizes
+      // a corpus that meaningfully exists
+      val eraseFrac: Option[Double] = if (vecIds.isEmpty) None else {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+        if (!p.getFileSystem(hconf).exists(p)) None
+        else {
+          val emb = spark.read.parquet(p.toString)
+          val pre = emb.count()
+          if (pre == 0) None
+          else Some(emb.filter(col("vec_id").isInCollection(vecIds)).count()
+            .toDouble / pre)
+        }
+      }
       if (vecIds.nonEmpty) {
         filterRewrite(dir, "embeddings", keepVec, batched = false)
         Seq("embBase", "lshBuckets", "ivfCells", "ivfCellsFit", "pqCodes",
@@ -1062,6 +1172,13 @@ object Dedup {
       }
       if (vecIds.nonEmpty)
         rederiveCorpusGlobal(spark, dir, indexDir, "labelCentroids", hconf)
+      // the train-once models stay frozen through an erase by design
+      // (they store no erased row) — but past a threshold fraction the
+      // corpus they summarize no longer exists: surface the re-index
+      // recommendation instead of silently keeping stale geometry
+      eraseFrac.filter(_ >= Reindex.EraseReindexFrac).foreach { f =>
+        Reindex.writeAdvice(spark, indexDir, "erase", f)
+      }
     }
 
   /** Load previously written index artifacts into the session cache:

@@ -244,6 +244,38 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  /** Batch twin of the stream-stream interval join
+    * (EventStreams.errorClickJoin): every error event paired with the
+    * SAME USER's click events in the preceding hour — impressions⋈
+    * clicks shape. The stream side buffers both watermarked sides and
+    * expires state through the interval bound; this twin states the
+    * identical join over the batch table, so the driver's DuckDB
+    * oracle pins the stream's semantics end to end
+    * (EventStreamsSpec pins stream ≡ THIS on out-of-order arrivals).
+    * Plan shape at scale: equi-join on user_id (hash-partitioned both
+    * sides) with the interval condition as a cheap post-join filter —
+    * no cartesian anywhere. */
+  def errorClickPairs(spark: SparkSession, dir: String): DataFrame =
+    errorClickPairsOf(Tables.events(spark, dir))
+
+  /** Core over an arbitrary events slice — shared with the streaming
+    * parity spec so both sides see identical rows. */
+  private[graft] def errorClickPairsOf(ev: DataFrame): DataFrame = {
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    errors.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") <= col("error_ts") &&
+          col("click_ts") >= col("error_ts") - expr("INTERVAL 1 hour"))
+      .select(col("error_id"), col("user_id"), col("error_ts"),
+        col("click_id"), col("click_ts"))
+      .orderBy("error_id", "click_id")
+  }
+
   /** EWMA half-life constants: round(0.9^j, 12) for j = 0..19, newest
     * first — inlined as literals (not `pow`) so both engines weight
     * with the IDENTICAL doubles; a libm pow divergence can't exist
@@ -351,7 +383,8 @@ object EventsModule extends QueryModule {
     "q_events_anomaly" -> ((s: SparkSession, d: String) => valueAnomalies(s, d)),
     "q_events_gapfill" -> ((s: SparkSession, d: String) => gapfillDaily(s, d)),
     "q_events_ewma" -> ((s: SparkSession, d: String) => ewmaLatest(s, d)),
-    "q_events_mad" -> ((s: SparkSession, d: String) => valueMadOutliers(s, d)))
+    "q_events_mad" -> ((s: SparkSession, d: String) => valueMadOutliers(s, d)),
+    "q_events_stream_join" -> ((s: SparkSession, d: String) => errorClickPairs(s, d)))
 
   /** The EWMA weight table as a VALUES list — same literals the Spark
     * side broadcasts. */
@@ -363,6 +396,14 @@ object EventsModule extends QueryModule {
   // 2000-01-01) sits on the same 30-min grid as Spark's epoch-aligned
   // windows, so bucket starts agree.
   def oracles = Map(
+    "q_events_stream_join" ->
+      """SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM events e JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        | AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
+        |WHERE e.event_type = 'error'
+        |ORDER BY error_id, click_id""".stripMargin,
     "q_events_mad" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |  FROM events GROUP BY 1),

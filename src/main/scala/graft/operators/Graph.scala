@@ -775,6 +775,74 @@ object Graph {
       .drop("_id")
   }
 
+  /** LPA convergence trace: the changed-label count and fraction per
+    * superstep — the observability row a deployed community job
+    * publishes next to its result. The pinned 4-step operating point
+    * was justified at two SFs by a measured consensus collapse; this
+    * trace IS that measurement as a first-class oracled query, so the
+    * justification travels with the job at any scale instead of
+    * living in a probe log. Same loop as [[labelPropagation]] (same
+    * side schedule, same argmax); each step's change count compares
+    * the CHECKPOINTED label tables of steps i-1 and i — node-sized
+    * joins on materialized tables, so the trace costs one extra
+    * node-scan per step, not a second vote aggregation. */
+  def labelPropagationTrace(spark: SparkSession, dir: String,
+                            iters: Int = LpaIters): DataFrame = {
+    val en = edgeFracs(spark, dir)
+    val (nodes, nodeIds) = Dedup.trackedCheckpoint(
+      en.select(col("src").as("node")).distinct())
+    val coPart = nodes.count() > BroadcastMaxNodes
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    lazy val enBySrc = Dedup.memo(spark, s"graphEdgesBySrc|$dir") {
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointDeclared(
+        en, "src", nPart, reshape = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    val nTotal = nodes.groupBy().agg(count(lit(1)).cast("long").as("n_nodes"))
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    var stepRows = Seq.empty[DataFrame]
+    var allIds: Set[Int] = Set.empty
+    for (i <- 1 to iters) {
+      val side = i % 2
+      val lbl = labels.withColumnRenamed("node", "src")
+      val sideEdges =
+        (if (coPart) enBySrc.hint("merge") else en)
+          .filter(pmod(col("dst"), lit(2)) === side)
+      val joined =
+        if (coPart) sideEdges.join(lbl, "src")
+        else sideEdges.join(broadcast(lbl), "src")
+      val votes = joined
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(sum(col("w")).as("wsum"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("wsum").desc, col("lbl").asc)
+      val updated = votes
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "lbl")
+      val (next, ids) = Dedup.trackedCheckpoint(
+        updated.unionByName(
+          labels.filter(pmod(col("node"), lit(2)) =!= side)))
+      // changed = nodes whose label moved between the two materialized
+      // generations (only the updated side can move)
+      val changed = next.join(
+          labels.withColumnRenamed("lbl", "prev_lbl"), "node")
+        .filter(col("lbl") =!= col("prev_lbl"))
+        .groupBy().agg(count(lit(1)).cast("long").as("n_changed"))
+      stepRows = stepRows :+ changed.crossJoin(nTotal)
+        .select(lit(i).as("step"), col("n_changed"), col("n_nodes"),
+          round(col("n_changed").cast("double") / col("n_nodes"), 6)
+            .as("frac_changed"))
+      allIds = allIds ++ ids
+      labels = next
+    }
+    // every step's label table — and the node table the n_nodes
+    // denominator reads — must stay resident until the trace is
+    // computed; tracked as stray session state (releaseIndexes frees)
+    Dedup.trackStray(spark, allIds ++ nodeIds)
+    stepRows.reduce(_.unionByName(_)).orderBy("step")
+  }
+
   /** Degree distribution per side — the pre-flight audit before any
     * graph job (a power-law tail predicts the skew the superstep
     * shuffle must absorb). One corpus-sized aggregation, then a
@@ -796,7 +864,8 @@ object GraphModule extends QueryModule {
     "q_graph_ppr" -> ((s: SparkSession, d: String) => Graph.pagerankPersonalized(s, d)),
     "q_graph_degree" -> ((s: SparkSession, d: String) => Graph.degreeHistogram(s, d)),
     "q_graph_components" -> ((s: SparkSession, d: String) => Graph.strongComponents(s, d)),
-    "q_graph_lpa" -> ((s: SparkSession, d: String) => Graph.labelPropagation(s, d)))
+    "q_graph_lpa" -> ((s: SparkSession, d: String) => Graph.labelPropagation(s, d)),
+    "q_graph_lpa_trace" -> ((s: SparkSession, d: String) => Graph.labelPropagationTrace(s, d)))
 
   /** The shared edge/node CTE head — same parity-encoded long ids. */
   private val GraphCte: String =
@@ -860,8 +929,11 @@ object GraphModule extends QueryModule {
     * triple per superstep, the side schedule and min-label tie-break
     * mirrored from the Spark loop; integer weight sums, so the two
     * engines agree exactly. */
-  private def lpaSql: String = {
-    val steps = (1 to Graph.LpaIters).map { i =>
+  /** The shared unrolled superstep chain l0 … l`iters` (votes, argmax,
+    * side-merge per step) — lpaSql reports the final communities,
+    * lpaTraceSql the per-step change counts off the SAME chain. */
+  private def lpaStepsSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
       val prev = s"l${i - 1}"
       val side = i % 2
       s"""v$i AS (SELECT e.dst AS node, p.lbl, CAST(SUM(e.w) AS BIGINT) AS wsum
@@ -874,9 +946,13 @@ object GraphModule extends QueryModule {
          |l$i AS (SELECT node, lbl FROM u$i
          |        UNION ALL SELECT node, lbl FROM $prev WHERE node % 2 <> $side)""".stripMargin
     }.mkString(",\n")
+    s"""l0 AS (SELECT node, node AS lbl FROM n),
+       |$steps""".stripMargin
+  }
+
+  private def lpaSql: String =
     s"""WITH $GraphCte,
-       |l0 AS (SELECT node, node AS lbl FROM n),
-       |$steps
+       |${lpaStepsSql(Graph.LpaIters)}
        |SELECT CASE WHEN lbl % 2 = 0 THEN 'c' || CAST(lbl // 2 AS BIGINT)
        |            ELSE 's' || CAST((lbl - 1) // 2 AS BIGINT) END AS community,
        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
@@ -884,12 +960,33 @@ object GraphModule extends QueryModule {
        |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
        |FROM l${Graph.LpaIters}
        |GROUP BY lbl ORDER BY n_nodes DESC, lbl ASC LIMIT 20""".stripMargin
+
+  /** SQL twin of [[Graph.labelPropagationTrace]]: the same superstep
+    * chain, each step's changed-node count from a join of adjacent
+    * label generations. */
+  private def lpaTraceSql: String = {
+    val chs = (1 to Graph.LpaIters).map { i =>
+      s"""ch$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_changed
+         |  FROM l$i x JOIN l${i - 1} p ON p.node = x.node
+         |  WHERE x.lbl <> p.lbl)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to Graph.LpaIters).map { i =>
+      s"""SELECT $i AS step, n_changed, CAST(n AS BIGINT) AS n_nodes,
+         |  round(CAST(n_changed AS DOUBLE) / n, 6) AS frac_changed
+         |FROM ch$i CROSS JOIN cnt""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $GraphCte,
+       |${lpaStepsSql(Graph.LpaIters)},
+       |$chs
+       |$rows
+       |ORDER BY step""".stripMargin
   }
 
   def oracles = Map(
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_ppr" -> pprSql,
     "q_graph_lpa" -> lpaSql,
+    "q_graph_lpa_trace" -> lpaTraceSql,
     "q_graph_components" ->
       s"""WITH RECURSIVE $GraphCte,
          |strong AS (SELECT a AS u, b AS v FROM eb WHERE w >= ${Graph.StrongTieMinW}),

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index-geometry drift monitoring — the operational complement of the
+  * train-once index posture.
+  *
+  * The engine freezes index geometry at build time on purpose: the LSH
+  * plane count is sized to the corpus once and inherited by every
+  * append (Similarity.corpusH), and the fitted IVF quantizer is never
+  * refit on ingest (the FAISS coarse-quantizer posture). That is the
+  * right consistency contract — old and new rows must collide under
+  * ONE geometry — but it leaves a silent failure mode at 100 TB: a
+  * corpus that grows far past its build keeps the stale geometry,
+  * bucket occupancy grows linearly, and serving degrades back toward
+  * the fixed-H scale-killer with nothing measuring it.
+  *
+  * [[geometryDrift]] is that measurement: one row per index family
+  * comparing the AS-BUILT sizing parameter against what the current
+  * corpus would be sized to, plus measured bucket/cell occupancy, and
+  * a rebuild recommendation. In a session primed on an index directory
+  * the report measures the persisted artifacts (the memo serves them);
+  * unprimed, it measures the session build — same code path either
+  * way, which is what makes it oracle-checkable. The maintenance verb
+  * that acts on the recommendation is [[Dedup.reindexArtifacts]];
+  * [[Dedup.eraseDocuments]] surfaces the same recommendation when an
+  * erasure removes a large fraction of the indexed vectors.
+  */
+object Reindex {
+
+  /** Occupancy-skew ceiling for the IVF families: max cell population
+    * above this multiple of the mean marks a quantizer whose cells no
+    * longer balance the corpus (distribution shift since the fit) —
+    * probing cost concentrates in the hot cells. */
+  private[operators] val IvfSkewMax = 4.0
+
+  /** Erased-vector fraction past which [[Dedup.eraseDocuments]] writes
+    * the re-index advice marker: train-once models are statistical
+    * summaries of a corpus that, beyond this, no longer exists. */
+  private[graft] val EraseReindexFrac = 0.25
+
+  /** Advice-marker artifact name under an index directory. Written by
+    * eraseDocuments past [[EraseReindexFrac]]; cleared by the next
+    * writeIndexes / reindexArtifacts (the rebuild resolves it). */
+  private[graft] val AdviceArtifact = "reindexAdvice.parquet"
+
+  /** ⌈log₂⌈n/target⌉⌉ clamped to the plane-count band, as a PLAN
+    * expression — the in-plan twin of Similarity.hForCount. The log2
+    * form is safe here: the driver's test corpora sit far inside the
+    * floor region (n ≤ 8192 → 8), and at scale a one-step boundary
+    * wobble only moves WHEN the monitor recommends, never what the
+    * serving geometry is (that stays artifact-frozen). */
+  private def hTargetExpr(nVecs: Column): Column =
+    greatest(lit(Similarity.NumPlanes), least(lit(Similarity.MaxPlanes),
+      ceil(log2(ceil(nVecs.cast("double") /
+        Similarity.TargetBucketOccupancy))).cast("int")))
+
+  /** clamp(4·⌈√n⌉, 16, 4096) — the in-plan twin of
+    * SimilarityIvf.corpusK (raw corpus count, FAISS sizing band). */
+  private def kTargetExpr(nRaw: Column): Column =
+    greatest(lit(16), least(lit(4096),
+      (ceil(sqrt(nRaw.cast("double"))) * 4).cast("int")))
+
+  /** One family's occupancy aggregate over a (bucket-key…, c) count
+    * table: occupied-bucket count, total rows, max population, plus
+    * mean and skew (max/mean) — the shared shape all three families
+    * report. */
+  private def occAgg(occ: DataFrame): DataFrame =
+    occ.agg(
+      count(lit(1)).cast("long").as("n_buckets"),
+      sum("c").cast("long").as("total"),
+      max("c").cast("long").as("max_occ"))
+
+  private def occCols: Seq[Column] = Seq(
+    col("n_buckets"),
+    round(col("total").cast("double") / col("n_buckets"), 6).as("mean_occ"),
+    col("max_occ"),
+    round(col("max_occ").cast("double") * col("n_buckets") / col("total"), 6)
+      .as("skew"))
+
+  /** Geometry-drift report: one row per index family (`ivf` seeded,
+    * `ivf_fit` fitted, `lsh`), each carrying the as-built sizing
+    * parameter, the parameter the CURRENT corpus would be sized to,
+    * measured occupancy (occupied buckets/cells, mean, max, skew =
+    * max/mean), and the rebuild recommendation:
+    *   - lsh: built plane count ≠ corpus-sized plane count (the
+    *     artifact is self-describing — built h is read off the bucket
+    *     strings themselves, so a primed session reports the
+    *     PERSISTED geometry);
+    *   - ivf (seeded, fixed k): occupancy skew past [[IvfSkewMax]];
+    *   - ivf_fit: fitted cell count ≠ corpus-sized cell count, or
+    *     skew past [[IvfSkewMax]].
+    * Fully oracled (the fitted-centroid literals resolve at dump time,
+    * the q_knn_ivf_fit discipline). */
+  def geometryDrift(spark: SparkSession, dir: String,
+                    families: Set[String] = Set("lsh", "ivf", "ivf_fit")): DataFrame = {
+    // lsh: occupancy of the (possibly primed) bucket index; built h is
+    // the bucket-string length — the artifact's own geometry
+    def lOcc = Similarity.lshBuckets(spark, dir)
+      .groupBy("table_idx", "bucket").agg(count(lit(1)).as("c"))
+    def lAgg = lOcc.groupBy().agg(
+      count(lit(1)).cast("long").as("n_buckets"),
+      sum("c").cast("long").as("total"),
+      max("c").cast("long").as("max_occ"),
+      min(length(col("bucket"))).cast("int").as("built_h"))
+    def lshRow = lAgg
+      .withColumn("n_vecs", expr(s"total div ${Similarity.NumTables}"))
+      .select(Seq(
+        lit("lsh").as("family"),
+        col("built_h").as("built_param"),
+        hTargetExpr(col("n_vecs")).as("target_param"),
+        col("n_vecs")) ++ occCols :+
+          (col("built_h") =!= hTargetExpr(col("n_vecs"))).as("rebuild"): _*)
+    // ivf seeded: k is a compile-time constant, so only skew can drift
+    def sRow = occAgg(SimilarityIvf.ivfCells(spark, dir)
+        .groupBy("cell").agg(count(lit(1)).as("c")))
+      .select(Seq(
+        lit("ivf").as("family"),
+        lit(SimilarityIvf.NumCentroids).as("built_param"),
+        lit(SimilarityIvf.NumCentroids).as("target_param"),
+        col("total").as("n_vecs")) ++ occCols :+
+          (round(col("max_occ").cast("double") * col("n_buckets") / col("total"), 6)
+            > IvfSkewMax).as("rebuild"): _*)
+    // ivf_fit: the trained quantizer — both the sizing band and the
+    // balance can drift. built k comes from the served model (primed
+    // artifact wins, exactly like serving); target k from the raw
+    // corpus count, corpusK's own input.
+    def builtK = SimilarityIvf.fitCentroids(spark, dir).length
+    def nRaw = graft.sources.Tables.embeddings(spark, dir)
+      .groupBy().agg(count(lit(1)).cast("long").as("n_raw"))
+    def fRow = occAgg(SimilarityIvf.ivfCellsFit(spark, dir)
+        .groupBy("cell").agg(count(lit(1)).as("c")))
+      .crossJoin(nRaw)
+      .select(Seq(
+        lit("ivf_fit").as("family"),
+        lit(builtK).as("built_param"),
+        kTargetExpr(col("n_raw")).as("target_param"),
+        col("total").as("n_vecs")) ++ occCols :+
+          (lit(builtK) =!= kTargetExpr(col("n_raw")) ||
+            round(col("max_occ").cast("double") * col("n_buckets") / col("total"), 6)
+              > IvfSkewMax).as("rebuild"): _*)
+    // families gate which index builds the report touches — a probe or
+    // a deployment maintaining only one family must not pay another's
+    // fit (ivf_fit's k-means is the expensive one at scale)
+    val rows = Seq("lsh" -> (() => lshRow), "ivf" -> (() => sRow),
+        "ivf_fit" -> (() => fRow))
+      .collect { case (n, f) if families(n) => f() }
+    require(rows.nonEmpty, s"geometryDrift: no known family in $families")
+    rows.reduce(_.unionByName(_)).orderBy("family")
+  }
+
+  /** Write the advice marker under `indexDir` — one row naming why a
+    * re-index is recommended. Flat layout (it is an operational flag,
+    * not a batch-appended index). */
+  private[operators] def writeAdvice(spark: SparkSession, indexDir: String,
+                                     reason: String, detail: Double): Unit = {
+    import spark.implicits._
+    Seq((reason, detail, true)).toDF("reason", "detail", "recommended")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/$AdviceArtifact")
+    System.err.println(
+      f"[reindex] ADVICE written to $indexDir/$AdviceArtifact: $reason ($detail%.4f) — " +
+        "run Dedup.reindexArtifacts to re-fit the frozen index geometry")
+  }
+
+  /** Read the advice marker, if present — empty means no outstanding
+    * recommendation. */
+  def readAdvice(spark: SparkSession, indexDir: String): Option[(String, Double)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$AdviceArtifact")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.parquet(p.toString).select("reason", "detail").collect()
+      .headOption.map(r => (r.getString(0), r.getDouble(1)))
+  }
+
+  /** Drop the advice marker — the rebuild that resolves it has run. */
+  private[operators] def clearAdvice(spark: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$AdviceArtifact")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+}

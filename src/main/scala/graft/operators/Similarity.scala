@@ -372,14 +372,26 @@ object Similarity {
       lshBucketsOf(base, h).transform(Dedup.checkpointSer)
     }
 
-  /** All T bucket strings of a vector column — ONE expression tree
-    * over the seeded hyperplane literals, shared by the batch index
-    * build and the streaming ingest probe (a stream cannot checkpoint
-    * projection stages, and byte-identical bucket strings are what
-    * make a stream-side probe hit the persisted corpus index — the
-    * caller passes the CORPUS ARTIFACT's plane count, never a
-    * recomputed one). */
+  /** All T bucket strings of a vector column — ONE fused native
+    * expression (LshBucketStrings: the vector copied to a local
+    * double[] once, then a single T×H×dim codegen loop) over the
+    * seeded hyperplane constants, shared by the batch index build and
+    * the streaming ingest probe (a stream cannot checkpoint projection
+    * stages, and byte-identical bucket strings are what make a
+    * stream-side probe hit the persisted corpus index — the caller
+    * passes the CORPUS ARTIFACT's plane count, never a recomputed
+    * one). The fused kernel replaced the composed T×H dot-expression
+    * tree in round 15: same bits (LshGeometrySpec pins the parity),
+    * ~an order of magnitude less expression overhead on the one-time
+    * bucket build (PLANS.md §16). */
   private[graft] def bucketStrings(v: Column, h: Int = NumPlanes): Column =
+    graft.functions.LshBucketStrings(v,
+      (0 until NumTables).map(t => planesFor(t, h)), h)
+
+  /** The composed pre-r15 formulation (T×H separate sign-dot
+    * expressions) — kept as the differential-parity reference the spec
+    * checks the fused kernel against, never used on a hot path. */
+  private[operators] def bucketStringsComposed(v: Column, h: Int = NumPlanes): Column =
     array((0 until NumTables).map(t => bucketId(v, t, h)): _*)
 
   /** Bucket index over an arbitrary (vec_id, v, …) base slice — the
@@ -1078,6 +1090,12 @@ object SimilarityIvf {
       math.max(16, math.min(4096,
         4 * math.ceil(math.sqrt(n.toDouble)).toInt))
     }).intValue()
+
+  /** Drop the cached corpus-proportional cell count — the re-index
+    * verb must re-derive k from the CURRENT corpus, not the count the
+    * session saw at its first fit. */
+  private[operators] def invalidateCorpusK(spark: SparkSession, dir: String): Unit =
+    kCache.remove(s"${Dedup.sessionKey(spark)}|$dir")
 
   /** Probe count scaled to the cell count (k/8 cells ≈ 12.5 % of the
     * corpus as candidates, floored at the seeded default) — holding
@@ -2109,6 +2127,7 @@ object SimilarityModule extends QueryModule {
     "q_quantize_embeddings" -> ((s: SparkSession, d: String) => quantizeEmbeddings(s, d)),
     "q_prune_prototypes" -> ((s: SparkSession, d: String) => SimilarityIvf.prototypePrune(s, d)),
     "q_ivf_stats" -> ((s: SparkSession, d: String) => SimilarityIvf.ivfStats(s, d)),
+    "q_index_geometry" -> ((s: SparkSession, d: String) => Reindex.geometryDrift(s, d)),
     "q_ann_recall" -> ((s: SparkSession, d: String) => SimilarityIvf.annRecallReport(s, d)),
     "q_hybrid_search" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
     "q_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)),
@@ -2331,6 +2350,73 @@ object SimilarityModule extends QueryModule {
         |  FROM sc)
         |WHERE rn <= 5 ORDER BY label, rn""".stripMargin)
 
+  /** SQL twin of [[Reindex.geometryDrift]]: the three index families'
+    * occupancy aggregates — LSH over the plane-literal bucket CTE
+    * (built h read off the bucket strings, exactly as the Spark side
+    * does), seeded IVF, and the fitted IVF under dump-time-resolved
+    * centroid literals — each compared against the sizing formula the
+    * current corpus would get (hForCount / corpusK replayed in SQL). */
+  private def geometryOracleSql(cents: Seq[Seq[Double]]): String = {
+    def assignCtes(cs: Seq[Seq[Double]], p: String): String = {
+      val rows = cs.zipWithIndex
+        .map { case (c, i) => s"(${i + 1}, ${listLit(c)}::DOUBLE[])" }
+        .mkString(",\n    ")
+      s"""${p}cents(cell, cv) AS (VALUES
+         |    $rows),
+         |${p}d AS (SELECT vec_id, cell, list_dot_product(v, cv) AS dt
+         |          FROM e CROSS JOIN ${p}cents),
+         |${p}assign AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell ASC) AS rn
+         |    FROM ${p}d) WHERE rn = 1),
+         |${p}occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS c
+         |            FROM ${p}assign GROUP BY cell),
+         |${p}agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |                   CAST(SUM(c) AS BIGINT) AS total,
+         |                   CAST(MAX(c) AS BIGINT) AS max_occ FROM ${p}occ)""".stripMargin
+    }
+    val tables = Similarity.NumTables
+    val occT = Similarity.TargetBucketOccupancy
+    val hTarget = s"GREATEST(${Similarity.NumPlanes}, LEAST(${Similarity.MaxPlanes}, " +
+      s"CAST(ceil(log2(ceil(CAST(total // $tables AS DOUBLE) / $occT))) AS INT)))"
+    val kTarget = "GREATEST(16, LEAST(4096, CAST(ceil(sqrt(CAST(n AS DOUBLE))) * 4 AS INT)))"
+    val skew = "round(CAST(max_occ AS DOUBLE) * n_buckets / total, 6)"
+    s"""WITH $eCte,
+       |$lshBucketCtes,
+       |locc AS (SELECT table_idx, bucket, CAST(COUNT(*) AS BIGINT) AS c
+       |         FROM b GROUP BY table_idx, bucket),
+       |lagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |                CAST(SUM(c) AS BIGINT) AS total,
+       |                CAST(MAX(c) AS BIGINT) AS max_occ,
+       |                CAST(MIN(length(bucket)) AS INT) AS built_h
+       |         FROM locc),
+       |${assignCtes(SimilarityIvf.centroids, "s")},
+       |${assignCtes(cents, "f")},
+       |nraw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+       |SELECT family, built_param, target_param, n_vecs, n_buckets,
+       |       mean_occ, max_occ, skew, rebuild FROM (
+       |  SELECT 'lsh' AS family, built_h AS built_param,
+       |    CAST($hTarget AS INT) AS target_param,
+       |    total // $tables AS n_vecs, n_buckets,
+       |    round(CAST(total AS DOUBLE) / n_buckets, 6) AS mean_occ, max_occ,
+       |    $skew AS skew,
+       |    built_h <> $hTarget AS rebuild
+       |  FROM lagg
+       |  UNION ALL
+       |  SELECT 'ivf', CAST(${SimilarityIvf.NumCentroids} AS INT),
+       |    CAST(${SimilarityIvf.NumCentroids} AS INT), total, n_buckets,
+       |    round(CAST(total AS DOUBLE) / n_buckets, 6), max_occ, $skew,
+       |    $skew > ${Reindex.IvfSkewMax}
+       |  FROM sagg
+       |  UNION ALL
+       |  SELECT 'ivf_fit', CAST(${cents.length} AS INT),
+       |    CAST($kTarget AS INT), total, n_buckets,
+       |    round(CAST(total AS DOUBLE) / n_buckets, 6), max_occ, $skew,
+       |    ${cents.length} <> $kTarget OR $skew > ${Reindex.IvfSkewMax}
+       |  FROM fagg CROSS JOIN nraw)
+       |ORDER BY family""".stripMargin
+  }
+
   /** q_knn_ivf_fit's oracle needs the centroids k-means FITTED on this
     * corpus — resolved when Verify dumps oracle_sql.json. fitCentroids
     * is deterministic (hash-ordered sample, fixed seeds/iterations)
@@ -2341,6 +2427,9 @@ object SimilarityModule extends QueryModule {
     val nprobe = SimilarityIvf.probeFor(cents.length)
     Map(
       "q_knn_ivf_fit" -> ivfOracleSql(cents, nprobe),
+      // the drift monitor's fitted-family leg resolves its centroid
+      // literals (and built-k) exactly like the fitted-IVF serving legs
+      "q_index_geometry" -> geometryOracleSql(cents),
       // exclusion-filtered mining + the PSI drift report resolve their
       // fitted centroids (and the exclusion probe budget) exactly like
       // the fitted-IVF legs

@@ -140,6 +140,30 @@ class EraseSpec extends SparkSpec {
       "idempotent re-erase must not change the artifact")
   }
 
+  test("erasing past the threshold fraction surfaces a re-index recommendation") {
+    val dir = mkCorpus()
+    val idx = java.nio.file.Files.createTempDirectory("graft-erase-advice").toString
+    Dedup.writeIndexes(spark, dir, idx)
+    // below threshold: 2 of 30 vectors (6.7% < 25%) — no marker; the
+    // frozen models still summarize the corpus
+    Dedup.eraseDocuments(spark, dir, idx, Nil, vecIds = Seq(28L, 29L))
+    assert(Reindex.readAdvice(spark, idx).isEmpty,
+      "small erase must not recommend a reindex")
+    // past threshold: 10 of the remaining 28 (35.7%) — the marker
+    // lands with the measured fraction
+    Dedup.eraseDocuments(spark, dir, idx, Nil, vecIds = (10L to 19L))
+    val advice = Reindex.readAdvice(spark, idx)
+    assert(advice.exists { case (reason, frac) =>
+      reason == "erase" && frac > 0.3 && frac < 0.4 }, s"advice wrong: $advice")
+    // the re-index verb resolves the recommendation
+    Dedup.reindexArtifacts(spark, dir, idx)
+    assert(Reindex.readAdvice(spark, idx).isEmpty,
+      "reindex must clear the advice marker")
+    Dedup.releaseIndexes(spark)
+    Similarity.invalidateCorpusH(spark, dir)
+    SimilarityIvf.invalidateCorpusK(spark, dir)
+  }
+
   test("erase fails fast while an appender marker is live (lease discipline)") {
     val dir = mkCorpus()
     val idx = java.nio.file.Files.createTempDirectory("graft-erase-lease").toString

@@ -288,4 +288,22 @@ class GraphSpec extends SparkSpec {
     assert(at6.length < a.length,
       s"expected 6 supersteps to collapse communities (got ${at6.length} vs ${a.length})")
   }
+
+  test("LPA convergence trace: per-side changed fractions shrink across supersteps") {
+    // the oracled observability row behind the pinned 4-step operating
+    // point: under the semi-synchronous side schedule steps 1/3 update
+    // suppliers and 2/4 customers, so convergence reads SAME-SIDE —
+    // each side's changed count must drop between its two updates
+    val t = Graph.labelPropagationTrace(spark, sf("sf0.01")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(t.size === Graph.LpaIters, s"expected ${Graph.LpaIters} rows, got ${t.size}")
+    assert(t.values.map(_._2).toSet.size === 1, "n_nodes must be constant")
+    assert(t(3)._1 < t(1)._1,
+      s"supplier-side churn did not shrink: step1=${t(1)._1} step3=${t(3)._1}")
+    assert(t(4)._1 < t(2)._1,
+      s"customer-side churn did not shrink: step2=${t(2)._1} step4=${t(4)._1}")
+    // the fraction column is changed/nodes at 6 dp
+    t.values.foreach { case (ch, n, fr) =>
+      assert(math.abs(fr - ch.toDouble / n) < 5e-7, s"frac $fr vs $ch/$n") }
+  }
 }

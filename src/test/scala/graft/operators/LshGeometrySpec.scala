@@ -96,6 +96,49 @@ class LshGeometrySpec extends SparkSpec {
     }
   }
 
+  test("fused bucket kernel is byte-identical to the composed sign-dot formulation") {
+    // the r15 fused LshBucketStrings expression must reproduce the
+    // T×H-dot chain bit-for-bit — persisted artifacts, stream probes
+    // and the baked SQL oracle literals all depend on these exact
+    // strings — including the degenerate inputs the old chain mapped
+    // to all-zero buckets (null vector / wrong length / null element)
+    val rnd = new scala.util.Random(23)
+    def check(df: org.apache.spark.sql.DataFrame, h: Int, tag: String): Unit = {
+      val rows = df.select(col("vec_id"),
+          Similarity.bucketStrings(col("v"), h).as("fused"),
+          Similarity.bucketStringsComposed(col("v"), h).as("composed"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"$tag vec ${r.getLong(0)}: ${r.getSeq[String](1)} != ${r.getSeq[String](2)}")
+      }
+    }
+    // double elements at the legacy and an extended plane count
+    val dbl = (0 until 50)
+      .map(i => (i.toLong, Seq.fill(Similarity.Dim)(rnd.nextGaussian())))
+      .toDF("vec_id", "v")
+    check(dbl, 8, "double/h8")
+    check(dbl, 13, "double/h13")
+    // float elements (the production embeddings column type)
+    val flt = (0 until 50)
+      .map(i => (i.toLong, Seq.fill(Similarity.Dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "v")
+    check(flt, 8, "float/h8")
+    check(flt, 11, "float/h11")
+    // degenerate inputs: null vector, wrong length, null element
+    val weird = Seq(
+      (1L, null.asInstanceOf[Seq[java.lang.Double]]),
+      (2L, Seq.fill(10)(java.lang.Double.valueOf(rnd.nextGaussian()))),
+      (3L, Seq.tabulate(Similarity.Dim)(i =>
+        if (i == 7) null else java.lang.Double.valueOf(rnd.nextGaussian()))))
+      .toDF("vec_id", "v")
+    check(weird, 8, "degenerate")
+    weird.select(Similarity.bucketStrings(col("v"), 8).as("f")).collect()
+      .foreach(r => assert(r.getSeq[String](0).forall(_ == "00000000"),
+        "degenerate inputs must map to all-zero buckets"))
+  }
+
   test("corpusH: an existing bucket artifact's geometry wins over the count formula") {
     val dir = "/graft-test/fake-lsh-dir"
     // fake a primed artifact whose buckets are 11 chars long — corpusH

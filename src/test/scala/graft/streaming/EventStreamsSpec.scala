@@ -236,6 +236,40 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join ≡ the oracled batch twin, including out-of-order arrivals") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = errorClickJoin(input.toDF())
+      .writeStream.format("memory").queryName("ssjparity").outputMode("append").start()
+    val all = scala.collection.mutable.ArrayBuffer[Event]()
+    def feed(evs: Event*): Unit = { all ++= evs; input.addData(evs: _*); q.processAllAvailable() }
+    withQuery(q) {
+      // in-order batch: click then error joins
+      feed(ev(1, "2024-01-01 10:00:00", 1),
+           ev(2, "2024-01-01 10:30:00", 1, "error"))
+      // OUT-OF-ORDER: a click with EARLIER event time arrives in a later
+      // micro-batch (inside the 1 h watermark horizon) — the buffered
+      // error must still pair with it retroactively
+      feed(ev(3, "2024-01-01 10:20:00", 1))
+      // an error arriving before its (also late) matching click, both
+      // within the horizon, different user
+      feed(ev(4, "2024-01-01 10:45:00", 2, "error"))
+      feed(ev(5, "2024-01-01 10:40:00", 2))
+      // advance both watermarks far enough to finalize everything
+      feed(ev(8, "2024-01-01 14:00:00", 9),
+           ev(9, "2024-01-01 14:00:00", 9, "error"))
+      q.processAllAvailable()
+      val streamed = spark.table("ssjparity")
+        .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+      // the oracled batch twin on the SAME rows is the ground truth
+      val batch = graft.operators.Events.errorClickPairsOf(all.toSeq.toDF())
+        .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(batch == Set((2L, 1L), (2L, 3L), (4L, 5L), (9L, 8L)), s"twin wrong: $batch")
+      assert(streamed == batch,
+        s"stream ${streamed.toSeq.sorted} != batch ${batch.toSeq.sorted}")
+    }
+  }
+
   test("streaming session windows match the batch session query on the same rows") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
