@@ -26,7 +26,8 @@ object SparkEntry {
     graft.operators.GraphModule,
     graft.operators.MultimodalModule,
     graft.operators.CorpusModule,
-    graft.operators.CurationModule
+    graft.operators.CurationModule,
+    graft.operators.PipelineModule
   )
 
   /** Flagship query; driver smoke-checks rows>0. The data directory

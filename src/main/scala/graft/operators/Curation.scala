@@ -237,9 +237,13 @@ object Curation {
     * (langs × 256)-row block-prefix table, the same two-pass shape as
     * blockCumsum. The quota table is a broadcast scalar fan-out, never
     * a driver-side loop. */
-  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    corpusMixOf(spark, Tables.documents(spark, dir).select(col("lang"), col("doc_id")))
+
+  /** [[corpusMix]] over an arbitrary (lang, doc_id) slice — the core
+    * the e2e pipeline re-quotas over its chained survivor set. */
+  private[operators] def corpusMixOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).select(col("lang"), col("doc_id"))
     val targets = MixTargets.toDF("lang", "pct")
     val feas = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .join(broadcast(targets), Seq("lang"))
@@ -642,7 +646,7 @@ object Curation {
     * window (one row per block), and the two add up. The DuckDB
     * oracles express the same quantity as a plain
     * SUM() OVER (ORDER BY …) — identical values, different physics. */
-  private def blockCumsum(df: DataFrame, blockCol: Column, orderCol: Seq[Column],
+  private[operators] def blockCumsum(df: DataFrame, blockCol: Column, orderCol: Seq[Column],
                           valCol: Column): DataFrame = {
     val withBlock = df.withColumn("_blk", blockCol)
     val within = sum(valCol).over(

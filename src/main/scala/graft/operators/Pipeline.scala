@@ -1,0 +1,277 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+
+/** The end-to-end curation pipeline as ONE oracled lineage query —
+  * what a user of this engine actually runs against a raw corpus, with
+  * the per-stage kept/dropped accounting a real training-data run
+  * publishes next to its output:
+  *
+  *   1. quality_rules — TextAnalysis.qualityTiers 'ok' survivors;
+  *   2. exact_dedup   — keep-lowest-id per normalized text, keeper
+  *                      RE-ELECTED within the survivors (a group whose
+  *                      keeper failed quality re-elects, it does not
+  *                      lose all copies);
+  *   3. near_dedup    — drop id_b of every Jaccard ≥ 0.8 pair from
+  *                      the MAINTAINED pair artifact (candidate
+  *                      generation is corpus-global index work, not a
+  *                      per-pipeline re-shingle);
+  *   4. decontaminate — remove the benchmark holdout itself AND every
+  *                      training doc sharing a capped-df 8-gram with
+  *                      it (Curation.decontaminate's evidence join);
+  *   5. quality_nb    — the distilled NB classifier's 'pass' docs
+  *                      (model is the corpus-global artifact);
+  *   6. language_mix  — corpusMix quotas RE-COMPUTED over the chained
+  *                      survivors (the mix a pipeline ships is a mix
+  *                      of what survived, not of the raw corpus);
+  *   7. pack          — the survivors' 64-token chunks packed into
+  *                      512-token shards (exclusive-prefix intdiv,
+  *                      blockCumsum physics);
+  *   8-10. split      — leakage-safe train/val/test of the survivors
+  *                      (dup-cluster representative hash rule).
+  *
+  * Per-doc verdicts (quality, NB, decont flags, near-dup victims,
+  * cluster reps) are computed corpus-wide — they are artifact-backed
+  * session builds shared with their standalone queries — and applied
+  * to the chained set by semi/anti joins; only the RE-ELECTING stages
+  * (exact keeper, mix quotas) genuinely recompute over the survivor
+  * set. Each survivor id-set is checkpoint-staged once, so the 10-row
+  * accounting plan reads materialized id tables instead of
+  * re-deriving the whole chain per count.
+  *
+  * Output: (stage_ord, stage, unit, n_in, n_out, n_dropped) — FULL
+  * DuckDB oracle (PipelineModule), hash-exact at all three SFs.
+  */
+object Pipeline {
+
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def ids(df: DataFrame): DataFrame = {
+      val (out, cpIds) = Dedup.trackedCheckpoint(df.select("doc_id"))
+      Dedup.trackStray(spark, cpIds)
+      out
+    }
+    // 1. rule quality
+    val s1 = ids(TextAnalysis.qualityTiers(spark, dir)
+      .filter(col("quality") === "ok"))
+    // 2. exact dedup, keeper re-elected within the survivors
+    val s2 = ids(docs.join(s1, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(Dedup.normText(col("text"))).as("fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id")))
+    // 3. near dedup off the maintained pair artifact
+    val nearVictims = Dedup.jaccardPairTable(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_b").as("doc_id")).distinct()
+    val s3 = ids(s2.join(nearVictims, Seq("doc_id"), "left_anti"))
+    // 4. benchmark holdout + contaminated-train removal
+    val flagged = Curation.decontaminate(spark, dir)
+      .select(col("train_id").as("doc_id"))
+    val s4 = ids(s3.filter(col("doc_id") % Curation.EvalModulus =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti"))
+    // 5. distilled NB quality gate
+    val nbPass = TextAnalysis.nbQualityScore(spark, dir)
+      .filter(col("nb_pred") === "pass").select("doc_id")
+    val s5 = ids(s4.join(nbPass, Seq("doc_id"), "left_semi"))
+    // 6. language mix re-quota'd over the survivors
+    val s6 = ids(Curation.corpusMixOf(spark,
+      docs.join(s5, Seq("doc_id"), "left_semi").select(col("lang"), col("doc_id"))))
+    // 7. pack the survivors' chunks into training shards
+    val k = Curation.ChunkTokens
+    val chunks = Curation.docToks(spark, dir)
+      .join(s6, Seq("doc_id"), "left_semi")
+      .filter(col("toks").isNotNull)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), ((size(col("toks")) - 1) / k).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(k), size(col("toks")) - col("chunk_idx") * k).as("n_tokens"))
+    val shards = Curation.blockCumsum(chunks, expr("doc_id DIV 1024"),
+        Seq(col("doc_id"), col("chunk_idx")), col("n_tokens"))
+      .withColumn("shard", expr(s"(_cum - n_tokens) DIV ${Curation.PackBudget}"))
+      .select("shard").distinct()
+    // 8-10. leakage-safe split of the survivors
+    val split = s6
+      .join(Dedup.clusterLabels(spark, dir).select(col("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
+      .groupBy(Curation.splitOf(col("rep_id")).as("split"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+    def n(df: DataFrame): DataFrame =
+      df.groupBy().agg(count(lit(1)).cast("long").as("n"))
+    def row(ord: Int, name: String, unit: String,
+            nIn: DataFrame, nOut: DataFrame, dropped: Boolean): DataFrame =
+      nIn.select(col("n").as("n_in"))
+        .crossJoin(nOut.select(col("n").as("n_out")))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          lit(unit).as("unit"), col("n_in"), col("n_out"),
+          (if (dropped) col("n_in") - col("n_out") else lit(0L)).as("n_dropped"))
+    val n6 = n(s6)
+    val docRows = Seq(
+      row(1, "quality_rules", "docs", n(docs), n(s1), dropped = true),
+      row(2, "exact_dedup", "docs", n(s1), n(s2), dropped = true),
+      row(3, "near_dedup", "docs", n(s2), n(s3), dropped = true),
+      row(4, "decontaminate", "docs", n(s3), n(s4), dropped = true),
+      row(5, "quality_nb", "docs", n(s4), n(s5), dropped = true),
+      row(6, "language_mix", "docs", n(s5), n6, dropped = true),
+      row(7, "pack", "shards", n6, n(shards), dropped = false))
+    val splitRows = split.crossJoin(n6.select(col("n").as("n_in")))
+      .select(
+        when(col("split") === "train", 8)
+          .when(col("split") === "val", 9).otherwise(10).as("stage_ord"),
+        concat(lit("split_"), col("split")).as("stage"),
+        lit("docs").as("unit"), col("n_in"),
+        col("n").as("n_out"), lit(0L).as("n_dropped"))
+    (docRows :+ splitRows).reduce(_.unionByName(_)).orderBy("stage_ord")
+  }
+}
+
+/** Driver-contract registration + the composed DuckDB oracle: every
+  * stage's SQL is the proven arithmetic of its standalone oracle
+  * (cluster/pair chain from DedupModule.ClusterCteSql, decontamination
+  * evidence join, the NB model CTEs, corpus-mix quota arithmetic, the
+  * chunk/pack cumsum, the md5 split rule), re-stated over the CHAINED
+  * survivor sets. */
+object PipelineModule extends QueryModule {
+
+  def queries = Map(
+    "q_pipeline_e2e" -> ((s: SparkSession, d: String) => Pipeline.pipelineE2e(s, d)))
+
+  private def mixValues: String = Curation.MixTargets
+    .map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+
+  private val e2eSql: String =
+    s"""WITH RECURSIVE ${DedupModule.ClusterCteSql},
+       |pq AS (SELECT n.doc_id,
+       |    CAST(len(n.toks) AS BIGINT) AS n_toks,
+       |    round(CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length(d.text), 1), 6) AS punct,
+       |    round(CAST(len(list_distinct(n.toks)) AS DOUBLE) / greatest(len(n.toks), 1), 6) AS dr
+       |  FROM norm n JOIN documents d USING (doc_id)),
+       |s1 AS (SELECT doc_id FROM pq
+       |       WHERE NOT (n_toks < 10 OR punct > 0.2 OR dr < 0.2)),
+       |s2 AS (SELECT doc_id FROM (
+       |    SELECT n.doc_id, MIN(n.doc_id) OVER (PARTITION BY n.norm) AS keep_id
+       |    FROM norm n JOIN s1 USING (doc_id))
+       |  WHERE doc_id = keep_id),
+       |s3 AS (SELECT doc_id FROM s2
+       |       WHERE doc_id NOT IN (SELECT id_b FROM near_pairs)),
+       |dcg0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks) - 7, 1)),
+       |    i -> array_to_string(toks[i:i+7], ' ')))) AS gram FROM norm),
+       |dcg AS (SELECT doc_id, gram FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY gram) AS df FROM dcg0)
+       |  WHERE df <= ${Curation.MaxGramDf} AND gram <> ''),
+       |dcflag AS (SELECT DISTINCT tr.doc_id FROM
+       |    (SELECT doc_id, gram FROM dcg WHERE doc_id % ${Curation.EvalModulus} <> 0) tr
+       |  JOIN (SELECT gram FROM dcg WHERE doc_id % ${Curation.EvalModulus} = 0) ev
+       |    ON tr.gram = ev.gram),
+       |s4 AS (SELECT doc_id FROM s3
+       |       WHERE doc_id % ${Curation.EvalModulus} <> 0
+       |         AND doc_id NOT IN (SELECT doc_id FROM dcflag)),
+       |nbgs AS (SELECT n.doc_id, n.toks,
+       |    CAST(len(n.toks) AS BIGINT) AS n_words,
+       |    round(CAST(list_sum(list_transform(n.toks, t2 -> length(t2))) AS DOUBLE)
+       |      / len(n.toks), 6) AS mean_word_len,
+       |    round(CAST(length(regexp_replace(d.text, '[^#]', '', 'g'))
+       |        + CAST((length(d.text) - length(replace(d.text, '...', ''))) / 3 AS INTEGER)
+       |        + length(regexp_replace(d.text, '[^…]', '', 'g')) AS DOUBLE)
+       |      / len(n.toks), 6) AS symbol_ratio,
+       |    round(CAST(len(list_filter(n.toks, t2 -> regexp_matches(t2, '[a-z]'))) AS DOUBLE)
+       |      / len(n.toks), 6) AS alpha_frac,
+       |    CAST(len(list_filter(n.toks,
+       |      t2 -> t2 IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
+       |  FROM norm n JOIN documents d USING (doc_id)),
+       |nbq AS (SELECT doc_id, toks,
+       |    CASE WHEN n_words BETWEEN ${TextAnalysis.GopherMinWords} AND ${TextAnalysis.GopherMaxWords}
+       |         AND mean_word_len BETWEEN ${TextAnalysis.GopherMinMeanLen} AND ${TextAnalysis.GopherMaxMeanLen}
+       |         AND symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
+       |         AND alpha_frac >= ${TextAnalysis.GopherMinAlphaFrac}
+       |         AND n_stop >= ${TextAnalysis.GopherMinStopHits}
+       |    THEN 'pass' ELSE 'reject' END AS teacher
+       |  FROM nbgs),
+       |nbex AS (SELECT teacher = 'pass' AS is_ok, unnest(toks) AS term FROM nbq),
+       |nbcounts AS (SELECT term,
+       |    CAST(SUM(CASE WHEN is_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |    CAST(SUM(CASE WHEN is_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_reject
+       |  FROM nbex GROUP BY term),
+       |nbtots AS (SELECT SUM(n_pass) AS n_pass_tot, SUM(n_reject) AS n_reject_tot,
+       |    COUNT(*) AS v FROM nbcounts),
+       |nbdtots AS (SELECT
+       |    CAST(SUM(CASE WHEN teacher = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_docs,
+       |    CAST(SUM(CASE WHEN teacher = 'pass' THEN 0 ELSE 1 END) AS BIGINT) AS n_reject_docs
+       |  FROM nbq),
+       |nbmodel AS (SELECT term, n_pass, n_reject,
+       |    round(ln(CAST(n_pass + 1 AS DOUBLE) / (n_pass_tot + v)) -
+       |          ln(CAST(n_reject + 1 AS DOUBLE) / (n_reject_tot + v)), 9) AS llr
+       |  FROM nbcounts, nbtots),
+       |nbprior AS (SELECT round(ln(CAST(n_pass_docs + 1 AS DOUBLE) / (n_reject_docs + 1)), 9) AS llr
+       |  FROM nbdtots),
+       |nbscores AS (SELECT e2.doc_id, SUM(CAST(m.llr AS DECIMAL(28,9))) AS sdec
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM nbq) e2
+       |  JOIN nbmodel m USING (term)
+       |  GROUP BY e2.doc_id),
+       |nbscored AS (SELECT nbq.doc_id,
+       |    CAST(round(CAST(coalesce(sc.sdec, 0) AS DECIMAL(28,9)) +
+       |      CAST(pr.llr AS DECIMAL(28,9)), 6) AS DOUBLE) AS nb_score
+       |  FROM nbq LEFT JOIN nbscores sc ON nbq.doc_id = sc.doc_id, nbprior pr),
+       |s5 AS (SELECT s4.doc_id FROM s4 JOIN nbscored USING (doc_id)
+       |       WHERE nb_score > 0),
+       |mdocs AS (SELECT d.lang, s5.doc_id FROM s5 JOIN documents d USING (doc_id)),
+       |mcounts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |            FROM mdocs GROUP BY lang),
+       |mt(lang, pct) AS (VALUES $mixValues),
+       |mfeas AS (SELECT c.lang, n_docs, CAST(pct AS BIGINT) AS pct
+       |          FROM mcounts c JOIN mt ON c.lang = mt.lang),
+       |mns AS (SELECT MIN(n_docs * 100 // pct) AS n_star FROM mfeas),
+       |mquota AS (SELECT lang, (n_star * pct) // 100 AS n_keep
+       |           FROM mfeas CROSS JOIN mns),
+       |mr AS (SELECT lang, doc_id, ROW_NUMBER() OVER (
+       |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM mdocs),
+       |s6 AS (SELECT mr.doc_id FROM mr JOIN mquota ON mr.lang = mquota.lang
+       |       WHERE rk <= n_keep),
+       |pch AS (SELECT n.doc_id, j AS chunk_idx,
+       |    least(${Curation.ChunkTokens}, len(n.toks) - j*${Curation.ChunkTokens}) AS n_tokens
+       |  FROM norm n JOIN s6 USING (doc_id),
+       |    unnest(generate_series(0, (len(n.toks)-1)//${Curation.ChunkTokens})) AS u(j)),
+       |pcum AS (SELECT doc_id, chunk_idx, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM pch),
+       |pshards AS (SELECT DISTINCT (cum - n_tokens) // ${Curation.PackBudget} AS shard
+       |            FROM pcum),
+       |srep AS (SELECT s6.doc_id, coalesce(c.component, s6.doc_id) AS rep_id
+       |         FROM s6 LEFT JOIN comp c USING (doc_id)),
+       |ssplit AS (SELECT CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+       |                WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |                ELSE 'test' END AS split,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM srep GROUP BY 1),
+       |c0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s1),
+       |c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s2),
+       |c3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s3),
+       |c4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s4),
+       |c5 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s5),
+       |c6 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s6),
+       |cp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pshards)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage_ord, 'quality_rules' AS stage, 'docs' AS unit,
+       |    c0.n AS n_in, c1.n AS n_out, c0.n - c1.n AS n_dropped FROM c0, c1
+       |  UNION ALL SELECT 2, 'exact_dedup', 'docs', c1.n, c2.n, c1.n - c2.n FROM c1, c2
+       |  UNION ALL SELECT 3, 'near_dedup', 'docs', c2.n, c3.n, c2.n - c3.n FROM c2, c3
+       |  UNION ALL SELECT 4, 'decontaminate', 'docs', c3.n, c4.n, c3.n - c4.n FROM c3, c4
+       |  UNION ALL SELECT 5, 'quality_nb', 'docs', c4.n, c5.n, c4.n - c5.n FROM c4, c5
+       |  UNION ALL SELECT 6, 'language_mix', 'docs', c5.n, c6.n, c5.n - c6.n FROM c5, c6
+       |  UNION ALL SELECT 7, 'pack', 'shards', c6.n, cp.n, CAST(0 AS BIGINT) FROM c6, cp
+       |  UNION ALL SELECT CASE split WHEN 'train' THEN 8 WHEN 'val' THEN 9 ELSE 10 END,
+       |    'split_' || split, 'docs', c6.n, ssplit.n, CAST(0 AS BIGINT) FROM ssplit, c6)
+       |ORDER BY stage_ord""".stripMargin
+
+  def oracles = Map("q_pipeline_e2e" -> e2eSql)
+}
