@@ -491,10 +491,14 @@ object Bench {
     // ours, so a full JSON parser buys nothing.
     val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
     def objOf(src: String, field: String): Map[String, Double] = {
-      val m = ("\"" + field + "\":\\{([^}]*)\\}").r.findFirstMatchIn(src)
+      // whitespace-tolerant: the file is normally this program's own
+      // compact output, but a hand-patched or pretty-printed baseline
+      // (json.dump default ": " separators) must not silently disable
+      // the gate by failing every match
+      val m = ("\"" + field + "\"\\s*:\\s*\\{([^}]*)\\}").r.findFirstMatchIn(src)
       m.map(_.group(1)).getOrElse("")
         .split(",").toSeq.flatMap { kv =>
-          "\"([^\"]+)\":([0-9.Ee+-]+)".r.findFirstMatchIn(kv)
+          "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findFirstMatchIn(kv)
             .map(g => g.group(1) -> g.group(2).toDouble)
         }.toMap
     }
@@ -536,7 +540,7 @@ object Bench {
           // gate against floors that were themselves inflated
           // (pre-r14 baselines carry no _end field; start-only then)
           val basePen = Seq("host_parallel_penalty", "host_parallel_penalty_end")
-            .flatMap(f => ("\"" + f + "\":([0-9.]+)").r
+            .flatMap(f => ("\"" + f + "\"\\s*:\\s*([0-9.]+)").r
               .findFirstMatchIn(src).map(_.group(1).toDouble))
             .reduceOption(math.max(_, _)).getOrElse(1.0)
           val pen = math.min(1.5, math.max(0.5, penGate / basePen))
