@@ -719,52 +719,56 @@ object Graph {
     * join rides the same memoized by-src layout the rank supersteps
     * use (only the node-sized label side shuffles). Integer weights
     * sum exactly — no float reduction anywhere. */
+  /** Memoized label table after superstep `i` (node, lbl): step 0 is
+    * the identity labeling; each later step is one semi-synchronous
+    * vote → argmax → side-merge, built recursively on the memoized
+    * previous step. Memoizing PER STEP lets the community query and
+    * its convergence trace share ONE superstep computation per
+    * session, and a longer run (the iters = 6 collapse check) extends
+    * the cached prefix instead of recomputing it. Step tables are
+    * node-sized; releaseIndexes frees them with the rest of the memo. */
+  private def lpaLabels(spark: SparkSession, dir: String, i: Int): DataFrame =
+    Dedup.memo(spark, s"lpaStep$i|$dir") {
+      val en = edgeFracs(spark, dir)
+      if (i == 0) {
+        Dedup.checkpointSer(
+          en.select(col("src").as("node")).distinct()
+            .select(col("node"), col("node").as("lbl")))
+      } else {
+        val labels = lpaLabels(spark, dir, i - 1)
+        val coPart = lpaLabels(spark, dir, 0).count() > BroadcastMaxNodes
+        val nPart = spark.sessionState.conf.numShufflePartitions
+        lazy val enBySrc = Dedup.memo(spark, s"graphEdgesBySrc|$dir") {
+          org.apache.spark.sql.graftbridge.ColumnBridge.checkpointDeclared(
+            en, "src", nPart, reshape = true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        }
+        val side = i % 2 // 1 = suppliers (odd ids), 0 = customers
+        val lbl = labels.withColumnRenamed("node", "src")
+        val sideEdges =
+          (if (coPart) enBySrc.hint("merge") else en)
+            .filter(pmod(col("dst"), lit(2)) === side)
+        val joined =
+          if (coPart) sideEdges.join(lbl, "src")
+          else sideEdges.join(broadcast(lbl), "src")
+        val votes = joined
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(sum(col("w")).as("wsum"))
+        val w = Window.partitionBy(col("node"))
+          .orderBy(col("wsum").desc, col("lbl").asc)
+        val updated = votes
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("node", "lbl")
+        Dedup.checkpointSer(
+          updated.unionByName(
+            labels.filter(pmod(col("node"), lit(2)) =!= side)))
+      }
+    }
+
   def labelPropagation(spark: SparkSession, dir: String,
                        iters: Int = LpaIters): DataFrame = {
-    val en = edgeFracs(spark, dir)
-    val (nodes, nodeIds) = Dedup.trackedCheckpoint(
-      en.select(col("src").as("node")).distinct())
-    val coPart = nodes.count() > BroadcastMaxNodes
-    val nPart = spark.sessionState.conf.numShufflePartitions
-    lazy val enBySrc = Dedup.memo(spark, s"graphEdgesBySrc|$dir") {
-      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointDeclared(
-        en, "src", nPart, reshape = true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    }
-    var labels = nodes.select(col("node"), col("node").as("lbl"))
-    var prevIds: Set[Int] = Set.empty
-    for (i <- 1 to iters) {
-      val side = i % 2 // 1 = suppliers (odd ids), 0 = customers
-      val lbl = labels.withColumnRenamed("node", "src")
-      val sideEdges =
-        (if (coPart) enBySrc.hint("merge") else en)
-          .filter(pmod(col("dst"), lit(2)) === side)
-      val joined =
-        if (coPart) sideEdges.join(lbl, "src")
-        else sideEdges.join(broadcast(lbl), "src")
-      val votes = joined
-        .groupBy(col("dst").as("node"), col("lbl"))
-        .agg(sum(col("w")).as("wsum"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("wsum").desc, col("lbl").asc)
-      val updated = votes
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("node", "lbl")
-      val (next, ids) = Dedup.trackedCheckpoint(
-        updated.unionByName(
-          labels.filter(pmod(col("node"), lit(2)) =!= side)))
-      Dedup.unpersistIds(spark, prevIds)
-      labels = next
-      prevIds = ids
-    }
-    // the FINAL label table stays persisted (the rank-loop contract:
-    // one table left behind, tracked as stray session state so
-    // releaseIndexes frees it); only the intermediates were freed
-    // in-loop
-    Dedup.trackStray(spark, prevIds)
-    Dedup.unpersistIds(spark, nodeIds)
-    labels.groupBy("lbl")
+    lpaLabels(spark, dir, iters).groupBy("lbl")
       .agg(count(lit(1)).as("n_nodes"),
         sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
         sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
@@ -788,58 +792,21 @@ object Graph {
     * node-scan per step, not a second vote aggregation. */
   def labelPropagationTrace(spark: SparkSession, dir: String,
                             iters: Int = LpaIters): DataFrame = {
-    val en = edgeFracs(spark, dir)
-    val (nodes, nodeIds) = Dedup.trackedCheckpoint(
-      en.select(col("src").as("node")).distinct())
-    val coPart = nodes.count() > BroadcastMaxNodes
-    val nPart = spark.sessionState.conf.numShufflePartitions
-    lazy val enBySrc = Dedup.memo(spark, s"graphEdgesBySrc|$dir") {
-      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointDeclared(
-        en, "src", nPart, reshape = true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    }
-    val nTotal = nodes.groupBy().agg(count(lit(1)).cast("long").as("n_nodes"))
-    var labels = nodes.select(col("node"), col("node").as("lbl"))
-    var stepRows = Seq.empty[DataFrame]
-    var allIds: Set[Int] = Set.empty
-    for (i <- 1 to iters) {
-      val side = i % 2
-      val lbl = labels.withColumnRenamed("node", "src")
-      val sideEdges =
-        (if (coPart) enBySrc.hint("merge") else en)
-          .filter(pmod(col("dst"), lit(2)) === side)
-      val joined =
-        if (coPart) sideEdges.join(lbl, "src")
-        else sideEdges.join(broadcast(lbl), "src")
-      val votes = joined
-        .groupBy(col("dst").as("node"), col("lbl"))
-        .agg(sum(col("w")).as("wsum"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("wsum").desc, col("lbl").asc)
-      val updated = votes
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("node", "lbl")
-      val (next, ids) = Dedup.trackedCheckpoint(
-        updated.unionByName(
-          labels.filter(pmod(col("node"), lit(2)) =!= side)))
-      // changed = nodes whose label moved between the two materialized
-      // generations (only the updated side can move)
-      val changed = next.join(
-          labels.withColumnRenamed("lbl", "prev_lbl"), "node")
+    val nTotal = lpaLabels(spark, dir, 0)
+      .groupBy().agg(count(lit(1)).cast("long").as("n_nodes"))
+    val stepRows = (1 to iters).map { i =>
+      // changed = nodes whose label moved between the two memoized
+      // generations (only the step's updated side can move)
+      val changed = lpaLabels(spark, dir, i).join(
+          lpaLabels(spark, dir, i - 1).withColumnRenamed("lbl", "prev_lbl"),
+          "node")
         .filter(col("lbl") =!= col("prev_lbl"))
         .groupBy().agg(count(lit(1)).cast("long").as("n_changed"))
-      stepRows = stepRows :+ changed.crossJoin(nTotal)
+      changed.crossJoin(nTotal)
         .select(lit(i).as("step"), col("n_changed"), col("n_nodes"),
           round(col("n_changed").cast("double") / col("n_nodes"), 6)
             .as("frac_changed"))
-      allIds = allIds ++ ids
-      labels = next
     }
-    // every step's label table — and the node table the n_nodes
-    // denominator reads — must stay resident until the trace is
-    // computed; tracked as stray session state (releaseIndexes frees)
-    Dedup.trackStray(spark, allIds ++ nodeIds)
     stepRows.reduce(_.unionByName(_)).orderBy("step")
   }
 
