@@ -48,38 +48,53 @@ import graft.sources.Tables
   */
 object Pipeline {
 
+  /** Memoized survivor id-set of stage `i` (1..6) — the accounting
+    * query, the dataset card and the export manifest all ride one
+    * chained derivation per session (each stage a tiny checkpointed
+    * id table; releaseIndexes frees them with the rest of the memo). */
+  private[operators] def stageIds(spark: SparkSession, dir: String, i: Int): DataFrame =
+    Dedup.memo(spark, s"pipeStage$i|$dir") {
+      val docs = Tables.documents(spark, dir)
+      val built: DataFrame = i match {
+        case 1 => // rule quality
+          TextAnalysis.qualityTiers(spark, dir).filter(col("quality") === "ok")
+        case 2 => // exact dedup, keeper re-elected within the survivors
+          docs.join(stageIds(spark, dir, 1), Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), md5(Dedup.normText(col("text"))).as("fp"))
+            .withColumn("keep_id",
+              min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+            .filter(col("doc_id") === col("keep_id"))
+        case 3 => // near dedup off the maintained pair artifact
+          stageIds(spark, dir, 2).join(
+            Dedup.jaccardPairTable(spark, dir).filter(col("jaccard") >= 0.8)
+              .select(col("id_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        case 4 => // benchmark holdout + contaminated-train removal
+          stageIds(spark, dir, 3)
+            .filter(col("doc_id") % Curation.EvalModulus =!= 0)
+            .join(Curation.decontaminate(spark, dir)
+              .select(col("train_id").as("doc_id")), Seq("doc_id"), "left_anti")
+        case 5 => // distilled NB quality gate
+          stageIds(spark, dir, 4).join(
+            TextAnalysis.nbQualityScore(spark, dir)
+              .filter(col("nb_pred") === "pass").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        case 6 => // language mix re-quota'd over the survivors
+          Curation.corpusMixOf(spark,
+            docs.join(stageIds(spark, dir, 5), Seq("doc_id"), "left_semi")
+              .select(col("lang"), col("doc_id")))
+      }
+      built.select("doc_id").transform(Dedup.checkpointSer)
+    }
+
   def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    def ids(df: DataFrame): DataFrame = {
-      val (out, cpIds) = Dedup.trackedCheckpoint(df.select("doc_id"))
-      Dedup.trackStray(spark, cpIds)
-      out
-    }
-    // 1. rule quality
-    val s1 = ids(TextAnalysis.qualityTiers(spark, dir)
-      .filter(col("quality") === "ok"))
-    // 2. exact dedup, keeper re-elected within the survivors
-    val s2 = ids(docs.join(s1, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), md5(Dedup.normText(col("text"))).as("fp"))
-      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .filter(col("doc_id") === col("keep_id")))
-    // 3. near dedup off the maintained pair artifact
-    val nearVictims = Dedup.jaccardPairTable(spark, dir)
-      .filter(col("jaccard") >= 0.8)
-      .select(col("id_b").as("doc_id")).distinct()
-    val s3 = ids(s2.join(nearVictims, Seq("doc_id"), "left_anti"))
-    // 4. benchmark holdout + contaminated-train removal
-    val flagged = Curation.decontaminate(spark, dir)
-      .select(col("train_id").as("doc_id"))
-    val s4 = ids(s3.filter(col("doc_id") % Curation.EvalModulus =!= 0)
-      .join(flagged, Seq("doc_id"), "left_anti"))
-    // 5. distilled NB quality gate
-    val nbPass = TextAnalysis.nbQualityScore(spark, dir)
-      .filter(col("nb_pred") === "pass").select("doc_id")
-    val s5 = ids(s4.join(nbPass, Seq("doc_id"), "left_semi"))
-    // 6. language mix re-quota'd over the survivors
-    val s6 = ids(Curation.corpusMixOf(spark,
-      docs.join(s5, Seq("doc_id"), "left_semi").select(col("lang"), col("doc_id"))))
+    val s1 = stageIds(spark, dir, 1)
+    val s2 = stageIds(spark, dir, 2)
+    val s3 = stageIds(spark, dir, 3)
+    val s4 = stageIds(spark, dir, 4)
+    val s5 = stageIds(spark, dir, 5)
+    val s6 = stageIds(spark, dir, 6)
     // 7. pack the survivors' chunks into training shards
     val k = Curation.ChunkTokens
     val chunks = Curation.docToks(spark, dir)
@@ -129,6 +144,52 @@ object Pipeline {
         col("n").as("n_out"), lit(0L).as("n_dropped"))
     (docRows :+ splitRows).reduce(_.unionByName(_)).orderBy("stage_ord")
   }
+
+  /** Dataset card: per-(lang, source) docs / whitespace tokens / chars
+    * of the FINAL curated set — the datasheet a training-data release
+    * publishes next to its shards. Rides the memoized stage-6 survivor
+    * set, so accounting + card cost one chain per session. */
+  def pipelineCard(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Curation.docToks(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+    Tables.documents(spark, dir)
+      .join(stageIds(spark, dir, 6), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars").as("chars"))
+      .join(toks, Seq("doc_id"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"),
+        sum(col("chars")).cast("long").as("n_chars"))
+      .orderBy("lang", "source")
+  }
+
+  /** Export manifest: one row per packed training shard with counts,
+    * the doc-id span, and a deterministic content checksum (md5 over
+    * the shard's chunk hashes in (doc_id, chunk_idx) order) — what a
+    * training loader verifies before consuming a shard, and what makes
+    * a re-export byte-auditable without re-reading text. Shards are
+    * budget-bounded (≈ budget/ChunkTokens chunks each), so the per-
+    * shard collect_list is a small fixed-size group at ANY corpus
+    * size — no hot key. */
+  def packManifest(spark: SparkSession, dir: String,
+                   budget: Long = Curation.PackBudget): DataFrame = {
+    val chunks = Curation.chunkDocs(spark, dir)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_md5")
+    Curation.blockCumsum(chunks, expr("doc_id DIV 1024"),
+        Seq(col("doc_id"), col("chunk_idx")), col("n_tokens"))
+      .withColumn("shard", expr(s"(_cum - n_tokens) DIV $budget"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("chunk_idx"),
+            col("chunk_md5")))),
+          x => x.getField("chunk_md5")), "")).as("content_md5"))
+      .orderBy("shard")
+  }
 }
 
 /** Driver-contract registration + the composed DuckDB oracle: every
@@ -140,12 +201,17 @@ object Pipeline {
 object PipelineModule extends QueryModule {
 
   def queries = Map(
-    "q_pipeline_e2e" -> ((s: SparkSession, d: String) => Pipeline.pipelineE2e(s, d)))
+    "q_pipeline_e2e" -> ((s: SparkSession, d: String) => Pipeline.pipelineE2e(s, d)),
+    "q_pipeline_card" -> ((s: SparkSession, d: String) => Pipeline.pipelineCard(s, d)),
+    "q_pack_manifest" -> ((s: SparkSession, d: String) => Pipeline.packManifest(s, d)))
 
   private def mixValues: String = Curation.MixTargets
     .map { case (l, p) => s"('$l', $p)" }.mkString(", ")
 
-  private val e2eSql: String =
+  /** The shared stage-CTE chain (norm … s6, pack, split) — the e2e
+    * accounting query and the dataset card ride the same chained
+    * survivor derivation with different tails. */
+  private val e2eCtes: String =
     s"""WITH RECURSIVE ${DedupModule.ClusterCteSql},
        |pq AS (SELECT n.doc_id,
        |    CAST(len(n.toks) AS BIGINT) AS n_toks,
@@ -259,7 +325,10 @@ object PipelineModule extends QueryModule {
        |c4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s4),
        |c5 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s5),
        |c6 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s6),
-       |cp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pshards)
+       |cp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pshards)""".stripMargin
+
+  private val e2eSql: String =
+    s"""$e2eCtes
        |SELECT * FROM (
        |  SELECT 1 AS stage_ord, 'quality_rules' AS stage, 'docs' AS unit,
        |    c0.n AS n_in, c1.n AS n_out, c0.n - c1.n AS n_dropped FROM c0, c1
@@ -273,5 +342,36 @@ object PipelineModule extends QueryModule {
        |    'split_' || split, 'docs', c6.n, ssplit.n, CAST(0 AS BIGINT) FROM ssplit, c6)
        |ORDER BY stage_ord""".stripMargin
 
-  def oracles = Map("q_pipeline_e2e" -> e2eSql)
+  private val cardSql: String =
+    s"""$e2eCtes
+       |SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(n.toks)) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars
+       |FROM s6 JOIN documents d USING (doc_id) JOIN norm n USING (doc_id)
+       |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
+
+  private val manifestSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |           FROM documents),
+       |ch AS (SELECT doc_id, j AS chunk_idx,
+       |    least(${Curation.ChunkTokens}, len(toks) - j*${Curation.ChunkTokens}) AS n_tokens,
+       |    md5(array_to_string(toks[j*${Curation.ChunkTokens}+1 : j*${Curation.ChunkTokens}+${Curation.ChunkTokens}], ' ')) AS chunk_md5
+       |  FROM t, unnest(generate_series(0, (len(toks)-1)//${Curation.ChunkTokens})) AS u(j)),
+       |c AS (SELECT doc_id, chunk_idx, n_tokens, chunk_md5,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM ch)
+       |SELECT CAST((cum - n_tokens) // ${Curation.PackBudget} AS BIGINT) AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       |  CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       |  md5(string_agg(chunk_md5, '' ORDER BY doc_id, chunk_idx)) AS content_md5
+       |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+
+  def oracles = Map(
+    "q_pipeline_e2e" -> e2eSql,
+    "q_pipeline_card" -> cardSql,
+    "q_pack_manifest" -> manifestSql)
 }
