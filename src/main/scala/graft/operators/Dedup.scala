@@ -458,8 +458,10 @@ object Dedup {
         pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
       } finally pool.shutdown()
       // a full rebuild re-derives every geometry from the current
-      // corpus — any outstanding re-index recommendation is resolved
+      // corpus — any outstanding re-index recommendation is resolved,
+      // and the erased-fraction ledger restarts at this corpus size
       Reindex.clearAdvice(spark, indexDir)
+      if (withEmbeddings) Reindex.writeGeometryBaseline(spark, dir, indexDir)
     }
 
   /** Name → builder lookup over [[indexBuilders]] — shared by the
@@ -1032,6 +1034,7 @@ object Dedup {
         fs.delete(old, true)
       }
       Reindex.clearAdvice(spark, indexDir)
+      Reindex.writeGeometryBaseline(spark, dir, indexDir)
       releaseIndexes(spark)
       primeIndexes(spark, dir, indexDir)
     }
@@ -1132,19 +1135,23 @@ object Dedup {
           "simhashTable", "curationToks", "curationBpeToks")
           .foreach(a => filterRewrite(indexDir, a, keepDoc, batched = true))
       }
-      // measured BEFORE the rewrite: the erased fraction of the vector
-      // corpus decides whether the frozen geometry (plane count,
-      // quantizer models — kept by design, see below) still summarizes
-      // a corpus that meaningfully exists
-      val eraseFrac: Option[Double] = if (vecIds.isEmpty) None else {
+      // the fraction of the vector corpus erased decides whether the
+      // frozen geometry (plane count, quantizer models — kept by
+      // design, see below) still summarizes a corpus that meaningfully
+      // exists. Measured CUMULATIVELY against the corpus size the
+      // geometry was fitted on (the geometryBaseline marker): per-call
+      // fractions against the already-shrunken corpus would let four
+      // 20% erasures remove ~59% of the fitted corpus without ever
+      // tripping the 25% advice. Pre-rewrite counts taken here; the
+      // cumulative fraction resolves after the rewrite below.
+      val preCounts: Option[(Long, Long)] = if (vecIds.isEmpty) None else {
         val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
         if (!p.getFileSystem(hconf).exists(p)) None
         else {
           val emb = spark.read.parquet(p.toString)
           val pre = emb.count()
           if (pre == 0) None
-          else Some(emb.filter(col("vec_id").isInCollection(vecIds)).count()
-            .toDouble / pre)
+          else Some((pre, emb.filter(col("vec_id").isInCollection(vecIds)).count()))
         }
       }
       if (vecIds.nonEmpty) {
@@ -1173,11 +1180,20 @@ object Dedup {
       if (vecIds.nonEmpty)
         rederiveCorpusGlobal(spark, dir, indexDir, "labelCentroids", hconf)
       // the train-once models stay frozen through an erase by design
-      // (they store no erased row) — but past a threshold fraction the
-      // corpus they summarize no longer exists: surface the re-index
-      // recommendation instead of silently keeping stale geometry
-      eraseFrac.filter(_ >= Reindex.EraseReindexFrac).foreach { f =>
-        Reindex.writeAdvice(spark, indexDir, "erase", f)
+      // (they store no erased row) — but past a threshold CUMULATIVE
+      // fraction the corpus they summarize no longer exists: surface
+      // the re-index recommendation instead of silently keeping stale
+      // geometry. Cumulative = 1 − remaining/fitted-size when the
+      // baseline marker exists (pre-marker indexes fall back to the
+      // per-call fraction).
+      preCounts.foreach { case (pre, hit) =>
+        val frac = Reindex.readGeometryBaseline(spark, indexDir) match {
+          case Some(fitted) if fitted > 0 =>
+            1.0 - (pre - hit).toDouble / fitted
+          case _ => hit.toDouble / pre
+        }
+        if (frac >= Reindex.EraseReindexFrac)
+          Reindex.writeAdvice(spark, indexDir, "erase", frac)
       }
     }
 

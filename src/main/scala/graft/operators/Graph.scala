@@ -725,8 +725,13 @@ object Graph {
     * previous step. Memoizing PER STEP lets the community query and
     * its convergence trace share ONE superstep computation per
     * session, and a longer run (the iters = 6 collapse check) extends
-    * the cached prefix instead of recomputing it. Step tables are
-    * node-sized; releaseIndexes frees them with the rest of the memo. */
+    * the cached prefix instead of recomputing it. Footprint: unlike
+    * the old in-loop unpersist (≤2 tables live), all N+1 step tables
+    * stay resident until releaseIndexes — each is a (long, long) row
+    * per NODE (~25 MB serialized at the 1.6M-node probe tier), two
+    * orders below the edge artifact the session already persists for
+    * the supersteps, so the trade buys shared computation for a
+    * rounding-error of cache. */
   private def lpaLabels(spark: SparkSession, dir: String, i: Int): DataFrame =
     Dedup.memo(spark, s"lpaStep$i|$dir") {
       val en = edgeFracs(spark, dir)

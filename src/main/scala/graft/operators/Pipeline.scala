@@ -163,9 +163,12 @@ object Pipeline {
       .orderBy("lang", "source")
   }
 
-  /** Export manifest: one row per packed training shard with counts,
-    * the doc-id span, and a deterministic content checksum (md5 over
-    * the shard's chunk hashes in (doc_id, chunk_idx) order) — what a
+  /** Export manifest: one row per packed training shard of the
+    * PIPELINE'S CURATED SET (the stage-6 survivors — the same chunk
+    * stream the e2e accounting's pack stage counts, so manifest rows
+    * correspond 1:1 with stage 7's shard count) with counts, the
+    * doc-id span, and a deterministic content checksum (md5 over the
+    * shard's chunk hashes in (doc_id, chunk_idx) order) — what a
     * training loader verifies before consuming a shard, and what makes
     * a re-export byte-auditable without re-reading text. Shards are
     * budget-bounded (≈ budget/ChunkTokens chunks each), so the per-
@@ -174,6 +177,7 @@ object Pipeline {
   def packManifest(spark: SparkSession, dir: String,
                    budget: Long = Curation.PackBudget): DataFrame = {
     val chunks = Curation.chunkDocs(spark, dir)
+      .join(stageIds(spark, dir, 6), Seq("doc_id"), "left_semi")
       .select("doc_id", "chunk_idx", "n_tokens", "chunk_md5")
     Curation.blockCumsum(chunks, expr("doc_id DIV 1024"),
         Seq(col("doc_id"), col("chunk_idx")), col("n_tokens"))
@@ -239,44 +243,7 @@ object PipelineModule extends QueryModule {
        |s4 AS (SELECT doc_id FROM s3
        |       WHERE doc_id % ${Curation.EvalModulus} <> 0
        |         AND doc_id NOT IN (SELECT doc_id FROM dcflag)),
-       |nbgs AS (SELECT n.doc_id, n.toks,
-       |    CAST(len(n.toks) AS BIGINT) AS n_words,
-       |    round(CAST(list_sum(list_transform(n.toks, t2 -> length(t2))) AS DOUBLE)
-       |      / len(n.toks), 6) AS mean_word_len,
-       |    round(CAST(length(regexp_replace(d.text, '[^#]', '', 'g'))
-       |        + CAST((length(d.text) - length(replace(d.text, '...', ''))) / 3 AS INTEGER)
-       |        + length(regexp_replace(d.text, '[^…]', '', 'g')) AS DOUBLE)
-       |      / len(n.toks), 6) AS symbol_ratio,
-       |    round(CAST(len(list_filter(n.toks, t2 -> regexp_matches(t2, '[a-z]'))) AS DOUBLE)
-       |      / len(n.toks), 6) AS alpha_frac,
-       |    CAST(len(list_filter(n.toks,
-       |      t2 -> t2 IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
-       |  FROM norm n JOIN documents d USING (doc_id)),
-       |nbq AS (SELECT doc_id, toks,
-       |    CASE WHEN n_words BETWEEN ${TextAnalysis.GopherMinWords} AND ${TextAnalysis.GopherMaxWords}
-       |         AND mean_word_len BETWEEN ${TextAnalysis.GopherMinMeanLen} AND ${TextAnalysis.GopherMaxMeanLen}
-       |         AND symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
-       |         AND alpha_frac >= ${TextAnalysis.GopherMinAlphaFrac}
-       |         AND n_stop >= ${TextAnalysis.GopherMinStopHits}
-       |    THEN 'pass' ELSE 'reject' END AS teacher
-       |  FROM nbgs),
-       |nbex AS (SELECT teacher = 'pass' AS is_ok, unnest(toks) AS term FROM nbq),
-       |nbcounts AS (SELECT term,
-       |    CAST(SUM(CASE WHEN is_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       |    CAST(SUM(CASE WHEN is_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_reject
-       |  FROM nbex GROUP BY term),
-       |nbtots AS (SELECT SUM(n_pass) AS n_pass_tot, SUM(n_reject) AS n_reject_tot,
-       |    COUNT(*) AS v FROM nbcounts),
-       |nbdtots AS (SELECT
-       |    CAST(SUM(CASE WHEN teacher = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_docs,
-       |    CAST(SUM(CASE WHEN teacher = 'pass' THEN 0 ELSE 1 END) AS BIGINT) AS n_reject_docs
-       |  FROM nbq),
-       |nbmodel AS (SELECT term, n_pass, n_reject,
-       |    round(ln(CAST(n_pass + 1 AS DOUBLE) / (n_pass_tot + v)) -
-       |          ln(CAST(n_reject + 1 AS DOUBLE) / (n_reject_tot + v)), 9) AS llr
-       |  FROM nbcounts, nbtots),
-       |nbprior AS (SELECT round(ln(CAST(n_pass_docs + 1 AS DOUBLE) / (n_reject_docs + 1)), 9) AS llr
-       |  FROM nbdtots),
+       |${TextAnalysisModule.nbModelCtesWith("nb")},
        |nbscores AS (SELECT e2.doc_id, SUM(CAST(m.llr AS DECIMAL(28,9))) AS sdec
        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nbq) e2
        |  JOIN nbmodel m USING (term)
@@ -302,10 +269,11 @@ object PipelineModule extends QueryModule {
        |s6 AS (SELECT mr.doc_id FROM mr JOIN mquota ON mr.lang = mquota.lang
        |       WHERE rk <= n_keep),
        |pch AS (SELECT n.doc_id, j AS chunk_idx,
-       |    least(${Curation.ChunkTokens}, len(n.toks) - j*${Curation.ChunkTokens}) AS n_tokens
+       |    least(${Curation.ChunkTokens}, len(n.toks) - j*${Curation.ChunkTokens}) AS n_tokens,
+       |    md5(array_to_string(n.toks[j*${Curation.ChunkTokens}+1 : j*${Curation.ChunkTokens}+${Curation.ChunkTokens}], ' ')) AS chunk_md5
        |  FROM norm n JOIN s6 USING (doc_id),
        |    unnest(generate_series(0, (len(n.toks)-1)//${Curation.ChunkTokens})) AS u(j)),
-       |pcum AS (SELECT doc_id, chunk_idx, n_tokens,
+       |pcum AS (SELECT doc_id, chunk_idx, n_tokens, chunk_md5,
        |    SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM pch),
@@ -351,16 +319,7 @@ object PipelineModule extends QueryModule {
        |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
 
   private val manifestSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-       |           FROM documents),
-       |ch AS (SELECT doc_id, j AS chunk_idx,
-       |    least(${Curation.ChunkTokens}, len(toks) - j*${Curation.ChunkTokens}) AS n_tokens,
-       |    md5(array_to_string(toks[j*${Curation.ChunkTokens}+1 : j*${Curation.ChunkTokens}+${Curation.ChunkTokens}], ' ')) AS chunk_md5
-       |  FROM t, unnest(generate_series(0, (len(toks)-1)//${Curation.ChunkTokens})) AS u(j)),
-       |c AS (SELECT doc_id, chunk_idx, n_tokens, chunk_md5,
-       |    SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM ch)
+    s"""$e2eCtes
        |SELECT CAST((cum - n_tokens) // ${Curation.PackBudget} AS BIGINT) AS shard,
        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
@@ -368,7 +327,7 @@ object PipelineModule extends QueryModule {
        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
        |  md5(string_agg(chunk_md5, '' ORDER BY doc_id, chunk_idx)) AS content_md5
-       |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+       |FROM pcum GROUP BY 1 ORDER BY shard""".stripMargin
 
   def oracles = Map(
     "q_pipeline_e2e" -> e2eSql,

@@ -38,7 +38,10 @@ object PipelineScaleProbe {
         .select((col("doc_id") + col("r") * nDocs).as("doc_id"),
           concat(col("text"), lit(" rep"), col("r")).as("text"),
           col("lang"), col("source"),
-          (col("n_chars") + lit(6)).as("n_chars"))
+          // " rep" + the replica digits — exact, so n_chars consumers
+          // (card sums, PPS weights) stay consistent with the text
+          (col("n_chars") + lit(4) +
+            length(col("r").cast("string"))).as("n_chars"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
     val out = t(s"pipelineE2e end-to-end (${mult * nDocs} docs)") {

@@ -46,15 +46,22 @@ object Reindex {
   private[graft] val AdviceArtifact = "reindexAdvice.parquet"
 
   /** ⌈log₂⌈n/target⌉⌉ clamped to the plane-count band, as a PLAN
-    * expression — the in-plan twin of Similarity.hForCount. The log2
-    * form is safe here: the driver's test corpora sit far inside the
-    * floor region (n ≤ 8192 → 8), and at scale a one-step boundary
-    * wobble only moves WHEN the monitor recommends, never what the
-    * serving geometry is (that stays artifact-frozen). */
-  private def hTargetExpr(nVecs: Column): Column =
+    * expression — the in-plan twin of Similarity.hForCount, INTEGER
+    * arithmetic like the Scala original: bit length via the binary
+    * string (`length(bin(cells-1))`, which both engines derive
+    * exactly). A float log2 here could flap at an exact power-of-two
+    * boundary — the monitor recommending a rebuild that hForCount's
+    * integer sizing then doesn't perform, forever. */
+  private def hTargetExpr(nVecs: Column): Column = {
+    val occ = Similarity.TargetBucketOccupancy.toLong
+    // ceil-division via floor on doubles is exact at any real corpus
+    // count (≪ 2^53); the bit length itself is pure integer/string work
+    val cells = greatest(lit(1L),
+      floor((nVecs.cast("double") + (occ - 1)) / occ).cast("long"))
     greatest(lit(Similarity.NumPlanes), least(lit(Similarity.MaxPlanes),
-      ceil(log2(ceil(nVecs.cast("double") /
-        Similarity.TargetBucketOccupancy))).cast("int")))
+      when(cells <= 1, lit(0))
+        .otherwise(length(bin(cells - 1))).cast("int")))
+  }
 
   /** clamp(4·⌈√n⌉, 16, 4096) — the in-plan twin of
     * SimilarityIvf.corpusK (raw corpus count, FAISS sizing band). */
@@ -71,6 +78,8 @@ object Reindex {
       count(lit(1)).cast("long").as("n_buckets"),
       sum("c").cast("long").as("total"),
       max("c").cast("long").as("max_occ"))
+      // empty family → no row (see the lsh twin's note)
+      .filter(col("total").isNotNull && col("total") > 0)
 
   private def occCols: Seq[Column] = Seq(
     col("n_buckets"),
@@ -99,11 +108,16 @@ object Reindex {
     // the bucket-string length — the artifact's own geometry
     def lOcc = Similarity.lshBuckets(spark, dir)
       .groupBy("table_idx", "bucket").agg(count(lit(1)).as("c"))
+    // an EMPTY index family (e.g. every vector erased while the
+    // artifact file remains) emits NO row rather than a NULL-filled
+    // one — division by zero buckets has no cross-engine-stable value
+    // and callers read typed columns
     def lAgg = lOcc.groupBy().agg(
       count(lit(1)).cast("long").as("n_buckets"),
       sum("c").cast("long").as("total"),
       max("c").cast("long").as("max_occ"),
       min(length(col("bucket"))).cast("int").as("built_h"))
+      .filter(col("total").isNotNull && col("total") > 0)
     def lshRow = lAgg
       .withColumn("n_vecs", expr(s"total div ${Similarity.NumTables}"))
       .select(Seq(
@@ -148,6 +162,32 @@ object Reindex {
       .collect { case (n, f) if families(n) => f() }
     require(rows.nonEmpty, s"geometryDrift: no known family in $families")
     rows.reduce(_.unionByName(_)).orderBy("family")
+  }
+
+  /** Marker naming the vector-corpus size the frozen geometry was
+    * FITTED on — written by writeIndexes/reindexArtifacts, read by
+    * eraseDocuments so the erased fraction accumulates ACROSS calls:
+    * without it, repeated sub-threshold erasures (4 × 20%) would never
+    * trip the advice although ~59% of the corpus the quantizers
+    * summarize is gone. */
+  private[graft] val BaselineArtifact = "geometryBaseline.parquet"
+
+  private[operators] def writeGeometryBaseline(spark: SparkSession, dir: String,
+                                               indexDir: String): Unit = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Seq(spark.read.parquet(p.toString).count()).toDF("n_vecs")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/$BaselineArtifact")
+  }
+
+  private[operators] def readGeometryBaseline(spark: SparkSession,
+                                              indexDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$BaselineArtifact")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.parquet(p.toString).collect().headOption.map(_.getLong(0))
   }
 
   /** Write the advice marker under `indexDir` — one row naming why a

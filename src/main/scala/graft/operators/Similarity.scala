@@ -2373,12 +2373,17 @@ object SimilarityModule extends QueryModule {
          |            FROM ${p}assign GROUP BY cell),
          |${p}agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
          |                   CAST(SUM(c) AS BIGINT) AS total,
-         |                   CAST(MAX(c) AS BIGINT) AS max_occ FROM ${p}occ)""".stripMargin
+         |                   CAST(MAX(c) AS BIGINT) AS max_occ FROM ${p}occ
+         |            HAVING COUNT(*) > 0)""".stripMargin
     }
     val tables = Similarity.NumTables
     val occT = Similarity.TargetBucketOccupancy
+    // integer bit-length target (length of the binary string), the
+    // exact twin of hForCount — a float log2 could flap at an exact
+    // power-of-two boundary
+    val hCells = s"GREATEST(1, (total // $tables + ${occT - 1}) // $occT)"
     val hTarget = s"GREATEST(${Similarity.NumPlanes}, LEAST(${Similarity.MaxPlanes}, " +
-      s"CAST(ceil(log2(ceil(CAST(total // $tables AS DOUBLE) / $occT))) AS INT)))"
+      s"CAST(CASE WHEN $hCells <= 1 THEN 0 ELSE length(bin($hCells - 1)) END AS INT)))"
     val kTarget = "GREATEST(16, LEAST(4096, CAST(ceil(sqrt(CAST(n AS DOUBLE))) * 4 AS INT)))"
     val skew = "round(CAST(max_occ AS DOUBLE) * n_buckets / total, 6)"
     s"""WITH $eCte,
@@ -2389,7 +2394,7 @@ object SimilarityModule extends QueryModule {
        |                CAST(SUM(c) AS BIGINT) AS total,
        |                CAST(MAX(c) AS BIGINT) AS max_occ,
        |                CAST(MIN(length(bucket)) AS INT) AS built_h
-       |         FROM locc),
+       |         FROM locc HAVING COUNT(*) > 0),
        |${assignCtes(SimilarityIvf.centroids, "s")},
        |${assignCtes(cents, "f")},
        |nraw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)

@@ -803,17 +803,20 @@ object TextAnalysis {
 object TextAnalysisModule extends QueryModule {
   import TextAnalysis._
 
-  /** Shared CTE chain replaying the NB quality model in SQL: teacher
-    * labels from the SAME Gopher rule chain as q_quality_gopher,
-    * class-conditional term counts, smoothed log-likelihood ratios
-    * (each ratio ≤ 1 — no product overflow), and the doc-count prior.
-    * Every nb oracle nests this verbatim, so the DuckDB side
-    * re-TRAINS the model independently rather than echoing the
-    * persisted artifact. */
-  private val nbModelCtes =
-    s"""WITH d AS (SELECT doc_id, text,
+  /** Shared CTE chain replaying the NB quality model in SQL, every CTE
+    * name prefixed by `p`: teacher labels from the SAME Gopher rule
+    * chain as q_quality_gopher, class-conditional term counts,
+    * smoothed log-likelihood ratios (each ratio ≤ 1 — no product
+    * overflow), and the doc-count prior. Every nb oracle nests this
+    * verbatim (p = ""), so the DuckDB side re-TRAINS the model
+    * independently rather than echoing the persisted artifact; the
+    * e2e pipeline oracle nests it prefixed (p = "nb") — ONE statement
+    * of the replay, so a model change can never silently diverge the
+    * two. */
+  private[operators] def nbModelCtesWith(p: String): String =
+    s"""${p}d AS (SELECT doc_id, text,
       |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
-      |gs AS (SELECT doc_id, toks,
+      |${p}gs AS (SELECT doc_id, toks,
       |  CAST(len(toks) AS BIGINT) AS n_words,
       |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
       |    / len(toks), 6) AS mean_word_len,
@@ -825,32 +828,34 @@ object TextAnalysisModule extends QueryModule {
       |    / len(toks), 6) AS alpha_frac,
       |  CAST(len(list_filter(toks,
       |    t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
-      |  FROM d),
-      |q AS (SELECT doc_id, toks,
+      |  FROM ${p}d),
+      |${p}q AS (SELECT doc_id, toks,
       |  CASE WHEN n_words BETWEEN ${TextAnalysis.GopherMinWords} AND ${TextAnalysis.GopherMaxWords}
       |       AND mean_word_len BETWEEN ${TextAnalysis.GopherMinMeanLen} AND ${TextAnalysis.GopherMaxMeanLen}
       |       AND symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
       |       AND alpha_frac >= ${TextAnalysis.GopherMinAlphaFrac}
       |       AND n_stop >= ${TextAnalysis.GopherMinStopHits}
       |  THEN 'pass' ELSE 'reject' END AS teacher
-      |  FROM gs),
-      |ex AS (SELECT teacher = 'pass' AS is_ok, unnest(toks) AS term FROM q),
-      |counts AS (SELECT term,
+      |  FROM ${p}gs),
+      |${p}ex AS (SELECT teacher = 'pass' AS is_ok, unnest(toks) AS term FROM ${p}q),
+      |${p}counts AS (SELECT term,
       |    CAST(SUM(CASE WHEN is_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
       |    CAST(SUM(CASE WHEN is_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_reject
-      |  FROM ex GROUP BY term),
-      |tots AS (SELECT SUM(n_pass) AS n_pass_tot, SUM(n_reject) AS n_reject_tot,
-      |    COUNT(*) AS v FROM counts),
-      |dtots AS (SELECT
+      |  FROM ${p}ex GROUP BY term),
+      |${p}tots AS (SELECT SUM(n_pass) AS n_pass_tot, SUM(n_reject) AS n_reject_tot,
+      |    COUNT(*) AS v FROM ${p}counts),
+      |${p}dtots AS (SELECT
       |    CAST(SUM(CASE WHEN teacher = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_docs,
       |    CAST(SUM(CASE WHEN teacher = 'pass' THEN 0 ELSE 1 END) AS BIGINT) AS n_reject_docs
-      |  FROM q),
-      |model AS (SELECT term, n_pass, n_reject,
+      |  FROM ${p}q),
+      |${p}model AS (SELECT term, n_pass, n_reject,
       |    round(ln(CAST(n_pass + 1 AS DOUBLE) / (n_pass_tot + v)) -
       |          ln(CAST(n_reject + 1 AS DOUBLE) / (n_reject_tot + v)), 9) AS llr
-      |  FROM counts, tots),
-      |prior AS (SELECT round(ln(CAST(n_pass_docs + 1 AS DOUBLE) / (n_reject_docs + 1)), 9) AS llr
-      |  FROM dtots)""".stripMargin
+      |  FROM ${p}counts, ${p}tots),
+      |${p}prior AS (SELECT round(ln(CAST(n_pass_docs + 1 AS DOUBLE) / (n_reject_docs + 1)), 9) AS llr
+      |  FROM ${p}dtots)""".stripMargin
+
+  private val nbModelCtes = "WITH " + nbModelCtesWith("")
 
   def queries = Map(
     "q_text_stats" -> ((s: SparkSession, d: String) => textStats(s, d)),

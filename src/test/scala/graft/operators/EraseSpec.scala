@@ -140,25 +140,35 @@ class EraseSpec extends SparkSpec {
       "idempotent re-erase must not change the artifact")
   }
 
-  test("erasing past the threshold fraction surfaces a re-index recommendation") {
+  test("erasure surfaces a re-index recommendation at the CUMULATIVE threshold") {
     val dir = mkCorpus()
     val idx = java.nio.file.Files.createTempDirectory("graft-erase-advice").toString
-    Dedup.writeIndexes(spark, dir, idx)
-    // below threshold: 2 of 30 vectors (6.7% < 25%) — no marker; the
-    // frozen models still summarize the corpus
+    Dedup.writeIndexes(spark, dir, idx) // geometry fitted on 30 vectors
+    // below threshold: 2 of the 30 fitted vectors (6.7% < 25%) — no
+    // marker; the frozen models still summarize the corpus
     Dedup.eraseDocuments(spark, dir, idx, Nil, vecIds = Seq(28L, 29L))
     assert(Reindex.readAdvice(spark, idx).isEmpty,
       "small erase must not recommend a reindex")
-    // past threshold: 10 of the remaining 28 (35.7%) — the marker
-    // lands with the measured fraction
-    Dedup.eraseDocuments(spark, dir, idx, Nil, vecIds = (10L to 19L))
+    // a SECOND sub-25% erase (5 more → cumulative 7/30 = 23.3%) still
+    // stays silent — but the fraction is measured against the FITTED
+    // size, not the shrunken corpus
+    Dedup.eraseDocuments(spark, dir, idx, Nil, vecIds = (23L to 27L))
+    assert(Reindex.readAdvice(spark, idx).isEmpty,
+      s"cumulative 23.3% must stay below the 25% threshold")
+    // one more small erase crosses cumulatively (9/30 = 30%) although
+    // this call alone removes only 2 of the remaining 23 (8.7%) — the
+    // accumulation is exactly what a per-call fraction would miss
+    Dedup.eraseDocuments(spark, dir, idx, Nil, vecIds = Seq(21L, 22L))
     val advice = Reindex.readAdvice(spark, idx)
     assert(advice.exists { case (reason, frac) =>
-      reason == "erase" && frac > 0.3 && frac < 0.4 }, s"advice wrong: $advice")
-    // the re-index verb resolves the recommendation
+      reason == "erase" && math.abs(frac - 0.3) < 1e-9 }, s"advice wrong: $advice")
+    // the re-index verb resolves the recommendation and restarts the
+    // ledger at the reduced corpus
     Dedup.reindexArtifacts(spark, dir, idx)
     assert(Reindex.readAdvice(spark, idx).isEmpty,
       "reindex must clear the advice marker")
+    assert(Reindex.readGeometryBaseline(spark, idx).contains(21L),
+      "reindex must restart the erased-fraction ledger at the refit size")
     Dedup.releaseIndexes(spark)
     Similarity.invalidateCorpusH(spark, dir)
     SimilarityIvf.invalidateCorpusK(spark, dir)

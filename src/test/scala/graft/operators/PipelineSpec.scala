@@ -32,6 +32,12 @@ class PipelineSpec extends SparkSpec {
     splits.foreach(r => assert(r._4 == byOrd(6)._5))
     // something real survives, something real is dropped
     assert(byOrd(6)._5 > 0 && byOrd(1)._4 > byOrd(6)._5)
+    // the export manifest enumerates EXACTLY the shards stage 7
+    // accounts for — same survivor chunk stream, same packing
+    val manifest = Pipeline.packManifest(spark, sf("sf0.01")).collect()
+    assert(manifest.length.toLong == byOrd(7)._5,
+      s"manifest ${manifest.length} shards != stage-7 ${byOrd(7)._5}")
+    assert(manifest.map(_.getLong(2)).sum > 0) // n_tokens flows
     Dedup.releaseIndexes(spark)
   }
 }
