@@ -981,7 +981,15 @@ object Dedup {
     * missing artifact is restored before the swap). Document-side
     * artifacts (shingles, bands, pair table, tokenizer) are untouched:
     * their geometry is not corpus-sized. Clears the erase-advice
-    * marker — the rebuild is what the marker asked for. */
+    * marker — the rebuild is what the marker asked for — and restarts
+    * the erased-fraction ledger (geometryBaseline) at the refit
+    * corpus size.
+    *
+    * Reader contract: compaction's — the swap deletes files other
+    * sessions' pinned listings may reference; a primed batch session
+    * fails its next read loudly (FileNotFoundException, never silently
+    * stale) and recovers with releaseIndexes + primeIndexes; restart
+    * streams around the maintenance window. */
   def reindexArtifacts(spark: SparkSession, dir: String, indexDir: String): Unit =
     IndexLease.withExclusive(spark, indexDir, "reindexArtifacts") {
       val hconf = spark.sparkContext.hadoopConfiguration
