@@ -27,12 +27,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Parity contract (pinned by LshGeometrySpec + the static SQL
   * oracles): per plane, bit = '1' iff the left-to-right double dot
-  * product is >= 0 — the accumulation order and float→double widening
-  * of ArrayDotProduct, over the SAME plane doubles in the same order.
-  * A NULL vector, a length≠dim vector, or any NULL element yields the
-  * all-zero bucket in every table — exactly what the old
-  * `when(dot >= 0, "1").otherwise("0")` chain produced when the dot
-  * came back NULL. The output array is therefore never NULL.
+  * product is >= 0 UNDER SPARK'S COMPARISON SEMANTICS — the
+  * accumulation order and float→double widening of ArrayDotProduct,
+  * over the SAME plane doubles in the same order. Spark orders NaN
+  * above every double (`NaN >= 0` is true), so an accumulated NaN dot
+  * (a NaN component, or ±Inf components cancelling) emits '1' — a raw
+  * Java `acc >= 0` would emit '0' and split such a vector across the
+  * fused/composed boundary: pre-fusion persisted buckets and
+  * post-fusion appends/stream probes would never collide for it
+  * (embBase's `nrm > 0` filter does NOT exclude non-finite vectors;
+  * NaN > 0 is true in Spark too). A NULL vector, a length≠dim vector,
+  * or any NULL element yields the all-zero bucket in every table —
+  * exactly what the old `when(dot >= 0, "1").otherwise("0")` chain
+  * produced when the dot came back NULL. The output array is
+  * therefore never NULL.
   *
   * `planes` is flattened [table][plane][component] — length must be
   * numTables × h × dim. Seq (not Array) so structural equality keeps
@@ -93,7 +101,9 @@ case class LshBucketStrings(child: Expression, planes: Seq[Double],
           var acc = 0.0
           var i = 0
           while (i < dim) { acc += local(i) * flat(off + i); i += 1 }
-          if (acc >= 0) bit = '1'
+          // Spark double comparison: NaN sorts above everything, so
+          // NaN >= 0 is TRUE — match it (see the parity contract above)
+          if (acc >= 0 || java.lang.Double.isNaN(acc)) bit = '1'
         }
         bits(p) = bit
         p += 1
@@ -146,7 +156,7 @@ case class LshBucketStrings(child: Expression, planes: Seq[Double],
               for (int $i = 0; $i < $dim; $i++) {
                 $acc += $local[$i] * $planesRef[$off + $i];
               }
-              if ($acc >= 0) ${bits}_b = '1';
+              if ($acc >= 0 || java.lang.Double.isNaN($acc)) ${bits}_b = '1';
             }
             $bits[$p] = ${bits}_b;
           }

@@ -246,7 +246,20 @@ object Dedup {
       indexCache.remove(k)
       Option(indexRdds.remove(k)).foreach(unpersistIds(spark, _))
     }
+    primedDirs.keySet.asScala.filter(_.startsWith(prefix)).toList
+      .foreach(primedDirs.remove)
   }
+
+  /** Which index directory a corpus dir was primed from — recorded by
+    * primeIndexes, living exactly as long as the primed memos. The
+    * online-serving heads use it to consult the directory's
+    * reindex-advice marker: a serve on an index the engine itself has
+    * flagged stale must DISCLOSE that (log + ServeStatus side report)
+    * instead of silently returning degraded-recall results. */
+  private val primedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def primedIndexDir(spark: SparkSession, dir: String): Option[String] =
+    Option(primedDirs.get(s"${sessionKey(spark)}|$dir"))
 
   /** Seed the memo cache with an externally materialized table (e.g. a
     * parquet-backed index loaded by primeIndexes) — no checkpoint ids
@@ -459,9 +472,15 @@ object Dedup {
       } finally pool.shutdown()
       // a full rebuild re-derives every geometry from the current
       // corpus — any outstanding re-index recommendation is resolved,
-      // and the erased-fraction ledger restarts at this corpus size
+      // and the erased-fraction ledger restarts at this corpus size.
+      // A crashed reindex's in-progress marker resolves too — but ONLY
+      // when the embedding family (the artifacts that marker brackets)
+      // was actually rebuilt here.
       Reindex.clearAdvice(spark, indexDir)
-      if (withEmbeddings) Reindex.writeGeometryBaseline(spark, dir, indexDir)
+      if (withEmbeddings) {
+        Reindex.clearInProgress(spark, indexDir)
+        Reindex.writeGeometryBaseline(spark, dir, indexDir)
+      }
     }
 
   /** Name → builder lookup over [[indexBuilders]] — shared by the
@@ -664,6 +683,39 @@ object Dedup {
           .parquet(s"$indexDir/labelCentroids.parquet/batch_id=base")
       }
       unpersistIds(spark, baseIds)
+      // the GROWTH half of the re-index advice loop (the erase half
+      // lives in eraseDocuments): the batch was bucketed under the
+      // frozen build-time geometry by design, but once the appended
+      // corpus crosses an h/k sizing boundary the frozen geometry is
+      // stale — occupancy grows linearly past the target and serving
+      // degrades with nothing measuring it unless someone happens to
+      // run the geometryDrift report. Leave the same advice marker the
+      // erase path writes; reindexArtifacts resolves and clears it.
+      // Counts come from parquet FOOTERS (row-count metadata, no data
+      // read): the bucket artifact's rows/NumTables is the monitor's
+      // own n_vecs arithmetic, the raw embeddings count is corpusK's
+      // own input — an append never pays a corpus scan for this.
+      Similarity.artifactH(spark, indexDir).foreach { builtH =>
+        val nVecs = spark.read
+          .parquet(s"$indexDir/lshBuckets.parquet").count() / Similarity.NumTables
+        val targetH = Similarity.hForCount(nVecs)
+        if (targetH != builtH)
+          Reindex.writeAdvice(spark, indexDir, "append", targetH.toDouble)
+      }
+      // k = 4·⌈√N⌉ moves a little on almost every append, so the k
+      // check uses the FAISS sizing band, not exact equality: advice
+      // only when the target escapes [built/2, built·2] — i.e. the
+      // corpus quartered/quadrupled since the fit. (h is exact: the
+      // plane count only moves at power-of-two occupancy boundaries,
+      // so any change IS substantial. The geometryDrift REPORT keeps
+      // exact inequality — it informs; this marker pushes.)
+      SimilarityIvf.readCentroidArtifact(spark, indexDir).foreach { cents =>
+        val nRaw = Tables.embeddings(spark, dir)
+          .select(col("vec_id")).count()
+        val targetK = SimilarityIvf.kForCount(nRaw)
+        if (targetK >= 2 * cents.length || 2 * targetK <= cents.length)
+          Reindex.writeAdvice(spark, indexDir, "append", targetK.toDouble)
+      }
     }
     // Re-derive the corpus-global pair table from the appended per-doc
     // artifacts: serve them from parquet, drop the stale pair entry,
@@ -1031,7 +1083,15 @@ object Dedup {
           f"[reindexArtifacts] $n%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       }
       // phase 2: swap each artifact in (two renames; at every instant a
-      // complete generation exists on disk)
+      // complete generation exists on disk). The whole swap window is
+      // bracketed by the in-progress marker: every file exists at every
+      // instant, so a crash BETWEEN two artifacts' swaps leaves a
+      // mixed-generation index nothing would fail loudly on — e.g. new
+      // centroids already in while the cell table still holds old-
+      // geometry assignments. primeIndexes refuses to prime while the
+      // marker stands; re-running this verb (which rebuilds every
+      // artifact from the corpus) is the repair and clears it.
+      Reindex.writeInProgress(spark, indexDir)
       present.foreach { n =>
         val p = path(n)
         val stage = new org.apache.hadoop.fs.Path(s"$indexDir/.reindex-$n.parquet")
@@ -1043,6 +1103,7 @@ object Dedup {
       }
       Reindex.clearAdvice(spark, indexDir)
       Reindex.writeGeometryBaseline(spark, dir, indexDir)
+      Reindex.clearInProgress(spark, indexDir)
       releaseIndexes(spark)
       primeIndexes(spark, dir, indexDir)
     }
@@ -1191,13 +1252,18 @@ object Dedup {
       // (they store no erased row) — but past a threshold CUMULATIVE
       // fraction the corpus they summarize no longer exists: surface
       // the re-index recommendation instead of silently keeping stale
-      // geometry. Cumulative = 1 − remaining/fitted-size when the
-      // baseline marker exists (pre-marker indexes fall back to the
-      // per-call fraction).
+      // geometry. The ledger accumulates an EXPLICIT erased counter
+      // against the fitted corpus size: deriving the fraction from the
+      // remaining row count (the pre-r16 formulation) let appends
+      // dilute it — fit 1000, append 1000, erase the original 1000
+      // read as 0% although 100% of the fitted corpus was gone.
+      // Pre-ledger indexes fall back to the per-call fraction.
       preCounts.foreach { case (pre, hit) =>
-        val frac = Reindex.readGeometryBaseline(spark, indexDir) match {
-          case Some(fitted) if fitted > 0 =>
-            1.0 - (pre - hit).toDouble / fitted
+        val frac = Reindex.readGeometryLedger(spark, indexDir) match {
+          case Some((fitted, erased)) if fitted > 0 =>
+            val total = erased + hit
+            Reindex.writeGeometryLedger(spark, indexDir, fitted, total)
+            total.toDouble / fitted
           case _ => hit.toDouble / pre
         }
         if (frac >= Reindex.EraseReindexFrac)
@@ -1211,6 +1277,21 @@ object Dedup {
     * residency) instead of rebuilding. Missing artifacts are simply
     * skipped — the builder runs on first use as usual. */
   def primeIndexes(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    // A standing reindex-in-progress marker means a prior
+    // reindexArtifacts died inside its phase-2 swap window (or one is
+    // live RIGHT NOW): the on-disk artifacts may mix two geometry
+    // generations — every file exists, so nothing downstream would
+    // fail loudly; a primed session would silently serve ANN results
+    // with collapsed recall. Fail here, at the one entry point every
+    // consumer passes through, and name the repair. (Leftover
+    // `.reindex-*` STAGE dirs without the marker are a phase-1 crash —
+    // the live artifacts are still one consistent generation, so
+    // priming is safe; reindexArtifacts reclaims the stages itself.)
+    require(!Reindex.inProgress(spark, indexDir),
+      s"primeIndexes: $indexDir/${Reindex.InProgressMarker} present — a geometry " +
+        "re-index crashed mid-swap (or is running); the artifacts may mix two " +
+        "generations. Re-run Dedup.reindexArtifacts to rebuild and clear it.")
+    primedDirs.put(s"${sessionKey(spark)}|$dir", indexDir)
     // the bucketed by-src superstep layout (validity-checked against
     // the current edge artifact generation; silently skipped when
     // stale or bucket-count-mismatched — the session path rebuilds)

@@ -276,6 +276,40 @@ object Events {
       .orderBy("error_id", "click_id")
   }
 
+  /** Batch twin of the LEFT OUTER stream-stream interval join
+    * (EventStreams.errorClickJoinOuter): every error event paired with
+    * the same user's clicks in the preceding hour — PLUS one
+    * null-click row for every error with NO click in the horizon (the
+    * unmatched-error half the inner join drops: "errors with no
+    * preceding interaction" is the question an incident pipeline
+    * actually asks). On the stream side the null row can only emit
+    * once the click watermark has passed the error's horizon (the
+    * match could still arrive until then) — EventStreamsSpec pins
+    * exactly that emission timing against THIS twin. Plan shape at
+    * scale: same user-keyed equi-join as the inner twin (the interval
+    * bound a post-join filter); the null-extension adds no extra
+    * shuffle. Ordering pins null click ids FIRST in both engines
+    * (Spark's ASC default; DuckDB needs it stated). */
+  def errorClickPairsOuter(spark: SparkSession, dir: String): DataFrame =
+    errorClickPairsOuterOf(Tables.events(spark, dir))
+
+  private[graft] def errorClickPairsOuterOf(ev: DataFrame): DataFrame = {
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    errors.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") <= col("error_ts") &&
+          col("click_ts") >= col("error_ts") - expr("INTERVAL 1 hour"),
+        "left_outer")
+      .select(col("error_id"), col("user_id"), col("error_ts"),
+        col("click_id"), col("click_ts"))
+      .orderBy(col("error_id").asc, col("click_id").asc_nulls_first)
+  }
+
   /** EWMA half-life constants: round(0.9^j, 12) for j = 0..19, newest
     * first — inlined as literals (not `pow`) so both engines weight
     * with the IDENTICAL doubles; a libm pow divergence can't exist
@@ -384,7 +418,8 @@ object EventsModule extends QueryModule {
     "q_events_gapfill" -> ((s: SparkSession, d: String) => gapfillDaily(s, d)),
     "q_events_ewma" -> ((s: SparkSession, d: String) => ewmaLatest(s, d)),
     "q_events_mad" -> ((s: SparkSession, d: String) => valueMadOutliers(s, d)),
-    "q_events_stream_join" -> ((s: SparkSession, d: String) => errorClickPairs(s, d)))
+    "q_events_stream_join" -> ((s: SparkSession, d: String) => errorClickPairs(s, d)),
+    "q_events_stream_join_outer" -> ((s: SparkSession, d: String) => errorClickPairsOuter(s, d)))
 
   /** The EWMA weight table as a VALUES list — same literals the Spark
     * side broadcasts. */
@@ -404,6 +439,14 @@ object EventsModule extends QueryModule {
         | AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
         |WHERE e.event_type = 'error'
         |ORDER BY error_id, click_id""".stripMargin,
+    "q_events_stream_join_outer" ->
+      """SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = e.user_id
+        | AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
+        |ORDER BY error_id ASC, click_id ASC NULLS FIRST""".stripMargin,
     "q_events_mad" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |  FROM events GROUP BY 1),

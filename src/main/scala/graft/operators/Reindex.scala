@@ -164,30 +164,84 @@ object Reindex {
     rows.reduce(_.unionByName(_)).orderBy("family")
   }
 
-  /** Marker naming the vector-corpus size the frozen geometry was
-    * FITTED on — written by writeIndexes/reindexArtifacts, read by
-    * eraseDocuments so the erased fraction accumulates ACROSS calls:
-    * without it, repeated sub-threshold erasures (4 × 20%) would never
-    * trip the advice although ~59% of the corpus the quantizers
-    * summarize is gone. */
+  /** Ledger naming the vector-corpus size the frozen geometry was
+    * FITTED on plus the running count of fitted-era vectors ERASED
+    * since — written by writeIndexes/reindexArtifacts (erased restarts
+    * at 0), bumped by each eraseDocuments, so the erased fraction
+    * accumulates ACROSS calls AND survives interleaved appends: the
+    * pre-r16 formulation derived the fraction from the total REMAINING
+    * row count, so fitting at 1000, appending 1000 and erasing the
+    * entire original 1000 read as 0% erased — 100% of the corpus the
+    * frozen quantizers summarize gone with no advice. The explicit
+    * erased counter keeps the denominator the fitted corpus and the
+    * numerator the erased total, independent of growth. */
   private[graft] val BaselineArtifact = "geometryBaseline.parquet"
 
   private[operators] def writeGeometryBaseline(spark: SparkSession, dir: String,
                                                indexDir: String): Unit = {
-    import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      Seq(spark.read.parquet(p.toString).count()).toDF("n_vecs")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$indexDir/$BaselineArtifact")
+      writeGeometryLedger(spark, indexDir,
+        spark.read.parquet(p.toString).count(), erased = 0L)
   }
 
-  private[operators] def readGeometryBaseline(spark: SparkSession,
-                                              indexDir: String): Option[Long] = {
+  private[operators] def writeGeometryLedger(spark: SparkSession,
+      indexDir: String, fitted: Long, erased: Long): Unit = {
+    import spark.implicits._
+    Seq((fitted, erased)).toDF("n_vecs", "erased")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/$BaselineArtifact")
+  }
+
+  /** (fitted corpus size, erased-since-fit total). A pre-r16 ledger
+    * file carries only `n_vecs` — its erased counter reads 0, and the
+    * first erase under the new code rewrites it in the full schema. */
+  private[operators] def readGeometryLedger(spark: SparkSession,
+      indexDir: String): Option[(Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/$BaselineArtifact")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else spark.read.parquet(p.toString).collect().headOption.map(_.getLong(0))
+    else {
+      val df = spark.read.parquet(p.toString)
+      val hasErased = df.columns.contains("erased")
+      df.collect().headOption.map(r =>
+        (r.getLong(r.fieldIndex("n_vecs")),
+         if (hasErased) r.getLong(r.fieldIndex("erased")) else 0L))
+    }
+  }
+
+  private[operators] def readGeometryBaseline(spark: SparkSession,
+                                              indexDir: String): Option[Long] =
+    readGeometryLedger(spark, indexDir).map(_._1)
+
+  /** In-progress marker for [[Dedup.reindexArtifacts]]'s phase 2: the
+    * artifact swaps are per-file renames, so a crash MID-PHASE-2
+    * leaves a mixed-generation index in which every file exists — e.g.
+    * a new ivfCentroidsFit already swapped in while ivfCellsFit still
+    * holds cells assigned under the old centroids. Nothing fails
+    * loudly on its own (unlike a missing file), so a session priming
+    * that state would silently serve ANN results with collapsed
+    * recall. The marker brackets the swap window: written before the
+    * first rename, cleared after the last — primeIndexes refuses to
+    * prime while it exists, and re-running reindexArtifacts (which
+    * rebuilds every artifact from the corpus) is the repair. */
+  private[graft] val InProgressMarker = ".reindex-in-progress"
+
+  private[operators] def writeInProgress(spark: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$InProgressMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.close()
+  }
+
+  private[operators] def clearInProgress(spark: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$InProgressMarker")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  private[graft] def inProgress(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$InProgressMarker")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Write the advice marker under `indexDir` — one row naming why a
@@ -219,4 +273,33 @@ object Reindex {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/$AdviceArtifact")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
+}
+
+/** Side report for the online-serving heads: what the advice marker
+  * said the last time each index directory served. The serving heads
+  * (Similarity.annServeBatch* and the streaming AnnServe twins riding
+  * them) consult [[Reindex.readAdvice]] per call and record here —
+  * results are unchanged, but a deployment serving on an index its own
+  * monitor has flagged stale gets a loud log line plus a queryable
+  * flag instead of silently degraded recall. */
+object ServeStatus {
+  private val last =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Double)]()
+
+  private[operators] def record(indexDir: String,
+                                advice: Option[(String, Double)]): Unit =
+    advice match {
+      case Some(a) =>
+        last.put(indexDir, a)
+        System.err.println(
+          f"[annServe] WARNING: serving on index $indexDir flagged stale " +
+            f"(reason=${a._1}, detail=${a._2}%.4f) — results are served on the " +
+            "frozen geometry; run Dedup.reindexArtifacts to restore recall")
+      case None => last.remove(indexDir)
+    }
+
+  /** The advice in force at this index directory's most recent serve —
+    * empty means the last serve ran on an unflagged index. */
+  def lastAdvice(indexDir: String): Option[(String, Double)] =
+    Option(last.get(indexDir))
 }

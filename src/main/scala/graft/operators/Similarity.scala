@@ -662,6 +662,7 @@ object Similarity {
     * 110–124 s vs IVF's 12.7–16 s before the sizing). */
   def annServeBatch(spark: SparkSession, dir: String, queries: DataFrame,
                     k: Int = TopKDefault, radius: Int = 1): DataFrame = {
+    discloseStaleness(spark, dir)
     val h = corpusH(spark, dir)
     val qb = embBaseOf(
       queries.select(col("query_id").as("vec_id"), col("embedding")))
@@ -690,6 +691,7 @@ object Similarity {
     * rerank tail. */
   def annServeBatchIvf(spark: SparkSession, dir: String, queries: DataFrame,
                        k: Int = TopKDefault): DataFrame = {
+    discloseStaleness(spark, dir)
     val cents = SimilarityIvf.fitCentroids(spark, dir)
     val nprobe = SimilarityIvf.tunedProbe(spark, dir, k)
     val qb = embBaseOf(
@@ -718,6 +720,7 @@ object Similarity {
     * batch × shortlist float fetches. */
   def annServeBatchIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
                          k: Int = TopKDefault): DataFrame = {
+    discloseStaleness(spark, dir)
     val cbs = SimilarityPq.fitCodebooks(spark, dir)
     val cents = SimilarityIvf.fitCentroids(spark, dir)
     val nprobe = SimilarityIvf.tunedProbe(spark, dir, k)
@@ -738,6 +741,20 @@ object Similarity {
       .select("query_id", "neighbor_id")
     serveRerank(spark, dir, qb, shortlist, k)
   }
+
+  /** Staleness disclosure for the online-serving heads: consult the
+    * primed index directory's reindex-advice marker and surface it
+    * (one loud log line + the ServeStatus side report) WITHOUT
+    * changing results — online traffic on an index the engine's own
+    * monitor has flagged (erase past 25%, append past a sizing
+    * boundary) must not degrade silently. One FS existence probe per
+    * serve call (the marker parquet is read only when present);
+    * sessions that never primed from disk have no marker to consult
+    * and skip in O(1). */
+  private def discloseStaleness(spark: SparkSession, dir: String): Unit =
+    Dedup.primedIndexDir(spark, dir).foreach { idx =>
+      ServeStatus.record(idx, Reindex.readAdvice(spark, idx))
+    }
 
   /** Serving-side exact-cosine rerank: query vectors from the BATCH
     * (`qb`), corpus vectors from the embBase artifact. Distinct from
@@ -1084,12 +1101,12 @@ object SimilarityIvf {
     * per (session, dir). */
   private val kCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[operators] def kForCount(n: Long): Int =
+    math.max(16, math.min(4096,
+      4 * math.ceil(math.sqrt(n.toDouble)).toInt))
   private[operators] def corpusK(spark: SparkSession, dir: String): Int =
-    kCache.computeIfAbsent(s"${Dedup.sessionKey(spark)}|$dir", _ => {
-      val n = Tables.embeddings(spark, dir).count()
-      math.max(16, math.min(4096,
-        4 * math.ceil(math.sqrt(n.toDouble)).toInt))
-    }).intValue()
+    kCache.computeIfAbsent(s"${Dedup.sessionKey(spark)}|$dir", _ =>
+      kForCount(Tables.embeddings(spark, dir).count())).intValue()
 
   /** Drop the cached corpus-proportional cell count — the re-index
     * verb must re-derive k from the CURRENT corpus, not the count the

@@ -202,6 +202,37 @@ object EventStreams {
       .select("error_id", "user_id", "error_ts", "click_id", "click_ts")
   }
 
+  /** LEFT OUTER twin of [[errorClickJoin]]: errors with NO click in
+    * the horizon emit too, with null click fields — the unmatched-error
+    * half an incident pipeline needs ("errors with no preceding
+    * interaction"). Emission timing is the outer-join watermark
+    * contract: a matched pair emits as soon as both rows meet, but the
+    * NULL row for an unmatched error can only emit once the CLICK
+    * watermark has passed `error_ts` (until then a matching click
+    * could still arrive in-horizon) — so null rows trail the stream by
+    * the watermark, exactly once, and state stays bounded by the same
+    * interval condition as the inner join. EventStreamsSpec pins both
+    * halves against the batch twin (Events.errorClickPairsOuterOf),
+    * including that the null row does NOT emit before a
+    * watermark-advancing later batch. */
+  def errorClickJoinOuter(events: DataFrame, horizon: String = "1 hour",
+                          watermark: String = "1 hour"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr(s"INTERVAL $horizon"),
+      "leftOuter")
+      .select("error_id", "user_id", "error_ts", "click_id", "click_ts")
+  }
+
   /** Streaming → sink integration: every micro-batch of closed
     * sessions lands through the same partition-batched object sink the
     * batch path uses (foreachBatch bridges streaming to any batch

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Right-to-be-forgotten erasure: eraseDocuments must scrub the
   * corpus tables AND every id-decomposable artifact, re-derive the
@@ -169,6 +170,42 @@ class EraseSpec extends SparkSpec {
       "reindex must clear the advice marker")
     assert(Reindex.readGeometryBaseline(spark, idx).contains(21L),
       "reindex must restart the erased-fraction ledger at the refit size")
+    Dedup.releaseIndexes(spark)
+    Similarity.invalidateCorpusH(spark, dir)
+    SimilarityIvf.invalidateCorpusK(spark, dir)
+  }
+
+  test("appends cannot dilute the erased-fraction ledger (explicit erased counter)") {
+    val dir = mkCorpus() // 30 vectors — the geometry is FITTED on these
+    val idx = java.nio.file.Files.createTempDirectory("graft-erase-dilute").toString
+    Dedup.writeIndexes(spark, dir, idx)
+    // the corpus DOUBLES after the fit: 30 appended vectors the frozen
+    // quantizers never saw
+    val rnd = new scala.util.Random(41)
+    val grown = spark.read.parquet(s"$dir/embeddings.parquet").unionByName(
+      (30 until 60).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat), i % 5))
+        .toDF("vec_id", "embedding", "label"))
+    grown.write.mode("overwrite").parquet(s"$dir/embeddings_g.parquet")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/embeddings_g.parquet"),
+      new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"))
+    Dedup.appendIndexes(spark, dir, idx,
+      docPredicate = col("doc_id") < 0L,
+      embPredicate = Some(col("vec_id") >= 30L),
+      rebuildPairs = false, batchId = Some("growth"))
+    assert(Reindex.readAdvice(spark, idx).isEmpty,
+      "2x growth sits inside the sizing bands — no append advice expected here")
+    // erase 12 of the 30 FITTED vectors: 40% of the corpus the frozen
+    // models summarize, but only 20% of the grown corpus — the
+    // remaining-count formulation read this as 1 − 48/30 < 0 and never
+    // advised; the explicit ledger reads 12/30 = 0.4
+    Dedup.eraseDocuments(spark, dir, idx, Nil, vecIds = (0L to 11L))
+    val advice = Reindex.readAdvice(spark, idx)
+    assert(advice.exists { case (reason, frac) =>
+      reason == "erase" && math.abs(frac - 0.4) < 1e-9 },
+      s"append-diluted erase must still advise at 40% of the fitted corpus: $advice")
     Dedup.releaseIndexes(spark)
     Similarity.invalidateCorpusH(spark, dir)
     SimilarityIvf.invalidateCorpusK(spark, dir)

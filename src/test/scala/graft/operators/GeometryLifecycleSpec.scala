@@ -105,6 +105,108 @@ class GeometryLifecycleSpec extends SparkSpec {
     SimilarityIvf.invalidateCorpusK(spark, dir)
   }
 
+  test("append past a sizing boundary leaves re-index advice; sub-boundary appends stay silent; serving discloses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-geom-adv").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-geom-adv-idx").toString
+    val rnd = new scala.util.Random(29)
+    def vecs(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, Seq.fill(Similarity.Dim)(rnd.nextGaussian().toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    def growTo(hi: Int): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cur = spark.read.parquet(s"$dir/embeddings.parquet")
+      val maxId = cur.agg(max("vec_id")).collect()(0).getLong(0).toInt + 1
+      cur.unionByName(vecs(maxId, hi))
+        .write.mode("overwrite").parquet(s"$dir/embeddings_g.parquet")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/embeddings_g.parquet"),
+        new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"))
+    }
+    Seq((1L, "alpha beta gamma delta", "en", "srcT", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    vecs(0, 500).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Dedup.writeIndexes(spark, dir, idx) // h=8, k=kForCount(500)
+    assert(Reindex.readAdvice(spark, idx).isEmpty)
+
+    // sub-boundary append: 500 → 600 keeps h at 8 and k inside the
+    // 2x band — the push marker must stay silent (the continuous-k
+    // check would otherwise advise on nearly every append)
+    growTo(600)
+    Dedup.appendIndexes(spark, dir, idx,
+      docPredicate = col("doc_id") < 0L,
+      embPredicate = Some(col("vec_id") >= 500L),
+      rebuildPairs = false, batchId = Some("small"))
+    assert(Reindex.readAdvice(spark, idx).isEmpty,
+      "sub-boundary append must not leave re-index advice")
+
+    // boundary-crossing append: 600 → 10000 puts the h target at 9
+    // (and k past the 2x band) — the growth half of the advice loop
+    // must push the marker WITHOUT anyone running the drift report
+    growTo(10000)
+    Dedup.appendIndexes(spark, dir, idx,
+      docPredicate = col("doc_id") < 0L,
+      embPredicate = Some(col("vec_id") >= 600L),
+      rebuildPairs = false, batchId = Some("big"))
+    val adv = Reindex.readAdvice(spark, idx)
+    assert(adv.exists(_._1 == "append"),
+      s"boundary-crossing append must leave advice, got $adv")
+
+    // the serving heads DISCLOSE the flagged index (results unchanged)
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id = 123").select("embedding").as[Seq[Float]].collect()(0)
+    val served = Similarity.annServeBatch(spark, dir,
+        Seq((77001L, qv)).toDF("query_id", "embedding"), k = 3, radius = 1)
+      .collect()
+    assert(served.nonEmpty)
+    assert(ServeStatus.lastAdvice(idx).exists(_._1 == "append"),
+      "serve on a flagged index must record the staleness disclosure")
+
+    // the re-index verb resolves it: advice cleared, next serve clean
+    Dedup.reindexArtifacts(spark, dir, idx)
+    assert(Reindex.readAdvice(spark, idx).isEmpty)
+    Similarity.annServeBatch(spark, dir,
+      Seq((77002L, qv)).toDF("query_id", "embedding"), k = 3, radius = 1).collect()
+    assert(ServeStatus.lastAdvice(idx).isEmpty,
+      "post-reindex serve must clear the staleness disclosure")
+
+    Dedup.releaseIndexes(spark)
+    Similarity.invalidateCorpusH(spark, dir)
+    SimilarityIvf.invalidateCorpusK(spark, dir)
+  }
+
+  test("primeIndexes refuses a standing reindex-in-progress marker (mixed-generation guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-geom-mark").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-geom-mark-idx").toString
+    val rnd = new scala.util.Random(31)
+    Seq((1L, "alpha beta gamma", "en", "srcT", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (0 until 40).map(i => (i.toLong, Seq.fill(Similarity.Dim)(rnd.nextGaussian().toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Dedup.writeIndexes(spark, dir, idx)
+    // simulate a crash INSIDE phase 2: every artifact file exists (the
+    // dangerous case — a mixed generation nothing fails loudly on),
+    // only the marker tells the story
+    Reindex.writeInProgress(spark, idx)
+    Dedup.releaseIndexes(spark)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.primeIndexes(spark, dir, idx)
+    }
+    assert(ex.getMessage.contains("reindex"), s"wrong failure: ${ex.getMessage}")
+    // the documented repair: re-run the verb — it rebuilds every
+    // artifact from the corpus, clears the marker, and primes
+    Dedup.reindexArtifacts(spark, dir, idx)
+    assert(!Reindex.inProgress(spark, idx), "reindex must clear its marker")
+    Dedup.releaseIndexes(spark)
+    Dedup.primeIndexes(spark, dir, idx) // no throw
+    Dedup.releaseIndexes(spark)
+    Similarity.invalidateCorpusH(spark, dir)
+    SimilarityIvf.invalidateCorpusK(spark, dir)
+  }
+
   test("reindexArtifacts recovers from a crash between its two swap renames") {
     val dir = java.nio.file.Files.createTempDirectory("graft-geom-crash").toString
     val idx = java.nio.file.Files.createTempDirectory("graft-geom-crash-idx").toString

@@ -137,6 +137,32 @@ class LshGeometrySpec extends SparkSpec {
     weird.select(Similarity.bucketStrings(col("v"), 8).as("f")).collect()
       .foreach(r => assert(r.getSeq[String](0).forall(_ == "00000000"),
         "degenerate inputs must map to all-zero buckets"))
+    // non-finite vectors: Spark's double comparison puts NaN ABOVE
+    // every value (NaN >= 0 is true), so a NaN-accumulating dot must
+    // emit bit '1' in BOTH formulations — a raw Java `acc >= 0` in the
+    // fused kernel would emit '0' and such rows would never collide
+    // across the fused/composed boundary (embBase's nrm > 0 filter
+    // does not exclude them: NaN > 0 is true in Spark)
+    val nonFinite = Seq(
+      (10L, Seq.tabulate(Similarity.Dim)(i =>
+        if (i == 3) Double.NaN else rnd.nextGaussian())),           // NaN component
+      (11L, Seq.tabulate(Similarity.Dim)(i =>
+        if (i == 0) Double.PositiveInfinity else rnd.nextGaussian())), // +Inf dot
+      (12L, Seq.tabulate(Similarity.Dim)(i =>
+        if (i == 0) Double.PositiveInfinity
+        else if (i == 1) Double.NegativeInfinity
+        else rnd.nextGaussian())),                                  // Inf − Inf → NaN
+      (13L, Seq.tabulate(Similarity.Dim)(i =>
+        if (i == 5) Double.NegativeInfinity else rnd.nextGaussian()))) // −Inf dot
+      .toDF("vec_id", "v")
+    check(nonFinite, 8, "non-finite")
+    check(nonFinite, 13, "non-finite/h13")
+    // and the NaN row specifically buckets as all-ones (every plane's
+    // dot is NaN, every bit '1') — the pinned Spark-semantics value
+    val nanBits = nonFinite.filter(col("vec_id") === 10L)
+      .select(Similarity.bucketStrings(col("v"), 8).as("f")).collect()
+    nanBits.foreach(r => assert(r.getSeq[String](0).forall(_ == "11111111"),
+      s"NaN-dot vector must bucket all-ones: ${r.getSeq[String](0)}"))
   }
 
   test("corpusH: an existing bucket artifact's geometry wins over the count formula") {

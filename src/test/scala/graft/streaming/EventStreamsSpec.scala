@@ -270,6 +270,45 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("LEFT OUTER stream-stream join: null row waits for watermark expiry, then matches the batch twin") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = errorClickJoinOuter(input.toDF())
+      .writeStream.format("memory").queryName("ssjouter").outputMode("append").start()
+    val all = scala.collection.mutable.ArrayBuffer[Event]()
+    def feed(evs: Event*): Unit = { all ++= evs; input.addData(evs: _*); q.processAllAvailable() }
+    withQuery(q) {
+      feed(ev(1, "2024-01-01 10:00:00", 1),          // click u1
+           ev(2, "2024-01-01 10:30:00", 1, "error"), // error u1 — matched
+           ev(3, "2024-01-01 10:40:00", 2, "error")) // error u2 — never matched
+      // the unmatched error must NOT have emitted its null row yet: the
+      // click watermark (10:40 − 1h) has not passed its horizon — a
+      // matching click could still legally arrive
+      val early = spark.table("ssjouter")
+        .select("error_id", "click_id").as[(Long, Option[Long])].collect()
+      assert(!early.exists(r => r._1 == 3L && r._2.isEmpty),
+        s"null row emitted before watermark expiry: ${early.toSeq}")
+      // two watermark-advancing batches: the first moves the click
+      // watermark past 11:40 (error 3's horizon), the second runs a
+      // trigger UNDER that watermark so the expired state flushes
+      feed(ev(8, "2024-01-01 14:00:00", 9), ev(9, "2024-01-01 14:00:00", 9, "error"))
+      feed(ev(11, "2024-01-01 16:00:00", 9), ev(12, "2024-01-01 16:00:00", 9, "error"))
+      val streamed = spark.table("ssjouter")
+        .select("error_id", "click_id").as[(Long, Option[Long])].collect().toSet
+      assert(streamed.contains((3L, None)),
+        s"unmatched error's null row missing after watermark expiry: ${streamed.toSeq}")
+      // the oracled batch twin on the same rows is ground truth for the
+      // emitted-so-far prefix (errors 9/12's null-candidacy is resolved:
+      // both matched instantly, so every row below is final)
+      val batch = graft.operators.Events.errorClickPairsOuterOf(all.toSeq.toDF())
+        .select("error_id", "click_id").as[(Long, Option[Long])].collect().toSet
+      assert(batch == Set((2L, Some(1L)), (3L, None), (9L, Some(8L)), (12L, Some(11L))),
+        s"twin wrong: $batch")
+      assert(streamed == batch,
+        s"stream ${streamed.toSeq.sortBy(_._1)} != batch ${batch.toSeq.sortBy(_._1)}")
+    }
+  }
+
   test("streaming session windows match the batch session query on the same rows") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
