@@ -317,7 +317,7 @@ object Multimodal {
     * directly on hex strings so neither engine parses hex. The HASH
     * ALGEBRA — gradient bits, banding, capped candidate join, Hamming
     * rerank — is the real thing a codec-backed decode would feed. */
-  private def dhashBits(payloadText: Column): Column =
+  private[operators] def dhashBits(payloadText: Column): Column =
     element_at(transform(array(md5(payloadText)), h =>
       concat((for { r <- 0 until DhashRows; c <- 0 until DhashCols } yield
         when(md5(concat(h, lit(s":$r:${c + 1}"))) >
@@ -331,20 +331,120 @@ object Multimodal {
       s"CASE WHEN md5($h || ':$r:${c + 1}') > md5($h || ':$r:$c') " +
         "THEN '1' ELSE '0' END").mkString(" || ")
 
-  /** Perceptual near-dup pairs: dHash banding (4 × 16-bit bands — the
+  /** REAL pixel-level dHash of an image payload: decode via
+    * javax.imageio (PNG/JPEG/GIF/BMP — JDK built-in, no external
+    * codec), area-average the luminance onto the 8×9 grid, then the
+    * standard gradient bits — bit(r,c) = gray(r,c+1) > gray(r,c).
+    * Area averaging (not point sampling) is what makes two lossy
+    * re-encodes of the same picture land within a few bits: JPEG
+    * perturbs individual pixels but block means barely move
+    * (MultimodalSpec pins PNG-vs-JPEG of one image at Hamming ≤ 3 and
+    * two different images far apart). Returns None when the bytes are
+    * not a decodable image — the caller falls back to the labeled
+    * stub, the same dispatch discipline as the real header decode. */
+  private[operators] def dhashOfImage(payload: Array[Byte]): Option[String] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val gridCols = DhashCols + 1
+      val w = img.getWidth
+      val h = img.getHeight
+      val g = Array.ofDim[Double](DhashRows, gridCols)
+      var r = 0
+      while (r < DhashRows) {
+        val y0 = r * h / DhashRows
+        val y1 = math.max(y0 + 1, (r + 1) * h / DhashRows)
+        var c = 0
+        while (c < gridCols) {
+          val x0 = c * w / gridCols
+          val x1 = math.max(x0 + 1, (c + 1) * w / gridCols)
+          var sum = 0.0
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              // integer Rec.601 luma — deterministic across platforms
+              sum += ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000.0
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          g(r)(c) = sum / n
+          c += 1
+        }
+        r += 1
+      }
+      val bits = new Array[Char](DhashRows * DhashCols)
+      r = 0
+      while (r < DhashRows) {
+        var c = 0
+        while (c < DhashCols) {
+          bits(r * DhashCols + c) = if (g(r)(c + 1) > g(r)(c)) '1' else '0'
+          c += 1
+        }
+        r += 1
+      }
+      Some(new String(bits))
+    }
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Scala twin of the column-path [[dhashBits]] stub — byte-identical
+    * md5-chain arithmetic (hex strings compared lexicographically,
+    * exactly Spark's UTF8 binary string comparison on ASCII hex), so
+    * the typed dispatch path and the oracled column path produce the
+    * SAME bits for synthetic payloads (MultimodalSpec pins it). */
+  private[operators] def dhashStubOf(text: String): String = {
+    val h = md5Hex(text)
+    val bits = for { r <- 0 until DhashRows; c <- 0 until DhashCols } yield
+      if (md5Hex(s"$h:$r:${c + 1}") > md5Hex(s"$h:$r:$c")) '1' else '0'
+    bits.mkString
+  }
+
+  /** One perceptual fingerprint per media row. */
+  case class MediaBits(doc_id: Long, media_type: String, bits: String)
+
+  /** Perceptual fingerprints with REAL dispatch, the batched
+    * mapPartitions shape of extractFeatures: an image payload that
+    * decodes (real PNG/JPEG bytes) gets the pixel-level dHash; every
+    * other payload (synthetic text bytes, audio, video) falls back to
+    * the labeled md5-grid stub — deterministic, and byte-identical to
+    * the oracled column path. Payloads never shuffle: the fingerprint
+    * is extracted in the scan stage and only (id, type, 64 bits) rows
+    * move on. */
+  def mediaDhash(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaBits] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch codec setup would happen here (ImageIO reader reuse)
+        batch.iterator.map { r =>
+          val real = if (r.media_type == "image") dhashOfImage(r.payload) else None
+          MediaBits(r.doc_id, r.media_type, real.getOrElse(
+            dhashStubOf(new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))))
+        }
+      }
+    }
+  }
+
+  /** The perceptual pair algebra over ANY (doc_id, media_type, bits)
+    * fingerprint table: dHash banding (4 × 16-bit bands — the
     * pigeonhole guarantees any pair within Hamming distance 3 shares a
     * band) with the per-bucket flood cap, then exact Hamming rerank on
-    * candidates only. Identity is scoped per media type. Top-20 most
-    * similar pairs (Hamming asc, ids asc). The text-SimHash shape
-    * (chunked pigeonhole + cap + rerank) applied to the media
-    * tier — content-level near-dup above mediaDedup's byte-identical
-    * digests. */
-  def mediaPhashPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val ph = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        element_at(typedLit(Seq("image", "audio", "video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        dhashBits(col("text")).as("bits"))
+    * candidates only. Identity is scoped per media type. Shared by the
+    * oracled column path ([[mediaPhashPairs]]) and the real-decode
+    * path ([[mediaPhashPairsReal]]) — the hash algebra is one code
+    * path; only the fingerprint kernel differs. */
+  private[operators] def mediaPhashPairsOf(ph: DataFrame, k: Int): DataFrame = {
     val bands = ph.select(col("doc_id"), col("media_type"), col("bits"),
         explode(sequence(lit(0), lit(DhashBands - 1))).as("band_idx"))
       .withColumn("band",
@@ -370,6 +470,30 @@ object Multimodal {
         col("id_a").asc, col("id_b").asc)
       .limit(k)
   }
+
+  /** Perceptual near-dup pairs over the corpus media table — the
+    * registered, fully-oracled query: the fingerprint is the
+    * whole-stage-codegen'd md5-grid STUB (the driver corpus's payloads
+    * are synthetic text bytes, never a decodable image, so the column
+    * path IS the active branch there); the pair algebra is the shared
+    * banding/cap/rerank above. Real images go through
+    * [[mediaPhashPairsReal]], whose pixel branch MultimodalSpec pins
+    * on PNG/JPEG fixtures. */
+  def mediaPhashPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    mediaPhashPairsOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          element_at(typedLit(Seq("image", "audio", "video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+          dhashBits(col("text")).as("bits")), k)
+
+  /** Perceptual near-dup pairs with the REAL pixel kernel: fingerprints
+    * from [[mediaDhash]] (decodable images → pixel dHash; everything
+    * else → the stub, byte-identical to the column path), pairs from
+    * the same shared algebra. This is the entry point a corpus of real
+    * media files uses (compose with [[mediaTableFromFiles]]). */
+  def mediaPhashPairsReal(media: Dataset[MediaRow], k: Int = 20): DataFrame =
+    mediaPhashPairsOf(mediaDhash(media).toDF(), k)
 
   /** Per-media-type rollup over the features — the "what's in this
     * 100 TB bucket" inventory query. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
@@ -194,6 +194,109 @@ object Pipeline {
           x => x.getField("chunk_md5")), "")).as("content_md5"))
       .orderBy("shard")
   }
+
+  /** Deterministic training-order shuffle: a seeded, epoch-
+    * parameterized pseudorandom permutation of the packed shards — the
+    * last loader-facing op the manifest doesn't cover (a loader must
+    * consume shards in a different order every epoch, every replica
+    * must agree on that order, and a re-run must reproduce it; RNG
+    * state can't deliver the last two). The permutation is pure hash
+    * arithmetic: order key = md5("seed:epoch:shard"), position =
+    * rank within the epoch — no RNG, no driver state, replayable by
+    * any engine (the oracle replays it in SQL). Cost at scale: the
+    * shard table is corpus_tokens/PackBudget rows (millions at 100 TB,
+    * not billions); one window rank per epoch over it. */
+  def shardOrderOf(manifest: DataFrame, seed: Long, epochs: Int): DataFrame =
+    manifest
+      .select(col("shard"), col("n_chunks"), col("n_tokens"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("order_key",
+        md5(concat_ws(":", lit(seed), col("epoch"), col("shard"))))
+      .withColumn("position", (row_number().over(
+        Window.partitionBy(col("epoch"))
+          .orderBy(col("order_key").asc, col("shard").asc)) - 1).cast("long"))
+      .select("epoch", "position", "shard", "order_key", "n_chunks", "n_tokens")
+      .orderBy("epoch", "position")
+
+  /** [[shardOrderOf]] over the pipeline's export manifest — the
+    * registered `q_shard_order` query (seed 42, first two epochs). */
+  def shardOrder(spark: SparkSession, dir: String, seed: Long = 42L,
+                 epochs: Int = 2): DataFrame =
+    shardOrderOf(packManifest(spark, dir)
+      .select("shard", "n_chunks", "n_tokens"), seed, epochs)
+
+  /** Incremental pipeline re-run: the e2e lineage accounting for ONE
+    * ingest window (lo, hi] — "curate the delta against the maintained
+    * artifacts", the composed sibling of Dedup.incrementalNearDupsSince.
+    * Per-doc verdicts come from the SAME corpus-global machinery the
+    * full pipeline rides (quality rules + NB model + decontamination
+    * evidence + the maintained pair table + cluster labels — all
+    * artifact-backed session builds, memoized once and shared with the
+    * full run), restricted to the window: a delta doc survives a stage
+    * iff the full pipeline's verdict keeps it (PipelineSpec pins the
+    * equivalence). The re-electing stages stay corpus-wide by
+    * definition — a delta doc is an exact-dup keeper only against the
+    * WHOLE survivor corpus, and mix quotas are quotas over everything
+    * — which is exactly why this is a restriction of maintained
+    * verdicts, not a blind re-run on the slice. The delta's survivors
+    * pack into their OWN shards (an ingest batch ships as its own
+    * shard set; fresh cumsum over the delta only) and split under the
+    * same cluster-representative hash rule. */
+  def pipelineE2eSince(spark: SparkSession, dir: String,
+                       lo: Long, hi: Long): DataFrame = {
+    def inWin(c: Column): Column = c > lo && c <= hi
+    val delta = Tables.documents(spark, dir)
+      .filter(inWin(col("doc_id"))).select("doc_id")
+    def win(i: Int): DataFrame =
+      stageIds(spark, dir, i).filter(inWin(col("doc_id")))
+    val w6 = win(6)
+    val k = Curation.ChunkTokens
+    val chunks = Curation.docToks(spark, dir)
+      .join(w6, Seq("doc_id"), "left_semi")
+      .filter(col("toks").isNotNull)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), ((size(col("toks")) - 1) / k).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(k), size(col("toks")) - col("chunk_idx") * k).as("n_tokens"))
+    val shards = Curation.blockCumsum(chunks, expr("doc_id DIV 1024"),
+        Seq(col("doc_id"), col("chunk_idx")), col("n_tokens"))
+      .withColumn("shard", expr(s"(_cum - n_tokens) DIV ${Curation.PackBudget}"))
+      .select("shard").distinct()
+    val split = w6
+      .join(Dedup.clusterLabels(spark, dir).select(col("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
+      .groupBy(Curation.splitOf(col("rep_id")).as("split"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+    def n(df: DataFrame): DataFrame =
+      df.groupBy().agg(count(lit(1)).cast("long").as("n"))
+    def row(ord: Int, name: String, unit: String,
+            nIn: DataFrame, nOut: DataFrame, dropped: Boolean): DataFrame =
+      nIn.select(col("n").as("n_in"))
+        .crossJoin(nOut.select(col("n").as("n_out")))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          lit(unit).as("unit"), col("n_in"), col("n_out"),
+          (if (dropped) col("n_in") - col("n_out") else lit(0L)).as("n_dropped"))
+    val n6 = n(w6)
+    val docRows = Seq(
+      row(1, "quality_rules", "docs", n(delta), n(win(1)), dropped = true),
+      row(2, "exact_dedup", "docs", n(win(1)), n(win(2)), dropped = true),
+      row(3, "near_dedup", "docs", n(win(2)), n(win(3)), dropped = true),
+      row(4, "decontaminate", "docs", n(win(3)), n(win(4)), dropped = true),
+      row(5, "quality_nb", "docs", n(win(4)), n(win(5)), dropped = true),
+      row(6, "language_mix", "docs", n(win(5)), n6, dropped = true),
+      row(7, "pack", "shards", n6, n(shards), dropped = false))
+    val splitRows = split.crossJoin(n6.select(col("n").as("n_in")))
+      .select(
+        when(col("split") === "train", 8)
+          .when(col("split") === "val", 9).otherwise(10).as("stage_ord"),
+        concat(lit("split_"), col("split")).as("stage"),
+        lit("docs").as("unit"), col("n_in"),
+        col("n").as("n_out"), lit(0L).as("n_dropped"))
+    (docRows :+ splitRows).reduce(_.unionByName(_)).orderBy("stage_ord")
+  }
 }
 
 /** Driver-contract registration + the composed DuckDB oracle: every
@@ -207,7 +310,10 @@ object PipelineModule extends QueryModule {
   def queries = Map(
     "q_pipeline_e2e" -> ((s: SparkSession, d: String) => Pipeline.pipelineE2e(s, d)),
     "q_pipeline_card" -> ((s: SparkSession, d: String) => Pipeline.pipelineCard(s, d)),
-    "q_pack_manifest" -> ((s: SparkSession, d: String) => Pipeline.packManifest(s, d)))
+    "q_pack_manifest" -> ((s: SparkSession, d: String) => Pipeline.packManifest(s, d)),
+    "q_pipeline_incremental" -> ((s: SparkSession, d: String) =>
+      Pipeline.pipelineE2eSince(s, d, Dedup.DemoWatermarkLo, Dedup.DemoWatermarkHi)),
+    "q_shard_order" -> ((s: SparkSession, d: String) => Pipeline.shardOrder(s, d)))
 
   private def mixValues: String = Curation.MixTargets
     .map { case (l, p) => s"('$l', $p)" }.mkString(", ")
@@ -329,8 +435,76 @@ object PipelineModule extends QueryModule {
        |  md5(string_agg(chunk_md5, '' ORDER BY doc_id, chunk_idx)) AS content_md5
        |FROM pcum GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** The incremental window (lo, hi] — q_dedup_incremental's demo
+    * watermark constants, present at every test SF. */
+  private def winSql(src: String): String =
+    s"SELECT doc_id FROM $src WHERE doc_id > ${Dedup.DemoWatermarkLo} " +
+      s"AND doc_id <= ${Dedup.DemoWatermarkHi}"
+
+  private val incrementalSql: String =
+    s"""$e2eCtes,
+       |wd AS (${winSql("documents")}),
+       |w1 AS (${winSql("s1")}), w2 AS (${winSql("s2")}), w3 AS (${winSql("s3")}),
+       |w4 AS (${winSql("s4")}), w5 AS (${winSql("s5")}), w6 AS (${winSql("s6")}),
+       |wpch AS (SELECT n.doc_id, j AS chunk_idx,
+       |    least(${Curation.ChunkTokens}, len(n.toks) - j*${Curation.ChunkTokens}) AS n_tokens
+       |  FROM norm n JOIN w6 USING (doc_id),
+       |    unnest(generate_series(0, (len(n.toks)-1)//${Curation.ChunkTokens})) AS u(j)),
+       |wpcum AS (SELECT doc_id, chunk_idx, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM wpch),
+       |wpsh AS (SELECT DISTINCT (cum - n_tokens) // ${Curation.PackBudget} AS shard
+       |         FROM wpcum),
+       |wsrep AS (SELECT w6.doc_id, coalesce(c.component, w6.doc_id) AS rep_id
+       |          FROM w6 LEFT JOIN comp c USING (doc_id)),
+       |wsplit AS (SELECT CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+       |                WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |                ELSE 'test' END AS split,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM wsrep GROUP BY 1),
+       |k0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wd),
+       |k1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w1),
+       |k2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w2),
+       |k3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w3),
+       |k4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w4),
+       |k5 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w5),
+       |k6 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w6),
+       |kp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wpsh)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage_ord, 'quality_rules' AS stage, 'docs' AS unit,
+       |    k0.n AS n_in, k1.n AS n_out, k0.n - k1.n AS n_dropped FROM k0, k1
+       |  UNION ALL SELECT 2, 'exact_dedup', 'docs', k1.n, k2.n, k1.n - k2.n FROM k1, k2
+       |  UNION ALL SELECT 3, 'near_dedup', 'docs', k2.n, k3.n, k2.n - k3.n FROM k2, k3
+       |  UNION ALL SELECT 4, 'decontaminate', 'docs', k3.n, k4.n, k3.n - k4.n FROM k3, k4
+       |  UNION ALL SELECT 5, 'quality_nb', 'docs', k4.n, k5.n, k4.n - k5.n FROM k4, k5
+       |  UNION ALL SELECT 6, 'language_mix', 'docs', k5.n, k6.n, k5.n - k6.n FROM k5, k6
+       |  UNION ALL SELECT 7, 'pack', 'shards', k6.n, kp.n, CAST(0 AS BIGINT) FROM k6, kp
+       |  UNION ALL SELECT CASE split WHEN 'train' THEN 8 WHEN 'val' THEN 9 ELSE 10 END,
+       |    'split_' || split, 'docs', k6.n, wsplit.n, CAST(0 AS BIGINT) FROM wsplit, k6)
+       |ORDER BY stage_ord""".stripMargin
+
+  private val shardOrderSql: String =
+    s"""$e2eCtes,
+       |msh AS (SELECT (cum - n_tokens) // ${Curation.PackBudget} AS shard,
+       |    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM pcum GROUP BY 1),
+       |ep AS (SELECT unnest(generate_series(0, 1)) AS epoch),
+       |ord AS (SELECT CAST(epoch AS INT) AS epoch, shard, n_chunks, n_tokens,
+       |    md5('42:' || CAST(epoch AS VARCHAR) || ':' || CAST(shard AS VARCHAR))
+       |      AS order_key
+       |  FROM msh, ep)
+       |SELECT epoch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY order_key, shard) - 1
+       |    AS BIGINT) AS position,
+       |  CAST(shard AS BIGINT) AS shard, order_key, n_chunks, n_tokens
+       |FROM ord ORDER BY epoch, position""".stripMargin
+
   def oracles = Map(
     "q_pipeline_e2e" -> e2eSql,
     "q_pipeline_card" -> cardSql,
-    "q_pack_manifest" -> manifestSql)
+    "q_pack_manifest" -> manifestSql,
+    "q_pipeline_incremental" -> incrementalSql,
+    "q_shard_order" -> shardOrderSql)
 }

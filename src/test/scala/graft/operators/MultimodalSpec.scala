@@ -411,4 +411,95 @@ class MultimodalSpec extends SparkSpec {
     assert(out.tail.forall(_.getLong(3) > 0L),
       "no other pair may score Hamming 0")
   }
+
+  // ---- REAL pixel decode: full images via javax.imageio -------------
+
+  /** A real, decodable image rendered in memory: `f(x, y)` is the RGB
+    * of each pixel. */
+  private def renderImage(w: Int, h: Int)(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val b = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, f(x, y))
+    b
+  }
+
+  private def encodeImage(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
+  // Nine luminance plateaus aligned to the dHash grid's nine columns:
+  // adjacent column means differ by ≥ 30 luma, so JPEG's lossy noise
+  // (±a few units on a block MEAN) cannot flip a gradient bit, while
+  // the bit pattern still mixes 0s and 1s — a fixture that separates
+  // "same picture, different encoder" from "different picture".
+  private def plateauImage(vals: Array[Int]) = renderImage(96, 64) { (x, y) =>
+    val v = vals(x * vals.length / 96) + (y % 2) // 1-unit dither, sub-noise
+    (v << 16) | (v << 8) | v
+  }
+  // picture A: alternating plateaus → per-row bits 10101010
+  private lazy val picA = plateauImage(Array(30, 200, 80, 230, 10, 160, 60, 250, 110))
+  // picture B: monotone plateaus → all-ones bits, Hamming 32 from A
+  private lazy val picB = plateauImage(Array(10, 40, 70, 100, 130, 160, 190, 220, 250))
+
+  private def hamming(a: String, b: String): Int =
+    a.zip(b).count(p => p._1 != p._2)
+
+  test("pixel dHash: lossy re-encodes of one picture collide; different pictures diverge") {
+    val aPng = encodeImage(picA, "png")
+    val aJpg = encodeImage(picA, "jpg")
+    val bPng = encodeImage(picB, "png")
+    val ha1 = Multimodal.dhashOfImage(aPng).get
+    val ha2 = Multimodal.dhashOfImage(aJpg).get
+    val hb = Multimodal.dhashOfImage(bPng).get
+    assert(ha1.length == 64 && ha1.exists(_ == '1') && ha1.exists(_ == '0'))
+    // the done-criterion pins: two visually identical re-encodes within
+    // Hamming 3 (JPEG perturbs pixels; block means barely move), two
+    // different pictures far apart
+    assert(hamming(ha1, ha2) <= 3,
+      s"PNG vs JPEG of the SAME picture drifted: ${hamming(ha1, ha2)} bits")
+    assert(hamming(ha1, hb) >= 16,
+      s"different pictures too close: ${hamming(ha1, hb)} bits")
+    // non-decodable bytes are None (callers fall back to the stub) —
+    // including the header-only PNG fixture (valid IHDR, no pixel data)
+    assert(Multimodal.dhashOfImage("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.dhashOfImage(pngBytes(640, 480)).isEmpty)
+  }
+
+  test("mediaDhash dispatch: decodable images take the pixel branch, everything else the stub twin") {
+    import spark.implicits._
+    val aPng = encodeImage(picA, "png")
+    val aJpg = encodeImage(picA, "jpg")
+    val bPng = encodeImage(picB, "png")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", aPng, "en", "s"),
+      Multimodal.MediaRow(2L, "image", aJpg, "en", "s"),
+      Multimodal.MediaRow(3L, "image", bPng, "en", "s"),
+      Multimodal.MediaRow(4L, "image", "plain text payload".getBytes("UTF-8"), "en", "s"),
+      Multimodal.MediaRow(5L, "audio", aPng, "en", "s")) // dispatch is on media_type
+    val bits = Multimodal.mediaDhash(spark.createDataset(rows))
+      .collect().map(r => r.doc_id -> r.bits).toMap
+    // real images: the pixel kernel, verified against a direct call
+    assert(bits(1L) == Multimodal.dhashOfImage(aPng).get)
+    assert(bits(3L) == Multimodal.dhashOfImage(bPng).get)
+    // non-decodable image payload: the stub twin, byte-identical to the
+    // oracled COLUMN path's md5 grid
+    val colBits = Seq((4L, "plain text payload")).toDF("doc_id", "text")
+      .select(Multimodal.dhashBits(org.apache.spark.sql.functions.col("text")))
+      .collect()(0).getString(0)
+    assert(bits(4L) == colBits,
+      "stub twin must be byte-identical to the column path's md5 grid")
+    // a real PNG labeled audio keeps the stub (type-scoped dispatch)
+    assert(bits(5L) != bits(1L))
+    // the shared pair algebra over REAL bits: the two re-encodes of
+    // picture A are the top pair, within the banding guarantee
+    val pairs = Multimodal.mediaPhashPairsReal(spark.createDataset(rows)).collect()
+    assert(pairs.nonEmpty)
+    val top = pairs.head
+    assert(top.getString(0) == "image" && top.getLong(1) == 1L &&
+      top.getLong(2) == 2L && top.getLong(3) <= 3L,
+      s"re-encoded pair must rank first within Hamming 3: ${pairs.mkString(";")}")
+    assert(!pairs.exists(p => p.getLong(1) == 1L && p.getLong(2) == 3L && p.getLong(3) <= 3L),
+      "different pictures must not pair as near-dups")
+  }
 }
