@@ -568,6 +568,13 @@ object Dedup {
       spark: SparkSession, dir: String, indexDir: String,
       docPredicate: Column, embPredicate: Option[Column],
       rebuildPairs: Boolean, batchId: Option[String]): Unit = {
+    // fail BEFORE any write: appending under a crashed reindex's
+    // mixed-generation artifacts would bucket the batch under whichever
+    // generation each file happens to hold (and the internal re-prime
+    // below would throw anyway — but only after the batch landed)
+    require(!Reindex.inProgress(spark, indexDir),
+      s"appendIndexes: $indexDir/${Reindex.InProgressMarker} present — a geometry " +
+        "re-index crashed mid-swap; re-run Dedup.reindexArtifacts before appending.")
     val hconf = spark.sparkContext.hadoopConfiguration
     def isBatchPartitioned(name: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
@@ -640,9 +647,9 @@ object Dedup {
       // bucket the batch under a different plane count than the
       // persisted rows (mixed-length strings that never collide). The
       // formula fallback applies only when the artifact is empty.
+      val builtH = Similarity.artifactH(spark, indexDir)
       append(Similarity.lshBucketsOf(base,
-        Similarity.artifactH(spark, indexDir)
-          .getOrElse(Similarity.corpusH(spark, dir))), "lshBuckets")
+        builtH.getOrElse(Similarity.corpusH(spark, dir))), "lshBuckets")
       // IVF cell assignments for the batch. The seeded quantizer is a
       // compile-time constant, so the append is trivially consistent
       // with the existing rows; the FITTED quantizer is train-once
@@ -695,11 +702,11 @@ object Dedup {
       // read): the bucket artifact's rows/NumTables is the monitor's
       // own n_vecs arithmetic, the raw embeddings count is corpusK's
       // own input — an append never pays a corpus scan for this.
-      Similarity.artifactH(spark, indexDir).foreach { builtH =>
+      builtH.foreach { h =>
         val nVecs = spark.read
           .parquet(s"$indexDir/lshBuckets.parquet").count() / Similarity.NumTables
         val targetH = Similarity.hForCount(nVecs)
-        if (targetH != builtH)
+        if (targetH != h)
           Reindex.writeAdvice(spark, indexDir, "append", targetH.toDouble)
       }
       // k = 4·⌈√N⌉ moves a little on almost every append, so the k
@@ -1165,6 +1172,13 @@ object Dedup {
     IndexLease.withExclusive(spark, indexDir, "eraseDocuments") {
       require(docIds.nonEmpty || vecIds.nonEmpty,
         "eraseDocuments: nothing to erase (both id sets empty)")
+      // fail BEFORE rewriting anything: erasing through a crashed
+      // reindex's mixed-generation artifacts would leave the corpus
+      // rewritten but the re-derive half undone when the internal
+      // re-prime below refuses the marker
+      require(!Reindex.inProgress(spark, indexDir),
+        s"eraseDocuments: $indexDir/${Reindex.InProgressMarker} present — a geometry " +
+          "re-index crashed mid-swap; re-run Dedup.reindexArtifacts before erasing.")
       val hconf = spark.sparkContext.hadoopConfiguration
       releaseIndexes(spark)
       // Filter-rewrite `parent/name.parquet` in place with compaction's
