@@ -48,6 +48,24 @@ object PipelineScaleProbe {
       Pipeline.pipelineE2e(spark, dir).collect()
     }
     out.foreach(r => println(s"[probe] ${r.mkString(" | ")}"))
+    // the incremental window re-run against the WARM maintained stage
+    // sets: the marginal cost of accounting one ingest batch once the
+    // corpus-global verdicts exist — the production cadence (full run
+    // nightly, delta accounting per batch)
+    val lo = nDocs * (mult / 2)
+    val hi = lo + nDocs / 10
+    val inc = t(s"pipelineE2eSince warm delta ($lo, $hi] (~${nDocs / 10} docs)") {
+      Pipeline.pipelineE2eSince(spark, dir, lo, hi).collect()
+    }
+    inc.foreach(r => println(s"[probe] delta ${r.mkString(" | ")}"))
+    // and COLD: a fresh session that primes nothing and derives the
+    // chain once — the upper bound a standalone delta job pays
+    Dedup.releaseIndexes(spark)
+    val inc2 = t(s"pipelineE2eSince cold delta ($lo, $hi]") {
+      Pipeline.pipelineE2eSince(spark, dir, lo, hi).collect()
+    }
+    require(inc.map(_.mkString("|")).toSeq == inc2.map(_.mkString("|")).toSeq,
+      "cold delta diverged from warm delta")
     spark.stop()
   }
 }
