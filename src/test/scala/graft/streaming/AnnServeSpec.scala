@@ -213,4 +213,46 @@ class AnnServeSpec extends SparkSpec {
     assert(top.map(t => (t._2, t._3)) === Set((777L, 1.0)),
       s"refresh not served: $b2")
   }
+
+  test("streaming serve discloses a stale-flagged index; reindex clears the disclosure") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.{Dedup, Reindex, ServeStatus}
+    val dir = java.nio.file.Files.createTempDirectory("graft-annserve-stale").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-annserve-stale-idx").toString
+    val rnd = new scala.util.Random(17)
+    Seq((1L, "alpha beta gamma delta", "en", "srcT", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (0 until 40)
+      .map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Dedup.writeIndexes(spark, dir, idx)
+    // a 32.5% erase of the fitted vectors trips the cumulative ledger
+    // and leaves the advice marker (the real producer, not a test stub)
+    Dedup.eraseDocuments(spark, dir, idx, Nil, vecIds = (0L to 12L))
+    assert(Reindex.readAdvice(spark, idx).exists(_._1 == "erase"))
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id = 20").select("embedding").as[Seq[Float]].collect()(0)
+    def serveOnce(id: Long): Unit = {
+      val input = MemoryStream[QVec]
+      val q = AnnServe.annServeIngest(input.toDF(), spark, dir, k = 3, radius = 1)(_ => ())
+      withQuery(q) {
+        input.addData(QVec(ts("2024-01-01 10:00:00"), id, qv))
+        q.processAllAvailable()
+      }
+    }
+    // online traffic on the flagged index gets the DISCLOSED serve:
+    // results unchanged (parity specs above), staleness recorded
+    serveOnce(8001L)
+    assert(ServeStatus.lastAdvice(idx).exists(_._1 == "erase"),
+      "streamed serve on a flagged index must record the disclosure")
+    // the repair: re-fit the geometry; the next streamed serve is clean
+    Dedup.reindexArtifacts(spark, dir, idx)
+    serveOnce(8002L)
+    assert(ServeStatus.lastAdvice(idx).isEmpty,
+      "post-reindex streamed serve must clear the disclosure")
+    Dedup.releaseIndexes(spark)
+    Similarity.invalidateCorpusH(spark, dir)
+  }
 }
