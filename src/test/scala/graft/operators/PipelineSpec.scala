@@ -71,6 +71,24 @@ class PipelineSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
   }
 
+  test("incremental over the FULL id range degenerates to the full pipeline") {
+    // the strongest cheap invariant the window parameterization must
+    // hold: a window covering every doc id makes pipelineE2eSince and
+    // pipelineE2e the same query — same stage counts, same shard
+    // count, same split partition (the delta pack runs the same
+    // cumsum over the same survivor chunk stream)
+    val dir = sf("sf0.01")
+    val full = Pipeline.pipelineE2e(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val maxId = graft.sources.Tables.documents(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("doc_id")).collect()(0).getLong(0)
+    val inc = Pipeline.pipelineE2eSince(spark, dir, Long.MinValue, maxId).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(inc.toSeq == full.toSeq,
+      s"full-range incremental diverged from the full pipeline:\n${inc.toSeq}\nvs\n${full.toSeq}")
+    Dedup.releaseIndexes(spark)
+  }
+
   test("shard order: seeded hash permutation — replayable, epochs differ, each epoch complete") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
