@@ -127,6 +127,15 @@ object Bench {
       pen
     }
     val hostPenalty = calibrate("start")
+    // Weather TIME SERIES: one calibration sample per phase boundary
+    // (after the index build and after each query family), so the
+    // artifact itself attributes a flagged query to the host's state
+    // at the time its family ran — the r16 driver artifact needed an
+    // out-of-band same-night A/B to prove its 2.32× was contention
+    // that arrived mid-run. Each sample costs ~2 s of harness wall,
+    // OUTSIDE every timed region.
+    val calSeries = scala.collection.mutable.LinkedHashMap[String, Double](
+      "start" -> hostPenalty)
 
     import scala.jdk.CollectionConverters._
     val rt = Runtime.getRuntime
@@ -284,6 +293,7 @@ object Bench {
     }
     System.err.println(
       f"[bench]   build-cpu (untagged residual) ${idxCpu - idxPerArtifact.values.sum}%7.2f s")
+    calSeries("after_build") = calibrate("after_build")
 
     val all = SparkEntry.queries
     val names = all.keys.toSeq.sorted
@@ -467,6 +477,7 @@ object Bench {
           f"[bench] $phase%-5s $name%-28s ${best._1}%8.3f s  cpu=${best._2}%7.2f s  heap=${heapMb}%5d MB  gc=${gcMs}%6d ms")
       }
       if (release) { graft.operators.Dedup.releaseIndexes(spark); primed() }
+      calSeries(s"after_$phase") = calibrate(s"after_$phase")
     }
     def jmap(f: String => String): String =
       order.map(n => "\"" + n + "\":" + (if (failed(n)) "null" else f(n)))
@@ -509,7 +520,12 @@ object Bench {
     // normalizes by the worse of the two, and both land in the
     // artifact so a reader can see whether contention moved mid-run.
     val hostPenaltyEnd = calibrate("end")
-    val penGate = math.max(hostPenalty, hostPenaltyEnd)
+    calSeries("end") = hostPenaltyEnd
+    // the gate normalizes by the WORST weather observed anywhere in
+    // the run — the full series lands in the artifact, so a reader can
+    // line any flagged query's family up against the penalty at the
+    // time it ran
+    val penGate = calSeries.values.max
     val regressJson: String =
       try {
         val p = java.nio.file.Paths.get(basePath)
@@ -581,7 +597,9 @@ object Bench {
     // recorded from this artifact gate like-for-like (the cpu dict
     // stays the min-wall sample's CPU, the attribution number)
     val cpuBestJson = jmap(n => r3(minCpu.getOrElse(n, results(n)._2)).toString)
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","protocol":"$protocol","cpus":$cpus,"host_parallel_penalty":${r3(hostPenalty)},"host_parallel_penalty_end":${r3(hostPenaltyEnd)},"failed":$failedJson,"regress":$regressJson,"cpu_best":$cpuBestJson,"sf":"$sfDir","cpu":$cpus2,"queries":$qs,"cpu_total_sec":${r3(totalCpu)},"total_med_sec":${r3(totalMed)},"total_sec":${r3(total)}}"""
+    val calJson = calSeries
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","protocol":"$protocol","cpus":$cpus,"host_parallel_penalty":${r3(hostPenalty)},"host_parallel_penalty_end":${r3(hostPenaltyEnd)},"calibration":$calJson,"failed":$failedJson,"regress":$regressJson,"cpu_best":$cpuBestJson,"sf":"$sfDir","cpu":$cpus2,"queries":$qs,"cpu_total_sec":${r3(totalCpu)},"total_med_sec":${r3(totalMed)},"total_sec":${r3(total)}}"""
     println(line)
     // The SAME payload also lands as a FILE, so the full wall+CPU dicts
     // are readable regardless of any stdout capture policy.

@@ -404,6 +404,18 @@ object Dedup {
       // be written
       require(builderChains.flatten.sorted == names.sorted,
         s"builderChains out of sync with indexBuilders: ${builderChains.flatten.sorted} vs ${names.sorted}")
+      // Builders with a PLAN variant skip the session checkpoint and
+      // write straight to parquet — the build's two most expensive
+      // artifacts paid checkpoint-serialize + parquet-encode double
+      // materialization (~9 of jaccardPairs' 16 CPU-s at sf0.1). After
+      // the write the memo is re-pointed at the files (exactly what
+      // primeIndexes would do), so same-chain downstream builders
+      // (clusterLabels, graphEdgesBySrc) serve from the artifact. The
+      // returned scratch ids (internal scaffold checkpoints) are freed
+      // once the write lands.
+      val rawBuilders: Map[String, (SparkSession, String) => (DataFrame, Set[Int])] = Map(
+        "jaccardPairs" -> ((s, d) => (jaccardPairPlan(s, d), Set.empty[Int])),
+        "graphEdgeFracs" -> ((s, d) => Graph.edgeFracsPlan(s, d)))
       def writeOne(name: String): Unit = {
         val t0 = System.nanoTime()
         val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
@@ -420,8 +432,19 @@ object Dedup {
         // semantics, same as the memo's ownership rule.
         spark.sparkContext.setJobDescription(s"graft-index:$name")
         try {
-          byName(name)(spark, dir).write.mode("overwrite")
-            .parquet(s"$indexDir/$name.parquet/batch_id=base")
+          rawBuilders.get(name) match {
+            case Some(rb) =>
+              val (plan, scratch) = rb(spark, dir)
+              plan.write.mode("overwrite")
+                .parquet(s"$indexDir/$name.parquet/batch_id=base")
+              unpersistIds(spark, scratch)
+              memoDrop(spark, s"$name|$dir")
+              memoPut(spark, s"$name|$dir",
+                spark.read.parquet(s"$indexDir/$name.parquet").drop("batch_id"))
+            case None =>
+              byName(name)(spark, dir).write.mode("overwrite")
+                .parquet(s"$indexDir/$name.parquet/batch_id=base")
+          }
         } finally spark.sparkContext.setJobDescription(null)
         // operational visibility: which artifact the index job spends
         // its time on (scheduling input for the maintenance window)
@@ -702,12 +725,11 @@ object Dedup {
       // read): the bucket artifact's rows/NumTables is the monitor's
       // own n_vecs arithmetic, the raw embeddings count is corpusK's
       // own input — an append never pays a corpus scan for this.
-      builtH.foreach { h =>
+      val hSignal: Option[Int] = builtH.flatMap { h =>
         val nVecs = spark.read
           .parquet(s"$indexDir/lshBuckets.parquet").count() / Similarity.NumTables
         val targetH = Similarity.hForCount(nVecs)
-        if (targetH != h)
-          Reindex.writeAdvice(spark, indexDir, "append", targetH.toDouble)
+        if (targetH != h) Some(targetH) else None
       }
       // k = 4·⌈√N⌉ moves a little on almost every append, so the k
       // check uses the FAISS sizing band, not exact equality: advice
@@ -716,12 +738,30 @@ object Dedup {
       // plane count only moves at power-of-two occupancy boundaries,
       // so any change IS substantial. The geometryDrift REPORT keeps
       // exact inequality — it informs; this marker pushes.)
-      SimilarityIvf.readCentroidArtifact(spark, indexDir).foreach { cents =>
-        val nRaw = Tables.embeddings(spark, dir)
-          .select(col("vec_id")).count()
-        val targetK = SimilarityIvf.kForCount(nRaw)
-        if (targetK >= 2 * cents.length || 2 * targetK <= cents.length)
-          Reindex.writeAdvice(spark, indexDir, "append", targetK.toDouble)
+      val kSignal: Option[Int] =
+        SimilarityIvf.readCentroidArtifact(spark, indexDir).flatMap { cents =>
+          val nRaw = Tables.embeddings(spark, dir)
+            .select(col("vec_id")).count()
+          val targetK = SimilarityIvf.kForCount(nRaw)
+          if (targetK >= 2 * cents.length || 2 * targetK <= cents.length)
+            Some(targetK)
+          else None
+        }
+      // ONE advice write per append, with the family in the reason —
+      // two bare "append" writes left the second overwriting the
+      // first, and a reader could not tell a plane-count target from a
+      // cell-count target. When BOTH fire, the marker carries the h
+      // target (the exact, boundary-crossing signal) and says so in
+      // the reason; the k target is re-derivable from the corpus count
+      // via kForCount, and reindexArtifacts resolves both identically.
+      (hSignal, kSignal) match {
+        case (Some(h), Some(_)) =>
+          Reindex.writeAdvice(spark, indexDir, "append-h+k", h.toDouble)
+        case (Some(h), None) =>
+          Reindex.writeAdvice(spark, indexDir, "append-h", h.toDouble)
+        case (None, Some(k)) =>
+          Reindex.writeAdvice(spark, indexDir, "append-k", k.toDouble)
+        case (None, None) => ()
       }
     }
     // Re-derive the corpus-global pair table from the appended per-doc
@@ -839,6 +879,102 @@ object Dedup {
       }
   }
 
+  /** The merge-replace append machinery shared by every COUNT-BEARING
+    * corpus-global artifact (graphEdgeFracs, wordGraph): per-key counts
+    * decompose additively, so a batch contributes delta counts from a
+    * batch-sized derivation and the artifact is wholesale-replaced
+    * from the merged counts — linear in the ARTIFACT, independent of
+    * the corpus volume. Factored from appendGraphEdges so both
+    * appenders carry the identical exactly-once discipline:
+    *
+    *  - keyed batch marker (`.$name.applied/batch-<id>`) published by
+    *    direct create AFTER the swap → a retried batch id no-ops
+    *    instead of double-counting the delta;
+    *  - the rolled-out generation parked under a batch-named (or bare)
+    *    `.old` directory until the marker lands → a crash anywhere
+    *    before publish rolls back to the PRE-append generation on
+    *    retry and re-applies once;
+    *  - staged write + two renames → the artifact exists at every
+    *    instant except the swap gap, and that gap is recoverable.
+    *
+    * `mergedOf(existing)` maps the current artifact table to the FULL
+    * next-generation plan (delta derivation + merge + any per-key
+    * globals); `afterSwap` runs once the fresh files are live (memo
+    * re-points, derived-layout cleanup). Caller holds the EXCLUSIVE
+    * lease — an append racing a geometry swap or a sibling append
+    * would merge against whichever generation it happened to read. */
+  private[operators] def mergeReplaceArtifact(spark: SparkSession,
+      indexDir: String, name: String, batchId: Option[String])(
+      mergedOf: DataFrame => DataFrame)(afterSwap: => Unit): Unit = {
+    batchId.foreach(id => require(id.matches("[A-Za-z0-9._-]+"),
+      s"mergeReplaceArtifact($name): batchId '$id' must be a [A-Za-z0-9._-]+ marker name"))
+    val path = s"$indexDir/$name.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = batchId.map(id =>
+      new org.apache.hadoop.fs.Path(s"$indexDir/.$name.applied/batch-$id"))
+    val oldDir = batchId match {
+      case Some(id) =>
+        new org.apache.hadoop.fs.Path(s"$indexDir/.$name.old.$id.parquet")
+      case None =>
+        new org.apache.hadoop.fs.Path(s"$indexDir/.$name.old.parquet")
+    }
+    if (marker.exists(fs.exists(_))) {
+      // completed batch: reap the rollback copy its crash window may
+      // have left, then no-op
+      fs.delete(oldDir, true)
+    } else {
+      // recover any crash BEFORE this batch's marker was published by
+      // putting the OLD generation back (this rerun is about to merge
+      // the same delta again; keeping the post-append state would
+      // double-count the batch). See appendGraphEdges' original
+      // derivation of the keyed/unkeyed recovery split.
+      if (fs.exists(oldDir)) batchId match {
+        case Some(_) =>
+          fs.delete(p, true) // post-swap partial state, marker never published
+          require(fs.rename(oldDir, p),
+            s"mergeReplaceArtifact($name): recovery rename $oldDir -> $p failed")
+        case None =>
+          // UNKEYED: renames are atomic, so the artifact's presence
+          // decides — present ⇒ the prior swap completed (reap the
+          // superseded parked copy); absent ⇒ mid-swap crash (restore)
+          if (fs.exists(p)) fs.delete(oldDir, true)
+          else require(fs.rename(oldDir, p),
+            s"mergeReplaceArtifact($name): recovery rename $oldDir -> $p failed")
+      }
+      require(fs.exists(p),
+        s"mergeReplaceArtifact: artifact $name.parquet missing under $indexDir — " +
+          "run writeIndexes first; an append cannot seed an index")
+      // existing counts come from the persisted artifact (NOT the memo:
+      // a session-built entry could be newer or older than the file —
+      // the file is the maintained truth the append extends)
+      val existing = spark.read.parquet(path)
+      val next = mergedOf(
+        if (existing.columns.contains("batch_id")) existing.drop("batch_id")
+        else existing)
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.$name.append.parquet")
+      fs.delete(tmp, true)
+      next.write.mode("overwrite").parquet(s"$tmp/batch_id=base")
+      require(fs.rename(p, oldDir),
+        s"mergeReplaceArtifact($name): rename $p -> $oldDir failed")
+      require(fs.rename(tmp, p),
+        s"mergeReplaceArtifact($name): rename $tmp -> $p failed")
+      marker match {
+        case Some(m) =>
+          // publish FIRST, then reap the rollback copy: the ordering
+          // closes the post-swap crash window (marker absent on retry
+          // ⇒ rollback copy still there ⇒ roll back)
+          fs.mkdirs(m.getParent)
+          val out = fs.create(m, true)
+          try out.write(Array.emptyByteArray) finally out.close()
+          fs.delete(oldDir, true)
+        case None =>
+          fs.delete(oldDir, true)
+      }
+      afterSwap
+    }
+  }
+
   /** Rebuild the corpus-global Jaccard candidate-pair artifact from the
     * (already appended) per-document parquet artifacts and re-prime the
     * session to serve it — the deferrable tail of appendIndexes.
@@ -858,9 +994,12 @@ object Dedup {
       indexDir: String): Unit = {
       memoDrop(spark, s"jaccardPairs|$dir")
       // the pair table is corpus-global — wholesale replace, clearing any
-      // previous generation's directories, then one fresh base directory
+      // previous generation's directories, then one fresh base directory.
+      // Written from the uncheckpointed PLAN (the writeIndexes raw-build
+      // discipline): the rebuild pays one parquet encode, not a session
+      // checkpoint serialize plus the encode.
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/jaccardPairs.parquet")
-      val rebuilt = jaccardPairTable(spark, dir)
+      val rebuilt = jaccardPairPlan(spark, dir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       rebuilt.write.mode("overwrite")
         .parquet(s"$indexDir/jaccardPairs.parquet/batch_id=base")
@@ -1048,7 +1187,18 @@ object Dedup {
     * sessions' pinned listings may reference; a primed batch session
     * fails its next read loudly (FileNotFoundException, never silently
     * stale) and recovers with releaseIndexes + primeIndexes; restart
-    * streams around the maintenance window. */
+    * streams around the maintenance window.
+    *
+    * Kernel-generation note (non-finite vectors): bucket artifacts
+    * written by the pre-r16 fused LSH kernel hold all-ZERO bucket bits
+    * for vectors whose plane dot product is NaN, while the current
+    * kernel (NaN >= 0 parity with Spark's comparison semantics) emits
+    * all-ones — so a pre-fix artifact mixed with post-fix appends or
+    * stream probes silently mis-buckets exactly those vectors until
+    * this verb runs. Finite embeddings (every corpus the engine
+    * ships) are unaffected; an index whose corpus may carry non-finite
+    * vectors and whose artifacts predate the fix should be reindexed
+    * once rather than appended to. */
   def reindexArtifacts(spark: SparkSession, dir: String, indexDir: String): Unit =
     IndexLease.withExclusive(spark, indexDir, "reindexArtifacts") {
       val hconf = spark.sparkContext.hadoopConfiguration
@@ -1227,14 +1377,26 @@ object Dedup {
       // 20% erasures remove ~59% of the fitted corpus without ever
       // tripping the 25% advice. Pre-rewrite counts taken here; the
       // cumulative fraction resolves after the rewrite below.
+      // `hitFitted` counts only erasures of FITTED-ERA vectors (vec_id
+      // at or below the ledger's fit-time boundary): an erase of
+      // post-fit appends does not shrink the corpus the frozen
+      // geometry summarizes, and counting it against the fitted
+      // denominator produced fractions over 1.0 and spurious reindex
+      // advice (fit 1000, append 9000, erase 3000 appended read as
+      // 300% erased). Boundary -1 (pre-r17 ledger / unknown) keeps
+      // every erased id counted — the conservative side.
+      val ledgerPre = Reindex.readGeometryLedger(spark, indexDir)
       val preCounts: Option[(Long, Long)] = if (vecIds.isEmpty) None else {
         val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
         if (!p.getFileSystem(hconf).exists(p)) None
         else {
           val emb = spark.read.parquet(p.toString)
           val pre = emb.count()
+          val fittedEra = ledgerPre.map(_._3).filter(_ >= 0L)
+            .map(b => col("vec_id") <= b).getOrElse(lit(true))
           if (pre == 0) None
-          else Some((pre, emb.filter(col("vec_id").isInCollection(vecIds)).count()))
+          else Some((pre, emb.filter(col("vec_id").isInCollection(vecIds) &&
+            fittedEra).count()))
         }
       }
       if (vecIds.nonEmpty) {
@@ -1273,11 +1435,14 @@ object Dedup {
       // read as 0% although 100% of the fitted corpus was gone.
       // Pre-ledger indexes fall back to the per-call fraction.
       preCounts.foreach { case (pre, hit) =>
-        val frac = Reindex.readGeometryLedger(spark, indexDir) match {
-          case Some((fitted, erased)) if fitted > 0 =>
+        val frac = ledgerPre match {
+          case Some((fitted, erased, fitMax)) if fitted > 0 =>
             val total = erased + hit
-            Reindex.writeGeometryLedger(spark, indexDir, fitted, total)
-            total.toDouble / fitted
+            Reindex.writeGeometryLedger(spark, indexDir, fitted, total, fitMax)
+            // clamp: the fitted corpus cannot be more than fully
+            // erased — an over-count (unknown-era fallback meeting
+            // re-used ids) must not report an impossible fraction
+            math.min(1.0, total.toDouble / fitted)
           case _ => hit.toDouble / pre
         }
         if (frac >= Reindex.EraseReindexFrac)
@@ -1437,8 +1602,36 @@ object Dedup {
     * partitioning. */
   private[operators] def jaccardPairTable(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"jaccardPairs|$dir") {
+      checkpointSer(jaccardPairPlan(spark, dir))
+    }
+
+  /** The pair-table PLAN without the memo/checkpoint wrapper — what
+    * the index job writes STRAIGHT to parquet. The session path above
+    * double-materializes (checkpoint serialize + parquet encode,
+    * measured ~9 CPU-s of the artifact's 16 at sf0.1); the file-backed
+    * build pays the parquet encode only and re-points the memo at the
+    * written files, exactly the state primeIndexes would establish. */
+  private[operators] def jaccardPairPlan(spark: SparkSession, dir: String): DataFrame = {
+      // Candidate generation and intersection counting run on 64-bit
+      // shingle FINGERPRINTS (xxhash64 of the shingle string), not the
+      // strings themselves: the index self-join's shuffle keys, the
+      // pair aggregation's probe work, and the star branch's
+      // array_intersect all operate on 8-byte longs instead of ~25-byte
+      // strings — measured 11.6 → 3.5 CPU-s for the full pair build at
+      // sf0.1 (the #1 item of the index job's CPU budget). Equality of
+      // fingerprints stands in for equality of shingles: with d
+      // distinct shingles the expected number of colliding pairs is
+      // d²/2^65 (~5·10⁻¹² at sf0.1's 27k; ~3·10⁻⁶ at a 100 TB-corpus
+      // 10¹⁰ shingles — still ≪ 1), so df groups, group minima, shared
+      // counts, and intersections are identical to the string
+      // computation, and the DuckDB oracles (which mirror the STRING
+      // formulation verbatim) stay hash-exact — swept at all three SFs.
+      // The projection sits ON TOP of the memoized string artifacts, so
+      // artifact schemas, appends, and every other consumer are
+      // untouched.
       val w = Window.partitionBy(col("shingle"))
       val idx = shingleIndex(spark, dir)
+        .withColumn("shingle", xxhash64(col("shingle")))
         .withColumn("df", count(lit(1)).over(w))
         .withColumn("min_id", min(col("doc_id")).over(w))
       val small = idx.filter(col("df") <= MaxShingleDf)
@@ -1455,6 +1648,7 @@ object Dedup {
         .select(col("min_id").as("id_a"), col("doc_id").as("id_b"))
         .distinct()
       val sh = docShingles(spark, dir)
+        .withColumn("sh", transform(col("sh"), s => xxhash64(s)))
       val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       val starRows = starCands.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
@@ -1477,7 +1671,6 @@ object Dedup {
         .withColumn("jaccard",
           col("n_common").cast("double") /
             (col("n_a") + col("n_b") - col("n_common")))
-        .transform(checkpointSer)
     }
 
   /** E2 n-gram Jaccard near-dup: inverted-index candidate join on

@@ -220,19 +220,48 @@ object Graph {
 
   private[operators] def edgeFracs(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"graphEdgeFracs|$dir") {
-      val eb = Tables.orders(spark, dir)
+      val (plan, scratch) = edgeFracsPlan(spark, dir)
+      val out = Dedup.checkpointSer(plan)
+      // the eager checkpoint above has materialized `out`, so the eb
+      // scaffold's blocks are dead weight — free them NOW rather than
+      // leaking them past the memo's exact-ownership tracking (which
+      // records only the returned table's checkpoint ids)
+      Dedup.unpersistIds(spark, scratch)
+      out
+    }
+
+  /** The edge-table PLAN without the memo/checkpoint wrapper, plus the
+    * checkpoint ids of its internal scaffold — what the index job
+    * writes STRAIGHT to parquet (the session path above pays checkpoint
+    * serialize + parquet encode; the file-backed build pays the encode
+    * only, then re-points the memo at the written files). The caller
+    * owns freeing the returned scratch ids once the plan has been
+    * materialized.
+    *
+    * The undirected edge table references `eb` twice (one union leg
+    * per direction) and twice more through the out-weight aggregate +
+    * join — a checkpoint barrier pins the orders ⋈ lineitem join to
+    * ONE execution (exchange reuse alone left the final aggregation +
+    * projection re-running per consumer: measured 8.3 → 4.8 CPU-s for
+    * the artifact build at sf0.1). The checkpointed table is
+    * |distinct (cust, supp)| rows — half the edge table — so the
+    * barrier is cheap next to what it saves. */
+  private[operators] def edgeFracsPlan(spark: SparkSession,
+      dir: String): (DataFrame, Set[Int]) = {
+      val eb = Dedup.checkpointSer(Tables.orders(spark, dir)
         .join(Tables.lineitem(spark, dir),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
-        .agg(count(lit(1)).as("w"))
+        .agg(count(lit(1)).as("w")))
       val e = eb.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .unionByName(eb.select(col("b").as("src"), col("a").as("dst"), col("w")))
       val ow = e.groupBy("src").agg(sum(col("w")).as("ow"))
-      Dedup.checkpointSer(
-        e.join(ow, "src")
-          .select(col("src"), col("dst"), col("w"),
-            (col("w").cast("double") / col("ow").cast("double")).as("frac")))
+      val plan = e.join(ow, "src")
+        .select(col("src"), col("dst"), col("w"),
+          (col("w").cast("double") / col("ow").cast("double")).as("frac"))
+      (plan,
+        org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRddIds(eb))
     }
 
   /** Append a batch of NEW ORDERS to the persisted graphEdgeFracs
@@ -270,110 +299,28 @@ object Graph {
                        orderPredicate: org.apache.spark.sql.Column,
                        batchId: Option[String] = None): Unit =
     IndexLease.withExclusive(spark, indexDir, "graph-edge-append") {
-      batchId.foreach(id => require(id.matches("[A-Za-z0-9._-]+"),
-        s"appendGraphEdges: batchId '$id' must be a [A-Za-z0-9._-]+ marker name"))
-      val path = s"$indexDir/graphEdgeFracs.parquet"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // batch marker (the exactlyOnceBatch discipline adapted to a
-      // merge-replace that cannot be directory-idempotent): an EMPTY
-      // marker publishes by direct create AFTER the swap completes,
-      // so a retried batch id is a no-op instead of double-counting
-      // the delta. For KEYED runs the rolled-out generation is kept —
-      // under a batch-NAMED directory, so it can never be mistaken
-      // for another batch's — until the marker is published: a crash
-      // anywhere before the marker (mid-swap, or post-swap
-      // pre-publish) then rolls back to the PRE-append generation on
-      // retry and re-applies once — exactly-once in effect. Only the
-      // marker write finalizes; the old generation is reaped on the
-      // next run that sees its marker present.
-      val marker = batchId.map(id =>
-        new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.applied/batch-$id"))
-      val oldDir = batchId match {
-        case Some(id) =>
-          new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.old.$id.parquet")
-        case None =>
-          new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.old.parquet")
-      }
-      if (marker.exists(fs.exists(_))) {
-        // completed batch: reap the rollback copy its crash window
-        // may have left, then no-op
-        fs.delete(oldDir, true)
-      } else {
-        // recover any crash BEFORE this batch's marker was published
-        // by putting the OLD generation back (not the staged new one —
-        // this RERUN is about to merge the same delta again, and
-        // keeping the post-append state would double-count the batch).
-        // The batch-named rollback dir makes this unambiguous: its
-        // presence + a missing marker = THIS batch did not finalize.
-        // A BARE (un-keyed) retry after a fully completed append still
-        // double-appends — the single-successful-run contract of a
-        // bare appendIndexes; key the batch for exactly-once.
-        if (fs.exists(oldDir)) batchId match {
-          case Some(_) =>
-            fs.delete(p, true) // post-swap partial state, marker never published
-            require(fs.rename(oldDir, p),
-              s"appendGraphEdges: recovery rename $oldDir -> $p failed")
-          case None =>
-            // UNKEYED: there is no marker, so "rollback dir present"
-            // cannot distinguish this-run-retry from a NEW batch after
-            // a crash that completed the swap but missed the reap.
-            // Renames are atomic, so the artifact's presence decides:
-            //  - artifact present → the prior swap COMPLETED (only the
-            //    rename(tmp → p) can have created it); the parked copy
-            //    is the superseded generation — reap it and append on
-            //    top of the completed state. Rolling back here (the old
-            //    behavior) silently discarded the prior append's delta
-            //    the moment any LATER unkeyed batch ran.
-            //  - artifact absent → genuine mid-swap crash; restore.
-            if (fs.exists(p)) fs.delete(oldDir, true)
-            else require(fs.rename(oldDir, p),
-              s"appendGraphEdges: recovery rename $oldDir -> $p failed")
-        }
-        require(fs.exists(p),
-          s"appendGraphEdges: artifact graphEdgeFracs.parquet missing under $indexDir — " +
-            "run writeIndexes first; an append cannot seed an index")
-        // existing counts come from the persisted artifact (NOT the memo:
-        // a session-built entry could be newer or older than the file —
-        // the file is the maintained truth the append extends)
-        val existing = spark.read.parquet(path).select("src", "dst", "w")
-        val eb = Tables.orders(spark, dir).filter(orderPredicate)
-          .join(Tables.lineitem(spark, dir),
-            col("o_orderkey") === col("l_orderkey"))
-          .groupBy((col("o_custkey") * 2).as("a"),
-            (col("l_suppkey") * 2 + 1).as("b"))
-          .agg(count(lit(1)).as("w"))
-        val delta = eb.select(col("a").as("src"), col("b").as("dst"), col("w"))
-          .unionByName(eb.select(col("b").as("src"), col("a").as("dst"), col("w")))
-        val merged = existing.unionByName(delta)
-          .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-        val ow = merged.groupBy("src").agg(sum(col("w")).as("ow"))
-        // the new generation is STAGED next to the artifact and swapped
-        // in with two renames (the compactIndexes discipline): the plan
-        // reads the old files while writing the staging copy, and a
-        // crash at any point leaves a recoverable state — old artifact
-        // (crash before the swap), old + staging (rerun overwrites the
-        // staging), or new artifact — never a deleted index
-        val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.graphEdgeFracs.append.parquet")
-        fs.delete(tmp, true)
-        merged.join(ow, "src")
-          .select(col("src"), col("dst"), col("w"),
-            (col("w").cast("double") / col("ow").cast("double")).as("frac"))
-          .write.mode("overwrite").parquet(s"$tmp/batch_id=base")
-        require(fs.rename(p, oldDir), s"appendGraphEdges: rename $p -> $oldDir failed")
-        require(fs.rename(tmp, p), s"appendGraphEdges: rename $tmp -> $p failed")
-        marker match {
-          case Some(m) =>
-            // publish FIRST, then reap the rollback copy: the ordering
-            // is what closes the post-swap crash window (marker absent
-            // on retry ⇒ rollback copy still there ⇒ roll back)
-            fs.mkdirs(m.getParent)
-            val out = fs.create(m, true)
-            try out.write(Array.emptyByteArray) finally out.close()
-            fs.delete(oldDir, true)
-          case None =>
-            fs.delete(oldDir, true)
-        }
+      // merge-replace machinery (markers, rollback, staged swap) is the
+      // shared Dedup.mergeReplaceArtifact discipline; only the delta
+      // derivation and the post-swap layout maintenance live here
+      Dedup.mergeReplaceArtifact(spark, indexDir, "graphEdgeFracs", batchId) {
+        existing =>
+          val eb = Tables.orders(spark, dir).filter(orderPredicate)
+            .join(Tables.lineitem(spark, dir),
+              col("o_orderkey") === col("l_orderkey"))
+            .groupBy((col("o_custkey") * 2).as("a"),
+              (col("l_suppkey") * 2 + 1).as("b"))
+            .agg(count(lit(1)).as("w"))
+          val delta = eb.select(col("a").as("src"), col("b").as("dst"), col("w"))
+            .unionByName(eb.select(col("b").as("src"), col("a").as("dst"), col("w")))
+          val merged = existing.select("src", "dst", "w").unionByName(delta)
+            .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+          val ow = merged.groupBy("src").agg(sum(col("w")).as("ow"))
+          merged.join(ow, "src")
+            .select(col("src"), col("dst"), col("w"),
+              (col("w").cast("double") / col("ow").cast("double")).as("frac"))
+      } {
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         // serve the fresh parquet; drop the derived by-src layout so the
         // next co-partitioned superstep rebuilds it from the new edges
         Dedup.memoDrop(spark, s"graphEdgeFracs|$dir")
@@ -393,8 +340,8 @@ object Graph {
           case scala.util.control.NonFatal(_) => ()
         }
         Dedup.memoPut(spark, s"graphEdgeFracs|$dir",
-          spark.read.parquet(path).drop("batch_id"))
-      } // not-already-applied
+          spark.read.parquet(s"$indexDir/graphEdgeFracs.parquet").drop("batch_id"))
+      }
     }
 
   /** Parity-encoded id → display label ('c<key>' / 's<key>'). */
@@ -511,6 +458,95 @@ object Graph {
     * instead of joining all N nodes against the edges from step 1.
     * Global PageRank gains nothing (1/N init has no zeros), so the
     * filter stays off there. */
+  /** Edge ceiling for the DRIVER-side fixed-point loop (third superstep
+    * strategy, below broadcast and co-partitioned): a graph this small
+    * is a bounded model table (≤131k edge rows ≈ a few MB — the
+    * labelCentroids / codebook collect class), and iterating it as
+    * ~28 scheduled Spark jobs (two broadcast builds + a checkpoint per
+    * superstep) costs pure job latency: q_text_keywords measured
+    * 1.2 s quiet / 10.6 s contended for a ~500-edge word graph whose
+    * arithmetic is microseconds. Decided from the OBSERVED edge count
+    * (the broadcast↔co-partition switch discipline) — a vocabulary
+    * that outgrows the ceiling falls back to the distributed loop, so
+    * the 100 TB path is unchanged. Forced callers (coPartition =
+    * Some(_)) always take the distributed paths, which keeps the
+    * plan-shape specs and the bit-parity pins measuring them. */
+  private[operators] val DriverRankMaxEdges = 131072L
+
+  /** The driver-side twin of the superstep loop: same fixed-point
+    * discipline (contributions round(r·frac·1e9) as longs, HALF_UP on
+    * the decimal rep — Round's double semantics — summed per dst;
+    * rank = tele + d·(sc/1e9)), same init/teleTerm COLUMN expressions
+    * evaluated through a LocalRelation so arbitrary callers (global
+    * 1/n, personalized indicator) keep their exact arithmetic. Long
+    * addition is order-proof, so ranks are bit-identical to both
+    * distributed paths (GraphSpec pins it). */
+  private def driverRankLoop(spark: SparkSession, en: DataFrame, iters: Int,
+      init: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
+      teleTerm: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val edgeRows = en.select(col("src"), col("dst"), col("frac")).collect()
+    val nodeVals: Array[Any] = edgeRows.map(_.get(0)).distinct.toArray
+    val n = nodeVals.length
+    val nodeType = en.schema("src").dataType
+    val idxOf = new java.util.HashMap[Any, Integer](n * 2)
+    var i = 0
+    while (i < n) { idxOf.put(nodeVals(i), i); i += 1 }
+    // per-node init + teleport terms via the caller's Column exprs —
+    // a LocalRelation select folds driver-side (no cluster job)
+    val nodeDf = spark.createDataFrame(
+      nodeVals.toSeq.map(v => org.apache.spark.sql.Row(v)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType))))
+    val nCol = lit(n.toLong)
+    val nt = nodeDf.select(col("node"),
+      init((col("node"), nCol)).cast("double").as("r0"),
+      teleTerm((col("node"), nCol)).cast("double").as("tele")).collect()
+    val r = Array.ofDim[Double](n)
+    val tele = Array.ofDim[Double](n)
+    nt.foreach { row =>
+      val j = idxOf.get(row.get(0)).intValue()
+      r(j) = row.getDouble(1); tele(j) = row.getDouble(2)
+    }
+    val m = edgeRows.length
+    val eSrc = Array.ofDim[Int](m); val eDst = Array.ofDim[Int](m)
+    val eFrac = Array.ofDim[Double](m)
+    i = 0
+    while (i < m) {
+      val row = edgeRows(i)
+      eSrc(i) = idxOf.get(row.get(0)).intValue()
+      // every dst also appears as a src (the edge table is doubled),
+      // so the index lookup cannot miss
+      eDst(i) = idxOf.get(row.get(1)).intValue()
+      eFrac(i) = row.getDouble(2)
+      i += 1
+    }
+    // Round(double, 0) semantics: HALF_UP on the shortest decimal rep
+    // (BigDecimal.valueOf), then the long cast — bit-for-bit what the
+    // superstep's round(...).cast("long") computes
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    val sc = Array.ofDim[Long](n)
+    var iter = 0
+    while (iter < iters) {
+      java.util.Arrays.fill(sc, 0L)
+      var k = 0
+      while (k < m) {
+        sc(eDst(k)) += rnd(r(eSrc(k)) * eFrac(k) * 1e9)
+        k += 1
+      }
+      var j = 0
+      while (j < n) { r(j) = tele(j) + Damping * (sc(j).toDouble / 1e9); j += 1 }
+      iter += 1
+    }
+    spark.createDataFrame(
+      (0 until n).map(j => org.apache.spark.sql.Row(nodeVals(j), r(j))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   private[operators] def rankLoopOver(spark: SparkSession, enIn: DataFrame, iters: Int,
       init: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
       teleTerm: ((org.apache.spark.sql.Column, org.apache.spark.sql.Column)) => org.apache.spark.sql.Column,
@@ -519,6 +555,12 @@ object Graph {
       chkEvery: Int = 1,
       pruneZeroRanks: Boolean = false): DataFrame = {
     val en = enIn
+    // observed-size strategy ladder: tiny graphs run the fixed-point
+    // loop on the driver (bounded-model-table class — see
+    // [[DriverRankMaxEdges]]); the count is one scan of the memoized/
+    // primed edge table, traded against ~28 scheduled jobs
+    if (coPartition.isEmpty && en.count() <= DriverRankMaxEdges)
+      return driverRankLoop(spark, en, iters, init, teleTerm)
     // intermediate checkpoints are query-local scratch, not memoized
     // artifacts: track them and free each superstep's predecessor so a
     // pagerank run leaves ONE persisted rank table behind, not

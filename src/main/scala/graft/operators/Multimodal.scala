@@ -404,6 +404,27 @@ object Multimodal {
     * exactly Spark's UTF8 binary string comparison on ASCII hex), so
     * the typed dispatch path and the oracled column path produce the
     * SAME bits for synthetic payloads (MultimodalSpec pins it). */
+  /** Lossless stub input for a raw payload. The byte-parity contract
+    * with the oracled column path (which fingerprints the TEXT column)
+    * holds for payloads that ARE valid UTF-8 — the synthetic corpus —
+    * via a STRICT round-trippable decode. Anything else (genuine
+    * audio/video byte streams) maps to a labeled hex spelling of the
+    * raw bytes instead of a replacement-character collapse: the old
+    * lenient decode sent every invalid sequence to U+FFFD, so two
+    * DISTINCT binary payloads could share a fingerprint and produce
+    * false Hamming-0 "near-dup" pairs. Both branches are injective, so
+    * distinct payloads now always fingerprint distinctly (up to md5). */
+  private[operators] def stubTextOf(payload: Array[Byte]): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(payload)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        "hex:" + payload.map("%02x".format(_)).mkString
+    }
+  }
+
   private[operators] def dhashStubOf(text: String): String = {
     val h = md5Hex(text)
     val bits = for { r <- 0 until DhashRows; c <- 0 until DhashCols } yield
@@ -430,7 +451,7 @@ object Multimodal {
         batch.iterator.map { r =>
           val real = if (r.media_type == "image") dhashOfImage(r.payload) else None
           MediaBits(r.doc_id, r.media_type, real.getOrElse(
-            dhashStubOf(new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))))
+            dhashStubOf(stubTextOf(r.payload))))
         }
       }
     }
@@ -495,6 +516,19 @@ object Multimodal {
   def mediaPhashPairsReal(media: Dataset[MediaRow], k: Int = 20): DataFrame =
     mediaPhashPairsOf(mediaDhash(media).toDF(), k)
 
+  /** The REGISTERED real-pixel perceptual query: perceptual near-dup
+    * pairs over a deterministic on-disk fixture of GENUINE encoded
+    * media ([[MediaFixtures]] — real PNG/JPEG images via javax.imageio
+    * plus binary audio/video payloads), through the binaryFile source
+    * → typed decode → shared pair algebra, end to end. Its oracle is
+    * DYNAMIC (the fitted-model discipline): the pixel fingerprints are
+    * inlined as literals at dump time, and DuckDB replays the
+    * band/cap/rerank algebra over them — so the driver hash-checks the
+    * whole candidate pipeline while the decode kernel itself stays
+    * pinned by MultimodalSpec's PNG-vs-JPEG fixtures. */
+  def mediaPhashPairsRealFixture(spark: SparkSession): DataFrame =
+    mediaPhashPairsReal(mediaTableFromFiles(spark, MediaFixtures.ensure()))
+
   /** Per-media-type rollup over the features — the "what's in this
     * 100 TB bucket" inventory query. */
   def mediaInventory(spark: SparkSession, dir: String): DataFrame =
@@ -517,7 +551,9 @@ object MultimodalModule extends QueryModule {
     "q_media_video" -> ((s: SparkSession, d: String) => videoFeatures(s, d)),
     "q_media_resize" -> ((s: SparkSession, d: String) => resizePlan(s, d)),
     "q_media_dedup" -> ((s: SparkSession, d: String) => mediaDedup(s, d)),
-    "q_media_phash" -> ((s: SparkSession, d: String) => mediaPhashPairs(s, d)))
+    "q_media_phash" -> ((s: SparkSession, d: String) => mediaPhashPairs(s, d)),
+    "q_media_phash_real" ->
+      ((s: SparkSession, _: String) => mediaPhashPairsRealFixture(s)))
 
   // DuckDB's sha256 hashes the VARCHAR's UTF-8 bytes — identical input
   // bytes to Spark's sha2(encode(text,'UTF-8'), 256).
@@ -629,4 +665,106 @@ object MultimodalModule extends QueryModule {
         |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
         |  MAX(byte_len) AS max_bytes
         |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin)
+
+  /** q_media_phash_real's oracle can only exist with the data in hand:
+    * the REAL pixel fingerprints (javax.imageio decode → area-averaged
+    * dHash) are computed over the fixture at dump time and inlined as
+    * literals; DuckDB then replays the SAME band/cap/Hamming-rerank
+    * algebra the stub oracle proves — the fitted-centroid discipline
+    * applied to a decode kernel SQL cannot express. */
+  override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] = {
+    val fp = Multimodal.mediaDhash(
+        Multimodal.mediaTableFromFiles(spark, MediaFixtures.ensure()))
+      .collect().sortBy(_.doc_id)
+    val values = fp.map(b =>
+      s"(CAST(${b.doc_id} AS BIGINT), '${b.media_type}', '${b.bits}')")
+      .mkString(",\n        ")
+    Map("q_media_phash_real" ->
+      s"""WITH ph AS (SELECT * FROM (VALUES $values)
+        |    AS t(doc_id, media_type, bits)),
+        |bands AS (SELECT doc_id, media_type, bits, band_idx,
+        |    substr(bits, band_idx * 16 + 1, 16) AS band
+        |  FROM ph, unnest(generate_series(0, 3)) AS u(band_idx)),
+        |capped AS (SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY media_type, band_idx, band) AS df
+        |    FROM bands) WHERE df <= 64),
+        |cand AS (SELECT DISTINCT a.media_type, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.bits AS bits_a, b.bits AS bits_b
+        |  FROM capped a JOIN capped b
+        |    ON a.media_type = b.media_type AND a.band_idx = b.band_idx
+        |   AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT media_type, id_a, id_b,
+        |  CAST(list_sum(list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN bits_a[i:i] = bits_b[i:i] THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+        |FROM cand
+        |ORDER BY hamming ASC, media_type ASC, id_a ASC, id_b ASC LIMIT 20""".stripMargin)
+  }
+}
+
+/** Deterministic on-disk fixture of REAL encoded media — the input a
+  * registered query needs to exercise the pixel-decode branch (the
+  * driver corpus's payloads are synthetic text bytes, never a
+  * decodable image). Written once per machine under java.io.tmpdir
+  * behind a completion marker (the AltoModule.ensureBulkCorpus
+  * discipline); contents are generated in-process, byte-deterministic
+  * given the JDK's PNG/JPEG encoders:
+  *
+  *  - `pic_a.png` / `pic_a_reenc.jpg` — the SAME plateau picture
+  *    through two encoders: the pair the perceptual query must rank
+  *    first (lossy JPEG noise cannot flip an area-averaged gradient
+  *    bit across a ≥30-luma plateau step);
+  *  - `pic_b.png` — a different picture, far in Hamming distance;
+  *  - `hiss.wav` / `tone.wav` / `clip.mp4` — DISTINCT non-UTF-8 binary
+  *    payloads exercising the lossless stub fallback (distinct bytes →
+  *    distinct fingerprints, the r17 injectivity fix). */
+private[graft] object MediaFixtures {
+  import java.awt.image.BufferedImage
+
+  private def render(w: Int, h: Int)(f: (Int, Int) => Int): BufferedImage = {
+    val b = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, f(x, y))
+    b
+  }
+
+  // nine luminance plateaus aligned to the dHash grid's nine columns;
+  // the 1-unit row dither stays far under the 30-luma plateau steps
+  private def plateau(vals: Array[Int]): BufferedImage =
+    render(96, 64) { (x, y) =>
+      val v = vals(x * vals.length / 96) + (y % 2)
+      (v << 16) | (v << 8) | v
+    }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos),
+      s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
+  /** Deterministic non-UTF-8 byte blob: a multiplicative byte walk
+    * seeded per file; bytes ≥ 0x80 land outside valid UTF-8 sequences
+    * so the stub fallback's strict-decode branch rejects it. */
+  private def blob(seed: Int, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((i * 37 + seed * 101 + 0x80) & 0xFF).toByte)
+
+  def ensure(): String = synchronized {
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_media_fixture_v1")
+    val marker = new java.io.File(dir, ".complete")
+    if (!marker.exists()) {
+      dir.mkdirs()
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+      val picA = plateau(Array(30, 200, 80, 230, 10, 160, 60, 250, 110))
+      val picB = plateau(Array(10, 40, 70, 100, 130, 160, 190, 220, 250))
+      put("pic_a.png", encode(picA, "png"))
+      put("pic_a_reenc.jpg", encode(picA, "jpg"))
+      put("pic_b.png", encode(picB, "png"))
+      put("hiss.wav", blob(1, 512))
+      put("tone.wav", blob(2, 512))
+      put("clip.mp4", blob(3, 768))
+      marker.createNewFile()
+    }
+    dir.toString
+  }
 }

@@ -180,33 +180,54 @@ object Reindex {
   private[operators] def writeGeometryBaseline(spark: SparkSession, dir: String,
                                                indexDir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      writeGeometryLedger(spark, indexDir,
-        spark.read.parquet(p.toString).count(), erased = 0L)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      val stats = spark.read.parquet(p.toString)
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("vec_id")))
+        .first()
+      writeGeometryLedger(spark, indexDir, stats.getLong(0), erased = 0L,
+        fitMaxVec = if (stats.isNullAt(1)) -1L else stats.getLong(1))
+    }
   }
 
+  /** `fitMaxVec` = the highest vec_id present at fit time (-1 =
+    * unknown: empty corpus or a pre-r17 ledger). It is the fitted-ERA
+    * membership test for the erased counter: appended vectors carry
+    * fresh ids above the boundary (the id-uniqueness discipline every
+    * vec_id-keyed artifact already requires), so an erase of
+    * post-fit appends must NOT bump the fitted-corpus-erased fraction
+    * — fit 1000, append 9000, erase 3000 appended vectors previously
+    * read as 300% of the fitted corpus erased and produced spurious
+    * reindex advice. */
   private[operators] def writeGeometryLedger(spark: SparkSession,
-      indexDir: String, fitted: Long, erased: Long): Unit = {
+      indexDir: String, fitted: Long, erased: Long,
+      fitMaxVec: Long = -1L): Unit = {
     import spark.implicits._
-    Seq((fitted, erased)).toDF("n_vecs", "erased")
+    Seq((fitted, erased, fitMaxVec)).toDF("n_vecs", "erased", "fit_max_vec")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/$BaselineArtifact")
   }
 
-  /** (fitted corpus size, erased-since-fit total). A pre-r16 ledger
-    * file carries only `n_vecs` — its erased counter reads 0, and the
-    * first erase under the new code rewrites it in the full schema. */
+  /** (fitted corpus size, erased-since-fit total, fit-era id boundary
+    * or -1). A pre-r16 ledger file carries only `n_vecs` — its erased
+    * counter reads 0; a pre-r17 one lacks the boundary — it reads -1
+    * (unknown era, every erased id counts, the conservative side) —
+    * and the next write rewrites the full schema. */
   private[operators] def readGeometryLedger(spark: SparkSession,
-      indexDir: String): Option[(Long, Long)] = {
+      indexDir: String): Option[(Long, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/$BaselineArtifact")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val df = spark.read.parquet(p.toString)
       val hasErased = df.columns.contains("erased")
+      val hasBoundary = df.columns.contains("fit_max_vec")
       df.collect().headOption.map(r =>
         (r.getLong(r.fieldIndex("n_vecs")),
-         if (hasErased) r.getLong(r.fieldIndex("erased")) else 0L))
+         if (hasErased) r.getLong(r.fieldIndex("erased")) else 0L,
+         if (hasBoundary) r.getLong(r.fieldIndex("fit_max_vec")) else -1L))
     }
   }
 

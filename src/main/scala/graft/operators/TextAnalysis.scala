@@ -424,35 +424,87 @@ object TextAnalysis {
     * wholesale from the appended token artifact (a doc batch changes
     * pair counts AND the out-weight normalizers of every touched
     * word). */
+  /** Undirected co-occurrence pair counts (u < v, w) over a tokenized
+    * table — ONE expression tree shared by the full wordGraph build
+    * and [[appendWordGraph]]'s batch delta, so the two derivations
+    * cannot drift. Single-token documents are dropped BEFORE the pair
+    * explode (the pmiCollocations guard): under ANSI mode element_at
+    * past the array end THROWS rather than returning the NULL a
+    * post-explode filter could catch, and greatest(size-1, 1) would
+    * generate exactly that dereference for a 1-token doc. */
+  private def wordPairCounts(toksDf: DataFrame): DataFrame = {
+    val stop = enStop
+    def good(c: Column): Column =
+      length(c) >= TextRankMinLen && !c.isInCollection(stop)
+    toksDf
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("a"),
+          element_at(col("toks"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b") &&
+        good(col("a")) && good(col("b")))
+      .groupBy(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Doubled edge table (src, dst, w, frac) from undirected pair
+    * counts — shared by the build and the append's merged re-derive.
+    * The artifact carries the raw count `w` precisely so an append can
+    * merge additively (the graphEdgeFracs schema discipline). */
+  private def edgeTableOf(eb: DataFrame): DataFrame = {
+    val e = eb.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(eb.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val ow = e.groupBy("src").agg(sum(col("w")).as("ow"))
+    e.join(ow, "src")
+      .select(col("src"), col("dst"), col("w"),
+        (col("w").cast("double") / col("ow").cast("double")).as("frac"))
+  }
+
   private[graft] def wordGraph(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"wordGraph|$dir") {
-      val stop = enStop
-      def good(c: Column): Column =
-        length(c) >= TextRankMinLen && !c.isInCollection(stop)
-      // single-token documents are dropped BEFORE the pair explode
-      // (the pmiCollocations guard): under ANSI mode element_at past
-      // the array end THROWS rather than returning the NULL a
-      // post-explode filter could catch, and greatest(size-1, 1)
-      // would generate exactly that dereference for a 1-token doc
-      val pairs = Curation.docToks(spark, dir)
-        .filter(size(col("toks")) >= 2)
-        .select(explode(transform(
-          sequence(lit(1), size(col("toks")) - 1),
-          i => struct(element_at(col("toks"), i).as("a"),
-            element_at(col("toks"), i + 1).as("b")))).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .filter(col("a") =!= col("b") &&
-          good(col("a")) && good(col("b")))
-      val eb = pairs
-        .groupBy(least(col("a"), col("b")).as("u"),
-          greatest(col("a"), col("b")).as("v"))
-        .agg(count(lit(1)).as("w"))
-      val e = eb.select(col("u").as("src"), col("v").as("dst"), col("w"))
-        .unionByName(eb.select(col("v").as("src"), col("u").as("dst"), col("w")))
-      val ow = e.groupBy("src").agg(sum(col("w")).as("ow"))
-      Dedup.checkpointSer(e.join(ow, "src")
-        .select(col("src"), col("dst"),
-          (col("w").cast("double") / col("ow").cast("double")).as("frac")))
+      Dedup.checkpointSer(edgeTableOf(wordPairCounts(Curation.docToks(spark, dir))))
+    }
+
+  /** Append a batch of NEW DOCUMENTS to the persisted wordGraph
+    * artifact without re-scanning the corpus: adjacent-pair counts
+    * decompose additively, so the batch contributes delta counts from
+    * a batch-sized tokenize + explode, and the out-weight fractions —
+    * a per-src global — are re-derived from the merged counts with the
+    * artifact wholesale-replaced: linear in the VOCABULARY edge table
+    * (Heaps-sublinear in the corpus), independent of corpus volume.
+    * Previously the word graph was re-derived wholesale from the full
+    * token artifact on every append — the one corpus-global re-derive
+    * ask 5 of round 16 flagged. Machinery (exactly-once batch marker,
+    * rollback, staged swap) is the shared merge-replace discipline;
+    * IndexPersistenceSpec pins append-then-read ≡ full rebuild.
+    *
+    * Requires a w-bearing artifact (any build from r17 on); a pre-r17
+    * (src, dst, frac) artifact cannot merge — rebuild it once. */
+  def appendWordGraph(spark: SparkSession, dir: String, indexDir: String,
+                      docPredicate: Column,
+                      batchId: Option[String] = None): Unit =
+    IndexLease.withExclusive(spark, indexDir, "word-graph-append") {
+      Dedup.mergeReplaceArtifact(spark, indexDir, "wordGraph", batchId) {
+        existing =>
+          require(existing.columns.contains("w"),
+            "appendWordGraph: artifact predates the w-bearing schema — " +
+              "rebuild it (writeIndexes) before appending")
+          val delta = wordPairCounts(Curation.docToksOf(
+            Tables.documents(spark, dir).filter(docPredicate)))
+          val merged = existing
+            .filter(col("src") < col("dst"))
+            .select(col("src").as("u"), col("dst").as("v"), col("w"))
+            .unionByName(delta)
+            .groupBy("u", "v").agg(sum(col("w")).as("w"))
+          edgeTableOf(merged)
+      } {
+        Dedup.memoDrop(spark, s"wordGraph|$dir")
+        Dedup.memoPut(spark, s"wordGraph|$dir",
+          spark.read.parquet(s"$indexDir/wordGraph.parquet").drop("batch_id"))
+      }
     }
 
   def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {

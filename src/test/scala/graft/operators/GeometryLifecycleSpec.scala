@@ -150,7 +150,7 @@ class GeometryLifecycleSpec extends SparkSpec {
       embPredicate = Some(col("vec_id") >= 600L),
       rebuildPairs = false, batchId = Some("big"))
     val adv = Reindex.readAdvice(spark, idx)
-    assert(adv.exists(_._1 == "append"),
+    assert(adv.exists(_._1.startsWith("append")),
       s"boundary-crossing append must leave advice, got $adv")
 
     // the serving heads DISCLOSE the flagged index (results unchanged)
@@ -160,7 +160,7 @@ class GeometryLifecycleSpec extends SparkSpec {
         Seq((77001L, qv)).toDF("query_id", "embedding"), k = 3, radius = 1)
       .collect()
     assert(served.nonEmpty)
-    assert(ServeStatus.lastAdvice(idx).exists(_._1 == "append"),
+    assert(ServeStatus.lastAdvice(idx).exists(_._1.startsWith("append")),
       "serve on a flagged index must record the staleness disclosure")
 
     // the re-index verb resolves it: advice cleared, next serve clean

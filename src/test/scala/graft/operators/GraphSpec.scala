@@ -39,6 +39,34 @@ class GraphSpec extends SparkSpec {
     assert(r(15L) > r(2L), "supplier with 3 buyers outranks a 1-edge customer")
   }
 
+  test("driver-loop strategy: bit-identical ranks to both distributed superstep paths") {
+    val dir = sf("sf0.001")
+    // at sf0.001 the transaction graph is under DriverRankMaxEdges, so
+    // the AUTO path runs the driver loop; the forced calls pin the two
+    // distributed paths. The fixed-point arithmetic is order-proof,
+    // so all three must agree BIT-identically, not approximately.
+    assert(Graph.edgeFracs(spark, dir).count() <= Graph.DriverRankMaxEdges,
+      "fixture outgrew the driver-loop ceiling; pick a smaller SF")
+    val auto = Graph.pagerankFull(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val bcast = Graph.pagerankFullForced(spark, dir, coPartition = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val copart = Graph.pagerankFullForced(spark, dir, coPartition = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(auto === bcast, "driver-loop ranks diverge from broadcast superstep")
+    assert(auto === copart, "driver-loop ranks diverge from co-partitioned superstep")
+    // the personalized variant exercises a NODE-DEPENDENT init/tele
+    // (indicator expressions) through the same LocalRelation evaluation
+    def pprOver(co: Option[Boolean]) =
+      Graph.rankLoopOver(spark, Graph.edgeFracs(spark, dir), Graph.PrIters,
+        n => when(n._1 === lit(Graph.PprSource), lit(1.0)).otherwise(lit(0.0)),
+        n => when(n._1 === lit(Graph.PprSource), lit(Graph.Teleport)).otherwise(lit(0.0)),
+        coPartition = co)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(pprOver(None) === pprOver(Some(false)),
+      "driver-loop personalized ranks diverge from broadcast superstep")
+  }
+
   test("degree histogram ties out against the edge table") {
     val hist = Graph.degreeHistogram(spark, sf("sf0.001")).collect()
     val nodes = hist.map(_.getLong(2)).sum

@@ -292,6 +292,54 @@ class IndexPersistenceSpec extends SparkSpec {
     Dedup.releaseIndexes(spark)
   }
 
+  test("appendWordGraph: delta doc batch equals a full rebuild of wordGraph") {
+    import org.apache.spark.sql.functions.col
+    // two-era document corpus: the batch repeats an existing
+    // co-occurrence pair (additive merge), introduces a new pair for
+    // an existing word (its out-weight re-derives), and a brand-new
+    // word pair — every frac of a touched src must re-derive
+    val docs = Seq(
+      (1L, "alpha bridge gamma bridge alpha"),
+      (2L, "alpha bridge delta delta gamma"),
+      (10L, "alpha bridge epsilon zeta"),
+      (11L, "theta kappa theta kappa"))
+    def mkDir(keep: Long => Boolean): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-wg-app").toString
+      docs.filter(x => keep(x._1))
+        .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val dirOld = mkDir(_ < 10)
+    val dirFull = mkDir(_ => true)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select("src", "dst", "w", "frac").collect().map(_.toSeq).toSet
+    val expected = rows(TextAnalysis.wordGraph(spark, dirFull))
+    val idx = java.nio.file.Files.createTempDirectory("graft-wg-idx").toString
+    TextAnalysis.wordGraph(spark, dirOld).write.mode("overwrite")
+      .parquet(s"$idx/wordGraph.parquet/batch_id=base")
+    TextAnalysis.appendWordGraph(spark, dirFull, idx, col("doc_id") >= 10L)
+    val got = rows(spark.read.parquet(s"$idx/wordGraph.parquet").drop("batch_id"))
+    assert(got === expected,
+      "appended word graph diverges from the wholesale rebuild")
+    // the session now serves the fresh artifact for dirFull
+    assert(rows(TextAnalysis.wordGraph(spark, dirFull)) === expected)
+    // exactly-once under a batch id: the retried batch is a no-op
+    TextAnalysis.appendWordGraph(spark, dirFull, idx,
+      col("doc_id") >= 10L, batchId = Some("b1"))
+    TextAnalysis.appendWordGraph(spark, dirFull, idx,
+      col("doc_id") >= 10L, batchId = Some("b1"))
+    val once = spark.read.parquet(s"$idx/wordGraph.parquet").drop("batch_id")
+      .filter(col("src") === "alpha" && col("dst") === "bridge")
+      .select("w").collect().map(_.getLong(0))
+    // base(3 via dirOld docs 1,2) + dirFull batch (1, applied once in
+    // the unkeyed append) + b1 applied exactly once more = 5
+    assert(once.toSeq === Seq(5L),
+      s"keyed retry must not double-count the batch: ${once.toSeq}")
+    Dedup.releaseIndexes(spark)
+  }
+
   test("appendGraphEdges: a crash between the swap renames recovers to the pre-append state") {
     import org.apache.spark.sql.functions.col
     val orders = Seq((10L, 1L), (20L, 2L), (30L, 3L))

@@ -502,4 +502,31 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p.getLong(1) == 1L && p.getLong(2) == 3L && p.getLong(3) <= 3L),
       "different pictures must not pair as near-dups")
   }
+
+  test("stub fallback is lossless: distinct non-UTF-8 payloads fingerprint distinctly") {
+    // the pre-r17 lenient decode collapsed every invalid byte sequence
+    // to U+FFFD, so two DIFFERENT binary streams could share a
+    // fingerprint and surface as a false Hamming-0 near-dup pair
+    val a = Array.tabulate(64)(i => ((i * 7 + 0x80) & 0xFF).toByte)
+    val b = Array.tabulate(64)(i => ((i * 11 + 0x80) & 0xFF).toByte)
+    assert(Multimodal.stubTextOf(a) != Multimodal.stubTextOf(b),
+      "distinct binary payloads must map to distinct stub inputs")
+    assert(Multimodal.stubTextOf(a).startsWith("hex:"),
+      "invalid UTF-8 must take the lossless hex branch")
+    // valid UTF-8 keeps the byte-parity contract with the column path
+    val t = "plain text payload"
+    assert(Multimodal.stubTextOf(t.getBytes("UTF-8")) == t)
+  }
+
+  test("q_media_phash_real: registered fixture query ranks the re-encoded pair first") {
+    val out = Multimodal.mediaPhashPairsRealFixture(spark).collect()
+    assert(out.nonEmpty, "fixture corpus produced no candidate pairs")
+    val top = out.head
+    assert(top.getString(0) == "image" && top.getLong(3) <= 3L,
+      s"top pair must be the PNG/JPEG re-encode within Hamming 3: ${out.mkString(";")}")
+    // and it is the ONLY near-dup: every other surviving candidate is
+    // a genuinely different picture or a stub fingerprint
+    assert(out.tail.forall(_.getLong(3) > 3L),
+      s"unexpected second near-dup pair: ${out.mkString(";")}")
+  }
 }
