@@ -579,8 +579,11 @@ object Curation {
     * barrier so chunking and budgeting share one tokenization pass. */
   private[operators] def docBpeToks(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"curationBpeToks|$dir") {
-      docBpeToksOf(Tables.documents(spark, dir)).transform(Dedup.checkpointSer)
+      Dedup.checkpointSer(docBpeToksPlan(spark, dir))
     }
+
+  private[operators] def docBpeToksPlan(spark: SparkSession, dir: String): DataFrame =
+    docBpeToksOf(Tables.documents(spark, dir))
 
   /** Row-wise BPE tokenization of an arbitrary documents slice — the
     * append-path twin of [[docToksOf]]. */

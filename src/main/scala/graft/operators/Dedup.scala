@@ -248,6 +248,10 @@ object Dedup {
     }
     primedDirs.keySet.asScala.filter(_.startsWith(prefix)).toList
       .foreach(primedDirs.remove)
+    // derived star caps are corpus observations — a release boundary
+    // (family switch, post-append re-prime) must re-derive them
+    capCache.keySet.asScala.filter(_.startsWith(prefix)).toList
+      .foreach(capCache.remove)
   }
 
   /** Which index directory a corpus dir was primed from — recorded by
@@ -413,9 +417,27 @@ object Dedup {
       // (clusterLabels, graphEdgesBySrc) serve from the artifact. The
       // returned scratch ids (internal scaffold checkpoints) are freed
       // once the write lands.
+      // Eligibility: a builder joins this map when its plan has no
+      // internal iteration/staging AND nothing in a SIBLING chain
+      // consumes its memo entry mid-build (docShingles / curationToks /
+      // embBase / lshBuckets stay on the memo path — concurrent
+      // cross-chain consumers share their single checkpointed build
+      // through the per-key lock, which a raw build would bypass into
+      // duplicate computation).
+      def noScratch(f: (SparkSession, String) => DataFrame)
+          : (SparkSession, String) => (DataFrame, Set[Int]) =
+        (s, d) => (f(s, d), Set.empty[Int])
       val rawBuilders: Map[String, (SparkSession, String) => (DataFrame, Set[Int])] = Map(
-        "jaccardPairs" -> ((s, d) => (jaccardPairPlan(s, d), Set.empty[Int])),
-        "graphEdgeFracs" -> ((s, d) => Graph.edgeFracsPlan(s, d)))
+        "jaccardPairs" -> noScratch(jaccardPairPlan),
+        "graphEdgeFracs" -> ((s, d) => Graph.edgeFracsPlan(s, d)),
+        "shingleIndex" -> noScratch(shingleIndexPlan),
+        "minhashSigs" -> noScratch(minhashSigsPlan),
+        "minhashBands" -> noScratch(minhashBandsPlan),
+        "simhashTable" -> noScratch(simhashPlan),
+        "sq8Codes" -> noScratch((s, d) => Similarity.sq8CodesPlan(s, d)),
+        "curationBpeToks" -> noScratch((s, d) => Curation.docBpeToksPlan(s, d)),
+        "wordGraph" -> noScratch((s, d) => TextAnalysis.wordGraphPlan(s, d)),
+        "nbQualityModel" -> noScratch((s, d) => TextAnalysis.nbQualityModelPlan(s, d)))
       def writeOne(name: String): Unit = {
         val t0 = System.nanoTime()
         val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
@@ -434,7 +456,13 @@ object Dedup {
         try {
           rawBuilders.get(name) match {
             case Some(rb) =>
-              val (plan, scratch) = rb(spark, dir)
+              // an entry a sibling chain already materialized (nested
+              // cross-chain memo build) is cheaper to dump than the
+              // raw plan is to recompute — prefer it when present
+              val (plan, scratch) = memoGet(spark, s"$name|$dir") match {
+                case Some(df) => (df, Set.empty[Int])
+                case None => rb(spark, dir)
+              }
               plan.write.mode("overwrite")
                 .parquet(s"$indexDir/$name.parquet/batch_id=base")
               unpersistIds(spark, scratch)
@@ -451,6 +479,10 @@ object Dedup {
         System.err.println(
           f"[writeIndexes] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       }
+      // stale derived caps from an earlier prime of the same corpus
+      // must not leak into the fresh derivations below
+      capCache.keySet().removeIf(
+        (k: String) => k.startsWith(s"${sessionKey(spark)}|") && k.endsWith(s"|$dir"))
       val relational = hasOrders(spark, dir)
       val chains = builderChains
         .map(_.filter(n => (withEmbeddings || !embeddingArtifacts(n)) &&
@@ -472,6 +504,17 @@ object Dedup {
                 if (chain.headOption.contains("docShingles")) "critical" else "bulk")
               try {
                 chain.foreach(writeOne)
+                // derived-cap geometry rides each family's chain so the
+                // derivation aggregations overlap the sibling builds
+                // (serialized after the pool they added ~1.5 s of wall);
+                // writeStarCaps below finds the values session-cached
+                if (chain.contains("shingleIndex")) shingleStarCap(spark, dir)
+                if (chain.contains("minhashBands")) bandStarCap(spark, dir)
+                if (chain.contains("simhashTable")) chunkStarCap(spark, dir)
+                if (withEmbeddings && chain.contains("lshBuckets")) {
+                  bucketStarCap(spark, dir)
+                  labelBlockCap(spark, dir)
+                }
                 // the bucketed by-src layout derives from the edge
                 // artifact just written in this chain; it is a TABLE
                 // (bucket metadata lives in the catalog), so the
@@ -493,6 +536,11 @@ object Dedup {
         // others' results are still drained so no thread leaks)
         pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
       } finally pool.shutdown()
+      // a rebuild always restates the caps for the rebuilt corpus
+      // (values derived inside the chains above; this just writes)
+      spark.sparkContext.setJobDescription("graft-index:starCaps")
+      try writeStarCaps(spark, dir, indexDir, withEmbeddings)
+      finally spark.sparkContext.setJobDescription(null)
       // a full rebuild re-derives every geometry from the current
       // corpus — any outstanding re-index recommendation is resolved,
       // and the erased-fraction ledger restarts at this corpus size.
@@ -599,6 +647,13 @@ object Dedup {
       s"appendIndexes: $indexDir/${Reindex.InProgressMarker} present — a geometry " +
         "re-index crashed mid-swap; re-run Dedup.reindexArtifacts before appending.")
     val hconf = spark.sparkContext.hadoopConfiguration
+    // the persisted derived-cap geometry is an OBSERVATION of the
+    // pre-append corpus — drop it so post-append sessions re-derive
+    // from the appended artifacts instead of serving stale caps
+    // (writeIndexes / the next full rebuild restates it)
+    new org.apache.hadoop.fs.Path(s"$indexDir/$StarCapsArtifact")
+      .getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(s"$indexDir/$StarCapsArtifact"), true)
     def isBatchPartitioned(name: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
       val fs = p.getFileSystem(hconf)
@@ -1331,6 +1386,11 @@ object Dedup {
           "re-index crashed mid-swap; re-run Dedup.reindexArtifacts before erasing.")
       val hconf = spark.sparkContext.hadoopConfiguration
       releaseIndexes(spark)
+      // erased rows change the occupancy distributions the derived
+      // caps observed — drop the persisted geometry (lazy re-derive)
+      new org.apache.hadoop.fs.Path(s"$indexDir/$StarCapsArtifact")
+        .getFileSystem(hconf)
+        .delete(new org.apache.hadoop.fs.Path(s"$indexDir/$StarCapsArtifact"), true)
       // Filter-rewrite `parent/name.parquet` in place with compaction's
       // staging names and two-rename swap. `batched = true` writes the
       // fresh generation under batch_id=base (artifact layout);
@@ -1502,6 +1562,56 @@ object Dedup {
         if (name == "pqRerankTuned") SimilarityPq.invalidateRerankTune(spark, dir)
       }
     }
+    // derived star caps are index GEOMETRY like the plane count:
+    // writeIndexes stamps them (starCaps.parquet), priming seeds the
+    // session cache so serving-path consumers (simhashPairs,
+    // embeddingPairs, minhashLsh, …) never pay the derivation
+    // aggregations per call — append/erase delete the artifact, so a
+    // changed corpus lazily re-derives instead of serving stale caps
+    val capsP = new org.apache.hadoop.fs.Path(s"$indexDir/$StarCapsArtifact")
+    val capsFs = capsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (capsFs.exists(capsP)) {
+      spark.read.parquet(capsP.toString).collect().foreach { r =>
+        capCache.put(
+          s"${sessionKey(spark)}|${r.getString(r.fieldIndex("family"))}|$dir",
+          Integer.valueOf(r.getInt(r.fieldIndex("cap"))))
+      }
+    }
+  }
+
+  /** Persisted derived-cap geometry (family, cap) — see primeIndexes. */
+  private[graft] val StarCapsArtifact = "starCaps.parquet"
+
+  /** Derive + persist the per-family star caps for a freshly built
+    * index — runs AFTER the artifact chains (it reads the band /
+    * chunk / bucket tables just written) and seeds the session cache
+    * on the way out. */
+  private def writeStarCaps(spark: SparkSession, dir: String,
+      indexDir: String, withEmbeddings: Boolean): Unit = {
+    import spark.implicits._
+    val families =
+      Seq("shingleCap" -> (() => shingleStarCap(spark, dir)),
+        "bandCap" -> (() => bandStarCap(spark, dir)),
+        "chunkCap" -> (() => chunkStarCap(spark, dir))) ++
+      (if (withEmbeddings)
+        Seq("bucketCap" -> (() => bucketStarCap(spark, dir)),
+          "labelCap" -> (() => labelBlockCap(spark, dir)))
+      else Seq.empty)
+    // each derivation is 1-3 small jobs over a just-built artifact;
+    // run them CONCURRENTLY like the builder chains — serialized they
+    // added ~6 s of pure job latency to the build wall
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(families.length)
+    val rows = try {
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(families.map { case (f, v) =>
+        new java.util.concurrent.Callable[(String, Int)] {
+          def call(): (String, Int) = (f, v())
+        }
+      }.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+    rows.toDF("family", "cap")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/$StarCapsArtifact")
   }
 
   /** (doc_id, sh) with the token array materialized behind a
@@ -1527,11 +1637,11 @@ object Dedup {
   /** Materialized inverted shingle index (doc_id, n_sh, shingle) —
     * shared by jaccardPairs and Corpus's near-dup pass. */
   private[operators] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, s"shingleIndex|$dir") {
-      docShingles(spark, dir)
-        .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-        .transform(checkpointSer)
-    }
+    memo(spark, s"shingleIndex|$dir") { checkpointSer(shingleIndexPlan(spark, dir)) }
+
+  private[operators] def shingleIndexPlan(spark: SparkSession, dir: String): DataFrame =
+    docShingles(spark, dir)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
 
   // shared with streaming.IngestDedup — the stream-side fingerprint
   // must be byte-identical to the batch family's
@@ -1576,6 +1686,118 @@ object Dedup {
     * star-covered. Mirrored verbatim in the DuckDB oracles
     * (q_dedup_jaccard, q_dedup_clusters, q_corpus_*). */
   private[operators] val MaxShingleDf = 64
+
+  /** Ceiling for any corpus-derived star cap — past this even a fully
+    * affordable bucket is star-degraded (4096² = 16M pairs from ONE
+    * bucket is never the right plan; the ANN/blocked paths own that
+    * scale). */
+  private[operators] val MaxStarCap = 4096
+
+  /** Corpus-SIZED star cap (round-17: the corpusK discipline applied
+    * to the inverted-index emission bound, replacing the corpus-blind
+    * constant): the largest power-of-two cap in [floor, MaxStarCap]
+    * whose EXTRA all-pairs emission over the floor — Σ df² across
+    * buckets with floor < df ≤ cap — stays within floor·nUnits, the
+    * per-unit emission budget the floor itself implies. Observed-df
+    * driven, one tiny aggregation over the bucket-occupancy table:
+    *
+    *  - a corpus whose every bucket sits at or under the floor (all
+    *    three driver SFs) is unconstrained — the cap is MaxStarCap and
+    *    no result changes, because no bucket crosses the floor anyway;
+    *  - a benign tail (a few mildly-hot buckets) raises the cap and
+    *    those buckets get EXACT all-pairs scoring instead of the
+    *    star's lower bound;
+    *  - a boilerplate flood (many shared hot buckets — the DedupSpec
+    *    planted-clique fixtures) blows the budget and keeps the floor,
+    *    so the O(n) star degradation still bounds adversarial input.
+    *
+    * The static SQL oracles mirror the FLOOR; they stay exact wherever
+    * no bucket crosses it (every gate corpus — swept per round) or the
+    * budget keeps the floor (the sf0.1 label blocks). The lshBuckets
+    * corpus-sized plane count set this precedent. SizingSpec pins the
+    * rule on corpora either side of the boundary. */
+  private[operators] def starCapFor(occupancy: DataFrame, nUnits: Long,
+      floor: Int): Int = {
+    val caps = Iterator.iterate(floor.toLong * 2)(_ * 2)
+      .takeWhile(_ <= MaxStarCap).map(_.toInt).toSeq
+    if (caps.isEmpty || nUnits <= 0) return floor
+    val sums = occupancy.agg(
+      count(when(col("df") > floor, 1)).as("n_hot"),
+      caps.map(c => sum(when(col("df") > floor && col("df") <= c,
+        col("df").cast("long") * col("df"))).as(s"e$c")): _*).first()
+    if (sums.getLong(0) == 0L) return MaxStarCap // nothing crosses the floor
+    val budget = floor.toLong * nUnits
+    val affordable = caps.zipWithIndex
+      .takeWhile { case (_, i) =>
+        val e = if (sums.isNullAt(i + 1)) 0L else sums.getLong(i + 1)
+        e <= budget
+      }
+    affordable.lastOption.map(_._1).getOrElse(floor)
+  }
+
+  /** Session-memoized derived caps per (session, dir, family) — the
+    * derivation is one small aggregation job; every consumer of a
+    * family must see the same value or candidate generation and
+    * scoring would disagree within a session. */
+  private val capCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def derivedCap(spark: SparkSession, dir: String, family: String)(
+      f: => Int): Int =
+    capCache.computeIfAbsent(s"${sessionKey(spark)}|$family|$dir",
+      _ => Integer.valueOf(f)).intValue()
+
+  /** Derived shingle-df cap for [[jaccardPairPlan]]'s inverted index. */
+  private[operators] def shingleStarCap(spark: SparkSession, dir: String): Int =
+    derivedCap(spark, dir, "shingleCap") {
+      starCapFor(
+        shingleIndex(spark, dir).groupBy("shingle")
+          .agg(count(lit(1)).as("df")),
+        Tables.documents(spark, dir).count(), MaxShingleDf)
+    }
+
+  /** Derived MinHash band-bucket cap (corpus-level candidate join). */
+  private[operators] def bandStarCap(spark: SparkSession, dir: String): Int =
+    derivedCap(spark, dir, "bandCap") {
+      starCapFor(
+        minhashBandTable(spark, dir).groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("df")),
+        Tables.documents(spark, dir).count(), MaxBandDf)
+    }
+
+  /** Derived SimHash chunk-bucket cap. */
+  private[operators] def chunkStarCap(spark: SparkSession, dir: String): Int =
+    derivedCap(spark, dir, "chunkCap") {
+      val docs = simhashDocs(spark, dir)
+      starCapFor(
+        docs.select(col("doc_id"),
+            posexplode(array((0 until 4).map(j =>
+              substring(col("bitstr"), j * 16 + 1, 16)): _*))
+              .as(Seq("chunk_idx", "chunk")))
+          .groupBy("chunk_idx", "chunk").agg(count(lit(1)).as("df")),
+        docs.count(), MaxBandDf)
+    }
+
+  /** Derived label-block cap for [[embeddingPairs]] (floor
+    * MaxLabelBlock). The semanticDedup CELL cap stays the constant —
+    * its oracle is STATIC SQL shared across the seeded and fitted
+    * registrations, and the belt-and-braces bound there guards a
+    * degenerate geometry, not a corpus property. */
+  private[operators] def labelBlockCap(spark: SparkSession, dir: String): Int =
+    derivedCap(spark, dir, "labelCap") {
+      starCapFor(
+        Tables.embeddings(spark, dir).groupBy("label")
+          .agg(count(lit(1)).as("df")),
+        Tables.embeddings(spark, dir).count(), MaxLabelBlock)
+    }
+
+  /** Derived LSH bucket cap (embedding ANN-blocked dedup). */
+  private[operators] def bucketStarCap(spark: SparkSession, dir: String): Int =
+    derivedCap(spark, dir, "bucketCap") {
+      starCapFor(
+        Similarity.lshBuckets(spark, dir).groupBy("table_idx", "bucket")
+          .agg(count(lit(1)).as("df")),
+        Similarity.embBase(spark, dir).count(), MaxBandDf)
+    }
 
   /** Materialized candidate-pair table (id_a, id_b, n_a, n_b,
     * n_common, jaccard) — the most expensive stage of the near-dup
@@ -1630,11 +1852,16 @@ object Dedup {
       // artifact schemas, appends, and every other consumer are
       // untouched.
       val w = Window.partitionBy(col("shingle"))
+      // round 17: the star cap is corpus-SIZED (observed-df budget,
+      // MaxShingleDf floor — see starCapFor); at every gate SF the
+      // distribution never crosses the floor, so the static oracles'
+      // floor mirror stays exact there
+      val cap = shingleStarCap(spark, dir)
       val idx = shingleIndex(spark, dir)
         .withColumn("shingle", xxhash64(col("shingle")))
         .withColumn("df", count(lit(1)).over(w))
         .withColumn("min_id", min(col("doc_id")).over(w))
-      val small = idx.filter(col("df") <= MaxShingleDf)
+      val small = idx.filter(col("df") <= cap)
       val a = small.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
       val b = small.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
       // one shared-shingle row per (pair, shingle); star_common null
@@ -1643,7 +1870,7 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
           lit(null).cast("long").as("star_common"))
-      val starCands = idx.filter(col("df") > MaxShingleDf)
+      val starCands = idx.filter(col("df") > cap)
         .filter(col("doc_id") =!= col("min_id"))
         .select(col("min_id").as("id_a"), col("doc_id").as("id_b"))
         .distinct()
@@ -2120,16 +2347,18 @@ object Dedup {
     * projections (shingles → hashes → signature) keep each expensive
     * array built once per row. */
   private[graft] def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, s"minhashSigs|$dir") {
-      docShingles(spark, dir)
-        .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
-        .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
-        .transform(checkpointSer)
-    }
+    memo(spark, s"minhashSigs|$dir") { checkpointSer(minhashSigsPlan(spark, dir)) }
+
+  private[operators] def minhashSigsPlan(spark: SparkSession, dir: String): DataFrame =
+    docShingles(spark, dir)
+      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(spark, dir)
-    val cands = minhashCandidates(sigs, bandRows = 2)
+    // corpus-sized band cap (floor MaxBandDf); the dump-time oracle
+    // interpolates the same derived value
+    val cands = minhashCandidates(sigs, bandRows = 2, bandStarCap(spark, dir))
     val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
     // Unhinted equi-joins back to the signature table: the signature
@@ -2174,12 +2403,12 @@ object Dedup {
     * join (IngestDedup.nearDupIngest); persisted/primed via
     * writeIndexes/primeIndexes like every other index artifact. */
   private[graft] def minhashBandTable(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, s"minhashBands|$dir") {
-      minhashSignatures(spark, dir)
-        .select(col("doc_id"),
-          posexplode(bandHashes(col("sig"))).as(Seq("band_idx", "band_hash")))
-        .transform(checkpointSer)
-    }
+    memo(spark, s"minhashBands|$dir") { checkpointSer(minhashBandsPlan(spark, dir)) }
+
+  private[operators] def minhashBandsPlan(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(spark, dir)
+      .select(col("doc_id"),
+        posexplode(bandHashes(col("sig"))).as(Seq("band_idx", "band_hash")))
 
   /** Hard cap on a bucket's ALL-PAIRS membership in the banded
     * candidate joins (MinHash bands, embedding LSH buckets) — the df
@@ -2222,11 +2451,12 @@ object Dedup {
     * signature values, join docs sharing a (band index, band hash)
     * bucket — star-capped at MaxBandDf per bucket. Output: distinct
     * (id_a < id_b) pairs. */
-  def minhashCandidates(sigs: DataFrame, bandRows: Int): DataFrame =
+  def minhashCandidates(sigs: DataFrame, bandRows: Int,
+                        cap: Int = MaxBandDf): DataFrame =
     starCappedPairs(
       sigs.select(col("doc_id").as("id"),
         posexplode(bandHashes(col("sig"), bandRows)).as(Seq("band_idx", "band_hash"))),
-      Seq("band_idx", "band_hash"))
+      Seq("band_idx", "band_hash"), cap)
 
   // ---- SimHash ------------------------------------------------------
 
@@ -2289,8 +2519,11 @@ object Dedup {
     memo(spark, s"simhashTable|$dir") {
       // full-corpus path rides the shared tokenized staging — see
       // docShingles: one text scan serves all three token families
-      simhashFromToks(Curation.docToks(spark, dir)).transform(checkpointSer)
+      checkpointSer(simhashPlan(spark, dir))
     }
+
+  private[operators] def simhashPlan(spark: SparkSession, dir: String): DataFrame =
+    simhashFromToks(Curation.docToks(spark, dir))
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // Candidate pairs are deduped BEFORE the per-pair Hamming
@@ -2310,7 +2543,7 @@ object Dedup {
         substring(col("bitstr"), j * 16 + 1, 16)): _*)).as(Seq("chunk_idx", "chunk")))
     val pairs = starCappedPairs(
       chunks.select(col("doc_id").as("id"), col("chunk_idx"), col("chunk")),
-      Seq("chunk_idx", "chunk"))
+      Seq("chunk_idx", "chunk"), chunkStarCap(spark, dir))
     val bitsA = docs.select(col("doc_id").as("id_a"), col("bits").as("bits_a"))
     val bitsB = docs.select(col("doc_id").as("id_b"), col("bits").as("bits_b"))
     // Unhinted join-back (same reasoning as minhashLsh): the bits
@@ -2355,7 +2588,7 @@ object Dedup {
       // applies the same ROW_NUMBER() <= cap on the raw table
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("label")).orderBy(col("vec_id"))))
-      .filter(col("rn") <= MaxLabelBlock)
+      .filter(col("rn") <= labelBlockCap(spark, dir))
       .drop("rn")
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       // zero-norm vectors can't be cosine-ranked (ANSI 0/0 error)
@@ -2406,7 +2639,7 @@ object Dedup {
     val buckets = Similarity.lshBuckets(spark, dir)
     val cands = starCappedPairs(
       buckets.select(col("vec_id").as("id"), col("table_idx"), col("bucket")),
-      Seq("table_idx", "bucket"))
+      Seq("table_idx", "bucket"), bucketStarCap(spark, dir))
     val scored = rerankExact(cands, Similarity.embBase(spark, dir))
       .filter(col("cos") >= minCos.getOrElse(-1.0))
       .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
@@ -2992,11 +3225,7 @@ object DedupModule extends QueryModule {
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
-    // round 11: the ANN variant is fully oracled — the hyperplanes are
-    // compile-time constants (the round-7 knn-lsh discipline), so
-    // bucketing + star-capped candidates + rerank replay statically
-    "q_dedup_embedding_ann" ->
-      SimilarityModule.embeddingAnnOracleSql(Dedup.MaxBandDf),
+
     "q_dedup_embedding_ann_rerank" -> {
       val values = Dedup.rerankProbePairs
         .map { case (a, b) => s"($a, $b)" }.mkString(", ")
@@ -3059,10 +3288,10 @@ object DedupModule extends QueryModule {
        |  SELECT a.id AS id_a, b.id AS id_b
        |  FROM st a JOIN st b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
-       |  WHERE a.df <= ${Dedup.MaxBandDf}),
+       |  WHERE a.df <= ${Dedup.bandStarCap(spark, dir)}),
        |star AS (
        |  SELECT min_id AS id_a, id AS id_b FROM st
-       |  WHERE df > ${Dedup.MaxBandDf} AND id != min_id),
+       |  WHERE df > ${Dedup.bandStarCap(spark, dir)} AND id != min_id),
        |cand AS (SELECT DISTINCT id_a, id_b
        |         FROM (SELECT * FROM allp UNION ALL SELECT * FROM star)),
        |est AS (
@@ -3101,10 +3330,10 @@ object DedupModule extends QueryModule {
        |  SELECT a.id AS id_a, b.id AS id_b
        |  FROM st a JOIN st b
        |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.id < b.id
-       |  WHERE a.df <= ${Dedup.MaxBandDf}),
+       |  WHERE a.df <= ${Dedup.chunkStarCap(spark, dir)}),
        |star AS (
        |  SELECT min_id AS id_a, id AS id_b FROM st
-       |  WHERE df > ${Dedup.MaxBandDf} AND id != min_id),
+       |  WHERE df > ${Dedup.chunkStarCap(spark, dir)} AND id != min_id),
        |cand AS (SELECT DISTINCT id_a, id_b
        |         FROM (SELECT * FROM allp UNION ALL SELECT * FROM star)),
        |h AS (
@@ -3128,5 +3357,11 @@ object DedupModule extends QueryModule {
       "q_dedup_semantic_fit" -> semanticOracleFrom(
         SimilarityIvf.assignCteSqlWith(SimilarityIvf.fitCentroids(spark, dir))),
       "q_dedup_minhash" -> minhashOracleSql(spark, dir),
-      "q_dedup_simhash" -> simhashOracleSql(spark, dir))
+      "q_dedup_simhash" -> simhashOracleSql(spark, dir),
+      // round 17: the star cap is corpus-derived (bucketStarCap), so
+      // the oracle resolves it at dump time like the fingerprints —
+      // the hyperplane constants themselves stay static (round-7
+      // knn-lsh discipline)
+      "q_dedup_embedding_ann" ->
+        SimilarityModule.embeddingAnnOracleSql(bucketStarCap(spark, dir)))
 }

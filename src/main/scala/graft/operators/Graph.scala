@@ -608,6 +608,15 @@ object Graph {
         Dedup.trackStray(spark, ids)
         df
     }
+    // broadcast path: pin the edge table into the COLUMNAR cache for
+    // the loop — every superstep scans it, and ten parquet decodes of
+    // the same ~1M rows cost more than one decode + nine vectorized
+    // in-memory reads (the co-partitioned path already holds its
+    // by-src layout resident). Compressed columnar batches, ~tens of
+    // MB at sf0.1; released with the loop.
+    val enLoop =
+      if (coPart) en
+      else en.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = nodes.agg(count(lit(1)).as("n"))
     var prevIds: Set[Int] = Set.empty
     var rank = nodes.crossJoin(broadcast(cnt))
@@ -632,7 +641,7 @@ object Graph {
           // by src — sort-merge joins exchange-free; only the rank side
           // sorts, and only until its ordering survives the loop
           enBySrc.hint("merge").join(active, col("node") === col("src"))
-        else en.join(broadcast(active), col("node") === col("src"))
+        else enLoop.join(broadcast(active), col("node") === col("src"))
       val contrib = joined
         .select(col("dst"),
           round(col("r") * col("frac") * lit(1e9)).cast("long").as("c"))
@@ -671,6 +680,7 @@ object Graph {
       if (doChk) { Dedup.unpersistIds(spark, prevIds); prevIds = ids }
       rank = next
     }
+    if (!coPart) enLoop.unpersist(blocking = false)
     Dedup.unpersistIds(spark, nodeIds)
     Dedup.unpersistIds(spark, nodesPartIds)
     // the FINAL iteration's checkpoint backs the returned table, so it

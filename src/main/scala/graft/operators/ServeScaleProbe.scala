@@ -88,6 +88,53 @@ object ServeScaleProbe {
       })
     }
 
+    // Per-CALL overhead audit (round-17 ask): the r16 serve heads
+    // consult the reindex-advice marker (an FS existence probe) on
+    // every call — measure the fixed cost of a MINIMAL serve call
+    // (1-query batch, warm artifacts) so the per-call budget is a
+    // pinned number, not an assumption. Ten consecutive calls per
+    // head; report each + the min (the steady-state per-call floor).
+    if (mode == "all") {
+      val q1 = qb.limit(1).cache()
+      q1.count()
+      val callHeads: Seq[(String, () => Long)] = Seq(
+        "lsh" -> (() => Similarity.annServeBatch(spark, dir, q1).count()),
+        "ivf" -> (() => Similarity.annServeBatchIvf(spark, dir, q1).count()),
+        "ivfpq" -> (() => Similarity.annServeBatchIvfPq(spark, dir, q1).count()))
+      callHeads.foreach { case (tag, f) =>
+        f() // plan warm
+        val walls = (1 to 10).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] per-call $tag%-6s min ${walls.min}%.3f s  " +
+          f"med ${walls.sorted.apply(5)}%.3f s  " +
+          s"all ${walls.map(w => f"$w%.3f").mkString("/")}")
+      }
+      // the STREAM twin's per-micro-batch cost: same head inside
+      // foreachBatch, MemoryStream-driven — the serving cadence the
+      // AnnServe streams run in production
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq2: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ms = MemoryStream[(Long, Seq[Float])]
+      val qrows = qb.limit(12).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val batchWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val sq = graft.streaming.AnnServe.annServeIngest(
+        ms.toDF().toDF("query_id", "embedding"), spark, dir) { out =>
+        val t0 = System.nanoTime(); out.count()
+        batchWalls += (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        qrows.grouped(2).foreach { g =>
+          ms.addData(g.toSeq: _*); sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      if (batchWalls.nonEmpty)
+        println(f"[probe] per-micro-batch stream serve: min ${batchWalls.min}%.3f s  " +
+          s"all ${batchWalls.map(w => f"$w%.3f").mkString("/")}")
+    }
+
     // Round-14 pipeline legs at the same tier: the mining/monitoring
     // components that ride the fitted-cell index. "pipeline" mode
     // fits the quantizer only (no PQ tune) and measures these alone.

@@ -155,7 +155,8 @@ object Similarity {
   def mmrRerank(spark: SparkSession, dir: String,
                 nQueries: Int = 10, k: Int = 5,
                 lambdaRel: Double = MmrLambda,
-                penalty: Double = MmrPenalty): DataFrame = {
+                penalty: Double = MmrPenalty,
+                forceDistributed: Boolean = false): DataFrame = {
     // the pool and its pair table are CHECKPOINTED before the greedy
     // unroll: every round references both, and round i's plan embeds
     // round i−1's — without the barrier the exact-kNN leg replans
@@ -181,6 +182,15 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("other_id"),
           (dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("sim_cc")))
     Dedup.trackStray(spark, pairIds)
+    // observed-size switch (the rankLoopOver driver-loop discipline):
+    // the pool and its pair table are nQueries-bounded MODEL tables —
+    // at the registered scale (10 queries × 20-candidate pools) the
+    // greedy unroll costs pure job scheduling (~4 rounds × 4 jobs for
+    // microseconds of arithmetic; 1.2–1.8 s in the bench, worse under
+    // contention). Collect once and run the IDENTICAL arithmetic
+    // locally; a big query batch keeps the distributed unroll.
+    if (!forceDistributed && pool.count() <= MmrDriverMaxPoolRows)
+      return mmrGreedyDriver(spark, pool, pairSims, k, lambdaRel, penalty)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     // each round's accumulated selection is checkpointed too (two
@@ -219,6 +229,71 @@ object Similarity {
     result
       .select(col("query_id"), col("pick_order"), col("neighbor_id"),
         round(col("score"), 6).as("mmr_score"))
+      .orderBy("query_id", "pick_order")
+  }
+
+  /** Pool-row ceiling for the driver-side MMR greedy — a pool this
+    * small is a bounded model table (≤64k rows, the driverRankLoop /
+    * centroid-collect class); bigger query batches keep the
+    * distributed unroll. */
+  private[operators] val MmrDriverMaxPoolRows = 1L << 16
+
+  /** The driver twin of the MMR greedy unroll: identical round
+    * arithmetic (score = λ·cos − ρ·max selected-similarity, coalesce 0
+    * — x − 0.0 is bit-exact x, so round 1 needs no special case),
+    * identical tie-break (score desc, neighbor asc), identical 6-dp
+    * HALF_UP report rounding — SimilaritySpec pins bit parity against
+    * the distributed unroll and the oracle replays the same rounds. */
+  private def mmrGreedyDriver(spark: SparkSession, pool: DataFrame,
+      pairSims: DataFrame, k: Int, lambdaRel: Double,
+      penalty: Double): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val poolRows = pool.select("query_id", "neighbor_id", "cos").collect()
+    val simRows = pairSims
+      .select("query_id", "neighbor_id", "other_id", "sim_cc").collect()
+    val byQuery = poolRows.groupBy(_.getLong(0))
+    val simMap = new java.util.HashMap[(Long, Long, Long), java.lang.Double]()
+    simRows.foreach(r => simMap.put(
+      (r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    byQuery.keys.toSeq.sorted.foreach { q =>
+      val cands = scala.collection.mutable.LinkedHashMap(
+        byQuery(q).sortBy(_.getLong(1)).map(r => r.getLong(1) -> r.getDouble(2)): _*)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var order = 1
+      while (order <= k && cands.nonEmpty) {
+        var bestId = -1L; var bestScore = Double.NegativeInfinity
+        cands.foreach { case (nb, cos) =>
+          var maxcc = Double.NegativeInfinity
+          selected.foreach { s =>
+            val v = simMap.get((q, nb, s))
+            if (v != null && v.doubleValue() > maxcc) maxcc = v.doubleValue()
+          }
+          val cc = if (maxcc == Double.NegativeInfinity) 0.0 else maxcc
+          val score = lambdaRel * cos - penalty * cc
+          // ties break to the LOWEST neighbor id (the window's
+          // neighbor-asc ordering); candidates iterate id-ascending,
+          // so strict > keeps the first (lowest) of a tie
+          if (score > bestScore) { bestScore = score; bestId = nb }
+        }
+        out += org.apache.spark.sql.Row(q, order, bestId,
+          java.math.BigDecimal.valueOf(bestScore)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+        selected += bestId
+        cands.remove(bestId)
+        order += 1
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        pool.schema("query_id").dataType),
+      org.apache.spark.sql.types.StructField("pick_order",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        pool.schema("neighbor_id").dataType),
+      org.apache.spark.sql.types.StructField("mmr_score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(out.asJava, schema)
       .orderBy("query_id", "pick_order")
   }
 
@@ -939,8 +1014,11 @@ object Similarity {
     * sf0.1). */
   private[operators] def sq8Codes(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"sq8Codes|$dir") {
-      Dedup.checkpointSer(sq8CodesOf(Tables.embeddings(spark, dir)))
+      Dedup.checkpointSer(sq8CodesPlan(spark, dir))
     }
+
+  private[operators] def sq8CodesPlan(spark: SparkSession, dir: String): DataFrame =
+    sq8CodesOf(Tables.embeddings(spark, dir))
 
   /** Row-wise quantization of an arbitrary embeddings slice (shared
     * by the memoized build and the ingest-append path). */

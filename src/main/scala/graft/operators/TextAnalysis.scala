@@ -195,6 +195,10 @@ object TextAnalysis {
     * appended batches the model is one refresh behind at worst. */
   private[graft] def nbQualityModel(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"nbQualityModel|$dir") {
+      Dedup.checkpointSer(nbQualityModelPlan(spark, dir))
+    }
+
+  private[operators] def nbQualityModelPlan(spark: SparkSession, dir: String): DataFrame = {
       val labels = gopherTiers(spark, dir)
         .select(col("doc_id"), (col("pass") === 1).as("is_ok"))
       val counts = Curation.docToks(spark, dir).select("doc_id", "toks")
@@ -218,8 +222,8 @@ object TextAnalysis {
         col("n_pass_docs").as("n_pass"), col("n_reject_docs").as("n_reject"),
         round(log((col("n_pass_docs") + 1).cast("double") / (col("n_reject_docs") + 1)), 9)
           .as("llr"))
-      Dedup.checkpointSer(terms.unionByName(prior))
-    }
+      terms.unionByName(prior)
+  }
 
   /** Per-doc NB score sums of an arbitrary (doc_id, toks) slice
     * against a model table — the serving kernel shared by the corpus
@@ -465,8 +469,11 @@ object TextAnalysis {
 
   private[graft] def wordGraph(spark: SparkSession, dir: String): DataFrame =
     Dedup.memo(spark, s"wordGraph|$dir") {
-      Dedup.checkpointSer(edgeTableOf(wordPairCounts(Curation.docToks(spark, dir))))
+      Dedup.checkpointSer(wordGraphPlan(spark, dir))
     }
+
+  private[operators] def wordGraphPlan(spark: SparkSession, dir: String): DataFrame =
+    edgeTableOf(wordPairCounts(Curation.docToks(spark, dir)))
 
   /** Append a batch of NEW DOCUMENTS to the persisted wordGraph
     * artifact without re-scanning the corpus: adjacent-pair counts

@@ -130,6 +130,20 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr.forall(r => pool((r._1, r._3))), "pick outside the candidate pool")
   }
 
+  test("MMR driver greedy: bit-identical to the distributed unroll") {
+    val dir = sf("sf0.001")
+    // the registered scale rides the driver greedy (pool under the
+    // MmrDriverMaxPoolRows model-table ceiling); the forced call pins
+    // the distributed unroll it replaced — scores must agree to the
+    // BIT, not approximately (identical round arithmetic)
+    def rows(forced: Boolean): Seq[(Long, Int, Long, Double)] =
+      Similarity.mmrRerank(spark, dir, forceDistributed = forced)
+        .select("query_id", "pick_order", "neighbor_id", "mmr_score")
+        .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    assert(rows(forced = false) === rows(forced = true),
+      "driver greedy diverges from the distributed unroll")
+  }
+
   test("MMR degeneracy: relevance-only weights reproduce the plain exact top-k order") {
     // λ=1, penalty=0 removes the diversity term entirely — the greedy
     // argmax then IS the similarity ranking, pick for pick, which
