@@ -429,7 +429,6 @@ object Dedup {
         (s, d) => (f(s, d), Set.empty[Int])
       val rawBuilders: Map[String, (SparkSession, String) => (DataFrame, Set[Int])] = Map(
         "jaccardPairs" -> noScratch(jaccardPairPlan),
-        "graphEdgeFracs" -> ((s, d) => Graph.edgeFracsPlan(s, d)),
         "shingleIndex" -> noScratch(shingleIndexPlan),
         "minhashSigs" -> noScratch(minhashSigsPlan),
         "minhashBands" -> noScratch(minhashBandsPlan),
@@ -454,7 +453,13 @@ object Dedup {
         // semantics, same as the memo's ownership rule.
         spark.sparkContext.setJobDescription(s"graft-index:$name")
         try {
-          rawBuilders.get(name) match {
+          if (name == "graphEdgeFracs")
+            // single-pass writer for BOTH edge artifacts: the bucketed
+            // by-src table pays the one join+shuffle+sort+encode pass;
+            // the flat artifact is a file copy of it (no second encode,
+            // no separate graphEdgesBySrc build step in this chain)
+            Graph.writeEdgeArtifacts(spark, dir, indexDir)
+          else rawBuilders.get(name) match {
             case Some(rb) =>
               // an entry a sibling chain already materialized (nested
               // cross-chain memo build) is cheaper to dump than the
@@ -515,18 +520,9 @@ object Dedup {
                   bucketStarCap(spark, dir)
                   labelBlockCap(spark, dir)
                 }
-                // the bucketed by-src layout derives from the edge
-                // artifact just written in this chain; it is a TABLE
-                // (bucket metadata lives in the catalog), so the
-                // generic path-writer above cannot produce it
-                if (chain.contains("graphEdgeFracs")) {
-                  val t0 = System.nanoTime()
-                  spark.sparkContext.setJobDescription("graft-index:graphEdgesBySrc")
-                  try Graph.writeEdgesBySrc(spark, dir, indexDir)
-                  finally spark.sparkContext.setJobDescription(null)
-                  System.err.println(
-                    f"[writeIndexes] graphEdgesBySrc  ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-                }
+                // (the bucketed by-src layout is written inside the
+                // graphEdgeFracs builder itself since r18 — one pass
+                // produces both edge artifacts)
               }
               finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
             }
@@ -551,6 +547,10 @@ object Dedup {
       if (withEmbeddings) {
         Reindex.clearInProgress(spark, indexDir)
         Reindex.writeGeometryBaseline(spark, dir, indexDir)
+        // the fresh bucket artifact was written by the current kernel —
+        // stamp its generation so append/prime can detect a future
+        // kernel bump mechanically
+        Reindex.writeKernelTag(spark, indexDir)
       }
     }
 
@@ -646,6 +646,11 @@ object Dedup {
     require(!Reindex.inProgress(spark, indexDir),
       s"appendIndexes: $indexDir/${Reindex.InProgressMarker} present — a geometry " +
         "re-index crashed mid-swap; re-run Dedup.reindexArtifacts before appending.")
+    // mixed-KERNEL detection (the mechanical form of the r17 doc note):
+    // appending rows bucketed by the current kernel onto an artifact a
+    // previous kernel generation wrote silently mis-buckets non-finite
+    // vectors — advise loudly before the batch lands
+    Reindex.checkKernelTag(spark, indexDir, "appendIndexes")
     val hconf = spark.sparkContext.hadoopConfiguration
     // the persisted derived-cap geometry is an OBSERVATION of the
     // pre-append corpus — drop it so post-append sessions re-derive
@@ -1251,9 +1256,11 @@ object Dedup {
     * all-ones — so a pre-fix artifact mixed with post-fix appends or
     * stream probes silently mis-buckets exactly those vectors until
     * this verb runs. Finite embeddings (every corpus the engine
-    * ships) are unaffected; an index whose corpus may carry non-finite
-    * vectors and whose artifacts predate the fix should be reindexed
-    * once rather than appended to. */
+    * ships) are unaffected. Since r18 this is MECHANICAL, not a doc
+    * note: builds stamp [[Similarity.LshKernelGeneration]] into the
+    * `lshBuckets.kernel` sidecar, and appendIndexes/primeIndexes
+    * surface reindex advice when the tag mismatches
+    * ([[Reindex.checkKernelTag]]); this verb re-stamps it. */
   def reindexArtifacts(spark: SparkSession, dir: String, indexDir: String): Unit =
     IndexLease.withExclusive(spark, indexDir, "reindexArtifacts") {
       val hconf = spark.sparkContext.hadoopConfiguration
@@ -1313,6 +1320,11 @@ object Dedup {
         require(fs.rename(stage, p), s"reindexArtifacts: rename $stage -> $p failed")
         fs.delete(old, true)
       }
+      // the rebuilt buckets carry the current kernel — re-stamp BEFORE
+      // clearing advice (a kernel-generation advice is exactly what
+      // this rebuild resolves) and before the re-prime below re-checks
+      if (present.contains("lshBuckets"))
+        Reindex.writeKernelTag(spark, indexDir)
       Reindex.clearAdvice(spark, indexDir)
       Reindex.writeGeometryBaseline(spark, dir, indexDir)
       Reindex.clearInProgress(spark, indexDir)
@@ -1530,6 +1542,10 @@ object Dedup {
       s"primeIndexes: $indexDir/${Reindex.InProgressMarker} present — a geometry " +
         "re-index crashed mid-swap (or is running); the artifacts may mix two " +
         "generations. Re-run Dedup.reindexArtifacts to rebuild and clear it.")
+    // a bucket artifact from an older KERNEL generation primes fine
+    // (finite vectors bucket identically) but must not do so silently —
+    // surface the reindex advice every serving head then discloses
+    Reindex.checkKernelTag(spark, indexDir, "primeIndexes")
     primedDirs.put(s"${sessionKey(spark)}|$dir", indexDir)
     // the bucketed by-src superstep layout (validity-checked against
     // the current edge artifact generation; silently skipped when

@@ -124,41 +124,71 @@ object Graph {
     }
   }
 
-  /** Persist the by-src superstep layout as a BUCKETED parquet table
-    * (bucketBy(src) + sortBy(src), one file per bucket) next to the
-    * edge artifact — the co-partitioned PageRank path's second input,
-    * which round 12 rebuilt per session with a full repartition of the
-    * edge table. Bucket scheme is Spark's shuffle hash (murmur3 pmod
+  /** Single-pass index-job writer for BOTH edge artifacts. The
+    * bucketed by-src table is written FIRST, straight from the
+    * orders ⋈ lineitem plan — the only pass that pays the join +
+    * shuffle + sort + parquet encode — and the flat `graphEdgeFracs`
+    * artifact is then materialized by COPYING the table's data files:
+    * identical rows and schema, zero additional Spark jobs. The
+    * pre-r18 build paid the pipeline twice (plan → flat parquet
+    * ≈6.8 CPU-s, then flat parquet → bucketed re-layout ≈6.8 CPU-s,
+    * the #2+#3 lines of the index job's attribution); this halves the
+    * chain. At 100 TB the copy is a distcp — IO bandwidth, not
+    * compute. The sidecar fingerprint is taken from the copied flat
+    * artifact, so [[primeEdgesBySrc]]'s validity tie is unchanged.
+    *
+    * Bucketing semantics (unchanged from the r12 layout): bucketBy(src)
+    * + sortBy(src), bucket scheme = Spark's shuffle hash (murmur3 pmod
     * n), so a primed scan reports HashPartitioning(src, n) and the
-    * superstep's sort-merge joins stay exchange-free against the
-    * declared-partitioning rank checkpoints with ZERO session-time
-    * shuffling — at 100 TB this is the difference between an edge-table
-    * shuffle per analysis session and none. The repartition before the
-    * bucketed write uses the same hash, so every task holds exactly one
-    * bucket and each bucket lands in one file — the reader only trusts
-    * the sortBy ordering in that layout. Sidecar meta records bucket
-    * count + source fingerprint; [[primeEdgesBySrc]] validates both. */
-  private[operators] def writeEdgesBySrc(spark: SparkSession, dir: String,
-                                         indexDir: String): Unit = {
+    * PageRank superstep's sort-merge joins stay exchange-free against
+    * the declared-partitioning rank checkpoints — zero session-time
+    * edge shuffles. The repartition before the write uses the same
+    * hash, so every task holds exactly one bucket and each bucket
+    * lands in one file (the reader only trusts sortBy in that
+    * layout). */
+  private[operators] def writeEdgeArtifacts(spark: SparkSession, dir: String,
+                                            indexDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val flat = new org.apache.hadoop.fs.Path(s"$indexDir/graphEdgeFracs.parquet")
+    val fs = flat.getFileSystem(hconf)
+    // rebuild hygiene: a previous generation's batch directories must
+    // not survive behind the fresh base (writeIndexes' discipline)
+    fs.delete(flat, true)
     val n = spark.sessionState.conf.numShufflePartitions
     val tbl = bySrcTableName(indexDir)
     val loc = s"$indexDir/graphEdgesBySrc"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val df = edgeFracs(spark, dir)
-    df.repartition(n, col("src"))
+    // an edge table a graph query already memoized (checkpointed) is
+    // cheaper to dump than the raw plan is to recompute
+    val (plan, scratch) = Dedup.memoGet(spark, s"graphEdgeFracs|$dir") match {
+      case Some(df) => (df, Set.empty[Int])
+      case None => edgeFracsPlan(spark, dir)
+    }
+    plan.repartition(n, col("src"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(n, "src").sortBy("src")
       .option("path", loc)
       .saveAsTable(tbl)
+    Dedup.unpersistIds(spark, scratch)
+    val base = new org.apache.hadoop.fs.Path(s"$flat/batch_id=base")
+    fs.mkdirs(base)
+    fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+          new org.apache.hadoop.fs.Path(base, s.getPath.getName),
+          false, hconf)
+      }
+    val df = spark.read.parquet(flat.toString).drop("batch_id")
     val fp = edgeArtifactFingerprint(spark, indexDir).getOrElse("")
-    // line-based sidecar (schema DDL contains commas/quotes — a
-    // structured format buys nothing for three fields we parse back)
     val meta = s"buckets=$n\nsource=$fp\nschema=${df.schema.toDDL}\n"
     val mp = new org.apache.hadoop.fs.Path(s"$indexDir/graphEdgesBySrc.meta.json")
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(mp, true)
     try out.write(meta.getBytes("UTF-8")) finally out.close()
-    // a stale session-derived layout must not outlive the fresh table
+    // serve both artifacts from the files just written — exactly the
+    // state primeIndexes would establish
+    Dedup.memoDrop(spark, s"graphEdgeFracs|$dir")
+    Dedup.memoPut(spark, s"graphEdgeFracs|$dir", df)
     Dedup.memoDrop(spark, s"graphEdgesBySrc|$dir")
     Dedup.memoPut(spark, s"graphEdgesBySrc|$dir", spark.table(tbl))
   }

@@ -265,6 +265,62 @@ object Reindex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Kernel-generation tag for the LSH bucket artifact — the strong
+    * form of the r17 "NaN generation" doc note: the builder stamps the
+    * kernel generation it bucketed under
+    * ([[Similarity.LshKernelGeneration]]) into this sidecar at
+    * build/reindex time, and the two verbs that would otherwise mix
+    * generations silently (append new rows under the new kernel;
+    * prime a session onto an old artifact) compare tags and surface
+    * reindex advice on mismatch. An artifact WITHOUT a tag predates
+    * the tagging and reads as generation 0 — the conservative side:
+    * it may have been written by any kernel, so it is flagged too. */
+  private[graft] val KernelTagFile = "lshBuckets.kernel"
+
+  private[operators] def writeKernelTag(spark: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$KernelTagFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"generation=${Similarity.LshKernelGeneration}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readKernelTag(spark: SparkSession, indexDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$KernelTagFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      txt.linesIterator.find(_.startsWith("generation="))
+        .flatMap(_.drop("generation=".length).trim.toIntOption)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Compare the artifact's kernel tag against the current kernel and
+    * surface reindex advice on mismatch — called by appendIndexes and
+    * primeIndexes (`verb` names the caller in the log line). A
+    * directory without an LSH bucket artifact has nothing to check;
+    * results under a mismatched tag are unchanged for finite vectors,
+    * so this advises loudly rather than failing. */
+  private[operators] def checkKernelTag(spark: SparkSession, indexDir: String,
+                                        verb: String): Unit = {
+    val buckets = new org.apache.hadoop.fs.Path(s"$indexDir/lshBuckets.parquet")
+    val fs = buckets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(buckets)) return
+    val found = readKernelTag(spark, indexDir).getOrElse(0)
+    if (found != Similarity.LshKernelGeneration) {
+      System.err.println(
+        s"[$verb] WARNING: $indexDir/lshBuckets.parquet was written by bucket-kernel " +
+          s"generation $found (current ${Similarity.LshKernelGeneration}) — non-finite " +
+          "vectors bucket differently across generations; run " +
+          "Dedup.reindexArtifacts before appending or probing such a corpus")
+      writeAdvice(spark, indexDir, "kernel-generation", found.toDouble)
+    }
+  }
+
   /** Write the advice marker under `indexDir` — one row naming why a
     * re-index is recommended. Flat layout (it is an operational flag,
     * not a batch-appended index). */

@@ -425,6 +425,20 @@ object Similarity {
       // zero-norm vectors can't be cosine-ranked (ANSI 0/0 error)
       .filter(col("nrm") > 0d)
 
+  /** Generation number of the LSH bucket KERNEL — bumped whenever a
+    * kernel change alters the bucket bits some vector class produces,
+    * so artifacts written under an older kernel are mechanically
+    * detectable instead of a doc note. History: gen 1 = the pre-r16
+    * fused kernel (NaN plane dot → all-ZERO bucket bits); gen 2 = the
+    * current NaN >= 0 parity with Spark comparison semantics (→
+    * all-ones). Finite embeddings bucket identically under both; a
+    * corpus that may carry non-finite vectors must not mix
+    * generations (appends/probes would miss the old rows' buckets).
+    * [[Reindex.writeKernelTag]] stamps this into the index directory
+    * at build/reindex; appendIndexes/primeIndexes compare and surface
+    * reindex advice on mismatch. */
+  private[graft] val LshKernelGeneration = 2
+
   /** Materialized LSH bucket index (vec_id, table_idx, bucket) — ids
     * only, never the vectors: the index holds T short strings per
     * vector instead of T copies of the embedding, and the 64×64-double
@@ -778,6 +792,32 @@ object Similarity {
       .select("query_id", "neighbor_id").distinct()
     serveRerank(spark, dir, qb, cands, k)
   }
+
+  /** Fixed query batch for the REGISTERED serve-path query: corpus
+    * vectors vec_id ∈ [ServeLo, ServeHi) replayed as external traffic —
+    * disjoint from the knn family's vec_id < 10 query slice so the gate
+    * exercises different vectors, and self-matching at cos 1 by
+    * construction (the determinism anchor a serve query needs: no
+    * exclusion filter, exactly what arbitrary external traffic gets). */
+  private[operators] val ServeLo = 10L
+  private[operators] val ServeHi = 20L
+
+  /** The driver-visible online-serving query (q_ann_serve_ivf): a
+    * fixed deterministic batch through [[annServeBatchIvf]] — fitted
+    * quantizer + persisted tuned probe budget, the exact path
+    * production traffic takes — so a serving-path regression (probe
+    * budget drift, rerank tie-break change, staleness-check breakage)
+    * hits the correctness gate and the bench floor, not just specs.
+    * The r17 100×-tier per-call budgets (PLANS.md §6) lived only in a
+    * probe; this is their registered face. Oracle: dynamic (the
+    * q_knn_ivf_fit discipline) — fitted centroids + tuned nprobe
+    * inlined at dump time, whole pipeline replayed in SQL. */
+  def annServeFixed(spark: SparkSession, dir: String): DataFrame =
+    annServeBatchIvf(spark, dir,
+      graft.sources.Tables.embeddings(spark, dir)
+        .filter(col("vec_id") >= ServeLo && col("vec_id") < ServeHi)
+        .select(col("vec_id").as("query_id"), col("embedding")))
+      .orderBy("query_id", "rn")
 
   /** The third online-serving family — IVF probe + PQ-ADC shortlist +
     * exact rerank for ARBITRARY query vectors: the billion-vector
@@ -2142,6 +2182,45 @@ object SimilarityModule extends QueryModule {
        |$rerankTail""".stripMargin
   }
 
+  /** SQL twin of [[Similarity.annServeFixed]]: the fitted-IVF
+    * online-serving head over the fixed query batch. Differences from
+    * [[ivfOracleSql]] mirror the serve contract exactly — qcells over
+    * vec_id ∈ [ServeLo, ServeHi), NO self-exclusion (serve traffic is
+    * external by contract; the corpus replay finding itself at cos 1
+    * is the determinism anchor), and the presentation cosine rounded
+    * to 6 (serveRerank's output contract; ranking still uses the raw
+    * double, same as the Spark window). */
+  private def serveIvfOracleSql(cents: Seq[Seq[Double]], nprobe: Int): String = {
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${listLit(c)}::DOUBLE[])" }
+      .mkString(",\n    ")
+    s"""WITH $eCte,
+       |cents(cell, cv) AS (VALUES
+       |    $rows),
+       |d AS (SELECT vec_id, cell, list_dot_product(v, cv) AS dt FROM e CROSS JOIN cents),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |qcells AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell DESC) AS rn
+       |    FROM d WHERE vec_id >= ${Similarity.ServeLo} AND vec_id < ${Similarity.ServeHi})
+       |  WHERE rn <= $nprobe),
+       |cand AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+       |         FROM qcells JOIN assign a USING (cell)),
+       |s AS (SELECT query_id, neighbor_id,
+       |        list_dot_product(q.v, c.v) /
+       |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |      FROM cand JOIN e q ON q.vec_id = cand.query_id
+       |                JOIN e c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM s)
+       |WHERE rn <= ${Similarity.TopKDefault} ORDER BY query_id, rn""".stripMargin
+  }
+
   /** [[ivfOracleSql]] with the candidate-stage label predicate — the
     * SQL twin of SimilarityIvf.annIvfFiltered (pre-filter semantics:
     * the label join constrains candidates BEFORE the rerank). */
@@ -2215,6 +2294,7 @@ object SimilarityModule extends QueryModule {
     "q_ann_recall_families" -> ((s: SparkSession, d: String) => annRecallByFamily(s, d)),
     "q_knn_ivf" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvf(s, d)),
     "q_knn_ivf_fit" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvfFitted(s, d)),
+    "q_ann_serve_ivf" -> ((s: SparkSession, d: String) => annServeFixed(s, d)),
     "q_knn_ivf_tuned" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvfTuned(s, d)),
     "q_knn_ivf_filtered" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvfFiltered(s, d)),
     "q_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
@@ -2543,6 +2623,11 @@ object SimilarityModule extends QueryModule {
       // centroids: the memoized tuner has already run (or runs now)
       // on the same session, so the literal nprobe matches serving
       "q_knn_ivf_tuned" -> ivfOracleSql(cents,
+        SimilarityIvf.tunedProbe(spark, dir)),
+      // the online-serving head: fitted centroids + the PERSISTED
+      // tuned probe budget, no self-exclusion, rounded presentation
+      // cosine — the serve path end to end
+      "q_ann_serve_ivf" -> serveIvfOracleSql(cents,
         SimilarityIvf.tunedProbe(spark, dir)),
       // both legs nested verbatim: exact top-k vs the fitted-IVF
       // shortlist under the SAME resolved centroid literals

@@ -27,29 +27,47 @@ import graft.sources.Tables
   *     Σ bit_i(qx)·2^(2i+1) + bit_i(qy)·2^(2i) — 64 generated integer
   *     terms, engine-parameterized only in the spelling of integer
   *     division ([[DetHll.Ops]]).
-  *  4. deterministic file assignment: NTILE(64) over (z, unique key) —
-  *     the tie-break makes bucket boundaries reproducible, which is
-  *     what lets the oracle hash-match. Production writes with
-  *     repartitionByRange(z).sortWithinPartitions(z) instead (sampled
-  *     range boundaries — same layout, not bit-reproducible, so the
-  *     gate query uses NTILE).
+  *  4. deterministic file assignment with NTILE(64)'s exact values but
+  *     WITHOUT its single-reducer window: the global rank over
+  *     (z, o_orderkey) comes from [[Curation.blockCumsum]] (blocked
+  *     running row-count — the block key is a bit-prefix of z, so
+  *     blocks are contiguous ranges of the sort order and the block
+  *     prefix stands in for the global one), and NTILE's bucket
+  *     boundary is closed-form integer math over (rank, total): the
+  *     first N mod 64 files take ⌈N/64⌉ rows, the rest ⌊N/64⌋. The
+  *     oracle still SPELLS it NTILE — same values, different physics.
+  *     Production writes with repartitionByRange(z)
+  *     .sortWithinPartitions(z) instead (sampled range boundaries —
+  *     same layout, not bit-reproducible, so the gate query uses the
+  *     rank form).
   *  5. per-file zone map: count + min/max of BOTH dimensions — the
   *     exact statistics a reader's manifest would hold. Tightness of
   *     these ranges IS the operator's product; ZOrderSpec pins that the
   *     z-ordered layout beats the linear layout's per-file spans on the
   *     non-leading dimension.
   *
-  * Scale posture: one 1-row aggregate (broadcast), one total sort
-  * (range-exchange) — identical shuffle structure to any global
-  * ORDER BY write. The z-code itself is a narrow codegen projection;
-  * no joins, no explosion. At 100 TB this runs as the scheduled
-  * OPTIMIZE job that rewrites cold partitions.
+  * Scale posture: two 1-row aggregates (broadcast extents + broadcast
+  * total), one distributed window partitioned on the z-block, and one
+  * tiny unpartitioned prefix window over ≤[[ZBlocks]] block-total
+  * rows — NO full-table single-partition stage anywhere (the pre-r18
+  * plan's unpartitioned NTILE pushed every row through one task; the
+  * blockCumsum discipline replaces it, PlanSpec-pinned). The z-code
+  * itself is a narrow codegen projection; no joins, no explosion. At
+  * 100 TB this runs as the scheduled OPTIMIZE job that rewrites cold
+  * partitions.
   */
 object ZOrder {
 
   val Bits = 16          // per-dimension quantization grid
   val Grid: Long = 1L << Bits
   val Files = 64         // zone-map buckets the gate query reports
+
+  /** Rank-block width: z is 32-bit, so z DIV 2^20 yields ≤4096 blocks
+    * — each a contiguous z-range (the property blockCumsum needs), and
+    * the block-total prefix window stays a few-thousand-row job no
+    * matter the corpus size. */
+  val ZBlockShift = 20
+  val ZBlocks: Long = 1L << (2 * Bits - ZBlockShift)
 
   /** Integer min-max quantizer to [0, 2^16): exact in both engines. */
   private def quant(v: String, vMin: String, vMax: String): String =
@@ -88,11 +106,36 @@ object ZOrder {
         s"${quant("od", "od_min", "od_max")} AS qy")
       .selectExpr("o_orderkey", "ck", "od",
         s"${mortonExpr("qx", "qy", sparkDiv)} AS z")
-      .selectExpr("o_orderkey", "ck", "od",
-        // cast: Spark's NTILE yields INT, DuckDB's BIGINT — the gate
-        // compares dtypes, so both sides finish in BIGINT
-        s"CAST(NTILE($Files) OVER (ORDER BY z, o_orderkey) AS BIGINT) AS file_id")
-    z.groupBy("file_id")
+    // Global 1-based rank in (z, o_orderkey) order, distributed: the
+    // z-prefix block key is monotone in z, so block b's rows all
+    // precede block b+1's — exactly blockCumsum's contract. Then
+    // NTILE's exact bucket boundary in closed form from (rank, total):
+    // with q = N div 64 and rem = N mod 64, the first rem buckets hold
+    // q+1 rows and the rest q — so rank r maps to
+    //   r ≤ rem·(q+1)  →  (r + q) div (q+1)
+    //   otherwise      →  rem + ⌈(r − rem·(q+1)) / q⌉
+    // (pure BIGINT arithmetic; the q = 0 corner — fewer rows than
+    // files — always takes the first branch, so its div-by-zero arm is
+    // never selected). The DuckDB oracle spells the same assignment as
+    // NTILE(64) OVER (ORDER BY z, o_orderkey): identical values, but
+    // here no row ever passes through a single-partition window.
+    val ranked = Curation.blockCumsum(z,
+      expr(s"z DIV ${1L << ZBlockShift}"),
+      Seq(col("z"), col("o_orderkey")), lit(1L))
+    // total row count from the pre-morton projection (no extents
+    // crossJoin, no 64-term z evaluation — counting needs neither)
+    val total = o.agg(count(lit(1)).as("n_total"))
+    val fileId =
+      s"""CAST(CASE
+         |  WHEN _cum <= (n_total % $Files) * (n_total DIV $Files + 1)
+         |    THEN (_cum + n_total DIV $Files) DIV (n_total DIV $Files + 1)
+         |  ELSE n_total % $Files +
+         |    (_cum - (n_total % $Files) * (n_total DIV $Files + 1)
+         |       + n_total DIV $Files - 1) DIV (n_total DIV $Files)
+         |END AS BIGINT)""".stripMargin
+    ranked.crossJoin(broadcast(total))
+      .selectExpr("ck", "od", s"$fileId AS file_id")
+      .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         min("ck").as("ck_lo"), max("ck").as("ck_hi"),
         min("od").as("od_lo"), max("od").as("od_hi"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Pipeline
+import graft.sources.WatermarkStore
 
 /** Continuous-ingest CURATION: the streaming face of the incremental
   * pipeline window (`Pipeline.pipelineE2eSince`) — each ingest
@@ -17,7 +18,7 @@ import graft.operators.Pipeline
   * serving stream here uses — the corpus-global stage verdicts are
   * session-memoized batch plans, re-read from the maintained parquet
   * artifacts, not streaming state). The stream carries newly ingested
-  * doc ids; a driver-held watermark turns each batch into the window
+  * doc ids; a watermark turns each batch into the window
   * (last_hi, batch_max]: the id-window contract pipelineE2eSince and
   * the batch `q_pipeline_incremental` query already oracle. Ingest ids
   * are monotone by the corpus's append discipline (the vec_id /
@@ -25,22 +26,38 @@ import graft.operators.Pipeline
   * exactly like consecutive manual window calls — PipelineStreamSpec
   * pins two micro-batches ≡ two sequential pipelineE2eSince windows.
   *
-  * Pass `checkpointDir` in any deployment that must survive a restart
-  * (and persist the watermark next to it — `initialLo` re-seeds it;
-  * the batch twin stores marks in `sources.WatermarkStore`): a
-  * throwaway temp checkpoint replays old offsets on restart and those
-  * windows would be re-accounted. */
+  * Restart safety is the DEFAULT when `checkpointDir` is given: the
+  * watermark persists through [[WatermarkStore]] in a `graft-watermark`
+  * object NEXT TO the checkpoint (the batch twin's store, the
+  * reference's last-run-date discipline), advanced only AFTER `land`
+  * returns — so a kill between batches re-seeds from the store and no
+  * window is re-accounted, and a kill MID-batch re-lands that window's
+  * rows (at-least-once, keyed by (win_lo, win_hi) for an idempotent
+  * sink — the engine's standing sink contract). The pre-r18 shape held
+  * the mark only in driver memory and documented that a restart needed
+  * the caller to persist it; now a throwaway temp checkpoint is the
+  * only way to lose it. `initialLo` seeds the FIRST run; a persisted
+  * mark always wins over it on restart (max of the two, so a store
+  * from an older corpus epoch cannot roll the window backward). */
 object PipelineStream {
 
   /** Start the per-window lineage stream. `ingest` is a streaming
     * DataFrame with a `doc_id` column (the ids the ingest landed this
     * batch); `land` receives each window's lineage rows tagged with
     * (win_lo, win_hi, batch_id). Empty micro-batches advance nothing
-    * and emit nothing. */
+    * and emit nothing. `watermarkPath` overrides the default
+    * next-to-checkpoint store location — for deployments that reset a
+    * corrupted checkpoint but must keep the accounting window, or
+    * share one mark across queries. */
   def lineageStream(spark: SparkSession, dir: String, ingest: DataFrame,
-      initialLo: Long, checkpointDir: Option[String] = None)
+      initialLo: Long, checkpointDir: Option[String] = None,
+      watermarkPath: Option[String] = None)
       (land: DataFrame => Unit): StreamingQuery = {
-    val lastHi = new java.util.concurrent.atomic.AtomicLong(initialLo)
+    val markPath = watermarkPath
+      .orElse(checkpointDir.map(c => s"$c/graft-watermark"))
+    val stored = markPath.flatMap(WatermarkStore.read).flatMap(_.toLongOption)
+    val lastHi = new java.util.concurrent.atomic.AtomicLong(
+      math.max(initialLo, stored.getOrElse(Long.MinValue)))
     val writer = ingest.writeStream.outputMode("append")
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer.foreachBatch { (batch: DataFrame, id: Long) =>
@@ -54,6 +71,10 @@ object PipelineStream {
             .withColumn("win_hi", lit(hi))
             .withColumn("batch_id", lit(id))
           land(rows)
+          // mark advances only after the window LANDED (the
+          // incrementalRun discipline): a crash before this line
+          // re-covers the window, never skips it
+          markPath.foreach(WatermarkStore.write(_, hi.toString))
           lastHi.set(hi)
         }
       }

@@ -101,8 +101,11 @@ class PlanSpec extends SparkSpec {
       }.size
     // the distributed prefix-sum family: exactly ONE unpartitioned
     // window each, and it consumes block TOTALS (≤ a few thousand
-    // rows), never document rows
-    for (name <- Seq("q_token_budget", "q_pps_sample", "q_pack_chunks"))
+    // rows), never document rows — q_zorder_layout joined the family
+    // in r18 (its file assignment was the engine's last full-table
+    // single-reducer window: NTILE over the whole orders table)
+    for (name <- Seq("q_token_budget", "q_pps_sample", "q_pack_chunks",
+        "q_zorder_layout"))
       assert(unpartitioned(name) == 1, s"$name block-prefix window count")
     // per-lang/per-doc rank assembly must stay fully partitioned —
     // including the embedding label-block cap's row_number, which

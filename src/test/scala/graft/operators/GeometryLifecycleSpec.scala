@@ -234,4 +234,73 @@ class GeometryLifecycleSpec extends SparkSpec {
     assert(spark.read.parquet(p.toString).count() > 0)
     Dedup.releaseIndexes(spark)
   }
+
+  test("stale bucket-kernel tag fires reindex advice on prime/append; reindex clears it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-geom-kern").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-geom-kern-idx").toString
+    val rnd = new scala.util.Random(41)
+    def vecs(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, Seq.fill(Similarity.Dim)(rnd.nextGaussian().toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    Seq((1L, "alpha beta gamma", "en", "srcT", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    vecs(0, 40).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Dedup.writeIndexes(spark, dir, idx)
+    // the build stamps the current generation; a clean prime stays silent
+    assert(Reindex.readKernelTag(spark, idx)
+      .contains(Similarity.LshKernelGeneration), "build must stamp the kernel tag")
+    Dedup.releaseIndexes(spark)
+    Dedup.primeIndexes(spark, dir, idx)
+    assert(Reindex.readAdvice(spark, idx).isEmpty)
+
+    // simulate an artifact written by the pre-r16 kernel: stale tag
+    val tp = new org.apache.hadoop.fs.Path(s"$idx/${Reindex.KernelTagFile}")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tp, true)
+    try out.write("generation=1\n".getBytes("UTF-8")) finally out.close()
+    Dedup.releaseIndexes(spark)
+    Dedup.primeIndexes(spark, dir, idx)
+    assert(Reindex.readAdvice(spark, idx).contains(("kernel-generation", 1.0)),
+      "prime over a stale kernel tag must surface reindex advice")
+
+    // an UNTAGGED artifact (predates the tagging) reads as generation 0
+    fs.delete(tp, false)
+    Reindex.clearAdvice(spark, idx)
+    grow(dir, 40, 60)
+    Dedup.appendIndexes(spark, dir, idx,
+      docPredicate = col("doc_id") < 0L,
+      embPredicate = Some(col("vec_id") >= 40L),
+      rebuildPairs = false, batchId = Some("untagged"))
+    assert(Reindex.readAdvice(spark, idx).contains(("kernel-generation", 0.0)),
+      "append onto an untagged bucket artifact must surface reindex advice")
+
+    // the documented repair: reindex re-stamps the tag and clears advice
+    Dedup.reindexArtifacts(spark, dir, idx)
+    assert(Reindex.readKernelTag(spark, idx)
+      .contains(Similarity.LshKernelGeneration), "reindex must re-stamp the tag")
+    assert(Reindex.readAdvice(spark, idx).isEmpty, "reindex must clear the advice")
+    Dedup.releaseIndexes(spark)
+    Dedup.primeIndexes(spark, dir, idx)
+    assert(Reindex.readAdvice(spark, idx).isEmpty, "post-reindex prime must stay silent")
+    Dedup.releaseIndexes(spark)
+    Similarity.invalidateCorpusH(spark, dir)
+    SimilarityIvf.invalidateCorpusK(spark, dir)
+  }
+
+  /** Replace the embeddings table with rows [0, hi) (fresh ids appended
+    * past the current max — the growTo shape, shared here). */
+  private def grow(dir: String, lo: Int, hi: Int): Unit = {
+    val rnd = new scala.util.Random(43)
+    val fresh = (lo until hi)
+      .map(i => (i.toLong, Seq.fill(Similarity.Dim)(rnd.nextGaussian().toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$dir/embeddings.parquet").unionByName(fresh)
+      .write.mode("overwrite").parquet(s"$dir/embeddings_g.parquet")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/embeddings_g.parquet"),
+      new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"))
+  }
 }

@@ -45,6 +45,42 @@ class ZOrderSpec extends SparkSpec {
       s"z-order avg date span $zAvg not < half of linear $lAvg")
   }
 
+  test("blockCumsum file assignment equals NTILE exactly (the oracle's spelling)") {
+    // the registered plan computes NTILE(64)'s values via a distributed
+    // global rank + closed-form bucket math; the DuckDB oracle still
+    // spells it NTILE — this pins the two spellings to the same zone
+    // map, per file, at a gate SF
+    val dir = "/root/testdata/sf0.01"
+    val viaRank = ZOrder.zorderLayout(spark, dir)
+      .selectExpr("file_id", "n_rows", "ck_lo", "ck_hi", "od_lo", "od_hi")
+      .collect().map(_.toSeq).toSeq
+    val ntile = spark.sql(
+      s"""WITH o AS (
+         |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+         |    CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) AS od
+         |  FROM parquet.`$dir/orders.parquet`
+         |), ext AS (
+         |  SELECT MIN(ck) AS ck_min, MAX(ck) AS ck_max,
+         |         MIN(od) AS od_min, MAX(od) AS od_max FROM o
+         |), q AS (
+         |  SELECT o_orderkey, ck, od,
+         |    (((ck - ck_min) * ${ZOrder.Grid}) div (ck_max - ck_min + 1)) AS qx,
+         |    (((od - od_min) * ${ZOrder.Grid}) div (od_max - od_min + 1)) AS qy
+         |  FROM o CROSS JOIN ext
+         |), z AS (
+         |  SELECT ck, od, CAST(NTILE(${ZOrder.Files}) OVER (ORDER BY
+         |    ${ZOrder.mortonExpr("qx", "qy", (a, b) => s"($a div $b)")}, o_orderkey)
+         |    AS BIGINT) AS file_id
+         |  FROM q
+         |)
+         |SELECT file_id, COUNT(*) AS n_rows,
+         |  MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+         |  MIN(od) AS od_lo, MAX(od) AS od_hi
+         |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(viaRank == ntile)
+  }
+
   test("every row lands in exactly one file and counts are balanced") {
     val dir = "/root/testdata/sf0.001"
     val rows = ZOrder.zorderLayout(spark, dir)

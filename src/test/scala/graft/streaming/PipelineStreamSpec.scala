@@ -51,4 +51,36 @@ class PipelineStreamSpec extends SparkSpec {
       "second micro-batch lineage diverges from the manual window")
     Dedup.releaseIndexes(spark)
   }
+
+  test("kill + restart re-seeds the watermark from the store — no window re-accounted") {
+    val dir = sf("sf0.001")
+    val mark = java.nio.file.Files.createTempDirectory("graft-pstream-wm")
+      .resolve("graft-watermark").toString
+    implicit val sq = spark.sqlContext
+    val landed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def run(feed: Seq[Long]): Unit = {
+      // a FRESH MemoryStream per run = the kill: driver memory (the
+      // pre-r18 AtomicLong) is gone; only the store survives
+      val input = MemoryStream[Long]
+      val q = PipelineStream.lineageStream(spark, dir,
+        input.toDF().withColumnRenamed("value", "doc_id"),
+        initialLo = 400L, watermarkPath = Some(mark)) { rows =>
+        val r = rows.select("win_lo", "win_hi").distinct().collect()(0)
+        landed += ((r.getLong(0), r.getLong(1)))
+      }
+      try { input.addData(feed: _*); q.processAllAvailable() } finally q.stop()
+    }
+    run(401L to 450L)
+    assert(landed.toSeq === Seq((400L, 450L)))
+    assert(graft.sources.WatermarkStore.read(mark).contains("450"),
+      "mark must persist after the window lands")
+    // restart with the SAME stale initialLo: the stored 450 wins, so
+    // the second run accounts exactly (450, 500] — never (400, 450]
+    // again (the pre-r18 in-memory mark would re-account it)
+    run(451L to 500L)
+    assert(landed.toSeq === Seq((400L, 450L), (450L, 500L)),
+      s"restart re-accounted a window: $landed")
+    assert(graft.sources.WatermarkStore.read(mark).contains("500"))
+    Dedup.releaseIndexes(spark)
+  }
 }
