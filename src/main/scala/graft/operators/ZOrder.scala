@@ -97,14 +97,19 @@ object ZOrder {
     val o = Tables.orders(spark, dir)
       .selectExpr("o_orderkey", "CAST(o_custkey AS BIGINT) AS ck",
         "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) AS od")
+    // one 1-row aggregate carries the quantizer extents AND the total
+    // row count — a single broadcast fan-out feeds both the z-code and
+    // the closed-form NTILE boundary below (a separate count would
+    // re-scan orders and add a second broadcast join)
     val ext = o.agg(
       min("ck").as("ck_min"), max("ck").as("ck_max"),
-      min("od").as("od_min"), max("od").as("od_max"))
+      min("od").as("od_min"), max("od").as("od_max"),
+      count(lit(1)).as("n_total"))
     val z = o.crossJoin(broadcast(ext))
-      .selectExpr("o_orderkey", "ck", "od",
+      .selectExpr("o_orderkey", "ck", "od", "n_total",
         s"${quant("ck", "ck_min", "ck_max")} AS qx",
         s"${quant("od", "od_min", "od_max")} AS qy")
-      .selectExpr("o_orderkey", "ck", "od",
+      .selectExpr("o_orderkey", "ck", "od", "n_total",
         s"${mortonExpr("qx", "qy", sparkDiv)} AS z")
     // Global 1-based rank in (z, o_orderkey) order, distributed: the
     // z-prefix block key is monotone in z, so block b's rows all
@@ -122,9 +127,6 @@ object ZOrder {
     val ranked = Curation.blockCumsum(z,
       expr(s"z DIV ${1L << ZBlockShift}"),
       Seq(col("z"), col("o_orderkey")), lit(1L))
-    // total row count from the pre-morton projection (no extents
-    // crossJoin, no 64-term z evaluation — counting needs neither)
-    val total = o.agg(count(lit(1)).as("n_total"))
     val fileId =
       s"""CAST(CASE
          |  WHEN _cum <= (n_total % $Files) * (n_total DIV $Files + 1)
@@ -133,7 +135,7 @@ object ZOrder {
          |    (_cum - (n_total % $Files) * (n_total DIV $Files + 1)
          |       + n_total DIV $Files - 1) DIV (n_total DIV $Files)
          |END AS BIGINT)""".stripMargin
-    ranked.crossJoin(broadcast(total))
+    ranked
       .selectExpr("ck", "od", s"$fileId AS file_id")
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
