@@ -128,14 +128,25 @@ object Graph {
     * bucketed by-src table is written FIRST, straight from the
     * orders ⋈ lineitem plan — the only pass that pays the join +
     * shuffle + sort + parquet encode — and the flat `graphEdgeFracs`
-    * artifact is then materialized by COPYING the table's data files:
-    * identical rows and schema, zero additional Spark jobs. The
-    * pre-r18 build paid the pipeline twice (plan → flat parquet
+    * artifact is then derived from the table's files by a cheap
+    * coalesce re-encode into CONSUMER-SIZED partitions. The pre-r18
+    * build paid the full pipeline twice (plan → flat parquet
     * ≈6.8 CPU-s, then flat parquet → bucketed re-layout ≈6.8 CPU-s,
-    * the #2+#3 lines of the index job's attribution); this halves the
-    * chain. At 100 TB the copy is a distcp — IO bandwidth, not
-    * compute. The sidecar fingerprint is taken from the copied flat
+    * the #2+#3 lines of the index job's attribution); the derive pass
+    * reads ~MBs of already-encoded parquet instead of re-running the
+    * join. The sidecar fingerprint is taken from the written flat
     * artifact, so [[primeEdgesBySrc]]'s validity tie is unchanged.
+    *
+    * Flat-artifact GEOMETRY is explicit, not inherited: the scan
+    * partition count of this artifact is a measured serving-cost
+    * lever for the superstep loop (GraphServeProbe, sf0.1: 32 small
+    * files → pagerank ~70 task-CPU-s; 9 → ~7; 1 → ~4.5 CPU but the
+    * 10-superstep wall serializes at 7.3 s). Target
+    * [[FlatEdgeRowsPerFile]] rows per file, capped at the session's
+    * shuffle parallelism — enough rows per task to amortize fixed
+    * per-task cost across the loop's repeated scans, enough files to
+    * keep the loop parallel; at 100 TB the cap hits the cluster's
+    * partition count and parquet's splittability takes over.
     *
     * Bucketing semantics (unchanged from the r12 layout): bucketBy(src)
     * + sortBy(src), bucket scheme = Spark's shuffle hash (murmur3 pmod
@@ -146,6 +157,11 @@ object Graph {
     * hash, so every task holds exactly one bucket and each bucket
     * lands in one file (the reader only trusts sortBy in that
     * layout). */
+  /** Flat edge-artifact sizing: rows per file (≈3 MB of encoded edges
+    * here; the measured knee of the superstep loop's per-task
+    * amortization — see the geometry note on [[writeEdgeArtifacts]]). */
+  private[operators] val FlatEdgeRowsPerFile = 131072L
+
   private[operators] def writeEdgeArtifacts(spark: SparkSession, dir: String,
                                             indexDir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -158,27 +174,42 @@ object Graph {
     val tbl = bySrcTableName(indexDir)
     val loc = s"$indexDir/graphEdgesBySrc"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    // an edge table a graph query already memoized (checkpointed) is
-    // cheaper to dump than the raw plan is to recompute
-    val (plan, scratch) = Dedup.memoGet(spark, s"graphEdgeFracs|$dir") match {
-      case Some(df) => (df, Set.empty[Int])
-      case None => edgeFracsPlan(spark, dir)
-    }
+    // The bucketed write MUST land one file per bucket — a multi-file
+    // bucket breaks the sortBy trust the superstep reader relies on,
+    // and (the r18 lesson, EdgeWriteProbe) the FLAT artifact copied
+    // from these files inherits the file count: under default AQE the
+    // raw plan's repartition(src) write came out as 9 mapper-aligned
+    // local-read tasks each writing ALL 32 buckets — 288 files whose
+    // open/footer overhead tripled every graph query's scan CPU.
+    // Local shuffle reads are disabled for THIS write only, on a
+    // cloned session so the flip cannot race the index job's sibling
+    // chains (session conf is global; the clone shares the
+    // SparkContext and the external catalog, so the parent sees the
+    // table). Probe-verified: 32 files / one per bucket.
+    val wspark = spark.newSession()
+    wspark.conf.set("spark.sql.adaptive.localShuffleReader.enabled", "false")
+    val (plan, scratch) = edgeFracsPlan(wspark, dir)
     plan.repartition(n, col("src"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(n, "src").sortBy("src")
       .option("path", loc)
       .saveAsTable(tbl)
     Dedup.unpersistIds(spark, scratch)
-    val base = new org.apache.hadoop.fs.Path(s"$flat/batch_id=base")
-    fs.mkdirs(base)
-    fs.listStatus(new org.apache.hadoop.fs.Path(loc))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
-          new org.apache.hadoop.fs.Path(base, s.getPath.getName),
-          false, hconf)
-      }
+    // ≤ n, not == n: an empty bucket (tiny spec fixture) writes no
+    // file; the failure mode being guarded is MORE files than buckets
+    val nBucketFiles = fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    require(nBucketFiles <= n,
+      s"writeEdgeArtifacts: at most one file per bucket ($n) expected, found " +
+        s"$nBucketFiles — the write plan regressed to a multi-file-per-bucket layout")
+    // derive the flat artifact from the just-written bucket files: a
+    // coalesce (no shuffle) re-encode into the consumer-sized layout
+    val bucketRows = spark.read.parquet(loc)
+    val nRows = bucketRows.count()
+    val nOut = math.max(1L, math.min(n.toLong,
+      (nRows + FlatEdgeRowsPerFile - 1) / FlatEdgeRowsPerFile)).toInt
+    bucketRows.coalesce(nOut)
+      .write.mode("overwrite").parquet(s"$flat/batch_id=base")
     val df = spark.read.parquet(flat.toString).drop("batch_id")
     val fp = edgeArtifactFingerprint(spark, indexDir).getOrElse("")
     val meta = s"buckets=$n\nsource=$fp\nschema=${df.schema.toDDL}\n"
