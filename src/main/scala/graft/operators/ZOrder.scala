@@ -144,6 +144,43 @@ object ZOrder {
       .orderBy("file_id")
   }
 
+  /** The PRODUCTION write verb — the scheduled OPTIMIZE job the gate
+    * query models: z-order the orders layout and WRITE it, one parquet
+    * file per z-range, via repartitionByRange(z, key) +
+    * sortWithinPartitions. Range boundaries come from Spark's sampled
+    * range partitioner — the right plan at 100 TB (one range exchange,
+    * no rank bookkeeping) but not bit-reproducible across runs, which
+    * is why the GATE query uses the deterministic rank form instead;
+    * ZOrderSpec pins this verb's zone-map QUALITY (per-file date spans
+    * beat the linear layout's, rows conserved) rather than its exact
+    * boundaries. Returns the written layout's zone map, read back from
+    * the REAL files (input_file_name), i.e. the statistics a reader's
+    * manifest would hold. */
+  def zorderWrite(spark: SparkSession, dir: String, outPath: String,
+                  files: Int = Files): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey", "CAST(o_custkey AS BIGINT) AS ck",
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) AS od")
+    val ext = o.agg(
+      min("ck").as("ck_min"), max("ck").as("ck_max"),
+      min("od").as("od_min"), max("od").as("od_max"))
+    o.crossJoin(broadcast(ext))
+      .selectExpr("o_orderkey", "ck", "od",
+        s"${quant("ck", "ck_min", "ck_max")} AS qx",
+        s"${quant("od", "od_min", "od_max")} AS qy")
+      .selectExpr("o_orderkey", "ck", "od",
+        s"${mortonExpr("qx", "qy", sparkDiv)} AS z")
+      .repartitionByRange(files, col("z"), col("o_orderkey"))
+      .sortWithinPartitions("z", "o_orderkey")
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("ck").as("ck_lo"), max("ck").as("ck_hi"),
+        min("od").as("od_lo"), max("od").as("od_hi"))
+      .orderBy("file")
+  }
+
   def oracle: String =
     s"""WITH o AS (
        |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,

@@ -83,6 +83,19 @@ class GraphSpec extends SparkSpec {
     Dedup.writeIndexes(spark, dir, idx)
     assert(new java.io.File(s"$idx/graphEdgeFracs.parquet").exists(),
       "graph artifact not written for a corpus with relational tables")
+    // geometry rule pin (the r18 lesson): the flat artifact's file
+    // count is a measured serving-cost lever — it must follow the
+    // ceil(rows / FlatEdgeRowsPerFile) rule, never inherit the write
+    // plan's task layout (one-file-per-bucket copies scanned at 32
+    // partitions and tripled the superstep loop's CPU)
+    val nRows = spark.read.parquet(s"$idx/graphEdgeFracs.parquet").count()
+    val expectFiles = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (nRows + Graph.FlatEdgeRowsPerFile - 1) / Graph.FlatEdgeRowsPerFile))
+    val gotFiles = new java.io.File(s"$idx/graphEdgeFracs.parquet/batch_id=base")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(gotFiles == expectFiles,
+      s"flat edge artifact geometry: expected $expectFiles files for $nRows rows, got $gotFiles")
     Dedup.releaseIndexes(spark)
     Dedup.primeIndexes(spark, dir, idx)
     val after = Graph.pagerank(spark, dir).collect().toSeq

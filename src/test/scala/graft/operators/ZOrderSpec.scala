@@ -81,6 +81,29 @@ class ZOrderSpec extends SparkSpec {
     assert(viaRank == ntile)
   }
 
+  test("zorderWrite: production range-partitioned layout conserves rows and beats linear pruning") {
+    val dir = "/root/testdata/sf0.01"
+    val out = java.nio.file.Files.createTempDirectory("graft-zw").toString + "/orders_z"
+    val zones = ZOrder.zorderWrite(spark, dir, out)
+      .selectExpr("n_rows", "od_hi - od_lo AS od_span").as[(Long, Long)].collect()
+    val total = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(zones.map(_._1).sum == total, "written layout must conserve rows")
+    assert(zones.length == ZOrder.Files, s"expected ${ZOrder.Files} files, got ${zones.length}")
+    // the sampled range boundaries aren't the NTILE boundaries, but the
+    // pruning property must hold all the same: each z-file covers a
+    // small fraction of the date range a custkey-linear file covers
+    val linear = spark.sql(
+      s"""SELECT MAX(od) - MIN(od) FROM (
+         |  SELECT CAST(NTILE(${ZOrder.Files}) OVER (ORDER BY o_custkey, o_orderkey) AS BIGINT) AS f,
+         |    CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) AS od
+         |  FROM parquet.`$dir/orders.parquet`) GROUP BY f""".stripMargin)
+      .as[Long].collect()
+    val zAvg = zones.map(_._2).sum.toDouble / zones.length
+    val lAvg = linear.sum.toDouble / linear.length
+    assert(zAvg < lAvg * 0.5,
+      s"written z-layout avg date span $zAvg not < half of linear $lAvg")
+  }
+
   test("every row lands in exactly one file and counts are balanced") {
     val dir = "/root/testdata/sf0.001"
     val rows = ZOrder.zorderLayout(spark, dir)
