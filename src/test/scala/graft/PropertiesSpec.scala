@@ -56,6 +56,33 @@ class PropertiesSpec extends SparkSpec {
     sa.intersect(sb).size.toDouble / sa.union(sb).size
   }
 
+  test("property: the closed-form NTILE bucket math equals NTILE semantics for every (N, rank)") {
+    // the z-order layout computes NTILE(64)'s values from (rank, total)
+    // in pure integer math (ZOrder.zorderLayout); this pins the formula
+    // against NTILE's definition — first N mod k buckets take
+    // ceil(N/k) rows, the rest floor(N/k) — across the corner N
+    // regimes (N < k, N = k, N multiple of k, N just past a boundary)
+    val k = 64L
+    def formula(r: Long, n: Long): Long = {
+      val q = n / k; val rem = n % k
+      if (r <= rem * (q + 1)) (r + q) / (q + 1)
+      else rem + (r - rem * (q + 1) + q - 1) / q
+    }
+    def ntile(r: Long, n: Long): Long = {
+      val q = n / k; val rem = n % k
+      // definitional: walk the bucket boundaries
+      var b = 1L; var upper = if (rem >= 1) q + 1 else q
+      while (r > upper) { b += 1; upper += (if (b <= rem) q + 1 else q) }
+      b
+    }
+    val ns = Seq(1L, 5L, 63L, 64L, 65L, 127L, 128L, 129L, 1000L, 4096L, 4097L, 15000L)
+    for (n <- ns; r <- 1L to math.min(n, 600L))
+      assert(formula(r, n) == ntile(r, n), s"mismatch at N=$n rank=$r")
+    // and the tail ranks of each N (the last bucket boundary region)
+    for (n <- ns; r <- math.max(1L, n - 200L) to n)
+      assert(formula(r, n) == ntile(r, n), s"tail mismatch at N=$n rank=$r")
+  }
+
   test("property: exact dedup partitions the corpus (sum of copies = corpus size, keep_id is group min)") {
     val out = operators.Dedup.exactDedup(spark, corpusDir)
       .as[(Long, Long)].collect()
