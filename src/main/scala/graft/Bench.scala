@@ -300,6 +300,18 @@ object Bench {
     }
     System.err.println(
       f"[bench]   build-cpu (untagged residual) ${idxCpu - idxPerArtifact.values.sum}%7.2f s")
+    // Post-build settle, OUTSIDE any timed region: the only
+    // non-weather-uniform moment of the r18 driver run was a 1.95
+    // calibration spike immediately after the two from-scratch build
+    // samples (ambient 1.43–1.50) — the build leaves the JVM hot
+    // (fresh allocation pressure, unreferenced broadcast/checkpoint
+    // blocks whose ContextCleaner reclaim is GC-triggered). An
+    // explicit GC + cleaner grace here lets the after_build
+    // calibration measure the HOST, not the build's wake; query
+    // samples were already insulated by their own release/re-prime.
+    System.gc()
+    Thread.sleep(1500)
+    drainTasks()
     calSeries("after_build") = calibrate("after_build")
 
     val all = SparkEntry.queries

@@ -676,7 +676,23 @@ object Curation {
       .select(col("_blk"), col("_blk_prefix"))
     withBlock.withColumn("_within", within)
       .join(blockTotals, Seq("_blk"), "left")
-      .withColumn("_cum", col("_blk_prefix") + col("_within"))
+      // belt for the contract above: a non-null _blk ALWAYS matches its
+      // own block total, so a null _blk_prefix can only mean a caller
+      // passed a nullable block key — fail loudly per row instead of
+      // propagating a silent null cumulative sum downstream. The guard
+      // references ONLY _blk_prefix (the join output), never _blk: a
+      // reference to _blk here lets CollapseProject re-inline the
+      // caller's block expression into this projection — for
+      // q_zorder_layout's 64-term Morton key that re-evaluated the
+      // whole interleave per row, +0.4 CPU-s at sf0.1 (the same
+      // alias-substitution trap the LEFT join exists to avoid). On
+      // conforming data the assert arm is never selected; a violated
+      // contract makes it assert_true(false) and raises per row.
+      .withColumn("_cum",
+        when(col("_blk_prefix").isNotNull, col("_blk_prefix") + col("_within"))
+          .otherwise(assert_true(col("_blk_prefix").isNotNull,
+            lit("blockCumsum: blockCol produced a NULL block key — the non-null " +
+              "contract was violated; coalesce the key at the call site")).cast("bigint")))
       .drop("_blk", "_within", "_blk_prefix")
   }
 

@@ -189,8 +189,14 @@ object Graph {
     val wspark = spark.newSession()
     wspark.conf.set("spark.sql.adaptive.localShuffleReader.enabled", "false")
     val (plan, scratch) = edgeFracsPlan(wspark, dir)
-    plan.repartition(n, col("src"))
-      .write.mode("overwrite").format("parquet")
+    // NO explicit repartition: the plan's out-weight window already
+    // hash-partitions by src into n partitions and sorts by src —
+    // exactly the distribution + ordering the bucketed write requires,
+    // so the write rides the window's exchange (EdgeFracsR19Probe:
+    // same 32 files / one per bucket, one exchange instead of two,
+    // steady write CPU 3.1 → 2.9 s and cold 18.1 → 8.3). The require
+    // below still guards the one-file-per-bucket property.
+    plan.write.mode("overwrite").format("parquet")
       .bucketBy(n, "src").sortBy("src")
       .option("path", loc)
       .saveAsTable(tbl)
@@ -210,6 +216,25 @@ object Graph {
       (nRows + FlatEdgeRowsPerFile - 1) / FlatEdgeRowsPerFile)).toInt
     bucketRows.coalesce(nOut)
       .write.mode("overwrite").parquet(s"$flat/batch_id=base")
+    // geometry is asserted on the REAL files, not just in GraphSpec at
+    // fixture scale: coalesce can only REDUCE partitions, so a scan
+    // that packed the bucket files into fewer input partitions than
+    // nOut (per-file sizes near maxPartitionBytes, low parallelism)
+    // would silently land fewer files than the FlatEdgeRowsPerFile
+    // rule states. MORE files than nOut is a plan regression (the r18
+    // multi-file failure mode) and fails loudly, mirroring the
+    // one-file-per-bucket require on the by-src layout; FEWER is legal
+    // but logged so a drifted serving geometry is visible.
+    val nFlatFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$flat/batch_id=base"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    require(nFlatFiles <= nOut,
+      s"writeEdgeArtifacts: flat edge artifact expected at most $nOut files " +
+        s"(FlatEdgeRowsPerFile=$FlatEdgeRowsPerFile over $nRows rows), found " +
+        s"$nFlatFiles — the coalesce re-encode regressed to a wider write plan")
+    if (nFlatFiles < nOut) System.err.println(
+      s"[writeEdgeArtifacts] note: flat edge artifact landed $nFlatFiles files " +
+        s"(target $nOut) — the bucket scan packed into fewer input partitions; " +
+        "serving stays correct but the superstep scan is less parallel than sized")
     val df = spark.read.parquet(flat.toString).drop("batch_id")
     val fp = edgeArtifactFingerprint(spark, indexDir).getOrElse("")
     val meta = s"buckets=$n\nsource=$fp\nschema=${df.schema.toDDL}\n"
@@ -297,32 +322,39 @@ object Graph {
     * serialize + parquet encode; the file-backed build pays the encode
     * only, then re-points the memo at the written files). The caller
     * owns freeing the returned scratch ids once the plan has been
-    * materialized.
+    * materialized (this plan has none — see below).
     *
-    * The undirected edge table references `eb` twice (one union leg
-    * per direction) and twice more through the out-weight aggregate +
-    * join — a checkpoint barrier pins the orders ⋈ lineitem join to
-    * ONE execution (exchange reuse alone left the final aggregation +
-    * projection re-running per consumer: measured 8.3 → 4.8 CPU-s for
-    * the artifact build at sf0.1). The checkpointed table is
-    * |distinct (cust, supp)| rows — half the edge table — so the
-    * barrier is cheap next to what it saves. */
+    * SINGLE-PASS shape (the r18→r19 cut): the orders ⋈ lineitem
+    * aggregate is consumed exactly ONCE — `explode` emits both edge
+    * directions from one scan (the old union read it twice, and the
+    * out-weight aggregate + join read it twice more, behind a
+    * checkpoint-serialize barrier that itself cost a serialize +
+    * N deserializes of the half-edge table). The per-src out-weight is
+    * a window sum over partitionBy(src): its exchange + sort are
+    * exactly the distribution + ordering the bucketed by-src write
+    * needs anyway, so the fraction computation rides a shuffle the
+    * plan already pays instead of adding an aggregate + join of its
+    * own. Parity-safe: w and ow are exact long sums, frac the same
+    * double division as before. Measured (IndexBuildProbe, sf0.1
+    * steady): graphEdgeFracs 12.7 → see PLANS.md for the r19 number. */
   private[operators] def edgeFracsPlan(spark: SparkSession,
       dir: String): (DataFrame, Set[Int]) = {
-      val eb = Dedup.checkpointSer(Tables.orders(spark, dir)
+      val eb = Tables.orders(spark, dir)
         .join(Tables.lineitem(spark, dir),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
-        .agg(count(lit(1)).as("w")))
-      val e = eb.select(col("a").as("src"), col("b").as("dst"), col("w"))
-        .unionByName(eb.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      val ow = e.groupBy("src").agg(sum(col("w")).as("ow"))
-      val plan = e.join(ow, "src")
+        .agg(count(lit(1)).as("w"))
+      val e = eb.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst"), col("w")),
+          struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      val ow = sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+      val plan = e
         .select(col("src"), col("dst"), col("w"),
-          (col("w").cast("double") / col("ow").cast("double")).as("frac"))
-      (plan,
-        org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRddIds(eb))
+          (col("w").cast("double") / ow.cast("double")).as("frac"))
+      (plan, Set.empty[Int])
     }
 
   /** Append a batch of NEW ORDERS to the persisted graphEdgeFracs

@@ -501,6 +501,7 @@ object PqModule extends QueryModule {
     "q_knn_pq_rerank_tuned" -> ((s: SparkSession, d: String) => SimilarityPq.knnPqRerankTuned(s, d)),
     "q_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
     "q_knn_ivfpq_refined" -> ((s: SparkSession, d: String) => knnIvfPqRefined(s, d)),
+    "q_ann_serve_ivfpq" -> ((s: SparkSession, d: String) => Similarity.annServeFixedPq(s, d)),
     "q_pq_stats" -> ((s: SparkSession, d: String) => pqStats(s, d)))
 
   def oracles = Map.empty[String, String]
@@ -607,6 +608,71 @@ object PqModule extends QueryModule {
        |    FROM sc) WHERE rn <= $cands),
        |${SimilarityModule.rerankTail}""".stripMargin
 
+  /** Serve-contract CTE variants: query slice vec_id ∈
+    * [ServeLo, ServeHi) and NO self-exclusion (external traffic by
+    * contract — the corpus replay finding itself at cos 1 is the
+    * determinism anchor, exactly serveIvfOracleSql's discipline). */
+  private def ivfServeCtes(cents: Seq[Seq[Double]], nprobe: Int): String = {
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${listLit(c)}::DOUBLE[])" }
+      .mkString(",\n    ")
+    s"""cents(cell, cv) AS (VALUES
+       |    $rows),
+       |d AS (SELECT vec_id, cell, list_dot_product(v, cv) AS dt FROM e CROSS JOIN cents),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |qcells AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell DESC) AS rn
+       |    FROM d WHERE vec_id >= ${Similarity.ServeLo}
+       |      AND vec_id < ${Similarity.ServeHi}) WHERE rn <= $nprobe),
+       |ivfc AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+       |         FROM qcells JOIN assign a USING (cell))""".stripMargin
+  }
+
+  private val lutServeCte: String =
+    s"""lut AS (SELECT vec_id AS query_id, m, code,
+       |        round(list_dot_product(list_slice(v, m * 8 + 1, m * 8 + 8), cv), 9) AS w
+       |        FROM e CROSS JOIN cb
+       |        WHERE vec_id >= ${Similarity.ServeLo}
+       |          AND vec_id < ${Similarity.ServeHi})""".stripMargin
+
+  /** SQL twin of [[Similarity.annServeFixedPq]]: fitted-IVF probe (no
+    * self-exclusion) → per-query ADC shortlist at the tuned bound →
+    * exact-cosine rerank with the serve presentation (cos rounded 6,
+    * rn ≤ TopKDefault) — the pqIvfRefinedOracleSql chain under the
+    * serve contract. */
+  private def pqIvfServeOracleSql(cbs: Seq[Seq[Seq[Double]]],
+      cents: Seq[Seq[Double]], nprobe: Int, cands: Int): String =
+    s"""WITH ${SimilarityModule.eCte},
+       |${ivfServeCtes(cents, nprobe)},
+       |${cbCtes(cbs)},
+       |$lutServeCte,
+       |sc AS (SELECT ivfc.query_id, ivfc.neighbor_id,
+       |         SUM(CAST(w AS DECIMAL(29,9))) AS adc
+       |       FROM ivfc
+       |       JOIN codes cd ON cd.vec_id = ivfc.neighbor_id
+       |       JOIN lut ON lut.query_id = ivfc.query_id
+       |              AND lut.m = cd.m AND lut.code = cd.code
+       |       GROUP BY 1, 2),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY adc DESC, neighbor_id ASC) AS rn
+       |    FROM sc) WHERE rn <= $cands),
+       |s AS (SELECT query_id, neighbor_id,
+       |        list_dot_product(q.v, c.v) /
+       |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |      FROM cand JOIN e q ON q.vec_id = cand.query_id
+       |                JOIN e c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM s)
+       |WHERE rn <= ${Similarity.TopKDefault} ORDER BY query_id, rn""".stripMargin
+
   private[operators] def pqOracleSql(cbs: Seq[Seq[Seq[Double]]]): String =
     s"""WITH ${SimilarityModule.eCte},
        |${adcCtes(cbs)}
@@ -649,6 +715,9 @@ object PqModule extends QueryModule {
       // (or the same-session ladder walks), so the literals match the
       // serving plan bit-for-bit
       "q_knn_ivfpq_refined" -> pqIvfRefinedOracleSql(cbs, cents,
+        SimilarityIvf.tunedProbe(spark, dir),
+        SimilarityPq.tunedRerankCands(spark, dir)),
+      "q_ann_serve_ivfpq" -> pqIvfServeOracleSql(cbs, cents,
         SimilarityIvf.tunedProbe(spark, dir),
         SimilarityPq.tunedRerankCands(spark, dir)),
       "q_pq_stats" -> pqStatsOracleSql(cbs))

@@ -317,7 +317,22 @@ object Reindex {
           s"generation $found (current ${Similarity.LshKernelGeneration}) — non-finite " +
           "vectors bucket differently across generations; run " +
           "Dedup.reindexArtifacts before appending or probing such a corpus")
-      writeAdvice(spark, indexDir, "kernel-generation", found.toDouble)
+      // The read-mostly verbs (prime, append) must not clobber a
+      // DISTINCT outstanding recommendation (e.g. erased-fraction) with
+      // this one — the marker is single-row, so persist only when no
+      // advice exists yet; an existing kernel-generation row is simply
+      // refreshed-by-equivalence. And the whole persist is best-effort:
+      // a prime onto a read-only/shared index mount should degrade to
+      // the stderr warning above, not throw where it used to succeed.
+      try {
+        val existing = readAdvice(spark, indexDir)
+        if (existing.isEmpty || existing.exists(_._1 == "kernel-generation"))
+          writeAdvice(spark, indexDir, "kernel-generation", found.toDouble)
+      } catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[$verb] note: could not persist kernel-generation advice under " +
+            s"$indexDir (${e.getClass.getSimpleName}) — the warning above still stands")
+      }
     }
   }
 

@@ -589,6 +589,7 @@ object RelationalModule extends QueryModule {
     "q_hll_deterministic" -> ((s: SparkSession, d: String) => DetHll.hllDeterministic(s, d)),
     "q_cms_heavyhitters" -> ((s: SparkSession, d: String) => DetCms.cmsHeavyHitters(s, d)),
     "q_zorder_layout" -> ((s: SparkSession, d: String) => ZOrder.zorderLayout(s, d)),
+    "q_zorder_quality" -> ((s: SparkSession, d: String) => ZOrder.zorderQuality(s, d)),
     "q_table_diff" -> ((s: SparkSession, d: String) => tableDiff(s, d)),
     "q_rollup_acctbal" -> ((s: SparkSession, d: String) => rollupAcctbal(s, d)),
     "q_cube_orders" -> ((s: SparkSession, d: String) => cubeOrders(s, d)),
@@ -686,6 +687,7 @@ object RelationalModule extends QueryModule {
     "q_hll_deterministic" -> DetHll.oracle,
     "q_cms_heavyhitters" -> DetCms.oracle,
     "q_zorder_layout" -> ZOrder.oracle,
+    "q_zorder_quality" -> ZOrder.qualityOracle,
     "q_rollup_acctbal" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal

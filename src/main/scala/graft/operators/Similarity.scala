@@ -819,6 +819,22 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("embedding")))
       .orderBy("query_id", "rn")
 
+  /** The COMPRESSED-index serving head's registered face
+    * (q_ann_serve_ivfpq): the same fixed batch through
+    * [[annServeBatchIvfPq]] — fitted coarse quantizer, fitted
+    * codebooks, BOTH tuned budgets (probe width + ADC shortlist), the
+    * exact path a billion-vector deployment serves — so a regression
+    * anywhere in probe → ADC shortlist → full-precision rerank hits
+    * the gate. Oracle: dynamic (codebooks + centroids + both budgets
+    * inlined at dump time), registered by PqModule with the rest of
+    * the PQ family's dynamic SQL. */
+  def annServeFixedPq(spark: SparkSession, dir: String): DataFrame =
+    annServeBatchIvfPq(spark, dir,
+      graft.sources.Tables.embeddings(spark, dir)
+        .filter(col("vec_id") >= ServeLo && col("vec_id") < ServeHi)
+        .select(col("vec_id").as("query_id"), col("embedding")))
+      .orderBy("query_id", "rn")
+
   /** The third online-serving family — IVF probe + PQ-ADC shortlist +
     * exact rerank for ARBITRARY query vectors: the billion-vector
     * serving architecture end to end, with all THREE stages riding

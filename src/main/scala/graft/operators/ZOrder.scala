@@ -90,6 +90,26 @@ object ZOrder {
   private val sparkDiv: (String, Long) => String = (a, b) => s"($a div $b)"
   private val duckDiv: (String, Long) => String = (a, b) => s"($a // $b)"
 
+  /** NTILE([[Files]])'s exact bucket value in closed-form integer math
+    * over the blockCumsum rank `_cum` and the broadcast `n_total` —
+    * with q = N div 64 and rem = N mod 64, the first rem buckets hold
+    * q+1 rows and the rest q, so rank r maps to
+    *   r ≤ rem·(q+1)  →  (r + q) div (q+1)
+    *   otherwise      →  rem + ⌈(r − rem·(q+1)) / q⌉
+    * (pure BIGINT arithmetic). The q = 0 corner — fewer rows than
+    * files — always takes the first branch, and the ELSE arm's divisor
+    * is GREATEST(q, 1) anyway so the arm is total even if a future
+    * rewrite evaluates both branches eagerly under ANSI mode — values
+    * are unchanged on every selected row. */
+  private val fileIdSql: String =
+    s"""CAST(CASE
+       |  WHEN _cum <= (n_total % $Files) * (n_total DIV $Files + 1)
+       |    THEN (_cum + n_total DIV $Files) DIV (n_total DIV $Files + 1)
+       |  ELSE n_total % $Files +
+       |    (_cum - (n_total % $Files) * (n_total DIV $Files + 1)
+       |       + n_total DIV $Files - 1) DIV GREATEST(n_total DIV $Files, 1)
+       |END AS BIGINT)""".stripMargin
+
   /** Zone-map report of a Z-ordered orders layout over
     * (o_custkey, day(o_orderdate)): [[Files]] rows of per-file count +
     * min/max of both clustered dimensions. */
@@ -127,16 +147,8 @@ object ZOrder {
     val ranked = Curation.blockCumsum(z,
       expr(s"z DIV ${1L << ZBlockShift}"),
       Seq(col("z"), col("o_orderkey")), lit(1L))
-    val fileId =
-      s"""CAST(CASE
-         |  WHEN _cum <= (n_total % $Files) * (n_total DIV $Files + 1)
-         |    THEN (_cum + n_total DIV $Files) DIV (n_total DIV $Files + 1)
-         |  ELSE n_total % $Files +
-         |    (_cum - (n_total % $Files) * (n_total DIV $Files + 1)
-         |       + n_total DIV $Files - 1) DIV (n_total DIV $Files)
-         |END AS BIGINT)""".stripMargin
     ranked
-      .selectExpr("ck", "od", s"$fileId AS file_id")
+      .selectExpr("ck", "od", s"$fileIdSql AS file_id")
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         min("ck").as("ck_lo"), max("ck").as("ck_hi"),
@@ -180,6 +192,103 @@ object ZOrder {
         min("od").as("od_lo"), max("od").as("od_hi"))
       .orderBy("file")
   }
+
+  /** Layout-QUALITY audit — the driver-gated face of what
+    * [[zorderWrite]] actually buys: per-file zone-map SPAN SUMS of the
+    * z-ordered layout vs the linear (ck-leading) layout, on BOTH
+    * clustered dimensions. A reader prunes file f for a predicate on
+    * dimension d iff the predicate misses [lo_d(f), hi_d(f)], so the
+    * summed span IS the layout's expected scan exposure per dimension
+    * (up to the uniform-query constant): the z-order rows should show
+    * a far smaller od_span_sum than linear's (which orders by ck only
+    * and leaves od unclustered) at a modest ck_span_sum give-back —
+    * the pruning-power trade the OPTIMIZE verb exists to make, now
+    * hash-checked every round instead of only spec-pinned.
+    *
+    * Everything is BIGINT-exact: both legs assign files with the same
+    * deterministic closed-form NTILE (the q_zorder_layout physics —
+    * distributed blockCumsum rank, no single-reducer stage; the linear
+    * leg blocks on the ck-monotone 16-bit quantizer so its block
+    * prefix is global too), and the oracle spells both assignments as
+    * NTILE($Files) windows. One orders scan feeds both legs. */
+  def zorderQuality(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey", "CAST(o_custkey AS BIGINT) AS ck",
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) AS od")
+    val ext = o.agg(
+      min("ck").as("ck_min"), max("ck").as("ck_max"),
+      min("od").as("od_min"), max("od").as("od_max"),
+      count(lit(1)).as("n_total"))
+    val z = o.crossJoin(broadcast(ext))
+      .selectExpr("o_orderkey", "ck", "od", "n_total",
+        s"${quant("ck", "ck_min", "ck_max")} AS qx",
+        s"${quant("od", "od_min", "od_max")} AS qy")
+      .selectExpr("o_orderkey", "ck", "od", "n_total", "qx",
+        s"${mortonExpr("qx", "qy", sparkDiv)} AS z")
+    def leg(layout: String, blockKey: org.apache.spark.sql.Column,
+            order: Seq[org.apache.spark.sql.Column]): DataFrame =
+      Curation.blockCumsum(z, blockKey, order, lit(1L))
+        .selectExpr("ck", "od", s"$fileIdSql AS file_id")
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("ck")) - min(col("ck"))).as("ck_span"),
+          (max(col("od")) - min(col("od"))).as("od_span"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+          sum(col("ck_span")).as("ck_span_sum"),
+          sum(col("od_span")).as("od_span_sum"))
+        .select(lit(layout).as("layout"), col("n_files"), col("n_rows"),
+          col("ck_span_sum"), col("od_span_sum"))
+    // linear leg: files assigned in (ck, o_orderkey) order; the block
+    // key is the ck-quantizer bucket (monotone in ck, ≤4096 contiguous
+    // blocks at ANY corpus size — same geometry discipline as z DIV)
+    leg("linear", expr("qx DIV 16"), Seq(col("ck"), col("o_orderkey")))
+      .unionByName(
+        leg("zorder", expr(s"z DIV ${1L << ZBlockShift}"),
+          Seq(col("z"), col("o_orderkey"))))
+      .orderBy("layout")
+  }
+
+  /** SQL twin of [[zorderQuality]] — both file assignments spelled as
+    * NTILE windows (the q_zorder_layout algebra), spans summed per
+    * layout; CASTs keep every output BIGINT (DuckDB's SUM of integers
+    * widens to HUGEINT). */
+  def qualityOracle: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+       |    CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS od
+       |  FROM orders
+       |), ext AS (
+       |  SELECT MIN(ck) AS ck_min, MAX(ck) AS ck_max,
+       |         MIN(od) AS od_min, MAX(od) AS od_max FROM o
+       |), q AS (
+       |  SELECT o_orderkey, ck, od,
+       |    ${quantDuck("ck", "ck_min", "ck_max")} AS qx,
+       |    ${quantDuck("od", "od_min", "od_max")} AS qy
+       |  FROM o, ext
+       |), z AS (
+       |  SELECT ck, od,
+       |    CAST(NTILE($Files) OVER (ORDER BY ${mortonExpr("qx", "qy", duckDiv)}, o_orderkey) AS BIGINT) AS zfile,
+       |    CAST(NTILE($Files) OVER (ORDER BY ck, o_orderkey) AS BIGINT) AS lfile
+       |  FROM q
+       |), zs AS (
+       |  SELECT zfile, COUNT(*) AS n_rows,
+       |    MAX(ck) - MIN(ck) AS ck_span, MAX(od) - MIN(od) AS od_span
+       |  FROM z GROUP BY zfile
+       |), ls AS (
+       |  SELECT lfile, COUNT(*) AS n_rows,
+       |    MAX(ck) - MIN(ck) AS ck_span, MAX(od) - MIN(od) AS od_span
+       |  FROM z GROUP BY lfile
+       |)
+       |SELECT 'linear' AS layout, COUNT(*) AS n_files,
+       |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       |  CAST(SUM(ck_span) AS BIGINT) AS ck_span_sum,
+       |  CAST(SUM(od_span) AS BIGINT) AS od_span_sum FROM ls
+       |UNION ALL
+       |SELECT 'zorder' AS layout, COUNT(*) AS n_files,
+       |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       |  CAST(SUM(ck_span) AS BIGINT) AS ck_span_sum,
+       |  CAST(SUM(od_span) AS BIGINT) AS od_span_sum FROM zs
+       |ORDER BY layout""".stripMargin
 
   def oracle: String =
     s"""WITH o AS (
