@@ -68,17 +68,27 @@ object DedupScaleProbe {
           d
         }
       println(s"[dsp] === tier ${mult}x (${mult * nDocs} docs) ===")
+      // count the CANDIDATE tables, not the top-20 presentation
+      // queries — the volume the caps exist to bound
       Dedup.releaseIndexes(spark)
       measured(s"${mult}x jaccard pair table") {
-        Dedup.jaccardPairs(spark, dir).count()
+        Dedup.jaccardPairTable(spark, dir).count()
       }
       Dedup.releaseIndexes(spark)
-      measured(s"${mult}x minhash LSH pairs") {
-        Dedup.minhashLsh(spark, dir).count()
+      measured(s"${mult}x minhash band candidates") {
+        Dedup.minhashCandidates(Dedup.minhashSignatures(spark, dir),
+          bandRows = 2, Dedup.bandStarCap(spark, dir)).count()
       }
       Dedup.releaseIndexes(spark)
-      measured(s"${mult}x simhash chunk pairs") {
-        Dedup.simhashPairs(spark, dir).count()
+      measured(s"${mult}x simhash chunk candidates") {
+        val docs = Dedup.simhashDocs(spark, dir)
+        val chunks = docs.select(col("doc_id"),
+          posexplode(array((0 until 4).map(j =>
+            substring(col("bitstr"), j * 16 + 1, 16)): _*))
+            .as(Seq("chunk_idx", "chunk")))
+        Dedup.starCappedPairs(
+          chunks.select(col("doc_id").as("id"), col("chunk_idx"), col("chunk")),
+          Seq("chunk_idx", "chunk"), Dedup.chunkStarCap(spark, dir)).count()
       }
       Dedup.releaseIndexes(spark)
     }
