@@ -404,7 +404,57 @@ object Events {
 object EventsModule extends QueryModule {
   import Events._
 
+  /** Streaming-parity audit head — the registered BATCH side of the
+    * stream/batch parity pairs the streaming specs pin. Each streaming
+    * head (stateful funnel, EWMA gate, ingest dedup-within-watermark)
+    * is spec-pinned equal to a batch twin on two-batch replays; this
+    * query replays a FIXED two-batch window (the corpus's first two
+    * calendar days of events = batch 1 + batch 2; the even/odd doc_id
+    * split for the ingest head's stream-vs-corpus join) through those
+    * batch twins and reduces each to one summary row, so the batch
+    * side of every parity pair sits under the driver gate — a drifted
+    * twin now breaks this hash, not just a spec. The streaming side
+    * stays covered by EventStreamsSpec/IngestDedupSpec (DuckDB cannot
+    * run a stream — the r18 disclosure).
+    *
+    * All checksums are BIGINT-exact (counts, step-weighted user
+    * counts, rank-window sizes, epoch-millis, id sums) — no float ever
+    * crosses the engine boundary, the DetHll discipline. */
+  def streamParityBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val d0 = ev.agg(date_trunc("DAY", min(col("ts"))).as("d0"))
+    val win = ev.crossJoin(broadcast(d0))
+      .filter(col("ts") < col("d0") + expr("INTERVAL 2 DAYS"))
+      .drop("d0")
+    val fun = funnelOf(win)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("step").cast("long") * col("n_users")).as("chk"))
+      .select(lit("funnel").as("head"), col("n_rows"),
+        col("chk").cast("long").as("chk"))
+    val ew = ewmaLatestOf(win)
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("n_window")) + sum(unix_millis(col("last_ts")))).as("chk"))
+      .select(lit("ewma").as("head"), col("n_rows"),
+        col("chk").cast("long").as("chk"))
+    // ingest-dedup twin: even doc_ids replay as the "stream" (first
+    // seen per fingerprint = min doc_id — dropDuplicatesWithinWatermark
+    // under the deterministic doc_id arrival order), odd doc_ids stand
+    // in as the standing corpus for the in_corpus stream-static join
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(Dedup.normText(col("text"))).as("fp"))
+    val corpus = docs.filter(col("doc_id") % 2 === 1).select(col("fp")).distinct()
+    val stream = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    val ing = stream.join(corpus.withColumn("hit", lit(1)), Seq("fp"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("keep_id")) + lit(1000000L) * count(col("hit"))).as("chk"))
+      .select(lit("ingest_dedup").as("head"), col("n_rows"),
+        col("chk").cast("long").as("chk"))
+    ew.unionByName(fun).unionByName(ing).orderBy("head")
+  }
+
   def queries = Map(
+    "q_stream_parity_batch" -> ((s: SparkSession, d: String) => streamParityBatch(s, d)),
     "q_events_tumbling" -> ((s: SparkSession, d: String) => tumbling(s, d)),
     "q_events_sliding" -> ((s: SparkSession, d: String) => sliding(s, d)),
     "q_events_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
@@ -431,6 +481,37 @@ object EventsModule extends QueryModule {
   // 2000-01-01) sits on the same 30-min grid as Spark's epoch-aligned
   // windows, so bucket starts agree.
   def oracles = Map(
+    "q_stream_parity_batch" ->
+      s"""WITH d0 AS (SELECT date_trunc('day', MIN(ts)) AS d0 FROM events),
+         |win AS (SELECT * FROM events, d0 WHERE ts < d0 + INTERVAL 2 DAY),
+         |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM win WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT w.user_id, MIN(w.ts) AS t2 FROM win w JOIN s1 ON s1.user_id = w.user_id
+         |       WHERE w.event_type = 'click' AND w.ts > s1.t1 GROUP BY 1),
+         |s3 AS (SELECT w.user_id, MIN(w.ts) AS t3 FROM win w JOIN s2 ON s2.user_id = w.user_id
+         |       WHERE w.event_type = 'purchase' AND w.ts > s2.t2 GROUP BY 1),
+         |fun AS (SELECT 1 AS step, COUNT(*) AS n_users FROM s1
+         |        UNION ALL SELECT 2, COUNT(*) FROM s2
+         |        UNION ALL SELECT 3, COUNT(*) FROM s3),
+         |x AS (SELECT user_id, ts, value,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts DESC, event_id DESC) AS rk FROM win),
+         |ew AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_window
+         |       FROM x WHERE rk <= ${Events.EwmaWeights.size} GROUP BY user_id),
+         |fp AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |       FROM documents),
+         |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 1),
+         |strm AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp WHERE doc_id % 2 = 0 GROUP BY fp),
+         |ing AS (SELECT s.keep_id, (c.fp IS NOT NULL) AS in_corpus
+         |        FROM strm s LEFT JOIN corpus c USING (fp))
+         |SELECT 'ewma' AS head, COUNT(*) AS n_rows,
+         |  CAST(SUM(n_window) + SUM(epoch_ms(last_ts)) AS BIGINT) AS chk FROM ew
+         |UNION ALL
+         |SELECT 'funnel', COUNT(*), CAST(SUM(step * n_users) AS BIGINT) FROM fun
+         |UNION ALL
+         |SELECT 'ingest_dedup', COUNT(*),
+         |  CAST(SUM(keep_id) +
+         |    1000000 * SUM(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) FROM ing
+         |ORDER BY head""".stripMargin,
     "q_events_stream_join" ->
       """SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
         |  c.event_id AS click_id, c.ts AS click_ts

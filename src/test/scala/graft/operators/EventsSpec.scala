@@ -123,4 +123,49 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 4.0) < 1e-9, r.toString)
     assert(r.getLong(4) === 1L, s"exactly the planted point: $r")
   }
+
+  test("stream-parity audit: one row per head, window + split semantics hold") {
+    import spark.implicits._
+    // two users; user 1 completes the funnel inside day 1-2, user 2's
+    // purchase lands on day 3 — OUTSIDE the fixed two-batch window, so
+    // the funnel head must not count it (the window is the audit's
+    // whole point: a twin that silently widened its replay would still
+    // match an unwindowed recompute)
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:10:00", 1L, "click", 1.0),
+      (3L, "2024-01-02 09:00:00", 1L, "purchase", 1.0),
+      (4L, "2024-01-01 11:00:00", 2L, "view", 2.0),
+      (5L, "2024-01-02 11:00:00", 2L, "click", 2.0),
+      (6L, "2024-01-03 11:00:00", 2L, "purchase", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+        "event_type", "value", "'{}' props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-parity").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // documents: doc 0 (stream side) duplicates doc 1 (corpus side) up
+    // to whitespace/case — in_corpus must be true for its fingerprint;
+    // doc 2 (stream side) is novel — in_corpus false
+    Seq((0L, "Hello  World", "en", "a"), (1L, "hello world", "en", "a"),
+      (2L, "novel text", "en", "a"))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "CAST(length(text) AS LONG) n_chars",
+        "lang", "source")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = EventsModule.streamParityBatch(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("ewma", "funnel", "ingest_dedup"))
+    val byHead = out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // funnel: 3 step rows; step sums = 1*2 (both view) + 2*2 (both
+    // click — user 2's click is on day 2, inside) + 3*1 (only user 1's
+    // purchase is inside the window) = 9
+    assert(byHead("funnel") === (3L, 9L), byHead.toString)
+    // ewma: both users have in-window events; chk includes epoch-ms of
+    // their last in-window ts + window sizes (2 and 2)
+    assert(byHead("ewma")._1 === 2L)
+    // ingest: stream fps = {norm("Hello  World"), norm("novel text")}
+    // = 2 first-seen rows; one hits the corpus (doc 1's fp), keep_ids
+    // 0 + 2 — chk = 2 + 1_000_000 * 1
+    assert(byHead("ingest_dedup") === (2L, 1000002L), byHead.toString)
+  }
 }
