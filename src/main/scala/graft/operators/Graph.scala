@@ -209,9 +209,19 @@ object Graph {
       s"writeEdgeArtifacts: at most one file per bucket ($n) expected, found " +
         s"$nBucketFiles — the write plan regressed to a multi-file-per-bucket layout")
     // derive the flat artifact from the just-written bucket files: a
-    // coalesce (no shuffle) re-encode into the consumer-sized layout
+    // coalesce (no shuffle) re-encode into the consumer-sized layout.
+    // The row count that sizes the layout comes from the bucket files'
+    // parquet FOOTERS (driver-side, ≤n files, metadata reads only) —
+    // a df.count() here was a full decode pass over the edge table
+    // purely to pick a file count.
     val bucketRows = spark.read.parquet(loc)
-    val nRows = bucketRows.count()
+    val nRows = fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
     val nOut = math.max(1L, math.min(n.toLong,
       (nRows + FlatEdgeRowsPerFile - 1) / FlatEdgeRowsPerFile)).toInt
     bucketRows.coalesce(nOut)

@@ -374,20 +374,17 @@ object SimilarityPq {
     val cbs = fitCodebooks(spark, dir)
     val lo = NumQueriesDefault.toLong
     val hi = lo + SimilarityIvf.TuneHeldOut
-    val (truth, truthIds) = Dedup.trackedCheckpoint(
-      SimilarityIvf.tuneGroundTruth(spark, dir, lo, hi, k))
+    val truth = SimilarityIvf.sharedTuneTruth(spark, dir, lo, hi, k)
     val chosen =
-      try {
-        if (truth.isEmpty) {
-          System.err.println(
-            s"[tunedRerankCands] empty held-out sample for $dir ids [$lo,$hi) — " +
-              s"serving the ladder ceiling (${RerankLadder.last})")
-          RerankLadder.last
-        } else RerankLadder.find(c =>
-          rerankRecallAt(spark, dir, cbs, c, lo, hi, k, truth) >=
-            SimilarityIvf.RecallTarget)
-          .getOrElse(RerankLadder.last)
-      } finally Dedup.unpersistIds(spark, truthIds)
+      if (truth.isEmpty) {
+        System.err.println(
+          s"[tunedRerankCands] empty held-out sample for $dir ids [$lo,$hi) — " +
+            s"serving the ladder ceiling (${RerankLadder.last})")
+        RerankLadder.last
+      } else RerankLadder.find(c =>
+        rerankRecallAt(spark, dir, cbs, c, lo, hi, k, truth) >=
+          SimilarityIvf.RecallTarget)
+        .getOrElse(RerankLadder.last)
     rerankTuneCache.put(key, chosen)
     chosen
   }

@@ -638,19 +638,16 @@ object Similarity {
                                     k: Int, key: String): Int = {
     val lo = NumQueriesDefault.toLong
     val hi = lo + SimilarityIvf.TuneHeldOut
-    val (truth, truthIds) = Dedup.trackedCheckpoint(
-      SimilarityIvf.tuneGroundTruth(spark, dir, lo, hi, k))
+    val truth = SimilarityIvf.sharedTuneTruth(spark, dir, lo, hi, k)
     val chosen =
-      try {
-        if (truth.isEmpty) {
-          System.err.println(
-            s"[tunedLshRadius] empty held-out sample for $dir ids [$lo,$hi) — " +
-              s"serving the ladder ceiling (radius $MaxLshRadius)")
-          MaxLshRadius
-        } else (1 to MaxLshRadius).find(r =>
-          lshRecallAt(spark, dir, r, lo, hi, k, truth) >= SimilarityIvf.RecallTarget)
-          .getOrElse(MaxLshRadius)
-      } finally Dedup.unpersistIds(spark, truthIds)
+      if (truth.isEmpty) {
+        System.err.println(
+          s"[tunedLshRadius] empty held-out sample for $dir ids [$lo,$hi) — " +
+            s"serving the ladder ceiling (radius $MaxLshRadius)")
+        MaxLshRadius
+      } else (1 to MaxLshRadius).find(r =>
+        lshRecallAt(spark, dir, r, lo, hi, k, truth) >= SimilarityIvf.RecallTarget)
+        .getOrElse(MaxLshRadius)
     lshTuneCache.put(key, chosen)
     chosen
   }
@@ -1616,6 +1613,20 @@ object SimilarityIvf {
       .select("query_id", "neighbor_id")
   }
 
+  /** The held-out exact top-k SHARED by the three tune walks (IVF
+    * nprobe, LSH radius, PQ rerank shortlist): they tune against the
+    * identical (lo, hi, k) sample, so the ground truth is one table —
+    * and the walks run as concurrent index chains, so the memo's
+    * per-key lock makes the first arrival build the brute-force kNN
+    * and the other two serve it (three corpus-sized ground-truth jobs
+    * → one per index build). Lifetime is the memo's (releaseIndexes /
+    * the session), not a single walk — a tiny (hi−lo)·k-row table. */
+  private[operators] def sharedTuneTruth(spark: SparkSession, dir: String,
+                                         lo: Long, hi: Long, k: Int): DataFrame =
+    Dedup.memo(spark, s"tuneTruth|$dir|$lo|$hi|$k") {
+      Dedup.checkpointSer(tuneGroundTruth(spark, dir, lo, hi, k))
+    }
+
   private def meanRecallAt(spark: SparkSession, dir: String,
                            cents: Seq[Seq[Double]], nprobe: Int,
                            loQ: Long, hiQ: Long, k: Int,
@@ -1695,24 +1706,21 @@ object SimilarityIvf {
     val hi = lo + TuneHeldOut
     val ladder = Iterator.iterate(probeFor(kCells))(_ * 2)
       .takeWhile(_ < kCells).toSeq :+ kCells
-    val (truth, truthIds) = Dedup.trackedCheckpoint(
-      tuneGroundTruth(spark, dir, lo, hi, k))
+    val truth = sharedTuneTruth(spark, dir, lo, hi, k)
     val chosen =
-      try {
-        if (truth.isEmpty) {
-          // the held-out id range [lo, hi) yielded no ground-truth
-          // rows (tiny corpus, or ids that don't cover the range):
-          // there is nothing to tune AGAINST, so serve exhaustive
-          // probing — correct at any recall target — instead of
-          // letting an unmeasured minimal budget pass as "tuned"
-          System.err.println(
-            s"[tunedProbe] empty held-out sample for $dir ids [$lo,$hi) — " +
-              s"falling back to probe-all ($kCells cells)")
-          kCells
-        } else ladder.find(p =>
-          meanRecallAt(spark, dir, cents, p, lo, hi, k, truth) >= RecallTarget)
-          .getOrElse(kCells)
-      } finally Dedup.unpersistIds(spark, truthIds)
+      if (truth.isEmpty) {
+        // the held-out id range [lo, hi) yielded no ground-truth
+        // rows (tiny corpus, or ids that don't cover the range):
+        // there is nothing to tune AGAINST, so serve exhaustive
+        // probing — correct at any recall target — instead of
+        // letting an unmeasured minimal budget pass as "tuned"
+        System.err.println(
+          s"[tunedProbe] empty held-out sample for $dir ids [$lo,$hi) — " +
+            s"falling back to probe-all ($kCells cells)")
+        kCells
+      } else ladder.find(p =>
+        meanRecallAt(spark, dir, cents, p, lo, hi, k, truth) >= RecallTarget)
+        .getOrElse(kCells)
     probeTuneCache.put(key, chosen)
     chosen
   }
