@@ -107,12 +107,17 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("q_token_budget", "q_pps_sample", "q_pack_chunks",
         "q_zorder_layout"))
       assert(unpartitioned(name) == 1, s"$name block-prefix window count")
+    // the layout-quality audit runs the same physics TWICE (one
+    // blockCumsum per layout leg) — exactly two block-total windows
+    assert(unpartitioned("q_zorder_quality") == 2,
+      "q_zorder_quality block-prefix window count")
     // per-lang/per-doc rank assembly must stay fully partitioned —
     // including the embedding label-block cap's row_number, which
     // partitions by label (a global-sort cap would serialize the corpus
     // through one partition)
     for (name <- Seq("q_corpus_mix", "q_dup_spans", "q_dup_spans_keep",
-        "q_dedup_canonical", "q_embedding_outliers", "q_dedup_embedding"))
+        "q_dedup_canonical", "q_embedding_outliers", "q_dedup_embedding",
+        "q_ann_serve_ivfpq", "q_stream_parity_batch"))
       assert(unpartitioned(name) == 0, s"$name has an unpartitioned window")
   }
 
