@@ -456,8 +456,9 @@ object Dedup {
           if (name == "graphEdgeFracs")
             // single-pass writer for BOTH edge artifacts: the bucketed
             // by-src table pays the one join+shuffle+sort+encode pass;
-            // the flat artifact is a file copy of it (no second encode,
-            // no separate graphEdgesBySrc build step in this chain)
+            // the flat artifact is a shuffle-free coalesce re-encode of
+            // those files into the consumer-sized scan geometry (no
+            // separate graphEdgesBySrc build step in this chain)
             Graph.writeEdgeArtifacts(spark, dir, indexDir)
           else rawBuilders.get(name) match {
             case Some(rb) =>
