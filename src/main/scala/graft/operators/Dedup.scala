@@ -494,7 +494,17 @@ object Dedup {
         .map(_.filter(n => (withEmbeddings || !embeddingArtifacts(n)) &&
           (relational || !relationalArtifacts(n))))
         .filter(_.nonEmpty)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.length)
+      // Maintenance-window concurrency knob: by default every chain
+      // runs concurrently (minimum build WALL — each chain's tasks
+      // fill the scheduler gaps of the others). A bounded pool trades
+      // wall for CPU: concurrent chains thrash the shared caches, and
+      // the measured curve (IndexBuildProbe + SPARK_GRAFT_BUILD_POOL,
+      // sf0.1) is the operational input for a cluster whose index job
+      // shares its executors with serving traffic.
+      val poolSize = sys.env.get("SPARK_GRAFT_BUILD_POOL")
+        .flatMap(_.toIntOption).map(p => math.max(1, math.min(p, chains.length)))
+        .getOrElse(chains.length)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
       try {
         import scala.jdk.CollectionConverters._
         val tasks = chains.map { chain =>

@@ -68,6 +68,26 @@ object EdgeFracsR19Probe {
       }
       println(s"[efp]   files B: ${files(s"$out/b_$rep")}")
     }
+    // C: the full production writer (bucketed table + flat re-encode +
+    // footer sizing + fingerprint) — the gap between this and B is the
+    // flat-artifact stage the in-build attribution charges
+    (1 to 3).foreach { rep =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_efp_full").toString
+      timed(s"rep$rep writeEdgeArtifacts") {
+        Graph.writeEdgeArtifacts(spark, dir, idx)
+      }
+      Dedup.memoDrop(spark, s"graphEdgeFracs|$dir")
+      Dedup.memoDrop(spark, s"graphEdgesBySrc|$dir")
+    }
+    // D: the flat stage ALONE — decode the bucketed files, coalesce to
+    // the consumer geometry, re-encode (what writeEdgeArtifacts pays on
+    // top of the bucketed write)
+    (1 to 3).foreach { rep =>
+      timed(s"rep$rep flatStageOnly") {
+        spark.read.parquet(s"$out/b_3").coalesce(9)
+          .write.mode("overwrite").parquet(s"$out/flat_$rep")
+      }
+    }
     val (plan, _) = Graph.edgeFracsPlan(wspark, dir)
     println("=== explain: window plan, no repartition, bucketed write would see ===")
     plan.explain("formatted")
