@@ -481,10 +481,12 @@ object EmbeddingOps {
       .orderBy("cell")
   }
 
-  /** The SQL twin of [[psiReport]] over whatever `cnt(cell, n_ref,
-    * n_cur)` CTE the WITH head defines — shared by the embedding and
-    * scalar-feature drift oracles. */
-  private[operators] def psiSqlTail(kCells: Int): String =
+  /** The CTE chain of the [[psiReport]] SQL twin (tot/sh/co) over
+    * whatever `cnt(cell, n_ref, n_cur)` CTE the WITH head defines —
+    * split from [[psiSqlTail]] so oracles that need a different final
+    * reduction over `co` (the streaming drift-gate parity checksum)
+    * share the share/contrib arithmetic verbatim. */
+  private[operators] def psiSqlCtes(kCells: Int): String =
     s"""tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cnt),
        |-- all share arithmetic in DOUBLE (DuckDB parses bare decimal
        |-- literals as DECIMAL, whose division would diverge from the
@@ -497,7 +499,13 @@ object EmbeddingOps {
        |  FROM cnt CROSS JOIN tot),
        |co AS (SELECT cell, n_ref, n_cur, p, q,
        |    CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(20,9)) AS contrib
-       |  FROM sh)
+       |  FROM sh)""".stripMargin
+
+  /** The SQL twin of [[psiReport]] over whatever `cnt(cell, n_ref,
+    * n_cur)` CTE the WITH head defines — shared by the embedding and
+    * scalar-feature drift oracles. */
+  private[operators] def psiSqlTail(kCells: Int): String =
+    s"""${psiSqlCtes(kCells)}
        |SELECT cell, n_ref, n_cur, round(p, 6) AS p_ref, round(q, 6) AS p_cur,
        |  CAST(contrib AS DOUBLE) AS psi_contrib,
        |  round(CAST((SELECT SUM(contrib) FROM co) AS DOUBLE), 6) AS psi_total
@@ -512,6 +520,65 @@ object EmbeddingOps {
        |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
        |  FROM assign GROUP BY cell),
        |${psiSqlTail(cents.length)}""".stripMargin
+
+  /** Streaming drift-gate parity head — the registered BATCH side of
+    * the [[graft.streaming.DriftGate]] parity pair (the r18 "streaming
+    * heads have no driver-visible entries" gap, closed one head at a
+    * time: funnel/EWMA/ingest-dedup in q_stream_parity_batch, quality
+    * in q_stream_parity_quality, drift here). Replays a FIXED ingest
+    * batch (the even vec_ids) through [[graft.streaming.DriftGate
+    * .driftReport]]'s exact composition — reference = the maintained
+    * full-corpus cell occupancy, current = the batch assigned under
+    * the SAME frozen fitted quantizer, full-join survival of one-sided
+    * cells — and reduces the K-cell report to one checksum row, so a
+    * drifted batch kernel breaks a driver hash, not just
+    * DriftGateSpec. The streaming side (foreachBatch wiring, empty-
+    * batch suppression, per-batch artifact refresh) stays covered by
+    * the parity specs — DuckDB cannot run a stream, the r18
+    * disclosure.
+    *
+    * Checksum discipline: the histogram checksum is BIGINT-exact
+    * (cells ≤ K = a few thousand, so the weighted sum is far inside
+    * BIGINT); the PSI checksum recovers each contrib's EXACT
+    * DECIMAL(20,9) integer numerator from its double rendering —
+    * round(x·10⁹) is exact because every psi_contrib IS k/10⁹ for
+    * integer k (psiReport rounds to 9 dp before the decimal sum), so
+    * the double sits within one ulp of k and never near a half. */
+  def streamParityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(2)) === 0)
+    graft.streaming.DriftGate.driftReport(batch, spark, dir)
+      .agg(
+        count(lit(1)).cast("long").as("n_cells"),
+        sum(col("n_ref")).cast("long").as("t_ref"),
+        sum(col("n_cur")).cast("long").as("t_cur"),
+        sum((col("cell").cast("long") + lit(1L)) *
+          (col("n_ref") + lit(1000003L) * col("n_cur"))).cast("long").as("chk_hist"),
+        sum(round(col("psi_contrib") * lit(1e9d)).cast("long"))
+          .cast("long").as("chk_psi"))
+  }
+
+  /** Dump-time DuckDB twin of [[streamParityDrift]] — the corpus-wide
+    * reference and even-id current occupancies under the same inlined
+    * fitted centroids, the shared [[psiSqlCtes]] share arithmetic, and
+    * the one-row BIGINT reduction. */
+  private[operators] def streamParityDriftOracleSql(cents: Seq[Seq[Double]]): String =
+    s"""WITH ${SimilarityIvf.assignCteSqlWith(cents)},
+       |ref AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_ref
+       |  FROM assign GROUP BY cell),
+       |cur AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_cur
+       |  FROM assign WHERE vec_id % 2 = 0 GROUP BY cell),
+       |cnt AS (SELECT COALESCE(r.cell, c.cell) AS cell,
+       |    COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+       |  FROM ref r FULL JOIN cur c ON r.cell = c.cell),
+       |${psiSqlCtes(cents.length)}
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+       |  CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+       |  CAST(SUM((cell + 1) * (n_ref + 1000003 * n_cur)) AS BIGINT) AS chk_hist,
+       |  CAST(SUM(CAST(round(CAST(contrib AS DOUBLE) * 1000000000) AS BIGINT))
+       |    AS BIGINT) AS chk_psi
+       |FROM co""".stripMargin
 
   /** Smoothing denominator for the scalar-feature drift report: doc
     * lengths bucket by DIGIT COUNT (order of magnitude), so 10 covers

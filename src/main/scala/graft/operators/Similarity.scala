@@ -2334,6 +2334,7 @@ object SimilarityModule extends QueryModule {
     "q_hard_negatives" -> ((s: SparkSession, d: String) => EmbeddingOps.hardNegatives(s, d)),
     "q_hard_negatives_ann" -> ((s: SparkSession, d: String) => EmbeddingOps.hardNegativesAnn(s, d)),
     "q_embedding_drift" -> ((s: SparkSession, d: String) => EmbeddingOps.embeddingDrift(s, d)),
+    "q_stream_parity_drift" -> ((s: SparkSession, d: String) => EmbeddingOps.streamParityDrift(s, d)),
     "q_training_triplets" -> ((s: SparkSession, d: String) => EmbeddingOps.trainingTriplets(s, d)),
     "q_training_triplets_ann" -> ((s: SparkSession, d: String) => EmbeddingOps.trainingTripletsAnn(s, d)),
     "q_feature_drift" -> ((s: SparkSession, d: String) => EmbeddingOps.featureDrift(s, d)))
@@ -2643,6 +2644,9 @@ object SimilarityModule extends QueryModule {
         EmbeddingOps.probeForInclusion(spark, dir, cents.length),
         EmbeddingOps.probeForExclusion(spark, dir, cents.length)),
       "q_embedding_drift" -> EmbeddingOps.driftOracleSql(cents),
+      // the drift-gate parity head shares the same fitted-centroid
+      // literals; its reduction is the BIGINT checksum discipline
+      "q_stream_parity_drift" -> EmbeddingOps.streamParityDriftOracleSql(cents),
       // the tuned budget resolves at dump time exactly like the
       // centroids: the memoized tuner has already run (or runs now)
       // on the same session, so the literal nprobe matches serving

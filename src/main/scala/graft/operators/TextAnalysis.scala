@@ -297,6 +297,41 @@ object TextAnalysis {
       .groupBy("teacher", "nb_pred").agg(count(lit(1)).as("n_docs"))
       .orderBy("teacher", "nb_pred")
 
+  /** Streaming quality-gate parity head — the registered BATCH side
+    * of the [[graft.streaming.QualityGate]] parity pair (closing the
+    * r18 "streaming heads have no driver-visible entries" gap for
+    * this head; funnel/EWMA/ingest-dedup are q_stream_parity_batch,
+    * drift is q_stream_parity_drift). Replays a FIXED ingest batch —
+    * the even doc_ids, the corpus split the ingest-dedup head
+    * established — through [[graft.streaming.QualityGate.scoreBatch]]
+    * verbatim (left-join score preservation of no-vocab docs, prior
+    * broadcast, the strict `score > 0` admission threshold) against
+    * the fitted model, and reduces to one checksum row, so a drifted
+    * batch kernel breaks a driver hash, not just QualityGateSpec. The
+    * streaming side (foreachBatch wiring, per-batch model refresh)
+    * stays covered by the parity spec — DuckDB cannot run a stream.
+    *
+    * Checksum discipline: nb_score is round(DECIMAL, 6) cast double,
+    * i.e. every score IS k/10⁶ for integer k — round(score·10⁶)
+    * recovers k exactly on both engines (the double sits within one
+    * ulp of k, never near a half), and the per-doc BIGINTs sum
+    * exactly. chk_doc signs each doc_id by its admission verdict, so
+    * a flipped routing decision moves the hash even when the score
+    * multiset is unchanged. */
+  def streamParityQuality(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+    graft.streaming.QualityGate.scoreBatch(batch, nbQualityModel(spark, dir))
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("nb_pred") === "pass", 1L).otherwise(0L))
+          .cast("long").as("n_pass"),
+        sum(round(col("nb_score") * lit(1e6d)).cast("long"))
+          .cast("long").as("chk_score"),
+        sum(when(col("nb_pred") === "pass", col("doc_id"))
+          .otherwise(-col("doc_id"))).cast("long").as("chk_doc"))
+  }
+
   /** Most discriminative vocabulary: top-[[NbTopTerms]] ok-indicative
     * (llr desc) and bad-indicative (llr asc) terms with count ≥
     * [[NbMinTermCount]] — the model audit a reviewer reads before
@@ -921,6 +956,7 @@ object TextAnalysisModule extends QueryModule {
     "q_text_lang_id" -> ((s: SparkSession, d: String) => langId(s, d)),
     "q_text_quality" -> ((s: SparkSession, d: String) => qualityScore(s, d)),
     "q_quality_nb" -> ((s: SparkSession, d: String) => nbQualityScore(s, d)),
+    "q_stream_parity_quality" -> ((s: SparkSession, d: String) => TextAnalysis.streamParityQuality(s, d)),
     "q_quality_nb_report" -> ((s: SparkSession, d: String) => nbDistillReport(s, d)),
     "q_quality_nb_terms" -> ((s: SparkSession, d: String) => nbTopTerms(s, d)),
     "q_source_quality" -> ((s: SparkSession, d: String) => sourceQuality(s, d)),
@@ -1100,6 +1136,30 @@ object TextAnalysisModule extends QueryModule {
         |  teacher,
         |  (nb_score > 0) = (teacher = 'pass') AS agree
         |FROM scored ORDER BY doc_id""".stripMargin,
+    // the streaming quality gate's batch twin: the q_quality_nb score
+    // algebra over the even-doc_id ingest slice (model/prior still
+    // fitted on the FULL corpus — the stream scores against the
+    // maintained artifact, not against itself), reduced to the BIGINT
+    // checksum row (see streamParityQuality's precision notes)
+    "q_stream_parity_quality" ->
+      s"""$nbModelCtes,
+        |scores AS (
+        |  SELECT e.doc_id, SUM(CAST(m.llr AS DECIMAL(28,9))) AS sdec
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM q
+        |        WHERE doc_id % 2 = 0) e
+        |  JOIN model m USING (term)
+        |  GROUP BY e.doc_id),
+        |scored AS (
+        |  SELECT q.doc_id,
+        |    CAST(round(CAST(coalesce(s.sdec, 0) AS DECIMAL(28,9)) +
+        |      CAST(p.llr AS DECIMAL(28,9)), 6) AS DOUBLE) AS nb_score
+        |  FROM q LEFT JOIN scores s ON q.doc_id = s.doc_id, prior p
+        |  WHERE q.doc_id % 2 = 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN nb_score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(CAST(round(nb_score * 1000000) AS BIGINT)) AS BIGINT) AS chk_score,
+        |  CAST(SUM(CASE WHEN nb_score > 0 THEN doc_id ELSE -doc_id END) AS BIGINT) AS chk_doc
+        |FROM scored""".stripMargin,
     "q_quality_nb_report" ->
       s"""$nbModelCtes,
         |scores AS (

@@ -107,6 +107,12 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("q_token_budget", "q_pps_sample", "q_pack_chunks",
         "q_zorder_layout"))
       assert(unpartitioned(name) == 1, s"$name block-prefix window count")
+    // the drift-gate parity head reduces a psiReport, whose share/PSI
+    // totals are one global window over the K-cell occupancy table
+    // (≤ a few thousand rows — the same bounded-totals class; its
+    // partitionBy(lit(1)) constant-folds to an empty partition spec)
+    assert(unpartitioned("q_stream_parity_drift") == 1,
+      "q_stream_parity_drift cell-total window count")
     // the layout-quality audit runs the same physics TWICE (one
     // blockCumsum per layout leg) — exactly two block-total windows
     assert(unpartitioned("q_zorder_quality") == 2,
@@ -117,7 +123,8 @@ class PlanSpec extends SparkSpec {
     // through one partition)
     for (name <- Seq("q_corpus_mix", "q_dup_spans", "q_dup_spans_keep",
         "q_dedup_canonical", "q_embedding_outliers", "q_dedup_embedding",
-        "q_ann_serve_ivfpq", "q_stream_parity_batch"))
+        "q_ann_serve_ivfpq", "q_stream_parity_batch",
+        "q_stream_parity_quality"))
       assert(unpartitioned(name) == 0, s"$name has an unpartitioned window")
   }
 

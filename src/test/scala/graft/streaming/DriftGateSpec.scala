@@ -40,6 +40,33 @@ class DriftGateSpec extends SparkSpec {
       s"corpus replay must be drift-free, got ${reports.take(3)}")
   }
 
+  test("the registered q_stream_parity_drift checksums equal a streamed replay of the same fixed batch") {
+    // same closure as QualityGateSpec's parity test: the driver-gate
+    // head reduces the even-vec_id batch through the BATCH kernel;
+    // streaming the identical slice must reduce to the identical
+    // checksum row
+    implicit val sq = spark.sqlContext
+    val dir = sf("sf0.001")
+    val exp = graft.SparkEntry.queries("q_stream_parity_drift")(spark, dir)
+      .collect()(0)
+    val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Double)]
+    val input = MemoryStream[Vec]
+    val q = DriftGate.driftGateIngest(input.toDF(), spark, dir) { (report, _) =>
+      cells ++= report.select("cell", "n_ref", "n_cur", "psi_contrib")
+        .as[(Int, Long, Long, Double)].collect()
+    }
+    withQuery(q) {
+      input.addData(corpus.filter(_.vec_id % 2 == 0).toSeq)
+      q.processAllAvailable()
+    }
+    assert(cells.size.toLong == exp.getLong(0), "n_cells")
+    assert(cells.map(_._2).sum == exp.getLong(1), "t_ref")
+    assert(cells.map(_._3).sum == exp.getLong(2), "t_cur")
+    assert(cells.map(c => (c._1 + 1L) * (c._2 + 1000003L * c._3)).sum ==
+      exp.getLong(3), "chk_hist")
+    assert(cells.map(c => math.round(c._4 * 1e9)).sum == exp.getLong(4), "chk_psi")
+  }
+
   test("a batch concentrated in one region trips the gate; report matches the batch kernel") {
     implicit val sq = spark.sqlContext
     // 50 near-copies of corpus vector 0 — a crawler stuck on one site

@@ -65,6 +65,37 @@ class QualityGateSpec extends SparkSpec {
     assert(out(103L)._2 == (if (expected > 0) "pass" else "reject"))
   }
 
+  test("the registered q_stream_parity_quality checksums equal a streamed replay of the same fixed batch") {
+    // the driver-gate head replays the even-doc_id slice through the
+    // BATCH kernel; this closes the loop on the real testdata corpus:
+    // the same slice streamed through qualityGateIngest must reduce to
+    // the identical checksum row, so the gate query really does stand
+    // in for the streaming head it twins
+    implicit val sq = spark.sqlContext
+    val dir = sf("sf0.001")
+    val exp = graft.SparkEntry.queries("q_stream_parity_quality")(spark, dir)
+      .collect()(0)
+    val batch = graft.sources.Tables.documents(spark, dir)
+      .filter("doc_id % 2 = 0").select("doc_id", "text").collect()
+      .map(r => Doc(ts("2024-01-01 10:00:00"), r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, String)]
+    val input = MemoryStream[Doc]
+    val q = QualityGate.qualityGateIngest(input.toDF(), spark, dir) { scored =>
+      rows ++= scored.select("doc_id", "nb_score", "nb_pred").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    }
+    withQuery(q) {
+      input.addData(batch.toSeq)
+      q.processAllAvailable()
+    }
+    assert(rows.size.toLong == exp.getLong(0), "n_rows")
+    assert(rows.count(_._3 == "pass").toLong == exp.getLong(1), "n_pass")
+    assert(rows.map(t => math.round(t._2 * 1e6)).sum == exp.getLong(2), "chk_score")
+    assert(rows.map(t => if (t._3 == "pass") t._1 else -t._1).sum == exp.getLong(3),
+      "chk_doc")
+  }
+
   test("model refresh between micro-batches is picked up without a stream restart") {
     implicit val sq = spark.sqlContext
     // prime the session memo with a POISONED model (prior-only, huge
