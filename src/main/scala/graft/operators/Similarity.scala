@@ -336,7 +336,7 @@ object Similarity {
     Seq.fill(NumTables, MaxPlanes - NumPlanes, Dim)(rnd.nextGaussian())
   }
 
-  private def planesFor(table: Int, h: Int): Seq[Seq[Double]] =
+  private[operators] def planesFor(table: Int, h: Int): Seq[Seq[Double]] =
     (planes(table) ++ extraPlanes(table)).take(h)
 
   /** Corpus-sized plane count: the smallest H on [NumPlanes,
@@ -814,6 +814,26 @@ object Similarity {
       graft.sources.Tables.embeddings(spark, dir)
         .filter(col("vec_id") >= ServeLo && col("vec_id") < ServeHi)
         .select(col("vec_id").as("query_id"), col("embedding")))
+      .orderBy("query_id", "rn")
+
+  /** The LSH family's registered serving face (q_ann_serve_lsh): the
+    * same fixed batch through [[annServeBatch]] — the corpus-sized
+    * plane geometry FROZEN in the persisted bucket artifact
+    * ([[corpusH]]) and the recall-TUNED probe radius
+    * ([[tunedLshRadius]]), the exact path LSH-indexed online traffic
+    * takes — completing the serving family's gate symmetry: all three
+    * deployable index families (LSH / IVF / IVF+PQ) now put their
+    * end-to-end serve path under the driver gate, not just specs.
+    * Oracle: dynamic — plane literals for the artifact's plane count
+    * and the tuned radius resolved at dump time, whole pipeline
+    * (bucketing, radius-expanded probe, candidate join, exact-cosine
+    * rerank) replayed in SQL. */
+  def annServeFixedLsh(spark: SparkSession, dir: String): DataFrame =
+    annServeBatch(spark, dir,
+      graft.sources.Tables.embeddings(spark, dir)
+        .filter(col("vec_id") >= ServeLo && col("vec_id") < ServeHi)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      radius = tunedLshRadius(spark, dir))
       .orderBy("query_id", "rn")
 
   /** The COMPRESSED-index serving head's registered face
@@ -2245,6 +2265,58 @@ object SimilarityModule extends QueryModule {
        |WHERE rn <= ${Similarity.TopKDefault} ORDER BY query_id, rn""".stripMargin
   }
 
+  /** SQL twin of [[Similarity.annServeFixedLsh]]: the LSH online-
+    * serving head over the fixed query batch. The plane table carries
+    * the ARTIFACT's plane count `h` (corpus-sized at index build —
+    * [[Similarity.planesFor]] literals, not the compile-time
+    * NumPlanes set), probes expand by chained single-flips to the
+    * TUNED Hamming radius (the lshRadiusOracleSql recipe generalized
+    * to h planes), and the serve contract mirrors serveIvfOracleSql —
+    * qb over [ServeLo, ServeHi), NO self-exclusion, presentation
+    * cosine rounded to 6. */
+  private def serveLshOracleSql(h: Int, radius: Int): String = {
+    val rows = (for { t <- 0 until NumTables; p <- 0 until h }
+      yield s"($t, $p, ${listLit(Similarity.planesFor(t, h)(p))}::DOUBLE[])")
+      .mkString(",\n    ")
+    val flipSql =
+      s"""substr(bucket, 1, i - 1) ||
+         |      (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+         |      substr(bucket, i + 1, $h - i)""".stripMargin
+    val levels = (1 to radius).map { r =>
+      s"""p$r AS (
+         |  SELECT query_id, table_idx,
+         |    $flipSql AS bucket
+         |  FROM p${r - 1}, unnest(generate_series(1, $h)) AS u(i))""".stripMargin
+    }
+    val probesUnion = (0 to radius)
+      .map(r => s"SELECT query_id, table_idx, bucket FROM p$r")
+      .mkString("\n  UNION\n  ")
+    s"""WITH $eCte,
+       |planes(table_idx, plane_idx, pl) AS (VALUES
+       |    $rows),
+       |b AS (SELECT vec_id, table_idx,
+       |        string_agg(CASE WHEN list_dot_product(v, pl) >= 0 THEN '1' ELSE '0' END,
+       |                   '' ORDER BY plane_idx) AS bucket
+       |      FROM e CROSS JOIN planes GROUP BY vec_id, table_idx),
+       |p0 AS (SELECT vec_id AS query_id, table_idx, bucket FROM b
+       |       WHERE vec_id >= ${Similarity.ServeLo} AND vec_id < ${Similarity.ServeHi}),
+       |${levels.mkString(",\n")},
+       |probes AS (
+       |  $probesUnion),
+       |cand AS (SELECT DISTINCT query_id, cb.vec_id AS neighbor_id
+       |         FROM probes JOIN b cb USING (table_idx, bucket)),
+       |s AS (SELECT query_id, neighbor_id,
+       |        list_dot_product(q.v, c.v) /
+       |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |      FROM cand JOIN e q ON q.vec_id = cand.query_id
+       |                JOIN e c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM s)
+       |WHERE rn <= ${Similarity.TopKDefault} ORDER BY query_id, rn""".stripMargin
+  }
+
   /** [[ivfOracleSql]] with the candidate-stage label predicate — the
     * SQL twin of SimilarityIvf.annIvfFiltered (pre-filter semantics:
     * the label join constrains candidates BEFORE the rerank). */
@@ -2319,6 +2391,7 @@ object SimilarityModule extends QueryModule {
     "q_knn_ivf" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvf(s, d)),
     "q_knn_ivf_fit" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvfFitted(s, d)),
     "q_ann_serve_ivf" -> ((s: SparkSession, d: String) => annServeFixed(s, d)),
+    "q_ann_serve_lsh" -> ((s: SparkSession, d: String) => annServeFixedLsh(s, d)),
     "q_knn_ivf_tuned" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvfTuned(s, d)),
     "q_knn_ivf_filtered" -> ((s: SparkSession, d: String) => SimilarityIvf.annIvfFiltered(s, d)),
     "q_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
@@ -2657,6 +2730,11 @@ object SimilarityModule extends QueryModule {
       // cosine — the serve path end to end
       "q_ann_serve_ivf" -> serveIvfOracleSql(cents,
         SimilarityIvf.tunedProbe(spark, dir)),
+      // the LSH serving head resolves the artifact's frozen plane
+      // count and the tuned probe radius the same dump-time way
+      "q_ann_serve_lsh" -> serveLshOracleSql(
+        Similarity.corpusH(spark, dir),
+        Similarity.tunedLshRadius(spark, dir)),
       // both legs nested verbatim: exact top-k vs the fitted-IVF
       // shortlist under the SAME resolved centroid literals
       "q_ann_recall" ->

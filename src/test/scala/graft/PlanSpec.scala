@@ -123,7 +123,7 @@ class PlanSpec extends SparkSpec {
     // through one partition)
     for (name <- Seq("q_corpus_mix", "q_dup_spans", "q_dup_spans_keep",
         "q_dedup_canonical", "q_embedding_outliers", "q_dedup_embedding",
-        "q_ann_serve_ivfpq", "q_stream_parity_batch",
+        "q_ann_serve_ivfpq", "q_ann_serve_lsh", "q_stream_parity_batch",
         "q_stream_parity_quality"))
       assert(unpartitioned(name) == 0, s"$name has an unpartitioned window")
   }
