@@ -674,8 +674,17 @@ object Graph {
     // the broadcast/co-partition switch reads the node count off the
     // just-checkpointed table — a metadata-cheap driver action, the
     // annIvfFitted switch discipline (decide from observed size, not
-    // a config the operator can outgrow)
-    val coPart = coPartition.getOrElse(nodes0.count() > BroadcastMaxNodes)
+    // a config the operator can outgrow). The count doubles as the
+    // CONSTANT n the init/teleport expressions close over (r19): the
+    // old per-superstep `crossJoin(broadcast(count(nodes)))` re-ran a
+    // single-partition count agg + an IdentityBroadcast build inside
+    // EVERY superstep plan — 2 extra stages and 2 broadcast builds per
+    // superstep delivering a number the driver already knows. lit(n)
+    // is the driverRankLoop discipline and folds to the identical
+    // IEEE double at plan time (1.0 / cast(n as double)), so ranks
+    // are bit-unchanged (GraphSpec's three-path parity pins it).
+    val nNodes = nodes0.count()
+    val coPart = coPartition.getOrElse(nNodes > BroadcastMaxNodes)
     // co-partitioned path: nodes hash-partitioned by id and sorted, so
     // the per-superstep teleport join and the final rank table inherit
     // node partitioning through every checkpoint
@@ -717,13 +726,21 @@ object Graph {
     // in-memory reads (the co-partitioned path already holds its
     // by-src layout resident). Compressed columnar batches, ~tens of
     // MB at sf0.1; released with the loop.
+    // (r19 probe, REJECTED on measurement: pre-partitioning this cache
+    // by dst does remove the per-superstep contribution exchange, but
+    // only via the declared-layout row checkpoint — under Spark 4 AQE
+    // a plain repartition+persist's InMemoryRelation partitioning is
+    // not trusted at planning time and the exchange survives — and the
+    // row-based LogicalRDD scan then costs more per superstep than the
+    // columnar InMemoryRelation scan plus the exchange it saves:
+    // QueryCpuProbe min CPU 12.2 s (dst-declared, deserialized) /
+    // 20.7 s (dst-declared, SER) vs 10.8 s for this columnar shape.)
     val enLoop =
       if (coPart) en
       else en.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnt = nodes.agg(count(lit(1)).as("n"))
+    val nCol = lit(nNodes)
     var prevIds: Set[Int] = Set.empty
-    var rank = nodes.crossJoin(broadcast(cnt))
-      .select(col("node"), init((col("node"), col("n"))).as("r"))
+    var rank = nodes.select(col("node"), init((col("node"), nCol)).as("r"))
     for (iter <- 1 to iters) {
       // contributions in FIXED-POINT (units of 1e-9): round(x·1e9) as
       // a long keeps the order-proof exact reduction but stays inside
@@ -759,12 +776,10 @@ object Graph {
           // nodes by node, contrib by dst (its aggregation key) — the
           // left join is co-partitioned too; no rank-sized broadcast
           // anywhere in this path
-          nodes.crossJoin(broadcast(cnt))
-            .hint("merge").join(contrib, col("node") === col("dst"), "left")
-        else nodes.crossJoin(broadcast(cnt))
-          .join(broadcast(contrib), col("node") === col("dst"), "left")
+          nodes.hint("merge").join(contrib, col("node") === col("dst"), "left")
+        else nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
       val next0 = teleJoined.select(col("node"),
-        (teleTerm((col("node"), col("n"))) + lit(Damping) *
+        (teleTerm((col("node"), nCol)) + lit(Damping) *
           (coalesce(col("sc"), lit(0L)).cast("double") / lit(1e9)))
           .as("r"))
       if (capturePlans && capturedSuperstepPlan.isEmpty)
