@@ -1538,6 +1538,53 @@ object Dedup {
     * parquet indexes (pushdown, column pruning, no block-manager
     * residency) instead of rebuilding. Missing artifacts are simply
     * skipped — the builder runs on first use as usual. */
+  /** Artifacts whose prime-time invalidation feeds a driver-side
+    * model/knob cache (see the artifact-wins block in
+    * [[primeIndexes]]) — the only names worth a fingerprint stat. */
+  private val knobArtifacts = Set(
+    "ivfCentroidsFit", "bpeMergesFit", "pqCodebooksFit", "ivfProbeTuned",
+    "lshProbeTuned", "lshBuckets", "pqRerankTuned")
+
+  /** Last-primed artifact file generation per (session, dir, name) —
+    * `name:len:mtime` of every data file, the
+    * Graph.edgeArtifactFingerprint discipline plus mtime (an in-place
+    * rewrite that happens to preserve byte length must still read as
+    * a new generation). Driver-side fs metadata only; no job. */
+  private val primedArtifactFps =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Collected starCaps rows per (session, dir) — survives the
+    * capCache clear in [[releaseIndexes]] so an unchanged-generation
+    * re-prime re-seeds the caps without a collect job. */
+  private val starCapsRows =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Int)]]()
+
+  /** Record the artifact's current file generation and report whether
+    * it CHANGED since this session last primed it (a never-primed
+    * artifact always reads as changed, so the first prime of a session
+    * preserves the unconditional artifact-wins invalidation). */
+  private def primeFpChanged(spark: SparkSession, dir: String,
+      indexDir: String, name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          entries += s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+      }
+    } catch {
+      // an unreadable artifact must degrade to "changed" (invalidate —
+      // the pre-r19 unconditional behavior), never to a stale keep
+      case _: java.io.IOException => return true
+    }
+    val fp = s"$indexDir|" + entries.sorted.mkString(",")
+    val key = s"${sessionKey(spark)}|$dir|$name"
+    primedArtifactFps.put(key, fp) != fp
+  }
+
   def primeIndexes(spark: SparkSession, dir: String, indexDir: String): Unit = {
     // A standing reindex-in-progress marker means a prior
     // reindexArtifacts died inside its phase-2 swap window (or one is
@@ -1570,23 +1617,32 @@ object Dedup {
         // see the original artifact schema (no-op on legacy flat files)
         memoPut(spark, s"$name|$dir",
           spark.read.parquet(p.toString).drop("batch_id"))
-        // the persisted quantizer must win over any model fitted
-        // in-session earlier — a stale fitCache entry would put the
-        // query-side probes and the primed cell index in different
-        // cell geometries
-        if (name == "ivfCentroidsFit") SimilarityIvf.invalidateFit(spark, dir)
-        // same artifact-wins rule for the learned tokenizer + PQ model
-        if (name == "bpeMergesFit") BpeFit.invalidateFit(spark, dir)
-        if (name == "pqCodebooksFit") SimilarityPq.invalidateFit(spark, dir)
-        // and for the tuned probe budget: the persisted (k, nprobe)
-        // row wins over a budget walked earlier in this session
-        if (name == "ivfProbeTuned") SimilarityIvf.invalidateProbeTune(spark, dir)
-        if (name == "lshProbeTuned") Similarity.invalidateLshTune(spark, dir)
-        // the primed bucket artifact's plane count wins over any count
-        // this session computed (a rebuilt index may carry a different
-        // corpus-sized geometry)
-        if (name == "lshBuckets") Similarity.invalidateCorpusH(spark, dir)
-        if (name == "pqRerankTuned") SimilarityPq.invalidateRerankTune(spark, dir)
+        // Artifact-wins rule for the driver-side model/knob caches
+        // (fitted quantizer, learned tokenizer, PQ codebooks, tuned
+        // probe/radius/rerank budgets, plane count): the persisted
+        // value must win over anything fitted/walked in-session.
+        // r19: invalidation is keyed to the artifact's FILE GENERATION
+        // — a re-prime of the UNCHANGED artifact (every bench
+        // release/re-prime cycle; a serving session re-priming after a
+        // sibling's append elsewhere) used to invalidate
+        // unconditionally, so the first query after every prime
+        // re-collected each 1-row knob table and each model table as
+        // its own driver job (~12 scheduled jobs inside
+        // q_ann_recall_families' construction, 1.8 s of its 2.5 s
+        // wall). A cached value from the SAME file generation is
+        // byte-identical to what the re-read would return, so skipping
+        // the invalidation cannot change any value — a changed
+        // generation (writeIndexes, append, reindex, erase, compact)
+        // still invalidates exactly as before.
+        if (knobArtifacts(name) && primeFpChanged(spark, dir, indexDir, name)) {
+          if (name == "ivfCentroidsFit") SimilarityIvf.invalidateFit(spark, dir)
+          if (name == "bpeMergesFit") BpeFit.invalidateFit(spark, dir)
+          if (name == "pqCodebooksFit") SimilarityPq.invalidateFit(spark, dir)
+          if (name == "ivfProbeTuned") SimilarityIvf.invalidateProbeTune(spark, dir)
+          if (name == "lshProbeTuned") Similarity.invalidateLshTune(spark, dir)
+          if (name == "lshBuckets") Similarity.invalidateCorpusH(spark, dir)
+          if (name == "pqRerankTuned") SimilarityPq.invalidateRerankTune(spark, dir)
+        }
       }
     }
     // derived star caps are index GEOMETRY like the plane count:
@@ -1598,10 +1654,22 @@ object Dedup {
     val capsP = new org.apache.hadoop.fs.Path(s"$indexDir/$StarCapsArtifact")
     val capsFs = capsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (capsFs.exists(capsP)) {
-      spark.read.parquet(capsP.toString).collect().foreach { r =>
-        capCache.put(
-          s"${sessionKey(spark)}|${r.getString(r.fieldIndex("family"))}|$dir",
-          Integer.valueOf(r.getInt(r.fieldIndex("cap"))))
+      // generation-keyed row memo (the knob-invalidation discipline):
+      // releaseIndexes clears capCache, so every re-prime used to
+      // re-COLLECT the caps artifact as a scheduled job — for rows that
+      // cannot differ while the file generation is unchanged. The memo
+      // holds the collected rows per (session, dir); a changed
+      // generation re-collects, an unchanged one re-seeds driver-side.
+      val memoKey = s"${sessionKey(spark)}|$dir"
+      if (primeFpChanged(spark, dir, indexDir, "starCaps") ||
+          !starCapsRows.containsKey(memoKey)) {
+        starCapsRows.put(memoKey,
+          spark.read.parquet(capsP.toString).collect().map { r =>
+            (r.getString(r.fieldIndex("family")), r.getInt(r.fieldIndex("cap")))
+          })
+      }
+      starCapsRows.get(memoKey).foreach { case (family, cap) =>
+        capCache.put(s"${sessionKey(spark)}|$family|$dir", Integer.valueOf(cap))
       }
     }
   }
