@@ -17,8 +17,53 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Session-memoized loads, keyed to the table's file GENERATION
+    * (name:len:mtime of the data files — the index-artifact
+    * fingerprint discipline). `spark.read.parquet` pays DataSource
+    * resolution + a footer read per CALL (~50-100 ms of driver time),
+    * and every query construction loads each of its tables afresh —
+    * a fixed per-query cost that dominates the sub-second queries'
+    * wall. An unchanged generation returns the cached (immutable)
+    * DataFrame — same files, same schema, same rows; a changed one
+    * (fixture overwrite in tests, a refreshed corpus) re-resolves, so
+    * no reader can see a stale listing. The fingerprint stat is
+    * driver-side fs metadata (~1 ms), no job. */
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    // keyed per SESSION (not context): schema inference can depend on
+    // session read confs (e.g. legacy.parquet.nanosAsLong for events)
+    val key = s"${System.identityHashCode(spark)}|$path"
+    val fp = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.isFile) s"${st.getLen}:${st.getModificationTime}"
+      else {
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val s = it.next()
+          entries += s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+        }
+        entries.sorted.mkString(",")
+      }
+    } catch {
+      // unreadable/missing now: fall through to the plain read so the
+      // caller sees Spark's own error (or a late-created table), and
+      // never a stale cached frame
+      case _: java.io.IOException => return spark.read.parquet(path)
+    }
+    val hit = loadCache.get(key)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val df = spark.read.parquet(path)
+      loadCache.put(key, (fp, df))
+      df
+    }
+  }
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
