@@ -2639,14 +2639,29 @@ object Dedup {
     val pairs = starCappedPairs(
       chunks.select(col("doc_id").as("id"), col("chunk_idx"), col("chunk")),
       Seq("chunk_idx", "chunk"), chunkStarCap(spark, dir))
-    val bitsA = docs.select(col("doc_id").as("id_a"), col("bits").as("bits_a"))
-    val bitsB = docs.select(col("doc_id").as("id_b"), col("bits").as("bits_b"))
+    // Exact Hamming via two 32-bit halves (r19): the fingerprint is
+    // condensed ONCE PER DOC from the artifact's bitstr into two
+    // longs, and the per-pair distance is bit_count(xor(hi)) +
+    // bit_count(xor(lo)) — identical values to the old 64-element
+    // zip_with/filter/size over the bits arrays (DedupSpec pins the
+    // parity), but the join-back now ships 16 bytes per side instead
+    // of a 64-int array (guide §2.3: narrower types) and the per-pair
+    // work is 2 xors + 2 popcounts instead of 64 lambda evaluations
+    // with an array allocation. Halves, not one 64-bit conv: conv()
+    // returns the UNSIGNED decimal string, which overflows a signed
+    // long cast for fingerprints with the top bit set.
+    def half(off: Int) =
+      conv(substring(col("bitstr"), off, 32), 2, 10).cast("long")
+    val bitsA = docs.select(col("doc_id").as("id_a"),
+      half(1).as("a_hi"), half(33).as("a_lo"))
+    val bitsB = docs.select(col("doc_id").as("id_b"),
+      half(1).as("b_hi"), half(33).as("b_lo"))
     // Unhinted join-back (same reasoning as minhashLsh): the bits
     // table is O(corpus); AQE decides broadcast vs shuffle.
     pairs.join(bitsA, Seq("id_a")).join(bitsB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(filter(zip_with(col("bits_a"), col("bits_b"), (x, y) => x =!= y),
-          bb => bb)).as("hamming"))
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).as("hamming"))
       .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
       .limit(20)
   }
