@@ -473,17 +473,27 @@ object Multimodal {
     val capped = bands.withColumn("df",
         count(lit(1)).over(Window.partitionBy("media_type", "band_idx", "band")))
       .filter(col("df") <= DhashMaxBandDf)
+    // Exact Hamming via two 32-bit halves (r19, the simhashPairs
+    // packing): the 64-char bitstring is condensed once per doc-band
+    // row into two longs, so the candidate join and the dedup exchange
+    // ship 16 bytes per side instead of a 64-char string, and the
+    // per-pair distance is 2 xors + 2 popcounts instead of a 64-term
+    // substring-compare expression — identical values (a substring
+    // mismatch count over the bitstring IS the popcount of the xor;
+    // MultimodalSpec + the dynamic oracle pin it). conv() is unsigned,
+    // hence halves rather than one 64-bit conv.
+    def half(off: Int) =
+      conv(substring(col("bits"), off, 32), 2, 10).cast("long")
     val a = capped.select(col("media_type"), col("band_idx"), col("band"),
-      col("doc_id").as("id_a"), col("bits").as("bits_a"))
+      col("doc_id").as("id_a"), half(1).as("a_hi"), half(33).as("a_lo"))
     val b = capped.select(col("media_type"), col("band_idx"), col("band"),
-      col("doc_id").as("id_b"), col("bits").as("bits_b"))
-    val ham = (1 to DhashRows * DhashCols).map(i =>
-      when(substring(col("bits_a"), i, 1) === substring(col("bits_b"), i, 1), 0)
-        .otherwise(1)).reduce(_ + _)
+      col("doc_id").as("id_b"), half(1).as("b_hi"), half(33).as("b_lo"))
+    val ham = bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+      bit_count(col("a_lo").bitwiseXOR(col("b_lo")))
     a.join(b, Seq("media_type", "band_idx", "band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("media_type"), col("id_a"), col("id_b"),
-        col("bits_a"), col("bits_b"))
+        col("a_hi"), col("a_lo"), col("b_hi"), col("b_lo"))
       .distinct()
       .select(col("media_type"), col("id_a"), col("id_b"),
         ham.cast("long").as("hamming"))
