@@ -1835,11 +1835,19 @@ object Dedup {
     * family must see the same value or candidate generation and
     * scoring would disagree within a session. */
   private val capCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Integer]())
   private def derivedCap(spark: SparkSession, dir: String, family: String)(
       f: => Int): Int =
     capCache.computeIfAbsent(s"${sessionKey(spark)}|$family|$dir",
       _ => Integer.valueOf(f)).intValue()
+
+  /** Broadcast ceiling (documents) for the pair table's size
+    * re-attach join: one (long, long) row per doc is ~48 B framed in
+    * a HashedRelation, so 16M docs ≈ 0.8 GB — well under the 8 GB /
+    * 512M-row broadcast hard cap with margin for executor residency.
+    * Past it the size join falls back to the planner's shuffle join,
+    * bounded by the aggregated pair table. */
+  private[operators] val PairSizeBroadcastMaxDocs = 16000000L
 
   /** Derived shingle-df cap for [[jaccardPairPlan]]'s inverted index. */
   private[operators] def shingleStarCap(spark: SparkSession, dir: String): Int =
@@ -1957,13 +1965,22 @@ object Dedup {
         .withColumn("df", count(lit(1)).over(w))
         .withColumn("min_id", min(col("doc_id")).over(w))
       val small = idx.filter(col("df") <= cap)
-      val a = small.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
-      val b = small.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+      // SLIM pair rows (r20, §2.3 project-before-the-exchange): the
+      // per-doc set sizes n_a/n_b are constants per doc_id, so carrying
+      // them through the candidate self-join and the pair aggregation
+      // shipped two redundant longs on EVERY shared-shingle row (the
+      // build's largest exchange) and tracked two max() states per pair
+      // for values the tiny per-doc size table already knows. The pair
+      // rows are now (id_a, id_b, star_common) only; sizes re-attach
+      // AFTER the aggregation via broadcast hash joins against the
+      // doc-count-sized size table (same values: max of a per-doc
+      // constant IS the constant — swept hash-exact at all three SFs).
+      val a = small.select(col("doc_id").as("id_a"), col("shingle"))
+      val b = small.select(col("doc_id").as("id_b"), col("shingle"))
       // one shared-shingle row per (pair, shingle); star_common null
       // marks the branch so a SINGLE aggregation merges both
       val smallRows = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
           lit(null).cast("long").as("star_common"))
       val starCands = idx.filter(col("df") > cap)
         .filter(col("doc_id") =!= col("min_id"))
@@ -1975,18 +1992,31 @@ object Dedup {
       val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       val starRows = starCands.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          size(col("sh_a")).cast("long").as("n_a"),
-          size(col("sh_b")).cast("long").as("n_b"),
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("star_common"))
       // single pair-keyed aggregation with map-side partials: the
       // shared-shingle count (small branch) and the exact intersection
       // (star branch) combine as greatest() — equivalent to the
       // two-step union+max merge, one exchange instead of two
+      val sizes = docShingles(spark, dir)
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      // observed-size switch (the BroadcastMaxNodes discipline): the
+      // size side is one (long, long) row per document — broadcast it
+      // below the ceiling (docShingles is checkpoint-backed, so the
+      // planner's estimate is the useless default and would never
+      // broadcast on its own); a corpus past the ceiling joins plain
+      // (sort-merge bounded by the aggregated pair table, which at
+      // that scale dwarfs the size join anyway)
+      val sizeJoin: DataFrame => DataFrame =
+        if (Tables.documents(spark, dir).count() <= PairSizeBroadcastMaxDocs)
+          broadcast(_) else identity
       smallRows.unionByName(starRows)
         .groupBy("id_a", "id_b")
-        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          count(when(col("star_common").isNull, 1)).as("small_common"),
+        .agg(count(when(col("star_common").isNull, 1)).as("small_common"),
           max(col("star_common")).as("star_max"))
+        .join(sizeJoin(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a"))),
+          Seq("id_a"))
+        .join(sizeJoin(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b"))),
+          Seq("id_b"))
         .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
           greatest(col("small_common"), coalesce(col("star_max"), lit(0L)))
             .as("n_common"))
