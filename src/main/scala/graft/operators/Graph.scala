@@ -105,7 +105,7 @@ object Graph {
     * of the edge artifact changes the fingerprint and silently
     * invalidates a stale by-src layout at prime time — no delete
     * coupling to get wrong across crashes or JVMs. */
-  private def edgeArtifactFingerprint(spark: SparkSession,
+  private[operators] def edgeArtifactFingerprint(spark: SparkSession,
                                       indexDir: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/graphEdgeFracs.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -726,18 +726,39 @@ object Graph {
     // in-memory reads (the co-partitioned path already holds its
     // by-src layout resident). Compressed columnar batches, ~tens of
     // MB at sf0.1; released with the loop.
-    // (r19 probe, REJECTED on measurement: pre-partitioning this cache
-    // by dst does remove the per-superstep contribution exchange, but
-    // only via the declared-layout row checkpoint — under Spark 4 AQE
-    // a plain repartition+persist's InMemoryRelation partitioning is
-    // not trusted at planning time and the exchange survives — and the
-    // row-based LogicalRDD scan then costs more per superstep than the
-    // columnar InMemoryRelation scan plus the exchange it saves:
-    // QueryCpuProbe min CPU 12.2 s (dst-declared, deserialized) /
-    // 20.7 s (dst-declared, SER) vs 10.8 s for this columnar shape.)
+    // r20: the cache is REPARTITIONED BY dst and compiled with
+    // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false,
+    // so the InMemoryRelation DECLARES hashpartitioning(dst, n) — the
+    // per-superstep contribution aggregation (groupBy dst after the
+    // rank broadcast join, which preserves the streamed side's layout)
+    // then rides the cache's partitioning with NO exchange in any
+    // superstep; the one dst exchange is paid once at cache build.
+    // This is the columnar variant of the r19 dst-declared probe: the
+    // ROW-checkpoint form was measured-rejected (LogicalRDD scan 12.2
+    // CPU-s vs 10.8 for columnar + exchange) because under Spark 4's
+    // default the cached plan is re-planned by AQE and forgets the
+    // layout — the conf, scoped to the persist() call that compiles
+    // the cached plan, is what makes the COLUMNAR scan keep it.
     val enLoop =
       if (coPart) en
-      else en.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else {
+        // the cached plan must compile NON-adaptively: an AQE-wrapped
+        // cached plan reports no outputPartitioning to consumers until
+        // it finalizes, so the declared hash(dst) would be invisible
+        // and every superstep would re-insert the contribution
+        // exchange (probed: with only canChangeCachedPlanOutputPartitioning
+        // =false the Exchange ENSURE_REQUIREMENTS survived)
+        val confKey = "spark.sql.adaptive.enabled"
+        val prev = spark.conf.getOption(confKey)
+        spark.conf.set(confKey, "false")
+        try
+          en.repartition(nPart, col("dst"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        finally prev match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None => spark.conf.unset(confKey)
+        }
+      }
     val nCol = lit(nNodes)
     var prevIds: Set[Int] = Set.empty
     var rank = nodes.select(col("node"), init((col("node"), nCol)).as("r"))
