@@ -49,6 +49,53 @@ object Alto {
       .withColumn("alto", struct(col("_xmlns"), col("Description"), col("Layout")))
       .select("alto")
 
+  /** Narrow-schema bulk ingest (r20, guide §6): identical scan shape to
+    * [[readAltoXmlFiles]], but the schema handed to the StAX parser is
+    * [[AltoSchema.altoBulk]] — only the fields the bulk token-accounting
+    * query reads. The parser skips converting the other three token
+    * attributes and the OCRProcessing subtree entirely (ReadSchema
+    * narrowing for a custom source). */
+  def readAltoXmlFilesBulk(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml")
+      .options(xmlOptions + ("rowTag" -> "alto"))
+      .schema(AltoSchema.altoBulk)
+      .load(path)
+      .withColumn("alto", struct(col("_xmlns"), col("Description"), col("Layout")))
+      .select("alto")
+
+  /** Bulk twin of [[simplify]] over the narrow schema: the same
+    * 6-level flatten, v2 truthy-CONTENT filter, and namespace dispatch,
+    * with tokens carrying only (text, x) and the description reduced to
+    * (fileName, width) — exactly the fields q_alto_bulk consumes. Field
+    * semantics (head-of-array chains, JS parseInt, v3's undefined
+    * fileName) mirror the full path, expression for expression. */
+  def simplifyBulk(alto: Column): Column = {
+    val toks = flatten(transform(ca(alto("Layout")), l =>
+      flatten(transform(ca(l("Page")), p =>
+        flatten(transform(ca(p("PrintSpace")), ps =>
+          flatten(transform(ca(ps("TextBlock")), tb =>
+            flatten(transform(ca(tb("TextLine")), tl =>
+              transform(ca(tl("String")), s => struct(
+                s("_CONTENT").as("text"),
+                parseIntJs(s("_HPOS")).as("x")))))))))))))
+    val fileName =
+      head(head(head(alto("Description"))("sourceImageInformation"))("fileName"))
+    val width = head(head(alto("Layout"))("Page"))("_WIDTH")
+    val ns = alto("_xmlns")
+    val nullToks = lit(null).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.IntegerType)))))
+    val nullStr = lit(null).cast("string")
+    when(ns === NsV2, struct(
+        fileName.as("fileName"), width.as("width"),
+        filter(toks, t => t("text").isNotNull && t("text") =!= "").as("text")))
+      .when(ns === NsV3, struct(
+        nullStr.as("fileName"), width.as("width"), toks.as("text")))
+      .otherwise(struct(
+        nullStr.as("fileName"), nullStr.as("width"), nullToks.as("text")))
+  }
+
   /** Failure policy for the per-URL fetch path. */
   sealed trait FetchPolicy
   object FetchPolicy {

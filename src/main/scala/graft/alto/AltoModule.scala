@@ -139,8 +139,15 @@ object AltoModule extends QueryModule {
     // read the DIRECTORY, not a glob: Hadoop's globber stats every
     // matching file sequentially on the driver (measured 4-7 s for the
     // 2,000-file corpus vs one listStatus call for the directory);
-    // _SUCCESS is skipped automatically as a hidden file
-    val raw = Alto.readAltoXmlFiles(spark, bulkDir())
+    // _SUCCESS is skipped automatically as a hidden file.
+    // r20: the NARROW-schema reader (AltoSchema.altoBulk) — the StAX
+    // parser converts only the fields this query reads (namespace,
+    // fileName, page width, token CONTENT + HPOS), skipping the other
+    // three token attributes and the OCRProcessing subtree; simplifyBulk
+    // mirrors the full simplify()'s dispatch/filter semantics over the
+    // narrow struct. Same rows at all SFs (oracle is the generator's
+    // closed form, swept).
+    val raw = Alto.readAltoXmlFilesBulk(spark, bulkDir())
     // NO checkpoint staging here, deliberately: CollapseProject does
     // inline the simplify tree into each of the five field reads, but
     // the whole inlined projection is codegen'd and measured at 0.33 s
@@ -148,12 +155,12 @@ object AltoModule extends QueryModule {
     // barrier costs 4.4 s materializing the deep structs to block
     // storage. The docToks-style staging rule applies to LAMBDA-sliced
     // token arrays re-evaluated per element, not to a flat projection.
-    raw.select(Alto.simplify(col("alto")).as("simplified"))
+    raw.select(Alto.simplifyBulk(col("alto")).as("simplified"))
       .select(
-        regexp_extract(col("simplified")("description")("fileName"),
+        regexp_extract(col("simplified")("fileName"),
           "page_(\\d+)\\.tif", 1).cast("bigint").as("rep_id"),
         size(col("simplified")("text")).cast("bigint").as("n_tokens"),
-        col("simplified")("description")("width").as("page_width"),
+        col("simplified")("width").as("page_width"),
         aggregate(col("simplified")("text"), lit(0L),
           (acc, t) => acc + t.getField("x")).as("sum_x"),
         element_at(col("simplified")("text"), 1).getField("text").as("first_tok"))

@@ -60,6 +60,25 @@ object AltoSchema {
     "Description" -> arr(description),
     "Layout" -> arr(layout))
 
+  /** ReadSchema-narrowed variant for the bulk token-accounting scan
+    * (q_alto_bulk): the query reads ONLY the namespace dispatch, the
+    * source fileName, the page width, and each token's CONTENT + HPOS —
+    * so the schema handed to the StAX datasource omits the other three
+    * token attributes and the whole OCRProcessing subtree, and the
+    * parser never converts them (the custom-source equivalent of a
+    * parquet scan's ReadSchema pruning, guide §6). The FULL [[alto]]
+    * schema stays the contract for the simplify/fixture path. */
+  val altoBulk: StructType = st(
+    "_xmlns" -> StringType,
+    "Description" -> arr(st(
+      "sourceImageInformation" -> arr(st("fileName" -> strArr)))),
+    "Layout" -> arr(st("Page" -> arr(st(
+      "_WIDTH" -> StringType,
+      "PrintSpace" -> arr(st("TextBlock" -> arr(st("TextLine" -> arr(st(
+        "String" -> arr(st(
+          "_CONTENT" -> StringType,
+          "_HPOS" -> StringType)))))))))))))
+
   /** Output schema of the simplified JSON document
     * (reference `extract-text-lines-from-alto.js:23984-24001`).
     * Page width/height stay strings — the reference never parses them
