@@ -940,14 +940,26 @@ object Curation {
             (col("r_tot") + DsirBuckets).cast("double"))).as("lr"))
     db.filter(col("lang") =!= DsirTargetLang)
       .join(broadcast(bucketLr), Seq("bucket"))
+      // FIXED-POINT twin of the DECIMAL(29,9) sum (r20, §4): the same
+      // 9-dp HALF_UP value carried as LONG units of 1e-9, so the
+      // per-pair aggregation buffer is a primitive long instead of a
+      // precision-29 Decimal (BigDecimal add + alloc per row). The
+      // outer round is PROVABLY the decimal cast's unscaled value:
+      // with d = round(x, 9), |fl(d·1e9) − u| ≤ |u|·(2⁻⁵²+2⁻⁵³) < 0.5
+      // for |u| < 1.5e15 (|x| < 1.5e6 — a per-doc-per-bucket count
+      // times a log-ratio bounded by tens), so round-to-nearest lands
+      // on u in both engines and the long sum equals the decimal sum
+      // exactly; u/1e9 back to double is one correctly-rounded IEEE
+      // division, the same double Decimal.toDouble produced. The
+      // DuckDB oracle mirrors the formulation term for term.
       .withColumn("contrib",
-        round(col("cnt").cast("double") * col("lr"), 9).cast("decimal(29,9)"))
+        round(round(col("cnt").cast("double") * col("lr"), 9) * 1e9).cast("long"))
       .groupBy("doc_id", "lang")
       .agg(sum("cnt").as("n_tokens"), sum("contrib").as("w"))
       .orderBy(col("w").desc, col("doc_id").asc)
       .limit(DsirK)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        round(col("w").cast("double"), 6).as("dsir_logratio"))
+        round(col("w").cast("double") / 1e9, 6).as("dsir_logratio"))
   }
 
   /** Tokenizer fertility report: per language, whitespace-word vs BPE
@@ -1349,9 +1361,9 @@ object CurationModule extends QueryModule {
         |    ln(CAST(rc + 1 AS DOUBLE) / CAST(r_tot + $DsirBuckets AS DOUBLE)) AS lr
         |  FROM rawc LEFT JOIN tgtc USING (bucket) CROSS JOIN rt CROSS JOIN tt),
         |sc AS (SELECT doc_id, lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-        |    SUM(CAST(round(CAST(cnt AS DOUBLE) * lr, 9) AS DECIMAL(29,9))) AS w
+        |    SUM(CAST(round(round(CAST(cnt AS DOUBLE) * lr, 9) * 1e9, 0) AS BIGINT)) AS w
         |  FROM b JOIN lr USING (bucket) WHERE lang <> '$DsirTargetLang'
         |  GROUP BY doc_id, lang)
-        |SELECT doc_id, lang, n_tokens, round(CAST(w AS DOUBLE), 6) AS dsir_logratio
+        |SELECT doc_id, lang, n_tokens, round(CAST(w AS DOUBLE) / 1e9, 6) AS dsir_logratio
         |FROM sc ORDER BY w DESC, doc_id ASC LIMIT $DsirK""".stripMargin)
 }

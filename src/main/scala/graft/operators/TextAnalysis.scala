@@ -706,14 +706,21 @@ object TextAnalysis {
     val cnts = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
     val tot = cnts.agg(sum(col("cnt")).as("total"))
     tf.join(cnts, "term").crossJoin(broadcast(tot))
-      .withColumn("contrib", round(
+      // FIXED-POINT twin of the DECIMAL(29,9) sum (r20, §4 — the
+      // dsirSelect reshape, see the proof comment there): the 9-dp
+      // value rides as long units of 1e-9 through a primitive-long
+      // aggregation buffer; round(d·1e9) provably equals the decimal
+      // cast's unscaled value for |units| < 1.5e15 (here ≤ tf·|ln p|
+      // ≤ ~4e6·1e9), and the final units→double division is the same
+      // correctly-rounded double the Decimal conversion produced.
+      .withColumn("contrib", round(round(
         col("tf").cast("double") *
-          log(col("cnt").cast("double") / col("total").cast("double")), 9)
-        .cast("decimal(29,9)"))
+          log(col("cnt").cast("double") / col("total").cast("double")), 9) * 1e9)
+        .cast("long"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"), sum(col("contrib")).as("ll"))
       .select(col("doc_id"), col("n_tokens"),
-        round(-col("ll").cast("double") / col("n_tokens"), 6)
+        round(-(col("ll").cast("double") / 1e9) / col("n_tokens"), 6)
           .as("cross_entropy"))
       .orderBy("doc_id")
   }
@@ -1070,9 +1077,9 @@ object TextAnalysisModule extends QueryModule {
         |cnts AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-        |  round(-CAST(SUM(CAST(round(CAST(tf AS DOUBLE) *
-        |      ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 9)
-        |    AS DECIMAL(29,9))) AS DOUBLE) / SUM(tf), 6) AS cross_entropy
+        |  round(-(CAST(SUM(CAST(round(round(CAST(tf AS DOUBLE) *
+        |      ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 9) * 1e9, 0)
+        |    AS BIGINT)) AS DOUBLE) / 1e9) / SUM(tf), 6) AS cross_entropy
         |FROM tf JOIN cnts ON tf.term = cnts.term CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
