@@ -46,7 +46,7 @@ object BpeFit {
   /** Cached fitted merges per (session, dir) — the model is a few KB,
     * no eviction discipline needed (cf. SimilarityIvf.fitCache). */
   private val fitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]())
 
   /** Test hook: drop every cached fit (persistence round-trips prove
     * the artifact is served, not the in-process cache). */

@@ -163,7 +163,7 @@ object Curation {
     * category as a fitted quantizer: build once per session, not per
     * query. Some(bytes) = sketch; None = the suite has no docs. */
   private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[Byte]]]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Option[Array[Byte]]]())
 
   /** Test hook (cache-vs-rebuild equivalence). */
   private[operators] def clearBloomCache(): Unit = bloomCache.clear()

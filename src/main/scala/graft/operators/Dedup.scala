@@ -114,7 +114,7 @@ object Dedup {
     * At 100 TB these are parquet-staged index tables maintained
     * alongside the corpus. */
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
   /** Persistent-RDD ids held by each memoized entry (and by loose
     * iteration state registered via trackStray), so releaseIndexes can
@@ -124,7 +124,7 @@ object Dedup {
     * steady heap growth and a GC-bound session (the round-3 bench ran
     * 2× slower for exactly this reason). */
   private val indexRdds =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[Int]]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Set[Int]]())
 
   /** Eager localCheckpoint that also reports the persistent-RDD ids it
     * registered, so the caller can free the blocks once the table is
@@ -153,20 +153,14 @@ object Dedup {
 
   /** Collision-free per-session cache-key prefix: a UUID assigned on
     * first use, held weakly so a dropped session's entry can be
-    * collected. identityHashCode (the old key) carries no uniqueness
-    * guarantee, so two concurrently live sessions in one JVM could in
-    * principle serve each other's memoized index tables or fitted
-    * quantizer — wrong-session state with no error. (SparkSession
-    * keeps default identity equals, which is exactly the key
-    * semantics wanted here.) */
-  private val sessionKeys =
-    new java.util.WeakHashMap[SparkSession, String]()
+    * collected — and, since r20, so a collected session's entries are
+    * PURGED from every scoped cache (SessionSweep). identityHashCode
+    * (the old key) carries no uniqueness guarantee, so two
+    * concurrently live sessions in one JVM could in principle serve
+    * each other's memoized index tables or fitted quantizer —
+    * wrong-session state with no error. */
   private[operators] def sessionKey(spark: SparkSession): String =
-    sessionKeys.synchronized {
-      var k = sessionKeys.get(spark)
-      if (k == null) { k = java.util.UUID.randomUUID().toString; sessionKeys.put(spark, k) }
-      k
-    }
+    graft.sources.SessionSweep.key(spark)
 
   /** Register loose (non-memoized) checkpoint ids — e.g. the final
     * label table of an iterative job — for release with the rest of
@@ -186,7 +180,7 @@ object Dedup {
     * second monitor — no lock ordering issue because the nesting
     * relation is acyclic (an artifact only builds its upstreams). */
   private val keyLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Object]())
 
   /** Double-checked get/build under a PER-KEY re-entrant monitor — NOT
     * computeIfAbsent: index builds nest (shingleIndex builds
@@ -261,7 +255,7 @@ object Dedup {
     * flagged stale must DISCLOSE that (log + ServeStatus side report)
     * instead of silently returning degraded-recall results. */
   private val primedDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, String]())
   private[graft] def primedIndexDir(spark: SparkSession, dir: String): Option[String] =
     Option(primedDirs.get(s"${sessionKey(spark)}|$dir"))
 
@@ -1551,13 +1545,13 @@ object Dedup {
     * rewrite that happens to preserve byte length must still read as
     * a new generation). Driver-side fs metadata only; no job. */
   private val primedArtifactFps =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, String]())
 
   /** Collected starCaps rows per (session, dir) — survives the
     * capCache clear in [[releaseIndexes]] so an unchanged-generation
     * re-prime re-seeds the caps without a collect job. */
   private val starCapsRows =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Int)]]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Int)]]())
 
   /** Record the artifact's current file generation and report whether
     * it CHANGED since this session last primed it (a never-primed

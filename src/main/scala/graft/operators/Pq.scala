@@ -51,7 +51,7 @@ object SimilarityPq {
   /** Cached per-(session, dir) codebook fits — M×K×SubDim doubles,
     * negligible; same lifecycle as the IVF fitCache. */
   private val fitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]())
 
   private[operators] def clearFitCache(): Unit = fitCache.clear()
 
@@ -309,7 +309,7 @@ object SimilarityPq {
   private[operators] val RerankLadder = Seq(32, 64, 128, 256)
 
   private val rerankTuneCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Integer]())
 
   /** Mean recall@k of the exact-reranked size-`cands` ADC shortlist
     * over held-out queries [loQ, hiQ) against the exact top-k. */

@@ -353,7 +353,7 @@ object Similarity {
   }
 
   private val hCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Integer]())
 
   /** The plane count `dir`'s bucket artifact was (or will be) built
     * under. The artifact is SELF-DESCRIBING — a bucket string's length
@@ -570,7 +570,7 @@ object Similarity {
   private[operators] val MaxLshRadius = 3
 
   private val lshTuneCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Integer]())
 
   /** Mean recall@k of the radius-r LSH shortlist over held-out queries
     * [loQ, hiQ) against the exact top-k — the LSH measurement leg,
@@ -1251,7 +1251,7 @@ object SimilarityIvf {
     * exactly that artifact). One COUNT over the ids-only scan, cached
     * per (session, dir). */
   private val kCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Integer]())
   private[operators] def kForCount(n: Long): Int =
     math.max(16, math.min(4096,
       4 * math.ceil(math.sqrt(n.toDouble)).toInt))
@@ -1454,7 +1454,7 @@ object SimilarityIvf {
     * model is 16×64 doubles — negligible — so unlike the index tables
     * it needs no eviction discipline. */
   private val fitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]())
 
   /** Test hook: drop every cached fitted model, so a persistence
     * round-trip can prove fitCentroids serves the parquet artifact
@@ -1606,7 +1606,7 @@ object SimilarityIvf {
   private[operators] val TuneHeldOut = 16
 
   private val probeTuneCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Integer]())
 
   /** Mean recall@k of the nprobe-budget IVF shortlist against the
     * exact top-k, over queries in [loQ, hiQ) — the measurement leg of
@@ -1845,7 +1845,7 @@ object SimilarityIvf {
   /** Cached per-(session, dir) label histograms — a labels-row model
     * read (like the centroid fits), NOT a per-query corpus scan. */
   private val labelHistCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+    graft.sources.SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]())
 
   /** Label histogram of the embeddings table: the (tiny) statistics
     * artifact selectivity decisions read. One narrow groupBy per

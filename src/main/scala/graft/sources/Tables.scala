@@ -28,14 +28,38 @@ object Tables {
     * (fixture overwrite in tests, a refreshed corpus) re-resolves, so
     * no reader can see a stale listing. The fingerprint stat is
     * driver-side fs metadata (~1 ms), no job. */
+  /** BOUNDED load cache (r20): the cached DataFrames strongly
+    * reference their session, so an unbounded static map would pin
+    * every session that ever loaded a table (the r19 "unbounded memo
+    * growth" item — worse than growth, an immortality cycle: entry →
+    * DataFrame → session, so the weak session key could never clear).
+    * A FIFO bound caps the map at [[LoadCacheMaxEntries]]; eviction
+    * drops the oldest entry, un-pinning its session, after which the
+    * SessionSweep purge clears any sibling entries the collected
+    * session left in the other scoped caches. 64 entries cover ~6
+    * concurrently hot sessions × 10 tables; an evicted entry merely
+    * re-resolves (~50-100 ms driver) on next use. (A per-session
+    * stash was probed and rejected: Spark's listenerManager parks
+    * registered listeners on the CONTEXT's ExecutionListenerBus, so a
+    * listener-held stash pins the session at context scope — the same
+    * cycle one level up.) */
+  private val LoadCacheMaxEntries = 64
   private val loadCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+    SessionSweep.scoped(new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]())
+  private val loadOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Test hook: current load-cache entry count for a session. */
+  private[graft] def loadCacheSizeForTest(spark: SparkSession): Int = {
+    val prefix = s"${SessionSweep.key(spark)}|"
+    var n = 0
+    loadCache.keySet.forEach(k => if (k.startsWith(prefix)) n += 1)
+    n
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     // keyed per SESSION (not context): schema inference can depend on
     // session read confs (e.g. legacy.parquet.nanosAsLong for events)
-    val key = s"${System.identityHashCode(spark)}|$path"
+    val key = s"${SessionSweep.key(spark)}|$path"
     val fp = try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -61,6 +85,14 @@ object Tables {
     else {
       val df = spark.read.parquet(path)
       loadCache.put(key, (fp, df))
+      loadOrder.add(key)
+      // FIFO bound: a refreshed key may carry a stale queue entry and
+      // get evicted early — it just re-resolves; never grows unbounded
+      while (loadCache.size > LoadCacheMaxEntries) {
+        val old = loadOrder.poll()
+        if (old == null) return df
+        loadCache.remove(old)
+      }
       df
     }
   }
