@@ -52,6 +52,31 @@ object Bench {
       n.startsWith("q_hard_negatives") || n == "q_embedding_drift" ||
       n.startsWith("q_training_triplets")
 
+  /** numeric rounding, not %.3f — the f interpolator is locale-
+    * sensitive and a comma decimal separator would corrupt the JSON */
+  private[graft] def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+
+  /** Per-query JSON object in run order; a failed query emits null so
+    * a naive per-query delta consumer can never read a failure
+    * sentinel as a timing. */
+  private[graft] def jmapOf(order: Seq[String], failed: String => Boolean,
+      f: String => String): String =
+    order.map(n => "\"" + n + "\":" + (if (failed(n)) "null" else f(n)))
+      .mkString("{", ",", "}")
+
+  /** The driver's single-line stdout contract, assembled from the
+    * pre-serialized sub-objects — factored out of main so BenchEmitSpec
+    * can pin the shape (last line parses as JSON; queries/cpu_best
+    * present; tail-safe field order) without running the suite. The
+    * r18 artifact's parse failure cost round 19 its driver-side PERF
+    * comparison; this is the contract that run broke. */
+  private[graft] def benchLine(total: Double, protocol: String, cpus: String,
+      hostPenalty: Double, hostPenaltyEnd: Double, calJson: String,
+      failedJson: String, regressJson: String, cpuBestJson: String,
+      sfDir: String, cpuJson: String, queriesJson: String,
+      totalCpu: Double, totalMed: Double): String =
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","protocol":"$protocol","cpus":$cpus,"host_parallel_penalty":${r3(hostPenalty)},"host_parallel_penalty_end":${r3(hostPenaltyEnd)},"calibration":$calJson,"failed":$failedJson,"regress":$regressJson,"cpu_best":$cpuBestJson,"sf":"$sfDir","cpu":$cpuJson,"queries":$queriesJson,"cpu_total_sec":${r3(totalCpu)},"total_med_sec":${r3(totalMed)},"total_sec":${r3(total)}}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] is the stated bench contract; the old stub default of 4
@@ -498,12 +523,7 @@ object Bench {
       if (release) { graft.operators.Dedup.releaseIndexes(spark); primed() }
       calSeries(s"after_$phase") = calibrate(s"after_$phase")
     }
-    def jmap(f: String => String): String =
-      order.map(n => "\"" + n + "\":" + (if (failed(n)) "null" else f(n)))
-        .mkString("{", ",", "}")
-    // numeric rounding, not %.3f — the f interpolator is locale-
-    // sensitive and a comma decimal separator would corrupt the JSON
-    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    def jmap(f: String => String): String = jmapOf(order.toSeq, failed, f)
     val qs = jmap(n => r3(results(n)._1).toString)
     val cpus2 = jmap(n => r3(results(n)._2).toString)
     val total = results.values.map(_._1).sum
@@ -618,7 +638,9 @@ object Bench {
     val cpuBestJson = jmap(n => r3(minCpu.getOrElse(n, results(n)._2)).toString)
     val calJson = calSeries
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","protocol":"$protocol","cpus":$cpus,"host_parallel_penalty":${r3(hostPenalty)},"host_parallel_penalty_end":${r3(hostPenaltyEnd)},"calibration":$calJson,"failed":$failedJson,"regress":$regressJson,"cpu_best":$cpuBestJson,"sf":"$sfDir","cpu":$cpus2,"queries":$qs,"cpu_total_sec":${r3(totalCpu)},"total_med_sec":${r3(totalMed)},"total_sec":${r3(total)}}"""
+    val line = benchLine(total, protocol, cpus, hostPenalty, hostPenaltyEnd,
+      calJson, failedJson, regressJson, cpuBestJson, sfDir, cpus2, qs,
+      totalCpu, totalMed)
     println(line)
     // The SAME payload also lands as a FILE, so the full wall+CPU dicts
     // are readable regardless of any stdout capture policy.
